@@ -1,0 +1,196 @@
+"""Deduplication operators for the training-data pipeline tier.
+
+Four families, all engine-portable (md5-based hashing so the DuckDB oracle
+reproduces results bit-for-bit) and all designed around Spark's shuffle
+model:
+
+- **exact**: hash group-by on content (or its md5 fingerprint) — one
+  shuffle on the fingerprint, then min-id per group. At 100 TB, shuffling
+  a 32-char fingerprint instead of the full document body is the whole
+  game; ``exact_dedup_by_fingerprint`` does exactly that.
+- **MinHash + LSH**: per-row signatures (zero shuffle — higher-order
+  functions only), banded bucketing, candidate-pair self-join on
+  (band, bucket-hash), Jaccard verification. Shuffle volume is
+  O(docs × bands), never O(docs²).
+- **SimHash**: explode token→bit contributions, map-side-combinable
+  group-by — near-duplicate Hamming buckets without pairwise compare.
+- **n-gram Jaccard**: exact pairwise verification used standalone on
+  candidate sets (never on the full cross product at scale).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from udacity_dend_capstone_immigration_spark.functions.text import doc_fingerprint, word_shingles
+
+
+def exact_dedup(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """Exact duplicate elimination (A5; reference etl.py:243, 249, 263)."""
+    return df.dropDuplicates(list(subset)) if subset else df.dropDuplicates()
+
+
+def exact_dedup_by_fingerprint(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Keep the min-id representative per content fingerprint.
+
+    Deterministic (unlike ``dropDuplicates`` which keeps an arbitrary row)
+    and shuffle-cheap: only (fingerprint, id) move, not document bodies.
+    Returns (id_col, fingerprint, dup_count).
+    """
+    return (
+        df.select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select(id_col, "fingerprint", "dup_count")
+    )
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingles) with distinct word n-gram shingles, empty sets dropped.
+
+    ``array_distinct`` (not a set type) keeps everything per-row; sort the
+    set so downstream signatures are order-independent.
+    """
+    return df.select(
+        F.col(id_col),
+        F.array_sort(F.array_distinct(word_shingles(text_col, n))).alias("shingles"),
+    ).where(F.size("shingles") > 0)
+
+
+def minhash_signature(shingles: Column, num_hashes: int) -> Column:
+    """MinHash signature as an array of ``num_hashes`` hex-string minima.
+
+    Hash family i is ``md5(i || ':' || shingle)``; the per-row min over
+    shingles of a uniformly-distributed hash is a valid MinHash, and
+    lexicographic min over fixed-width hex equals numeric min. Entirely
+    per-row higher-order functions: zero shuffle, embarrassingly parallel.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
+        ),
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """Band the signature, bucket by band-hash, self-join buckets.
+
+    Input needs columns (id_col, sig). Output: distinct (id_a, id_b) with
+    id_a < id_b. The self-join shuffles on (band, bucket) — tiny keys —
+    and only colliding docs ever meet, so the join fan-out is bounded by
+    bucket sizes, not the corpus square.
+    """
+    banded = sig_df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda j: F.struct(
+                    j.alias("band"),
+                    F.md5(
+                        F.concat(
+                            j.cast("string"),
+                            F.lit(":"),
+                            F.concat_ws(",", F.slice(F.col("sig"), j * rows_per_band + 1, rows_per_band)),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verified_pairs(
+    pairs: DataFrame, shingle_df: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Join candidate pairs back to their shingle sets and keep pairs with
+    true Jaccard >= threshold. Returns (id_a, id_b, jaccard)."""
+    s1 = shingle_df.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    s2 = shingle_df.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.join(s1, "id_a")
+        .join(s2, "id_b")
+        .withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 24,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash/LSH near-dup pipeline: shingle → signature →
+    banded buckets → candidate pairs → Jaccard verify."""
+    rows_per_band = num_hashes // bands
+    sh = shingle_sets(df, id_col, text_col, shingle_n)
+    sig = sh.select(id_col, minhash_signature(F.col("shingles"), num_hashes).alias("sig"))
+    cand = lsh_candidate_pairs(sig, id_col, bands, rows_per_band)
+    return jaccard_verified_pairs(cand, sh, id_col, threshold)
+
+
+def simhash64(df: DataFrame, id_col: str, tokens: Column) -> DataFrame:
+    """64-bit SimHash per document, engine-portable.
+
+    Each token hashes to md5; the first 16 hex digits supply 64 bits
+    (4 bits per digit, msb first). Per (doc, bit-position) we sum +1/-1
+    contributions with a plain ``sum`` — fully map-side combinable, so at
+    scale the shuffle carries docs × 64 small rows, independent of
+    document length — and set the bit on a strictly-positive majority.
+    Returns (id_col, simhash: array<int> of 64 bits, msb first).
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens).alias("tok"))
+    tok = tok.select(id_col, F.substring(F.md5("tok"), 1, 16).alias("h"))
+    # (doc, bit-position p, contribution ±1); digit value is exact in a
+    # double, so floor(digit / 2^(3 - p%4)) % 2 extracts bit p portably.
+    contrib = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda p: F.when(
+            F.floor(
+                F.conv(F.col("h").substr((p / 4).cast("int") + 1, F.lit(1)), 16, 10).cast("int")
+                / F.pow(F.lit(2.0), (F.lit(3) - (p % 4)).cast("double"))
+            ).cast("int")
+            % 2
+            == 1,
+            1,
+        ).otherwise(-1),
+    )
+    bits = tok.select(id_col, F.posexplode(contrib).alias("p", "v"))
+    summed = bits.groupBy(id_col, "p").agg(F.sum("v").alias("s"))
+    return summed.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("p", "s"))),
+            lambda x: F.when(x["s"] > 0, 1).otherwise(0),
+        ).alias("simhash")
+    )

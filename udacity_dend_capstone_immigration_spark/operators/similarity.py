@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``brute_force_knn``: exact cosine top-k — the correctness baseline.
+  The crossJoin is explicit and bounded: queries × corpus. With a small
+  query set the query side broadcasts, so the "join" is a map-side pass
+  over the corpus with a per-partition top-k heap (TakeOrderedAndProject
+  after row_number) — linear in corpus size, no O(n²) shuffle.
+- ``signbit_lsh_knn``: the scale path — deterministic sign-bit LSH
+  (axis-aligned hyperplanes: the sign of the first ``num_bits``
+  coordinates). Vectors only compare within their bucket, so the shuffle
+  key is the bucket code and work is sum(bucket²) rather than corpus².
+  Recall is approximate by construction; the oracle replicates the same
+  bucketing so results stay bit-comparable.
+- ``cosine_pairs_above``: embedding near-dup — all pairs above a cosine
+  threshold, bucketed the same way at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from udacity_dend_capstone_immigration_spark.functions.vectors import cosine_similarity
+from udacity_dend_capstone_immigration_spark.operators.topk import top_k_per_group
+
+
+def _sim(round_to: int | None) -> Column:
+    sim = cosine_similarity(F.col("q.embedding"), F.col("c.embedding"))
+    return F.round(sim, round_to) if round_to is not None else sim
+
+
+def brute_force_knn(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    k: int = 10,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact cosine top-k of ``corpus`` for each row of ``queries``.
+
+    Both inputs need (id_col, embedding). Self-matches (same id) are
+    excluded. Similarity is rounded before ranking so ordering (and the
+    oracle comparison) is deterministic; ties break on candidate id.
+    Returns (query_id, neighbor_id, cosine_sim, rank).
+    """
+    q = queries.alias("q")
+    c = corpus.alias("c")
+    scored = (
+        q.crossJoin(F.broadcast(c))
+        .where(F.col(f"q.{id_col}") != F.col(f"c.{id_col}"))
+        .select(
+            F.col(f"q.{id_col}").alias("query_id"),
+            F.col(f"c.{id_col}").alias("neighbor_id"),
+            _sim(round_to).alias("cosine_sim"),
+        )
+    )
+    return top_k_per_group(
+        scored,
+        partition_by=["query_id"],
+        order_by=[F.desc("cosine_sim"), F.asc("neighbor_id")],
+        k=k,
+    )
+
+
+def cosine_pairs_above(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """All unordered pairs with cosine >= threshold (embedding near-dup).
+
+    Quadratic by definition — at scale, feed bucketed subsets (e.g. the
+    sign-bit LSH buckets) instead of the whole corpus.
+    """
+    a = df.alias("q")
+    b = df.alias("c")
+    return (
+        a.join(b, F.col(f"q.{id_col}") < F.col(f"c.{id_col}"))
+        .select(
+            F.col(f"q.{id_col}").alias("id_a"),
+            F.col(f"c.{id_col}").alias("id_b"),
+            _sim(round_to).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
+def signbit_code(embedding: Column, num_bits: int) -> Column:
+    """Deterministic LSH bucket code: concatenated sign bits of the first
+    ``num_bits`` coordinates."""
+    return F.concat_ws(
+        "",
+        F.transform(
+            F.slice(embedding, 1, num_bits),
+            lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0")),
+        ),
+    )
+
+
+def signbit_lsh_knn(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    k: int = 5,
+    num_bits: int = 4,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Approximate all-pairs kNN: compare only within sign-bit buckets.
+
+    Returns (query_id, neighbor_id, cosine_sim, rank) — neighbors are
+    bucket-local, so recall < 1 vs brute force; that is the documented
+    trade for making the join key a 2^num_bits-ary bucket instead of a
+    cross product.
+    """
+    coded = df.select(
+        F.col(id_col), F.col("embedding"), signbit_code(F.col("embedding"), num_bits).alias("bucket")
+    )
+    a = coded.alias("q")
+    b = coded.alias("c")
+    scored = (
+        a.join(b, (F.col("q.bucket") == F.col("c.bucket")) & (F.col(f"q.{id_col}") != F.col(f"c.{id_col}")))
+        .select(
+            F.col(f"q.{id_col}").alias("query_id"),
+            F.col(f"c.{id_col}").alias("neighbor_id"),
+            _sim(round_to).alias("cosine_sim"),
+        )
+    )
+    return top_k_per_group(
+        scored,
+        partition_by=["query_id"],
+        order_by=[F.desc("cosine_sim"), F.asc("neighbor_id")],
+        k=k,
+    )

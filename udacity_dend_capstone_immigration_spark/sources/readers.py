@@ -1,0 +1,94 @@
+"""Source layer (SURVEY.md §2.1, S1-S4).
+
+All readers return lazy DataFrames; scans stay declarative so Catalyst can
+push filters and prune columns down to the parquet footer level — critical
+at 100 TB where a full-column scan is the difference between minutes and
+hours.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+#: Tables shipped by the driver testdata (TESTDATA.md).
+STAR_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan (S2; reference etl.py:136-138).
+
+    Vectorized columnar read with predicate pushdown and column pruning
+    handled by Catalyst — no engine work needed beyond staying declarative.
+    """
+    return spark.read.parquet(path)
+
+
+def read_csv_with_schema(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    sep: str = ",",
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan with explicit schema (S3; reference etl.py:141-158).
+
+    An explicit StructType skips the inference pass (one fewer full read)
+    and pins types independent of file content — at scale, schema inference
+    over TB-size CSV is a full extra job.
+    """
+    return spark.read.csv(path, sep=sep, header=header, schema=schema)
+
+
+def from_pairs(
+    spark: SparkSession,
+    pairs: Iterable[tuple[str, str]],
+    col_names: tuple[str, str],
+) -> DataFrame:
+    """Local-collection source (S4; reference etl.py:169-172 and siblings).
+
+    Driver-side tuples → 2-column string DataFrame. These are tiny dim
+    tables (≤660 rows) — they broadcast in every join they participate in.
+    """
+    schema = StructType()
+    for name in col_names:
+        schema = schema.add(name, "string")
+    return spark.createDataFrame(list(pairs), schema=schema)
+
+
+def first_available(spark: SparkSession, candidates: Sequence[tuple[str, str]]) -> DataFrame:
+    """Existence-fallback source (S1 generalized; reference etl.py:128-138).
+
+    The reference reads SAS7BDAT if the file exists, else a parquet dir.
+    Generalized: ``candidates`` is an ordered list of (format, path); the
+    first path that exists wins. ``format`` is any Spark datasource name
+    ("parquet", "csv", "com.github.saurfang.sas.spark", ...).
+    """
+    for fmt, path in candidates:
+        if os.path.exists(path):
+            return spark.read.format(fmt).load(path)
+    raise FileNotFoundError(f"No candidate source exists: {[p for _, p in candidates]}")
+
+
+def load_star(spark: SparkSession, sf_dir: str, tables: Sequence[str] = STAR_TABLES) -> dict[str, DataFrame]:
+    """Load the driver's star-schema testdata and register temp views (S7)."""
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,17 @@
+"""Driver-facing workload: named queries + DuckDB oracle SQL.
+
+Importing this package registers every query in
+:mod:`udacity_dend_capstone_immigration_spark.workload.base.QUERIES` /
+``ORACLES`` — one entry per operator family from SURVEY.md §2 plus the
+training-data-pipeline tier (dedup / similarity / text / events).
+"""
+
+from udacity_dend_capstone_immigration_spark.workload.base import QUERIES, ORACLES
+
+# Registration side effects:
+from udacity_dend_capstone_immigration_spark.workload import relational  # noqa: F401
+from udacity_dend_capstone_immigration_spark.workload import textops  # noqa: F401
+from udacity_dend_capstone_immigration_spark.workload import events  # noqa: F401
+from udacity_dend_capstone_immigration_spark.workload import vectors  # noqa: F401
+
+__all__ = ["QUERIES", "ORACLES"]

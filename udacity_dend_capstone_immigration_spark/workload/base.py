@@ -1,0 +1,89 @@
+"""Workload registry + cross-engine determinism helpers.
+
+Two hard constraints shape everything here (driver contract in
+``__spark_entry__.py``):
+
+1. The driver runs each query with **its own** SparkSession (unknown
+   config). Every query pins the runtime confs it depends on —
+   ANSI off (reference coercion semantics, SURVEY.md §7.3 risk 2) and
+   UTC session timezone — via :func:`pin_session`.
+
+2. Results are compared to DuckDB by order-insensitive value hash, so
+   floating-point aggregates must be **bit-identical**, not just close.
+   Per-row IEEE double arithmetic is deterministic across engines; only
+   aggregation order isn't. So: compute scalars in double, then
+   ``SUM(CAST(x AS DECIMAL(28,10)))`` — the decimal cast of a double can
+   never land on a rounding midpoint (midpoints at scale 10 have 5^11 in
+   the denominator, unrepresentable in binary), so Spark's HALF_UP and
+   DuckDB's HALF_EVEN agree; decimal addition is exact and
+   order-independent; the final cast back to double is deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+import functools
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def pin_session(spark: SparkSession) -> None:
+    """Pin the runtime confs the workload semantics depend on."""
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a (spark, sf_dir) -> DataFrame callable, with optional
+    DuckDB oracle SQL (omitted → driver does a rows-only check)."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            pin_session(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = " ".join(oracle.split())
+        return wrapped
+
+    return deco
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dsum(col: Column, alias: str) -> Column:
+    """Order-independent, engine-portable double sum (see module doc)."""
+    return F.sum(col.cast("decimal(28,10)")).cast("double").alias(alias)
+
+
+def davg(col: Column, alias: str) -> Column:
+    """Portable average: exact decimal sum / count, divided in double."""
+    return (
+        F.sum(col.cast("decimal(28,10)")).cast("double")
+        / F.count(col).cast("double")
+    ).alias(alias)
+
+
+#: SQL fragments mirroring dsum/davg for the DuckDB side. DuckDB's direct
+#: decimal→double cast is not correctly rounded once the scaled int128
+#: mantissa exceeds 2^53; routing through VARCHAR (exact digits → parsed
+#: with correct rounding) matches Spark's BigDecimal.doubleValue.
+def sql_dsum(expr: str, alias: str) -> str:
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS {alias}"
+    )
+
+
+def sql_davg(expr: str, alias: str) -> str:
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)"
+        f" / CAST(COUNT({expr}) AS DOUBLE) AS {alias}"
+    )

@@ -1,0 +1,530 @@
+"""Relational-core queries (SURVEY.md §2.1-2.8) on the TPC-H-ish star.
+
+Each query is the testdata transposition of a reference operator —
+citations point at the reference construct it re-expresses. Spark plans
+stay declarative: tiny dims are explicitly ``broadcast()``-ed, every
+aggregate is a hash aggregate with map-side partials, top-k compiles to
+``TakeOrderedAndProject``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from udacity_dend_capstone_immigration_spark.functions.cleaning import (
+    invalid_country_to_na,
+    port_city,
+    port_state_code,
+    valid_birth_year,
+)
+from udacity_dend_capstone_immigration_spark.functions.dates import sas_date_to_date
+from udacity_dend_capstone_immigration_spark.operators.topk import top_k, top_k_per_group
+from udacity_dend_capstone_immigration_spark.workload.base import (
+    davg,
+    dsum,
+    query,
+    sql_davg,
+    sql_dsum,
+    table,
+)
+
+
+# --- flagship: reference notebook cell 45 ("most visited cities in April")
+# transposed: most-ordering nations in January 1996.
+# Operators: S2 scan, P8 month filter, A2 group-count, T1 top-k, J4 dim
+# join, T2 re-sort.
+@query(
+    "top_nations_by_orders",
+    oracle="""
+    WITH top_nations AS (
+        SELECT c_nationkey AS nationkey,
+               COUNT(*) AS order_cnt,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS total_revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-02-01'
+        GROUP BY c_nationkey
+        ORDER BY order_cnt DESC, nationkey ASC
+        LIMIT 10
+    )
+    SELECT n_name AS nation, order_cnt, total_revenue
+    FROM top_nations JOIN nation ON nationkey = n_nationkey
+    ORDER BY order_cnt DESC, nation ASC
+    """,
+)
+def top_nations_by_orders(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    month = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1996-02-01"))
+    )
+    counted = (
+        month.join(customer, month.o_custkey == customer.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("order_cnt"), dsum(F.col("o_totalprice"), "total_revenue"))
+    )
+    top = top_k(counted, [F.desc("order_cnt"), F.asc("nationkey")], 10)
+    return (
+        top.join(F.broadcast(nation), top.nationkey == nation.n_nationkey)
+        .select(F.col("n_name").alias("nation"), "order_cnt", "total_revenue")
+        .orderBy(F.desc("order_cnt"), F.asc("nation"))
+    )
+
+
+# --- star-schema fact build: reference etl.py:291-324 (J1 left joins to
+# dims + P6 null rejection ⇒ net inner; P3 19-col rename projection).
+@query(
+    "fact_denormalize",
+    oracle="""
+    SELECT l_orderkey AS fact_id, l_linenumber AS line_no,
+           o_orderdate AS order_ts, o_orderstatus AS status,
+           c_name AS customer_name, n_name AS nation_name,
+           p_name AS part_name, s_name AS supplier_name,
+           l_quantity AS qty, l_extendedprice AS price
+    FROM lineitem
+        LEFT JOIN orders ON o_orderkey = l_orderkey
+        LEFT JOIN customer ON c_custkey = o_custkey
+        LEFT JOIN nation ON n_nationkey = c_nationkey
+        LEFT JOIN part ON p_partkey = l_partkey
+        LEFT JOIN supplier ON s_suppkey = l_suppkey
+    WHERE o_orderkey IS NOT NULL AND c_custkey IS NOT NULL
+      AND n_nationkey IS NOT NULL AND p_partkey IS NOT NULL
+      AND s_suppkey IS NOT NULL
+    """,
+)
+def fact_denormalize(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    part = table(spark, sf_dir, "part")
+    supplier = table(spark, sf_dir, "supplier")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left")
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey, "left")
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey, "left")
+        .where(
+            F.col("o_orderkey").isNotNull()
+            & F.col("c_custkey").isNotNull()
+            & F.col("n_nationkey").isNotNull()
+            & F.col("p_partkey").isNotNull()
+            & F.col("s_suppkey").isNotNull()
+        )
+    )
+    return joined.select(
+        F.col("l_orderkey").alias("fact_id"),
+        F.col("l_linenumber").alias("line_no"),
+        F.col("o_orderdate").alias("order_ts"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("c_name").alias("customer_name"),
+        F.col("n_name").alias("nation_name"),
+        F.col("p_name").alias("part_name"),
+        F.col("s_name").alias("supplier_name"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_extendedprice").alias("price"),
+    )
+
+
+# --- multi-SUM hash aggregate: reference etl.py:336-347 (A1), in TPC-H
+# Q1 pricing-summary shape.
+@query(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum("l_quantity", "sum_qty")},
+           {sql_dsum("l_extendedprice", "sum_base_price")},
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+           {sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+           {sql_davg("l_quantity", "avg_qty")},
+           {sql_davg("l_extendedprice", "avg_price")},
+           {sql_davg("l_discount", "avg_disc")},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity"), "sum_qty"),
+        dsum(F.col("l_extendedprice"), "sum_base_price"),
+        dsum(disc_price, "sum_disc_price"),
+        dsum(charge, "sum_charge"),
+        davg(F.col("l_quantity"), "avg_qty"),
+        davg(F.col("l_extendedprice"), "avg_price"),
+        davg(F.col("l_discount"), "avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# --- reference notebook cell 46 (top origin countries) transposed:
+# top-10 parts by shipped quantity, dim join after the top-k.
+@query(
+    "top_parts_by_quantity",
+    oracle="""
+    WITH top_parts AS (
+        SELECT l_partkey,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS total_qty,
+               COUNT(*) AS shipment_cnt
+        FROM lineitem
+        GROUP BY l_partkey
+        ORDER BY total_qty DESC, l_partkey ASC
+        LIMIT 10
+    )
+    SELECT p_name AS part_name, p_brand AS brand, total_qty, shipment_cnt
+    FROM top_parts JOIN part ON l_partkey = p_partkey
+    ORDER BY total_qty DESC, part_name ASC
+    """,
+)
+def top_parts_by_quantity(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    counted = li.groupBy("l_partkey").agg(
+        dsum(F.col("l_quantity"), "total_qty"), F.count(F.lit(1)).alias("shipment_cnt")
+    )
+    top = top_k(counted, [F.desc("total_qty"), F.asc("l_partkey")], 10)
+    return (
+        top.join(F.broadcast(part), top.l_partkey == part.p_partkey)
+        .select(
+            F.col("p_name").alias("part_name"),
+            F.col("p_brand").alias("brand"),
+            "total_qty",
+            "shipment_cnt",
+        )
+        .orderBy(F.desc("total_qty"), F.asc("part_name"))
+    )
+
+
+# --- reference notebook cell 47 (top student-visa origin countries):
+# constant predicate on a category column + group-count + top-k + dim join.
+@query(
+    "top_nations_building_segment",
+    oracle="""
+    WITH seg AS (
+        SELECT c_nationkey, COUNT(*) AS customer_cnt,
+               CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS total_balance
+        FROM customer
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY c_nationkey
+        ORDER BY customer_cnt DESC, c_nationkey ASC
+        LIMIT 10
+    )
+    SELECT n_name AS nation, customer_cnt, total_balance
+    FROM seg JOIN nation ON c_nationkey = n_nationkey
+    ORDER BY customer_cnt DESC, nation ASC
+    """,
+)
+def top_nations_building_segment(spark, sf_dir):
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    seg = (
+        customer.where(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("customer_cnt"), dsum(F.col("c_acctbal"), "total_balance"))
+    )
+    top = top_k(seg, [F.desc("customer_cnt"), F.asc("c_nationkey")], 10)
+    return (
+        top.join(F.broadcast(nation), top.c_nationkey == nation.n_nationkey)
+        .select(F.col("n_name").alias("nation"), "customer_cnt", "total_balance")
+        .orderBy(F.desc("customer_cnt"), F.asc("nation"))
+    )
+
+
+# --- case-insensitive expression-key join: reference etl.py:355-356 (J3).
+@query(
+    "case_insensitive_join",
+    oracle="""
+    WITH dim AS (SELECT DISTINCT upper(n_name) AS nation_uc, n_nationkey FROM nation)
+    SELECT dim.nation_uc AS nation, COUNT(*) AS customer_cnt
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN dim ON lower(dim.nation_uc) = lower(n_name)
+    GROUP BY dim.nation_uc
+    """,
+)
+def case_insensitive_join(spark, sf_dir):
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    dim = nation.select(
+        F.upper("n_name").alias("nation_uc"), F.col("n_nationkey").alias("dim_key")
+    ).distinct()
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(dim), F.lower(dim.nation_uc) == F.lower(nation.n_name))
+        .groupBy(F.col("nation_uc").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("customer_cnt"))
+    )
+
+
+# --- anti-join idiom: reference notebook cell 22 (J5) — rows in A with
+# no match in B, as a proper left_anti.
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def customers_without_orders(spark, sf_dir):
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# --- cross-type-cast equi-join: reference etl.py:313-317 (J2/F7) — string
+# dim codes joined to numeric fact columns under ANSI-off implicit
+# coercion (pinned by pin_session).
+@query(
+    "cross_type_join",
+    oracle="""
+    WITH dim AS (SELECT CAST(n_nationkey AS VARCHAR) AS code, n_name FROM nation)
+    SELECT n_name AS nation, COUNT(*) AS supplier_cnt
+    FROM supplier JOIN dim ON CAST(code AS INT) = s_nationkey
+    GROUP BY n_name
+    """,
+)
+def cross_type_join(spark, sf_dir):
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    dim = nation.select(F.col("n_nationkey").cast("string").alias("code"), "n_name")
+    # implicit string↔int coercion, exactly the reference's J2 semantics
+    return (
+        supplier.join(F.broadcast(dim), dim.code == supplier.s_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("supplier_cnt"))
+    )
+
+
+# --- SQL-string filter + null rejection: reference etl.py:272-275 (P5)
+# and etl.py:318-323 (P6).
+@query(
+    "filter_sql_predicate",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    WHERE n_name != 'NATION_3' AND n_regionkey IS NOT NULL
+    """,
+)
+def filter_sql_predicate(spark, sf_dir):
+    nation = table(spark, sf_dir, "nation")
+    return nation.filter("n_name != 'NATION_3'").where(F.col("n_regionkey").isNotNull())
+
+
+# --- regex cleanup + lower: reference etl.py:266-269 (F4) + F5.
+@query(
+    "regex_clean_types",
+    oracle="""
+    SELECT p_partkey,
+           regexp_replace(p_type, '^PROMO.*|^ECONOMY.*', 'NA', 'g') AS type_cleaned,
+           lower(p_brand) AS brand_lc
+    FROM part
+    """,
+)
+def regex_clean_types(spark, sf_dir):
+    part = table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_replace("p_type", "^PROMO.*|^ECONOMY.*", "NA").alias("type_cleaned"),
+        F.lower("p_brand").alias("brand_lc"),
+    )
+
+
+# --- SAS-date conversion incl. the falsy-zero quirk: reference
+# etl.py:236,240-241 (F1). l_suppkey 0 exercises day-0 → null.
+@query(
+    "sas_date_convert",
+    oracle="""
+    SELECT DISTINCT l_suppkey AS day_offset,
+           CASE WHEN l_suppkey IS NULL OR l_suppkey = 0 THEN NULL
+                ELSE DATE '1960-01-01' + CAST(l_suppkey AS INT) END AS converted_date
+    FROM lineitem
+    """,
+)
+def sas_date_convert(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_suppkey").alias("day_offset"),
+        sas_date_to_date(F.col("l_suppkey"), compat_falsy_zero=True).alias("converted_date"),
+    ).distinct()
+
+
+# --- port-name split: reference etl.py:252-263 (F3) — 'City, ST' split
+# with missing-comma → null state; P7 dropna analog kept visible.
+@query(
+    "port_name_split",
+    oracle="""
+    WITH src AS (
+        SELECT n_nationkey,
+               CASE WHEN n_nationkey % 3 = 0 THEN n_name
+                    ELSE n_name || ', ' || r_name END AS port_name
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+    )
+    SELECT n_nationkey, port_name,
+           trim(string_split(port_name, ',')[1]) AS city,
+           CASE WHEN len(string_split(port_name, ',')) > 1
+                THEN trim(string_split(port_name, ',')[2]) END AS state_code
+    FROM src
+    """,
+)
+def port_name_split(spark, sf_dir):
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    src = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey).select(
+        "n_nationkey",
+        F.when(F.col("n_nationkey") % 3 == 0, F.col("n_name"))
+        .otherwise(F.concat(F.col("n_name"), F.lit(", "), F.col("r_name")))
+        .alias("port_name"),
+    )
+    return src.select(
+        "n_nationkey",
+        "port_name",
+        port_city("port_name").alias("city"),
+        port_state_code("port_name").alias("state_code"),
+    )
+
+
+# --- birth-year range validation: reference etl.py:237,242 (F2),
+# inclusive 1900/2016 bounds over a synthesized year column.
+@query(
+    "birth_year_validation",
+    oracle="""
+    SELECT o_orderkey,
+           1880 + o_orderkey % 150 AS raw_year,
+           CASE WHEN 1880 + o_orderkey % 150 BETWEEN 1900 AND 2016
+                THEN CAST(1880 + o_orderkey % 150 AS INT) END AS valid_year
+    FROM orders
+    """,
+)
+def birth_year_validation(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    raw = (F.lit(1880) + F.col("o_orderkey") % 150).alias("raw_year")
+    return orders.select(
+        "o_orderkey", raw, valid_birth_year(F.lit(1880) + F.col("o_orderkey") % 150).alias("valid_year")
+    )
+
+
+# --- country-name regex invalidation on a dim: reference etl.py:266-269,
+# applied to its own pattern (F4 exact semantics).
+@query(
+    "invalid_label_to_na",
+    oracle="""
+    SELECT s_suppkey,
+           regexp_replace(
+               CASE WHEN s_suppkey % 5 = 0 THEN 'No Country Code (' || s_name || ')'
+                    WHEN s_suppkey % 7 = 0 THEN 'INVALID: ' || s_name
+                    WHEN s_suppkey % 11 = 0 THEN 'Collapsed (' || s_name || ')'
+                    ELSE s_name END,
+               '^No Country.*|INVALID.*|Collapsed.*', 'NA', 'g') AS label
+    FROM supplier
+    """,
+)
+def invalid_label_to_na(spark, sf_dir):
+    supplier = table(spark, sf_dir, "supplier")
+    raw = (
+        F.when(F.col("s_suppkey") % 5 == 0, F.concat(F.lit("No Country Code ("), F.col("s_name"), F.lit(")")))
+        .when(F.col("s_suppkey") % 7 == 0, F.concat(F.lit("INVALID: "), F.col("s_name")))
+        .when(F.col("s_suppkey") % 11 == 0, F.concat(F.lit("Collapsed ("), F.col("s_name"), F.lit(")")))
+        .otherwise(F.col("s_name"))
+    )
+    return supplier.select("s_suppkey", invalid_country_to_na(raw).alias("label"))
+
+
+# --- top-k per group via window: SURVEY.md §2.5 — the idiomatic
+# generalization the reference lacked.
+@query(
+    "top_customers_per_nation",
+    oracle="""
+    SELECT n_name AS nation, c_name AS customer_name, c_acctbal AS balance, rank
+    FROM (
+        SELECT c_nationkey, c_name, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
+        FROM customer
+    ) ranked JOIN nation ON c_nationkey = n_nationkey
+    WHERE rank <= 3
+    """,
+)
+def top_customers_per_nation(spark, sf_dir):
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    ranked = top_k_per_group(
+        customer,
+        partition_by=["c_nationkey"],
+        order_by=[F.desc("c_acctbal"), F.asc("c_custkey")],
+        k=3,
+    )
+    return ranked.join(F.broadcast(nation), ranked.c_nationkey == nation.n_nationkey).select(
+        F.col("n_name").alias("nation"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_acctbal").alias("balance"),
+        "rank",
+    )
+
+
+# --- distinct counts: reference etl.py:391-408 + notebook cells 14,18-21
+# (A4), per-group form.
+@query(
+    "distinct_counts_per_segment",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           COUNT(DISTINCT c_nationkey) AS distinct_nations,
+           COUNT(*) AS customer_cnt
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def distinct_counts_per_segment(spark, sf_dir):
+    customer = table(spark, sf_dir, "customer")
+    return customer.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.countDistinct("c_nationkey").alias("distinct_nations"),
+        F.count(F.lit(1)).alias("customer_cnt"),
+    )
+
+
+# --- duplicate elimination over a projection: reference etl.py:243 (A5).
+@query(
+    "dedup_exact_rows",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate
+    FROM lineitem
+    """,
+)
+def dedup_exact_rows(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus", "l_shipdate").dropDuplicates()
+
+
+# --- non-emptiness counts in one pass: reference etl.py:369-388 (A3) —
+# restructured from 7 separate count() jobs into one union (the §4
+# caching/reuse fix).
+@query(
+    "table_row_counts",
+    oracle="""
+    SELECT 'lineitem' AS table_name, COUNT(*) AS row_cnt FROM lineitem
+    UNION ALL SELECT 'orders', COUNT(*) FROM orders
+    UNION ALL SELECT 'customer', COUNT(*) FROM customer
+    UNION ALL SELECT 'nation', COUNT(*) FROM nation
+    UNION ALL SELECT 'region', COUNT(*) FROM region
+    UNION ALL SELECT 'part', COUNT(*) FROM part
+    UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+    """,
+)
+def table_row_counts(spark, sf_dir):
+    dfs = []
+    for name in ("lineitem", "orders", "customer", "nation", "region", "part", "supplier"):
+        dfs.append(
+            table(spark, sf_dir, name)
+            .agg(F.count(F.lit(1)).alias("row_cnt"))
+            .select(F.lit(name).alias("table_name"), "row_cnt")
+        )
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
