@@ -1,1 +1,175 @@
-"""Placeholder — populated in a later milestone."""
+"""Event-time window + JSON queries over ``events`` (batch form of the
+streaming operators; SURVEY.md §7.1 step 8).
+
+These are the batch twins of the Structured Streaming wrappers in
+``streaming/`` — identical window semantics (epoch-aligned tumbling /
+sliding windows, gap-based sessions), minus watermarks which only matter
+for unbounded input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from udacity_dend_capstone_immigration_spark.operators.windows import sessionize, sliding_window_agg, tumbling_window_agg
+from udacity_dend_capstone_immigration_spark.workload.base import davg, dsum, query, sql_davg, sql_dsum, table
+
+
+# --- tumbling 1-hour windows per event type (streaming groupBy(window)
+# batch twin). One shuffle on (hour, type), map-side partials.
+@query(
+    "events_hourly_by_type",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS event_cnt,
+           {sql_dsum("value", "total_value")}
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def events_hourly_by_type(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("event_cnt"), dsum(F.col("value"), "total_value"))
+
+
+# --- sliding windows (2h long, 1h slide): each event lands in 2 windows.
+@query(
+    "events_sliding_2h",
+    oracle="""
+    WITH expanded AS (
+        SELECT date_trunc('hour', ts) AS window_start, value FROM events
+        UNION ALL
+        SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start, value FROM events
+    )
+    SELECT window_start, window_start + INTERVAL 2 HOUR AS window_end,
+           COUNT(*) AS event_cnt
+    FROM expanded
+    GROUP BY window_start
+    """,
+)
+def events_sliding_2h(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    out = sliding_window_agg(
+        ev, "ts", "2 hours", "1 hour", [], [F.count(F.lit(1)).alias("event_cnt")]
+    )
+    return out.select("window_start", "window_end", "event_cnt")
+
+
+# --- JSON extraction from the props column (semi-structured path).
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS event_cnt,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS total_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_extract(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("event_cnt"),
+        F.sum(k).alias("total_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# --- gap-based sessionization (30-min inactivity gap per user), batch
+# twin of F.session_window; per-session rollup.
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sess_n
+        FROM ordered
+    )
+    SELECT CAST(user_id AS VARCHAR) || '-' || CAST(sess_n AS VARCHAR) AS session_id,
+           user_id, COUNT(*) AS event_cnt,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sessions
+    GROUP BY user_id, sess_n
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    sess = sessionize(ev, "ts", "user_id", gap_minutes=30)
+    return sess.groupBy("session_id", "user_id").agg(
+        F.count(F.lit(1)).alias("event_cnt"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# --- pivot: per-day event-type counts as columns (reshaping operator the
+# reference lacked; conditional-sum equivalent in the oracle).
+@query(
+    "events_daily_pivot",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) FILTER (event_type = 'click') AS click,
+           COUNT(*) FILTER (event_type = 'view') AS view,
+           COUNT(*) FILTER (event_type = 'signup') AS signup,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'error') AS error
+    FROM events
+    GROUP BY date_trunc('day', ts)
+    """,
+)
+def events_daily_pivot(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    types = ["click", "view", "signup", "purchase", "error"]
+    out = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", types)
+        .count()
+    )
+    # pivot leaves null for absent combos; the oracle's FILTER yields 0
+    return out.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+# --- per-user running aggregate (cumulative window frame).
+@query(
+    "events_user_running_total",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,10)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+def events_user_running_total(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(28,10)")).over(w).cast("double").alias("running_value"),
+    )

@@ -1,1 +1,282 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis + deduplication queries over ``documents``.
+
+The training-data-pipeline tier (BASELINE.json north star): fingerprinting,
+quality scoring, language ID, token stats, and the dedup ladder — exact,
+n-gram Jaccard, MinHash+LSH, SimHash. Every pipeline is md5-based and
+engine-portable, so the DuckDB oracles reproduce results bit-for-bit.
+
+Scale notes per query are in the function docstrings; the common theme:
+shuffle fingerprints and signatures, never document bodies, and never
+materialize the O(n²) cross product — candidates come from hash buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from udacity_dend_capstone_immigration_spark.functions.text import (
+    doc_fingerprint,
+    language_guess,
+    punct_ratio,
+    quality_features,
+    stopword_ratio,
+    token_count,
+    tokenize,
+)
+from udacity_dend_capstone_immigration_spark.operators.dedup import (
+    exact_dedup_by_fingerprint,
+    minhash_lsh_dedup_pairs,
+    shingle_sets,
+    simhash64,
+)
+from udacity_dend_capstone_immigration_spark.workload.base import (
+    davg,
+    query,
+    sql_davg,
+    table,
+)
+
+# ---- shared DuckDB fragments (must mirror functions/text.py exactly) ----
+
+NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+TOKS = f"list_filter(string_split({NORM}, ' '), x -> x != '')"
+
+
+def _hits(markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({TOKS}, t -> list_contains([{lst}], t)))"
+
+
+EN = _hits(("the", "a", "of", "and", "is", "to", "in"))
+ES = _hits(("el", "la", "de", "y", "es", "en", "los"))
+FR = _hits(("le", "la", "de", "et", "est", "les", "un"))
+DE = _hits(("der", "die", "das", "und", "ist", "ein", "zu"))
+
+LANG_GUESS = f"""
+    CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+         WHEN {EN} = 0 AND {ES} = 0 AND {FR} = 0 AND {DE} = 0 THEN 'und'
+         WHEN {EN} >= {ES} AND {EN} >= {FR} AND {EN} >= {DE} THEN 'en'
+         WHEN {ES} >= {FR} AND {ES} >= {DE} THEN 'es'
+         WHEN {FR} >= {DE} THEN 'fr'
+         ELSE 'de' END
+"""
+
+SHINGLES = f"""
+    SELECT doc_id,
+           list_sort(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS shingles
+    FROM (SELECT doc_id, {TOKS} AS t FROM documents)
+    WHERE len(t) >= 3
+"""
+
+
+# --- content fingerprint + token counting (doc_fingerprint, token_count).
+@query(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           md5({NORM}) AS fingerprint,
+           CAST(len({TOKS}) AS INT) AS n_tokens,
+           {LANG_GUESS} AS lang_guess
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark, sf_dir):
+    """Per-row only — no shuffle; at 100 TB this is a pure map stage."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        doc_fingerprint("text").alias("fingerprint"),
+        token_count("text").alias("n_tokens"),
+        language_guess("text").alias("lang_guess"),
+    )
+
+
+# --- quality scoring: length/punct/stopword signals, all double per-row.
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars_measured,
+           CAST(len({TOKS}) AS INT) AS n_tokens,
+           CAST(length(array_to_string({TOKS}, '')) AS DOUBLE)
+               / greatest(len({TOKS}), 1) AS avg_token_len,
+           CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS punct_ratio,
+           CAST(len(list_filter({TOKS},
+                t -> list_contains(['the','a','of','and','is','to','in'], t))) AS DOUBLE)
+               / greatest(len({TOKS}), 1) AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_quality_scores(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    q = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        q["n_chars"].cast("int").alias("n_chars_measured"),
+        q["n_tokens"].alias("n_tokens"),
+        q["avg_token_len"].cast("double").alias("avg_token_len"),
+        punct_ratio(F.col("text")).cast("double").alias("punct_ratio"),
+        stopword_ratio(F.col("text")).cast("double").alias("stopword_ratio"),
+    )
+
+
+# --- corpus token stats rollup (A1-shaped over text features).
+@query(
+    "token_stats_by_source",
+    oracle=f"""
+    SELECT source, lang,
+           COUNT(*) AS doc_cnt,
+           CAST(SUM(len({TOKS})) AS BIGINT) AS total_tokens,
+           {sql_davg("n_chars", "avg_chars")}
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
+def token_stats_by_source(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("doc_cnt"),
+        F.sum(token_count("text")).alias("total_tokens"),
+        davg(F.col("n_chars"), "avg_chars"),
+    )
+
+
+# --- exact dedup: min-id representative per md5 fingerprint.
+@query(
+    "dedup_exact_docs",
+    oracle=f"""
+    SELECT min(doc_id) AS doc_id, md5({NORM}) AS fingerprint,
+           COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY md5({NORM})
+    """,
+)
+def dedup_exact_docs(spark, sf_dir):
+    """Shuffles (fingerprint, id) pairs only — document bodies never move."""
+    docs = table(spark, sf_dir, "documents")
+    return exact_dedup_by_fingerprint(docs, "doc_id", "text")
+
+
+# --- n-gram Jaccard near-dup: exploded shingle equi-join, exact scores.
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({SHINGLES}),
+    e AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    z AS (SELECT doc_id, len(shingles) AS n FROM sh)
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / (za.n + zb.n - i) AS jaccard
+    FROM inter JOIN z za ON id_a = za.doc_id JOIN z zb ON id_b = zb.doc_id
+    WHERE CAST(i AS DOUBLE) / (za.n + zb.n - i) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Candidates come from the shingle equi-join (docs sharing ≥1
+    shingle), not a cross product; the group-count is map-side
+    combinable. At 100 TB you'd band first (see dedup_minhash_lsh) —
+    this is the exact-verification building block."""
+    docs = table(spark, sf_dir, "documents")
+    sh = shingle_sets(docs, "doc_id", "text", 3)
+    e = sh.select("doc_id", F.explode("shingles").alias("g"))
+    a, b = e.alias("a"), e.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    z = sh.select("doc_id", F.size("shingles").alias("n"))
+    za = z.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    zb = z.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.5)
+    )
+
+
+# --- MinHash + LSH near-dup: the 100 TB-scale dedup path.
+_MH_N, _MH_BANDS, _MH_R = 16, 4, 4
+_MH_SIG = f"""
+    SELECT doc_id, shingles,
+           list_transform(generate_series(0, {_MH_N - 1}),
+               i -> list_min(list_transform(shingles,
+                    s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig
+    FROM sh
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS ({SHINGLES}),
+    sig AS ({_MH_SIG}),
+    bands AS (
+        SELECT doc_id, j,
+               md5(CAST(j AS VARCHAR) || ':' ||
+                   array_to_string(list_slice(sig, j*{_MH_R}+1, j*{_MH_R}+{_MH_R}), ',')) AS bucket
+        FROM sig, UNNEST(generate_series(0, {_MH_BANDS - 1})) AS u(j)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+            ON a.j = b.j AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    z AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh)
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(za.shingles, zb.shingles)) AS DOUBLE)
+               / len(list_distinct(za.shingles || zb.shingles)) AS jaccard
+    FROM cand JOIN z za ON id_a = za.doc_id JOIN z zb ON id_b = zb.doc_id
+    WHERE CAST(len(list_intersect(za.shingles, zb.shingles)) AS DOUBLE)
+               / len(list_distinct(za.shingles || zb.shingles)) >= 0.5
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """shingle → 16-hash MinHash signature (per-row, zero shuffle) →
+    4 bands of 4 → bucket self-join → exact Jaccard verify. Shuffle is
+    O(docs × bands) small keys; only bucket-colliding docs ever pair."""
+    docs = table(spark, sf_dir, "documents")
+    return minhash_lsh_dedup_pairs(
+        docs, "doc_id", "text", shingle_n=3, num_hashes=_MH_N, bands=_MH_BANDS, threshold=0.5
+    )
+
+
+# --- SimHash signatures (near-dup by Hamming proximity; exact-equal
+# signature groups are the strictest bucket).
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({TOKS}) AS tk FROM documents),
+    h AS (SELECT doc_id, substring(md5(tk), 1, 16) AS h FROM tok),
+    bits AS (
+        SELECT doc_id, p,
+               CASE WHEN CAST(floor(
+                        (strpos('0123456789abcdef', substring(h, (p // 4) + 1, 1)) - 1)
+                        / (2 ** (3 - (p % 4)))) AS INT) % 2 = 1
+                    THEN 1 ELSE -1 END AS v
+        FROM h, UNNEST(generate_series(0, 63)) AS u(p)
+    ),
+    s AS (SELECT doc_id, p, SUM(v) AS sv FROM bits GROUP BY doc_id, p)
+    SELECT doc_id,
+           string_agg(CASE WHEN sv > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS simhash_bits
+    FROM s GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    sig = simhash64(docs, "doc_id", tokenize(F.col("text")))
+    return sig.select(
+        "doc_id",
+        F.concat_ws("", F.transform(F.col("simhash"), lambda b: b.cast("string"))).alias(
+            "simhash_bits"
+        ),
+    )
