@@ -70,14 +70,38 @@ def minhash_signature(shingles: Column, num_hashes: int) -> Column:
 
     Hash family i is ``md5(i || ':' || shingle)``; the per-row min over
     shingles of a uniformly-distributed hash is a valid MinHash, and
-    lexicographic min over fixed-width hex equals numeric min. Entirely
-    per-row higher-order functions: zero shuffle, embarrassingly parallel.
+    lexicographic min over fixed-width hex equals numeric min. Per-row
+    higher-order functions: zero shuffle — but HOF expressions are
+    interpreted, not codegen'd; prefer :func:`minhash_signatures_agg`
+    in hot paths.
     """
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(
             F.transform(shingles, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
         ),
+    )
+
+
+def minhash_signatures_agg(
+    shingle_df: DataFrame, id_col: str, num_hashes: int
+) -> DataFrame:
+    """Same signature values as :func:`minhash_signature`, computed as
+    explode → ``num_hashes`` MIN aggregates → array.
+
+    This keeps every md5 inside whole-stage codegen (nested HOF lambdas
+    drop to interpreted evaluation — ~50× slower per hash) and the MINs
+    combine map-side, so the shuffle carries one num_hashes-wide row per
+    document regardless of document length.
+    """
+    ex = shingle_df.select(F.col(id_col), F.explode("shingles").alias("s"))
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    agged = ex.groupBy(id_col).agg(*mins)
+    return agged.select(
+        id_col, F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig")
     )
 
 
@@ -155,7 +179,7 @@ def minhash_lsh_dedup_pairs(
     banded buckets → candidate pairs → Jaccard verify."""
     rows_per_band = num_hashes // bands
     sh = shingle_sets(df, id_col, text_col, shingle_n)
-    sig = sh.select(id_col, minhash_signature(F.col("shingles"), num_hashes).alias("sig"))
+    sig = minhash_signatures_agg(sh, id_col, num_hashes)
     cand = lsh_candidate_pairs(sig, id_col, bands, rows_per_band)
     return jaccard_verified_pairs(cand, sh, id_col, threshold)
 
