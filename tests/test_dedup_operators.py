@@ -1,0 +1,72 @@
+"""Dedup operator semantics on hand-checkable corpora."""
+
+from pyspark.sql import functions as F
+
+from udacity_dend_capstone_immigration_spark.functions.text import tokenize
+from udacity_dend_capstone_immigration_spark.operators.dedup import (
+    exact_dedup_by_fingerprint,
+    jaccard_verified_pairs,
+    lsh_candidate_pairs,
+    minhash_lsh_dedup_pairs,
+    minhash_signature,
+    minhash_signatures_agg,
+    shingle_sets,
+    simhash64,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id_and_counts(spark):
+    df = _docs(spark, ["Hello World!", "hello, world", "different doc entirely"])
+    out = {r["doc_id"]: r for r in exact_dedup_by_fingerprint(df, "doc_id", "text").collect()}
+    # normalization makes the first two identical; min-id representative
+    assert set(out) == {0, 2}
+    assert out[0]["dup_count"] == 2
+    assert out[2]["dup_count"] == 1
+
+
+def test_shingles_drop_short_docs(spark):
+    df = _docs(spark, ["one two", "one two three four"])
+    out = shingle_sets(df, "doc_id", "text", 3).collect()
+    assert [r["doc_id"] for r in out] == [1]
+    assert sorted(out[0]["shingles"]) == ["one two three", "two three four"]
+
+
+def test_minhash_agg_matches_hof_signature(spark):
+    # the codegen-friendly explode/agg path must produce the exact same
+    # signature values as the HOF definition
+    df = _docs(spark, ["the quick brown fox jumps over the lazy dog", "pack my box with five dozen jugs"])
+    sh = shingle_sets(df, "doc_id", "text", 3)
+    hof = sh.select("doc_id", minhash_signature(F.col("shingles"), 8).alias("sig"))
+    agg = minhash_signatures_agg(sh, "doc_id", 8)
+    assert {tuple(r["sig"]) for r in hof.collect()} == {tuple(r["sig"]) for r in agg.collect()}
+
+
+def test_minhash_lsh_finds_near_dup_and_skips_distinct(spark):
+    near_a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near_b = "the quick brown fox jumps over the lazy dog near the river bank now"
+    other = "completely unrelated text about database engines and shuffle partitions"
+    df = _docs(spark, [near_a, near_b, other])
+    pairs = minhash_lsh_dedup_pairs(df, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(0, 1)]
+    assert pairs[0]["jaccard"] > 0.5
+
+
+def test_identical_docs_bucket_together(spark):
+    df = _docs(spark, ["alpha beta gamma delta epsilon"] * 2)
+    sh = shingle_sets(df, "doc_id", "text", 3)
+    sig = minhash_signatures_agg(sh, "doc_id", 8)
+    cand = lsh_candidate_pairs(sig, "doc_id", bands=2, rows_per_band=4)
+    ver = jaccard_verified_pairs(cand, sh, "doc_id", 0.99).collect()
+    assert len(ver) == 1 and ver[0]["jaccard"] == 1.0
+
+
+def test_simhash_is_64_bits_and_identical_for_identical_docs(spark):
+    df = _docs(spark, ["spark shuffles partitions", "spark shuffles partitions", "something else entirely now"])
+    out = {r["doc_id"]: r["simhash"] for r in simhash64(df, "doc_id", tokenize(F.col("text"))).collect()}
+    assert all(len(v) == 64 and set(v) <= {0, 1} for v in out.values())
+    assert out[0] == out[1]
+    assert out[0] != out[2]

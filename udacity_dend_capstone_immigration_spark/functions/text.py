@@ -59,17 +59,27 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     )
 
 
+def _index_range(count: Column) -> Column:
+    """1..count as an array, EMPTY when count < 1. ``sequence(1, 0)``
+    descends ([1, 0]) rather than being empty, which would feed index 0
+    into slice/substr and crash on short inputs — real corpora always
+    contain documents shorter than the shingle width."""
+    return F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 def char_ngrams(col: Column | str, n: int = 3) -> Column:
     """Character n-grams (shingles) of the normalized text."""
     norm = normalize_text(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(0)))
+    idx = _index_range(F.length(norm) - (n - 1))
     return F.transform(idx, lambda i: norm.substr(i, F.lit(n)))
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles joined with single spaces."""
     toks = tokenize(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    idx = _index_range(F.size(toks) - (n - 1))
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
 
 
