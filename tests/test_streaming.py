@@ -1,0 +1,118 @@
+"""Streaming layer: batch-parity of watermarked windows under
+availableNow, multi-batch stateful operator, session windows."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from udacity_dend_capstone_immigration_spark.streaming import (
+    read_stream,
+    run_available_now,
+    running_totals_stateful,
+    session_window_agg,
+    watermarked_tumbling,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    """Two separate files → two micro-batches with maxFilesPerTrigger=1."""
+    d = tmp_path_factory.mktemp("events_stream")
+    rows1 = [
+        (1, "2024-01-01 10:05:00", 1, "click", 1.0),
+        (2, "2024-01-01 10:15:00", 1, "view", 2.0),
+        (3, "2024-01-01 10:45:00", 2, "click", 3.0),
+    ]
+    rows2 = [
+        (4, "2024-01-01 11:05:00", 1, "click", 4.0),
+        (5, "2024-01-01 11:20:00", 2, "purchase", 5.0),
+        (6, "2024-01-01 13:00:00", 2, "click", 6.0),
+    ]
+    for i, rows in enumerate((rows1, rows2)):
+        df = spark.createDataFrame(
+            [(e, __import__("datetime").datetime.fromisoformat(t), u, ty, v) for e, t, u, ty, v in rows],
+            EVENTS_SCHEMA,
+        )
+        df.coalesce(1).write.parquet(str(d / f"batch{i}"))
+    # flatten: move part files up so the source dir is one flat listing
+    import shutil
+
+    flat = tmp_path_factory.mktemp("events_flat")
+    n = 0
+    for sub in sorted(d.iterdir()):
+        for f in sorted(sub.glob("*.parquet")):
+            shutil.copy(f, flat / f"file{n}.parquet")
+            n += 1
+    return str(flat)
+
+
+def test_tumbling_stream_equals_batch(spark, event_dir, tmp_path):
+    stream = read_stream(spark, event_dir, EVENTS_SCHEMA, max_files_per_trigger=1)
+    agg = watermarked_tumbling(
+        stream, "ts", "1 hour", ["event_type"],
+        [F.count(F.lit(1)).alias("event_cnt"), F.sum("value").alias("total_value")],
+    )
+    got = run_available_now(agg, "tumbling_test", checkpoint_dir=str(tmp_path / "ck"))
+
+    batch = spark.read.schema(EVENTS_SCHEMA).parquet(event_dir)
+    want = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("event_cnt"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "event_cnt",
+            "total_value",
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stateful_running_totals_across_batches(spark, event_dir, tmp_path):
+    stream = read_stream(spark, event_dir, EVENTS_SCHEMA, max_files_per_trigger=1)
+    totals = running_totals_stateful(stream)
+    got = run_available_now(
+        totals, "stateful_test", output_mode="update", checkpoint_dir=str(tmp_path / "ck")
+    )
+    # update mode appends one row per (key, batch); the LAST emission per
+    # key must equal the global batch aggregate — proving state carried
+    # across micro-batches
+    final = {
+        r["user_id"]: (r["event_cnt"], r["total_value"])
+        for r in got.orderBy("event_cnt").collect()
+    }
+    assert final[1] == (3, 7.0)
+    assert final[2] == (3, 14.0)
+    # and user 1 must have emitted an intermediate row in batch 1
+    assert got.where("user_id = 1").count() == 2
+
+
+def test_session_window_stream(spark, event_dir, tmp_path):
+    stream = read_stream(spark, event_dir, EVENTS_SCHEMA)
+    sess = session_window_agg(
+        stream, "ts", "user_id", "30 minutes", [F.count(F.lit(1)).alias("event_cnt")]
+    )
+    got = run_available_now(sess, "session_test", checkpoint_dir=str(tmp_path / "ck"))
+    rows = {(r["user_id"], r["event_cnt"]) for r in got.collect()}
+    # user 1: events at 10:05, 10:15 (one session), 11:05 (new session)
+    # user 2: 10:45, 11:20 merge? gap is 35min > 30 → separate; 13:00 separate
+    assert (1, 2) in rows and (1, 1) in rows
+    assert got.where("user_id = 2").count() == 3

@@ -1,0 +1,59 @@
+"""Sink layer: partitioned writes, guardrail, compaction, dynamic
+overwrite (S6; reference etl.py:67-79)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from udacity_dend_capstone_immigration_spark.sources.writers import (
+    PartitionExplosionError,
+    write_parquet,
+)
+
+
+@pytest.fixture()
+def fact(spark):
+    rows = [(2016, m, f"P{i % 3}", float(i)) for m in (4, 5) for i in range(30)]
+    return spark.createDataFrame(rows, "entry_year int, entry_month int, port_code string, v double")
+
+
+def test_partitioned_write_layout(spark, fact, tmp_path):
+    out = str(tmp_path / "fact")
+    write_parquet(fact, out, partition_by=("entry_year", "entry_month"))
+    assert sorted(os.listdir(f"{out}/entry_year=2016")) == ["entry_month=4", "entry_month=5"]
+    back = spark.read.parquet(out)
+    assert back.count() == 60
+
+
+def test_compaction_one_file_per_directory(fact, tmp_path):
+    out = str(tmp_path / "fact")
+    write_parquet(fact, out, partition_by=("entry_year", "entry_month"))
+    files = [
+        f
+        for f in os.listdir(f"{out}/entry_year=2016/entry_month=4")
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == 1
+
+
+def test_partition_explosion_guardrail(spark, fact, tmp_path):
+    with pytest.raises(PartitionExplosionError, match="directories"):
+        write_parquet(fact, str(tmp_path / "x"), partition_by=("v",), max_partitions=10)
+
+
+def test_dynamic_overwrite_keeps_untouched_partitions(spark, fact, tmp_path):
+    out = str(tmp_path / "fact")
+    write_parquet(fact, out, partition_by=("entry_month",))
+    april_update = fact.where(F.col("entry_month") == 4).withColumn("v", F.col("v") + 100)
+    write_parquet(april_update, out, partition_by=("entry_month",))
+    back = spark.read.parquet(out)
+    # May partition survives an overwrite that only carried April rows
+    assert back.where("entry_month = 5").count() == 30
+    assert back.where("entry_month = 4 and v >= 100").count() == 30
+
+
+def test_unpartitioned_write(spark, fact, tmp_path):
+    out = str(tmp_path / "dim")
+    write_parquet(fact, out)
+    assert spark.read.parquet(out).count() == 60

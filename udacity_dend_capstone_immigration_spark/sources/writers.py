@@ -1,0 +1,98 @@
+"""Sink layer (S6; reference etl.py:67-79).
+
+The reference writes the fact table partitioned by
+``(entry_year, entry_month, port_code)`` — with one month of data and
+~580 ports that is ~580 directories for 3M rows, and at 100 TB it is a
+small-files catastrophe (millions of KB-size files, one task per file on
+read). This writer:
+
+- defaults the fact layout to ``(entry_year, entry_month)`` with
+  port-level partitioning opt-in (SURVEY.md §7.3 risk 3);
+- guards every partitioned write with a cheap cardinality estimate
+  (``approx_count_distinct`` over the partition tuple — one map-side
+  sketch pass, no shuffle of data columns) and refuses layouts that
+  would explode the file count;
+- compacts output by hash-repartitioning on the partition columns first,
+  so each output directory is written by exactly one task → one file per
+  directory instead of ``shuffle.partitions`` files per directory;
+- uses dynamic partition overwrite (set in the session factory) so
+  re-runs only rewrite the partitions present in the incoming batch —
+  an idempotent daily-load pattern.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Refuse partitioned writes above this many estimated directories.
+DEFAULT_MAX_PARTITIONS = 10_000
+
+
+class PartitionExplosionError(ValueError):
+    """The requested partition layout would create too many directories."""
+
+
+def estimate_partition_count(df: DataFrame, partition_by: Sequence[str]) -> int:
+    """Approximate distinct partition-tuple count (±5%) in one sketch pass."""
+    return df.select(
+        F.approx_count_distinct(F.struct(*[F.col(c) for c in partition_by])).alias("n")
+    ).first()["n"]
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] | None = None,
+    mode: str = "overwrite",
+    max_partitions: int = DEFAULT_MAX_PARTITIONS,
+    compact: bool = True,
+) -> None:
+    """Partitioned parquet write with explosion guardrail + compaction.
+
+    ``compact=True`` repartitions by the partition columns so each output
+    directory gets one file. For very large single partitions (skew), pass
+    ``compact=False`` and let AQE/maxPartitionBytes size the tasks instead.
+    """
+    writer = df
+    if partition_by:
+        est = estimate_partition_count(df, partition_by)
+        if est > max_partitions:
+            raise PartitionExplosionError(
+                f"partitionBy({list(partition_by)}) would create ~{est} "
+                f"directories (> {max_partitions}); coarsen the layout or "
+                f"raise max_partitions explicitly"
+            )
+        if compact:
+            writer = df.repartition(*[F.col(c) for c in partition_by])
+        writer.write.mode(mode).partitionBy(*partition_by).parquet(path)
+    else:
+        writer.write.mode(mode).parquet(path)
+
+
+#: Reference output layout (etl.py:71-79) with the port-level fact
+#: partitioning made opt-in.
+FACT_PARTITIONING = ("entry_year", "entry_month")
+FACT_PARTITIONING_WITH_PORT = ("entry_year", "entry_month", "port_code")
+
+
+def write_star_outputs(
+    out_dir: str,
+    fact: DataFrame,
+    city_demographics: DataFrame,
+    dims: dict[str, DataFrame],
+    partition_fact_by_port: bool = False,
+) -> None:
+    """Write the full star schema (reference etl.py:67-79): partitioned
+    fact, state-partitioned demographics dim, unpartitioned label dims."""
+    layout = FACT_PARTITIONING_WITH_PORT if partition_fact_by_port else FACT_PARTITIONING
+    write_parquet(fact, f"{out_dir}/fact_immigrations", partition_by=layout)
+    write_parquet(
+        city_demographics,
+        f"{out_dir}/dim_city_demographics",
+        partition_by=("state_code",),
+    )
+    for name, dim in dims.items():
+        write_parquet(dim, f"{out_dir}/dim_{name}")

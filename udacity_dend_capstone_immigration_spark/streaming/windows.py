@@ -1,0 +1,125 @@
+"""Watermarked streaming windows (streaming twins of
+``operators/windows.py``).
+
+Semantics contract: for any finite input processed with
+``trigger(availableNow=True)``, each wrapper's complete-mode result
+equals its batch twin on the same rows — the tests assert exactly that.
+Watermarks bound state: at scale the engine holds only
+``watermark / slide`` windows of partial aggregates per key, and late
+rows beyond the watermark are dropped instead of growing state forever.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream. ``max_files_per_trigger`` throttles micro-batch
+    size (and, in tests, forces multi-batch runs so state transitions are
+    actually exercised)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def watermarked_tumbling(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    group_cols: Sequence[str],
+    aggs: Sequence[Column],
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling-window aggregate with late-data watermark."""
+    out = (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), duration).alias("w"), *group_cols)
+        .agg(*aggs)
+    )
+    rest = [c for c in out.columns if c != "w"]
+    return out.select(
+        F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), *rest
+    )
+
+
+def watermarked_sliding(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    group_cols: Sequence[str],
+    aggs: Sequence[Column],
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding-window aggregate with late-data watermark. State size is
+    (duration/slide) × active keys; keep the ratio small at scale."""
+    out = (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), duration, slide).alias("w"), *group_cols)
+        .agg(*aggs)
+    )
+    rest = [c for c in out.columns if c != "w"]
+    return out.select(
+        F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), *rest
+    )
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    gap: str,
+    aggs: Sequence[Column],
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based session windows via ``F.session_window`` — the native
+    streaming form of ``operators.windows.sessionize`` (which emits
+    ordinal session ids in batch). Sessions merge as events arrive;
+    state is one open session per key, closed once the watermark passes
+    the gap."""
+    out = (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col))
+        .agg(*aggs)
+    )
+    rest = [c for c in out.columns if c != "w"]
+    return out.select(
+        F.col("w.start").alias("session_start"), F.col("w.end").alias("session_end"), *rest
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    checkpoint_dir: str | None = None,
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Drain all available input into an in-memory table and return it.
+
+    ``availableNow`` processes the backlog in (possibly many) micro-batches
+    then stops — the batch-parity execution mode for finite inputs.
+    """
+    writer = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination(timeout_sec)
+    return stream_df.sparkSession.table(query_name)
