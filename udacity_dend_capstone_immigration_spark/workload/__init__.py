@@ -13,5 +13,6 @@ from udacity_dend_capstone_immigration_spark.workload import relational  # noqa:
 from udacity_dend_capstone_immigration_spark.workload import textops  # noqa: F401
 from udacity_dend_capstone_immigration_spark.workload import events  # noqa: F401
 from udacity_dend_capstone_immigration_spark.workload import vectors  # noqa: F401
+from udacity_dend_capstone_immigration_spark.workload import multimodal  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES"]
