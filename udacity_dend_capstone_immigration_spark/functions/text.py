@@ -47,16 +47,17 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokenize(col))
 
 
+#: letter runs | digit runs | single non-alphanumeric non-space marks —
+#: RE2-compatible (no lookarounds), so the DuckDB oracle runs the same
+#: pattern verbatim.
+BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
 def bpe_ish_token_count(col: Column | str) -> Column:
-    """A BPE-ish sub-word count: words plus digit runs plus punctuation
-    marks, the regex heuristic commonly used to approximate tokenizer
-    output without shipping a vocab file."""
-    return F.size(
-        F.filter(
-            F.split(F.lower(_c(col)), "(?=[^a-z0-9])|(?<=[^a-z0-9])"),
-            lambda t: (t != "") & (t != " "),
-        )
-    )
+    """A BPE-ish sub-word count: letter runs plus digit runs plus
+    punctuation marks, the regex heuristic commonly used to approximate
+    tokenizer output without shipping a vocab file."""
+    return F.size(F.regexp_extract_all(F.lower(_c(col)), F.lit(BPE_ISH_PATTERN), F.lit(0)))
 
 
 def _index_range(count: Column) -> Column:

@@ -24,13 +24,18 @@ def read_stream(
     schema: StructType,
     fmt: str = "parquet",
     max_files_per_trigger: int | None = None,
+    path_glob_filter: str | None = None,
 ) -> DataFrame:
     """File-source stream. ``max_files_per_trigger`` throttles micro-batch
     size (and, in tests, forces multi-batch runs so state transitions are
-    actually exercised)."""
+    actually exercised). The file source requires a DIRECTORY; to stream
+    a single file, pass its parent as ``path`` and the file name as
+    ``path_glob_filter``."""
     reader = spark.readStream.format(fmt).schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if path_glob_filter is not None:
+        reader = reader.option("pathGlobFilter", path_glob_filter)
     return reader.load(path)
 
 

@@ -528,3 +528,56 @@ def table_row_counts(spark, sf_dir):
     for d in dfs[1:]:
         out = out.unionByName(d)
     return out
+
+
+# --- DQ referential-consistency summary: reference etl.py:391-408
+# (SURVEY.md §2.11) as data — per fact key, the reference's
+# distinct-count comparison plus the subset-semantics orphan count the
+# fixed DQCheck uses. One broadcast anti-join per key, no O(n log n)
+# distinct jobs repeated per table.
+@query(
+    "dq_referential_summary",
+    oracle="""
+    SELECT 'l_orderkey' AS fact_key,
+           (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS fact_distinct,
+           (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS dim_distinct,
+           (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN
+                (SELECT o_orderkey FROM orders)) AS orphan_rows
+    UNION ALL
+    SELECT 'l_partkey',
+           (SELECT COUNT(DISTINCT l_partkey) FROM lineitem),
+           (SELECT COUNT(DISTINCT p_partkey) FROM part),
+           (SELECT COUNT(*) FROM lineitem WHERE l_partkey NOT IN
+                (SELECT p_partkey FROM part))
+    UNION ALL
+    SELECT 'l_suppkey',
+           (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem),
+           (SELECT COUNT(DISTINCT s_suppkey) FROM supplier),
+           (SELECT COUNT(*) FROM lineitem WHERE l_suppkey NOT IN
+                (SELECT s_suppkey FROM supplier))
+    """,
+)
+def dq_referential_summary(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    dims = {
+        "l_orderkey": table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k")),
+        "l_partkey": table(spark, sf_dir, "part").select(F.col("p_partkey").alias("k")),
+        "l_suppkey": table(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("k")),
+    }
+    outs = []
+    for key, dim in dims.items():
+        orphans = li.select(F.col(key).alias("k")).join(
+            F.broadcast(dim.distinct()), "k", "left_anti"
+        )
+        outs.append(
+            li.agg(F.countDistinct(key).alias("fact_distinct"))
+            .crossJoin(dim.agg(F.countDistinct("k").alias("dim_distinct")))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("orphan_rows")))
+            .select(
+                F.lit(key).alias("fact_key"), "fact_distinct", "dim_distinct", "orphan_rows"
+            )
+        )
+    out = outs[0]
+    for d in outs[1:]:
+        out = out.unionByName(d)
+    return out

@@ -1,0 +1,75 @@
+"""Streaming-executed driver queries.
+
+``events_stream_hourly`` actually runs through Structured Streaming
+(file source → watermarked tumbling window → availableNow → memory
+sink) and returns the drained table — proving the streaming tier
+computes the exact batch semantics the DuckDB oracle states. The
+testdata's finite events file is the stream backlog.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from udacity_dend_capstone_immigration_spark.streaming import (
+    read_stream,
+    run_available_now,
+    watermarked_tumbling,
+)
+from udacity_dend_capstone_immigration_spark.workload.base import dsum, query, sql_dsum
+
+#: events.parquet physical schema — ts is TIMESTAMP(NANOS), which Spark
+#: reads as long under the legacy nanosAsLong flag (workload.base.read_events).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+@query(
+    "events_stream_hourly",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS event_cnt,
+           {sql_dsum("value", "total_value")}
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def events_stream_hourly(spark, sf_dir):
+    """Hourly tumbling counts computed BY THE STREAMING ENGINE (complete
+    mode over the finite backlog == the batch group-by)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = read_stream(
+        spark, sf_dir, EVENTS_RAW_SCHEMA, path_glob_filter="events.parquet"
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    agg = watermarked_tumbling(
+        ev,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("event_cnt"), dsum(F.col("value"), "total_value")],
+        watermark="1 hour",
+    )
+    name = f"events_stream_hourly_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix="ck_events_stream_")
+    return run_available_now(agg, name, checkpoint_dir=ck)

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from udacity_dend_capstone_immigration_spark.functions.text import (
+    bpe_ish_token_count,
     doc_fingerprint,
     language_guess,
     punct_ratio,
@@ -279,4 +280,26 @@ def dedup_simhash(spark, sf_dir):
         F.concat_ws("", F.transform(F.col("simhash"), lambda b: b.cast("string"))).alias(
             "simhash_bits"
         ),
+    )
+
+
+# --- token counting two ways: whitespace tokens and the BPE-ish sub-word
+# regex (letter runs / digit runs / punctuation marks). Both per-row map
+# work; identical RE2/Java-portable pattern on both engines.
+@query(
+    "token_counts_bpe_ish",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({TOKS}) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT)
+               AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def token_counts_bpe_ish(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        bpe_ish_token_count("text").alias("bpe_ish_tokens"),
     )
