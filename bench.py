@@ -16,6 +16,8 @@ import re
 import sys
 import time
 
+from pyspark.sql import functions as F
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from udacity_dend_capstone_immigration_spark.session import get_spark_session
@@ -34,6 +36,8 @@ HEADLINE = [
     "events_hourly_by_type",
     "events_sessionize",
     "knn_brute_force",
+    "multimodal_decode",
+    "events_stream_hourly",
 ]
 
 
@@ -50,6 +54,17 @@ def main() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: JVM/codegen spin-up and one scan per input so query 1's
+    # timing isn't session bootstrap. Not a dry run of the suite — each
+    # query still pays its own planning/codegen below.
+    spark.range(1_000_000).select(F.sum("id")).collect()
+    for name in ("lineitem", "orders", "customer", "nation", "region", "part",
+                 "supplier", "events", "documents", "embeddings"):
+        try:
+            spark.read.parquet(f"{sf_dir}/{name}.parquet").limit(1).count()
+        except Exception:
+            pass  # events needs the nanosAsLong conf; queries set it themselves
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -10,6 +10,7 @@ from udacity_dend_capstone_immigration_spark.operators.dedup import (
     minhash_lsh_dedup_pairs,
     minhash_signature,
     minhash_signatures_agg,
+    shingle_rows,
     shingle_sets,
     simhash64,
 )
@@ -41,7 +42,7 @@ def test_minhash_agg_matches_hof_signature(spark):
     df = _docs(spark, ["the quick brown fox jumps over the lazy dog", "pack my box with five dozen jugs"])
     sh = shingle_sets(df, "doc_id", "text", 3)
     hof = sh.select("doc_id", minhash_signature(F.col("shingles"), 8).alias("sig"))
-    agg = minhash_signatures_agg(sh, "doc_id", 8)
+    agg = minhash_signatures_agg(shingle_rows(df, "doc_id", "text", 3), "doc_id", 8)
     assert {tuple(r["sig"]) for r in hof.collect()} == {tuple(r["sig"]) for r in agg.collect()}
 
 
@@ -58,7 +59,7 @@ def test_minhash_lsh_finds_near_dup_and_skips_distinct(spark):
 def test_identical_docs_bucket_together(spark):
     df = _docs(spark, ["alpha beta gamma delta epsilon"] * 2)
     sh = shingle_sets(df, "doc_id", "text", 3)
-    sig = minhash_signatures_agg(sh, "doc_id", 8)
+    sig = minhash_signatures_agg(shingle_rows(df, "doc_id", "text", 3), "doc_id", 8)
     cand = lsh_candidate_pairs(sig, "doc_id", bands=2, rows_per_band=4)
     ver = jaccard_verified_pairs(cand, sh, "doc_id", 0.99).collect()
     assert len(ver) == 1 and ver[0]["jaccard"] == 1.0

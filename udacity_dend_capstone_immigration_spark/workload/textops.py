@@ -27,7 +27,7 @@ from udacity_dend_capstone_immigration_spark.functions.text import (
 from udacity_dend_capstone_immigration_spark.operators.dedup import (
     exact_dedup_by_fingerprint,
     minhash_lsh_dedup_pairs,
-    shingle_sets,
+    shingle_rows,
     simhash64,
 )
 from udacity_dend_capstone_immigration_spark.workload.base import (
@@ -185,15 +185,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
     combinable. At 100 TB you'd band first (see dedup_minhash_lsh) —
     this is the exact-verification building block."""
     docs = table(spark, sf_dir, "documents")
-    sh = shingle_sets(docs, "doc_id", "text", 3)
-    e = sh.select("doc_id", F.explode("shingles").alias("g"))
+    e = shingle_rows(docs, "doc_id", "text", 3).withColumnRenamed("shingle", "g")
     a, b = e.alias("a"), e.alias("b")
     inter = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    z = sh.select("doc_id", F.size("shingles").alias("n"))
+    z = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     za = z.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
     zb = z.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
