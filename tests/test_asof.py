@@ -1,0 +1,46 @@
+"""As-of join edge semantics: no-prior-row nulls, equal-ts visibility,
+per-key isolation, latest-wins."""
+
+import datetime as dt
+
+from udacity_dend_capstone_immigration_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 10:00:00")),   # before any right row → nulls
+            (2, 10, _ts("2024-01-01 12:00:00")),   # equal ts → right row visible
+            (3, 10, _ts("2024-01-01 15:00:00")),   # latest prior wins (12:00 not 11:00)
+            (4, 20, _ts("2024-01-01 23:00:00")),   # other key: only its own rows
+        ],
+        "id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 11:00:00"), 100.0),
+            (10, _ts("2024-01-01 12:00:00"), 200.0),
+            (20, _ts("2024-01-01 09:00:00"), 999.0),
+        ],
+        "k long, ts timestamp, px double",
+    )
+    out = {
+        r["id"]: r["px"]
+        for r in asof_join(left, right, "k", "k", "ts", "ts", ["px"]).collect()
+    }
+    assert out == {1: None, 2: 200.0, 3: 200.0, 4: 999.0}
+
+
+def test_asof_join_keeps_all_left_rows_and_columns(spark):
+    left = spark.createDataFrame(
+        [(1, 5, _ts("2024-01-01 00:00:00"), "extra")],
+        "id long, k long, ts timestamp, note string",
+    )
+    right = spark.createDataFrame([], "k long, ts timestamp, px double")
+    out = asof_join(left, right, "k", "k", "ts", "ts", ["px"]).collect()
+    assert len(out) == 1
+    assert out[0]["note"] == "extra" and out[0]["px"] is None

@@ -1,0 +1,141 @@
+"""Advanced relational operators beyond the reference surface: as-of
+join, rollup/grouping-sets, exact discrete percentiles, set operations.
+
+These close the gap between the reference's operator inventory and what
+a modern analytics engine is expected to ship (SURVEY.md §7.1 step 8's
+"north-star extensions" tier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from udacity_dend_capstone_immigration_spark.operators.asof import asof_join
+from udacity_dend_capstone_immigration_spark.workload.base import dsum, query, sql_dsum, table
+
+
+# --- as-of (point-in-time) join: for each purchase, the most recent
+# click by the same user at-or-before the purchase time. DuckDB's native
+# ASOF JOIN is the oracle; Spark gets the union-tag + last_value window
+# implementation (one shuffle, no range-join blowup).
+@query(
+    "asof_purchase_to_click",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, max(event_id) AS click_event_id,
+               arg_max(value, event_id) AS click_value
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    ),
+    purch AS (
+        SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value AS purchase_value,
+           c.click_event_id, c.click_value
+    FROM purch p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_purchase_to_click(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("click_event_id"),
+            F.max_by("value", "event_id").alias("click_value"),
+        )
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        left_on="user_id",
+        right_on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload=["click_event_id", "click_value"],
+    )
+
+
+# --- rollup (grouping sets): subtotals + grand total in one pass.
+@query(
+    "lineitem_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS row_cnt,
+           {sql_dsum("l_quantity", "sum_qty")}
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def lineitem_rollup(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("row_cnt"), dsum(F.col("l_quantity"), "sum_qty")
+    )
+
+
+# --- exact discrete percentiles (order statistics — no interpolation,
+# so values are actual data points and bit-identical across engines).
+@query(
+    "value_percentiles_by_type",
+    oracle="""
+    SELECT event_type,
+           quantile_disc(value, 0.25) AS p25,
+           quantile_disc(value, 0.5) AS p50,
+           quantile_disc(value, 0.75) AS p75,
+           quantile_disc(value, 0.99) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def value_percentiles_by_type(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    pd_ = lambda p, a: F.expr(  # noqa: E731
+        f"percentile_disc({p}) WITHIN GROUP (ORDER BY value)"
+    ).alias(a)
+    return ev.groupBy("event_type").agg(
+        pd_(0.25, "p25"), pd_(0.5, "p50"), pd_(0.75, "p75"), pd_(0.99, "p99")
+    )
+
+
+# --- set operations (SURVEY.md §2.7 lists them absent in the reference;
+# unionByName/intersect/exceptAll come free from the DataFrame algebra).
+@query(
+    "set_ops_customer_keys",
+    oracle="""
+    SELECT 'with_orders_and_high_balance' AS bucket, COUNT(*) AS cnt FROM (
+        SELECT o_custkey FROM orders
+        INTERSECT
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    )
+    UNION ALL
+    SELECT 'high_balance_without_orders', COUNT(*) FROM (
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        EXCEPT
+        SELECT o_custkey FROM orders
+    )
+    """,
+)
+def set_ops_customer_keys(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    high = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    a = (
+        high.intersect(orders)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("with_orders_and_high_balance").alias("bucket"), "cnt")
+    )
+    b = (
+        high.exceptAll(orders.distinct())
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("high_balance_without_orders").alias("bucket"), "cnt")
+    )
+    return a.unionByName(b)
