@@ -1,0 +1,89 @@
+"""Physical-plan quality gates (SURVEY.md §4).
+
+Correctness tests prove the right rows come back; these prove the right
+PLAN produces them — the properties that decide whether a query still
+works at 1000× the data:
+
+- tiny dims join via BroadcastHashJoin (no shuffle of the fact side);
+- filters reach the parquet scan (PushedFilters), so row groups are
+  skipped at the source;
+- top-k compiles to TakeOrderedAndProject (no full sort);
+- hot relational/text paths contain no Python-UDF boundary
+  (BatchEvalPython) — everything stays in codegen;
+- aggregates run partial (map-side) before the shuffle.
+"""
+
+import contextlib
+import io
+
+import pytest
+
+from udacity_dend_capstone_immigration_spark.workload import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_fact_denormalize_broadcasts_dims(spark):
+    plan = plan_of(spark, "fact_denormalize")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_pricing_summary_pushes_filter_and_partial_agg(spark):
+    plan = plan_of(spark, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan.replace("\n", " ") or (
+        "PushedFilters" in plan and "l_shipdate" in plan
+    )
+    # partial + final hash aggregate pair
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_top_k_compiles_to_take_ordered(spark):
+    plan = plan_of(spark, "top_nations_by_orders")
+    assert "TakeOrderedAndProject" in plan
+    # month predicate reaches the orders scan
+    assert "o_orderdate" in plan and "PushedFilters" in plan
+
+
+def test_hot_paths_have_no_python_udf(spark):
+    for name in (
+        "fact_denormalize",
+        "pricing_summary",
+        "doc_fingerprints",
+        "dedup_minhash_lsh",
+        "events_hourly_by_type",
+        "knn_brute_force",
+        "sas_date_convert",
+        "asof_purchase_to_click",
+    ):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, f"{name} fell back to a Python UDF"
+
+
+def test_knn_broadcasts_query_side(spark):
+    plan = plan_of(spark, "knn_brute_force")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_anti_join_is_broadcast_at_this_scale(spark):
+    plan = plan_of(spark, "customers_without_orders")
+    assert "LeftAnti" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    # dedup_exact_rows projects 3 of 11 lineitem columns; the parquet
+    # ReadSchema must carry only those three
+    plan = plan_of(spark, "dedup_exact_rows")
+    read = [line for line in plan.splitlines() if "ReadSchema" in line]
+    assert read, "no ReadSchema in plan"
+    (line,) = read[:1]
+    assert "l_returnflag" in line and "l_quantity" not in line and "l_partkey" not in line
