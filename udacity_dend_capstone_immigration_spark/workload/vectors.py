@@ -97,3 +97,104 @@ def embedding_near_dup(spark, sf_dir):
 def knn_lsh_bucketed(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return signbit_lsh_knn(emb, "vec_id", k=5, num_bits=8)
+
+
+# --- IVF (inverted-file) kNN: the other classic ANN layout. Coarse
+# centroids are the first N_CELLS corpus vectors (deterministic
+# "training"); every vector is assigned to its nearest centroid cell;
+# queries probe their NPROBE nearest cells only. At scale the cell id is
+# the shuffle/partition key and probe cost is corpus/N_CELLS × NPROBE.
+_IVF_CELLS, _IVF_PROBE = 8, 2
+
+_CENTS = f"SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < {_IVF_CELLS}"
+_CSIM = "round(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * ce.cv[i])) / (n.nrm * ce.cnrm), 6)"
+
+
+@query(
+    "knn_ivf",
+    oracle=f"""
+    WITH n AS ({_NORMED}),
+    ce AS ({_CENTS}),
+    assign AS (
+        SELECT vec_id, cent_id AS cell FROM (
+            SELECT n.vec_id, ce.cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                                      ORDER BY {_CSIM} DESC, ce.cent_id ASC) AS rn
+            FROM n JOIN ce ON TRUE
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT n.vec_id AS query_id, ce.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                                  ORDER BY {_CSIM} DESC, ce.cent_id ASC) AS pr
+        FROM n JOIN ce ON TRUE
+        WHERE n.vec_id < 10
+    ),
+    scored AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               round(list_sum(list_transform(generate_series(1, 64),
+                     i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cosine_sim
+        FROM probes p
+            JOIN assign a ON a.cell = p.cell
+            JOIN n c ON c.vec_id = a.vec_id
+            JOIN n q ON q.vec_id = p.query_id
+        WHERE p.pr <= {_IVF_PROBE} AND c.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine_sim DESC, neighbor_id ASC) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def knn_ivf(spark, sf_dir):
+    """IVF: assign-to-nearest-centroid (broadcast centroid list, one map
+    pass), probe the query's nearest cells, rank only within probed
+    cells. arg_max tiebreak on (sim, -cent_id) matches the oracle."""
+    from udacity_dend_capstone_immigration_spark.functions.vectors import cosine_similarity
+    from udacity_dend_capstone_immigration_spark.operators.topk import top_k_per_group
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = emb.where(F.col("vec_id") < _IVF_CELLS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+    sim_to_cent = F.round(cosine_similarity(F.col("embedding"), F.col("cent_emb")), 6)
+
+    # assignment: nearest centroid per vector (ties → lower cent_id)
+    assign = (
+        emb.crossJoin(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(F.max_by("cent_id", F.struct(sim_to_cent, -F.col("cent_id"))).alias("cell"))
+    )
+    # probe list: NPROBE nearest cells per query vector
+    probes = top_k_per_group(
+        emb.where(F.col("vec_id") < 10)
+        .crossJoin(F.broadcast(cents))
+        .select(F.col("vec_id").alias("query_id"), "cent_id", sim_to_cent.alias("csim")),
+        partition_by=["query_id"],
+        order_by=[F.desc("csim"), F.asc("cent_id")],
+        k=_IVF_PROBE,
+    ).select("query_id", F.col("cent_id").alias("cell"))
+
+    cand = (
+        probes.join(assign, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    q = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("q_emb"), F.col("c_emb")), 6).alias("cosine_sim"),
+        )
+    )
+    return top_k_per_group(
+        scored,
+        partition_by=["query_id"],
+        order_by=[F.desc("cosine_sim"), F.asc("neighbor_id")],
+        k=5,
+    )
