@@ -1,0 +1,46 @@
+"""salted_join result-equivalence with a plain join under heavy skew."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from udacity_dend_capstone_immigration_spark.operators.skew import salted_join
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 90% of rows share key 1 (the hot key)
+    rows = [(1 if i % 10 else i, float(i)) for i in range(1000)]
+    large = spark.createDataFrame(rows, "k long, v double")
+    small = spark.createDataFrame([(k, f"dim_{k}") for k in range(0, 1000, 10)], "k long, name string")
+    return large, small
+
+
+def test_salted_inner_equals_plain(skewed):
+    large, small = skewed
+    plain = large.join(small, "k").orderBy("k", "v")
+    salted = salted_join(large, small, "k", salt_buckets=8).orderBy("k", "v")
+    assert plain.collect() == salted.collect()
+
+
+def test_salted_left_keeps_unmatched(skewed):
+    large, small = skewed
+    plain = large.join(small, "k", "left").orderBy("k", "v")
+    salted = salted_join(large, small, "k", salt_buckets=4, how="left").orderBy("k", "v")
+    assert plain.collect() == salted.collect()
+
+
+def test_salt_actually_spreads_hot_key(spark, skewed):
+    large, _ = skewed
+    from udacity_dend_capstone_immigration_spark.operators.skew import SALT_COL
+
+    salted = large.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(8)).cast("int")
+    )
+    buckets = salted.where("k = 1").select(SALT_COL).distinct().count()
+    assert buckets >= 6  # hot key spread over (nearly) all 8 buckets
+
+
+def test_rejects_unsupported_how(skewed):
+    large, small = skewed
+    with pytest.raises(ValueError):
+        salted_join(large, small, "k", how="full")

@@ -57,3 +57,27 @@ def test_unpartitioned_write(spark, fact, tmp_path):
     out = str(tmp_path / "dim")
     write_parquet(fact, out)
     assert spark.read.parquet(out).count() == 60
+
+
+def test_write_table_parquet_dispatch(spark, fact, tmp_path):
+    from udacity_dend_capstone_immigration_spark.sources.writers import write_table
+
+    out = str(tmp_path / "t")
+    write_table(fact, out, fmt="parquet")
+    assert spark.read.parquet(out).count() == 60
+
+
+def test_write_table_delta_gated(spark, fact, tmp_path):
+    from udacity_dend_capstone_immigration_spark.sources.writers import delta_available, write_table
+
+    if delta_available():
+        pytest.skip("delta installed; gating path not reachable")
+    with pytest.raises(ImportError, match="delta-spark"):
+        write_table(fact, str(tmp_path / "d"), fmt="delta")
+
+
+def test_write_table_rejects_unknown_format(fact, tmp_path):
+    from udacity_dend_capstone_immigration_spark.sources.writers import write_table
+
+    with pytest.raises(ValueError, match="unsupported"):
+        write_table(fact, str(tmp_path / "x"), fmt="orc2")

@@ -1,0 +1,47 @@
+"""Skew-mitigation utilities.
+
+AQE's skew-join splitting (on in the session factory) handles most skew
+at runtime by subdividing oversized shuffle partitions. ``salted_join``
+is the explicit fallback for the cases AQE can't fix — e.g. a single
+hot key whose rows must still meet every matching build-side row, or
+engines/stages where AQE is off. Salting splits each hot key into
+``salt_buckets`` sub-keys: the large side gets a deterministic per-row
+salt, the small side is replicated once per salt value, and the join key
+becomes (key, salt) — same result set, shuffle spread over
+``salt_buckets``× more reducers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``large ⋈ small`` on column ``on`` with salt-split hot keys.
+
+    The salt is ``xxhash64`` over the large side's full row —
+    deterministic, no RNG, and rows of one hot key spread across all
+    buckets. The small side is exploded ``salt_buckets``× (keep it the
+    genuinely small side). Result equals ``large.join(small, on, how)``
+    with only inner/left supported (the replicated right side would
+    multiply unmatched right rows under right/full joins).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salted_large = large.withColumn(
+        SALT_COL,
+        F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(salt_buckets)).cast("int"),
+    )
+    replicated_small = small.withColumn(
+        SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return salted_large.join(replicated_small, [on, SALT_COL], how).drop(SALT_COL)

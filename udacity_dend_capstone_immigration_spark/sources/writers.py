@@ -96,3 +96,50 @@ def write_star_outputs(
     )
     for name, dim in dims.items():
         write_parquet(dim, f"{out_dir}/dim_{name}")
+
+
+def delta_available() -> bool:
+    """True if the delta-spark package is importable in this runtime."""
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: Sequence[str] | None = None,
+    mode: str = "overwrite",
+    max_partitions: int = DEFAULT_MAX_PARTITIONS,
+) -> None:
+    """Format-dispatching sink: ``parquet`` (always available) or
+    ``delta`` (requires the delta-spark package; raises ImportError with
+    guidance when absent — BASELINE.json names Parquet/Delta as the sink
+    pair, and the delta path is the same writer call with ACID/OPTIMIZE
+    semantics layered by the format)."""
+    if fmt == "parquet":
+        write_parquet(df, path, partition_by=partition_by, mode=mode, max_partitions=max_partitions)
+        return
+    if fmt == "delta":
+        if not delta_available():
+            raise ImportError(
+                "delta-spark is not installed in this runtime; install it and "
+                "add the delta catalog/extension confs to the session, or use "
+                "fmt='parquet'"
+            )
+        if partition_by:
+            est = estimate_partition_count(df, partition_by)
+            if est > max_partitions:
+                raise PartitionExplosionError(
+                    f"partitionBy({list(partition_by)}) would create ~{est} "
+                    f"directories (> {max_partitions})"
+                )
+            df.write.format("delta").mode(mode).partitionBy(*partition_by).save(path)
+        else:
+            df.write.format("delta").mode(mode).save(path)
+        return
+    raise ValueError(f"unsupported sink format: {fmt!r}")

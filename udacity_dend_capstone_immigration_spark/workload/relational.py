@@ -581,3 +581,34 @@ def dq_referential_summary(spark, sf_dir):
     for d in outs[1:]:
         out = out.unionByName(d)
     return out
+
+
+# --- SQL entry point (SURVEY.md §3 entry point 2): temp-view
+# registration (S7) + spark.sql text query — the reference's notebook
+# query path (cells 31, 45-47). Same ANTLR→Catalyst pipeline as the
+# DataFrame API; this pins that the engine serves both surfaces.
+@query(
+    "sql_revenue_by_priority",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS order_cnt,
+           {sql_dsum("o_totalprice", "total_revenue")}
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_revenue_by_priority(spark, sf_dir):
+    from udacity_dend_capstone_immigration_spark.sources.readers import load_star
+
+    load_star(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS order_cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE) AS total_revenue
+        FROM orders
+        WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+        GROUP BY o_orderpriority
+        """
+    )
