@@ -1,0 +1,101 @@
+"""Property-based parity: the native column expressions must equal the
+reference's Python-UDF semantics (reference etl.py:231-263) on arbitrary
+inputs, not just the hand-picked cases.
+
+Each property draws a batch of values and runs ONE Spark job per
+example (lists, not per-value jobs) to keep runtime sane.
+"""
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+
+from udacity_dend_capstone_immigration_spark.functions.cleaning import (
+    port_city,
+    port_state_code,
+    valid_birth_year,
+)
+from udacity_dend_capstone_immigration_spark.functions.dates import sas_date_to_iso_string
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+# reference etl.py:236 — the exact UDF body
+def ref_sas_date(x):
+    return (datetime(1960, 1, 1) + timedelta(days=x)).strftime("%Y-%m-%d") if x else None
+
+
+# reference etl.py:237
+def ref_birth_year(y):
+    return str(y) if y and 1900 <= y <= 2016 else None
+
+
+# reference etl.py:254-256
+def ref_city(name):
+    return name.split(",")[0].strip() if name else None
+
+
+def ref_state(name):
+    parts = name.split(",") if name else []
+    return parts[1].strip() if len(parts) > 1 else None
+
+
+def _run(spark, values, expr):
+    df = spark.createDataFrame([Row(x=v) for v in values], "x " + ("double" if not isinstance(values[0], str) else "string"))
+    return [r[0] for r in df.select(expr).collect()]
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.integers(min_value=-100_000, max_value=100_000).map(float)),
+        min_size=1,
+        max_size=64,
+    )
+)
+def test_sas_date_matches_reference_udf(spark, xs):
+    got = _run(spark, [x if x is not None else None for x in xs] + [0.0], sas_date_to_iso_string("x", True))
+    want = [ref_sas_date(x) for x in xs] + [None]
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3000).map(float)),
+        min_size=1,
+        max_size=64,
+    )
+)
+def test_birth_year_matches_reference_udf(spark, ys):
+    got = _run(spark, ys, valid_birth_year("x", as_string=True))
+    want = [ref_birth_year(y) for y in ys]
+    assert got == want
+
+
+# printable text without commas, to compose into 0..3-comma port names
+_seg = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd", "Zs")),
+    min_size=0,
+    max_size=12,
+).filter(lambda s: "," not in s)
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.lists(_seg, min_size=1, max_size=4).map(lambda p: ",".join(p)), min_size=1, max_size=64))
+def test_port_split_matches_reference_udf(spark, names):
+    got_city = _run(spark, names, port_city("x"))
+    got_state = _run(spark, names, port_state_code("x"))
+    want_city = [ref_city(n) for n in names]
+    want_state = [ref_state(n) for n in names]
+    # Spark trim() strips ASCII space/control chars; Python str.strip()
+    # also strips unicode spaces — normalize the comparison the same way
+    assert [c.strip() if c else c for c in got_city] == want_city
+    assert [s.strip() if s else s for s in got_state] == want_state

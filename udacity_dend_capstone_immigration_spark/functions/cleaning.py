@@ -26,9 +26,15 @@ def valid_birth_year(col: Column | str, as_string: bool = False) -> Column:
 
 
 def port_city(col: Column | str) -> Column:
-    """F3a (reference etl.py:254): text before the first comma, trimmed."""
+    """F3a (reference etl.py:254): text before the first comma, trimmed.
+
+    The reference UDF guards with ``if port_name else None`` — empty
+    string (falsy) maps to null, not ''. Pinned here (caught by the
+    property suite, tests/test_properties.py)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.trim(F.element_at(F.split(c, ","), 1))
+    return F.when(c.isNull() | (c == ""), F.lit(None).cast("string")).otherwise(
+        F.trim(F.element_at(F.split(c, ","), 1))
+    )
 
 
 def port_state_code(col: Column | str) -> Column:
