@@ -19,6 +19,7 @@ from udacity_dend_capstone_immigration_spark.functions.text import (
     doc_fingerprint,
     quality_features,
     language_guess,
+    bpe_ish_token_count,
 )
 
 __all__ = [
@@ -39,4 +40,5 @@ __all__ = [
     "doc_fingerprint",
     "quality_features",
     "language_guess",
+    "bpe_ish_token_count",
 ]

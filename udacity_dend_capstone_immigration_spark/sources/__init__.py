@@ -6,6 +6,11 @@ from udacity_dend_capstone_immigration_spark.sources.readers import (
     load_star,
 )
 from udacity_dend_capstone_immigration_spark.sources.sas_labels import parse_sas_labels
+from udacity_dend_capstone_immigration_spark.sources.writers import (
+    write_parquet,
+    write_star_outputs,
+    write_table,
+)
 
 __all__ = [
     "first_available",
@@ -14,4 +19,7 @@ __all__ = [
     "from_pairs",
     "load_star",
     "parse_sas_labels",
+    "write_parquet",
+    "write_star_outputs",
+    "write_table",
 ]

@@ -22,6 +22,7 @@ from pyspark.sql.types import (
 )
 
 from udacity_dend_capstone_immigration_spark.streaming import (
+    session_window_agg,
     read_stream,
     run_available_now,
     watermarked_tumbling,
@@ -73,3 +74,48 @@ def events_stream_hourly(spark, sf_dir):
     name = f"events_stream_hourly_{uuid.uuid4().hex[:8]}"
     ck = tempfile.mkdtemp(prefix="ck_events_stream_")
     return run_available_now(agg, name, checkpoint_dir=ck)
+
+
+@query(
+    "events_stream_sessions",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sess_n
+        FROM ordered
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS event_cnt
+    FROM sessions
+    GROUP BY user_id, sess_n
+    """,
+)
+def events_stream_sessions(spark, sf_dir):
+    """Gap-based sessions computed BY THE STREAMING ENGINE via
+    ``F.session_window`` (sessions merge as events arrive; complete mode
+    over the finite backlog). Note the boundary: ``session_window``
+    closes a session when the gap is >= the gap duration (window end is
+    last_ts + gap, exclusive), so the oracle's break condition is ``>=``
+    — one tick stricter than the batch ``sessionize`` operator's ``>``.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = read_stream(spark, sf_dir, EVENTS_RAW_SCHEMA, path_glob_filter="events.parquet")
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    sess = session_window_agg(
+        ev, "ts", "user_id", "30 minutes", [F.count(F.lit(1)).alias("event_cnt")],
+        watermark="1 hour",
+    )
+    name = f"events_stream_sessions_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix="ck_events_sessions_")
+    return run_available_now(sess, name, checkpoint_dir=ck)
