@@ -32,9 +32,14 @@ ORACLES: dict[str, str] = {}
 
 
 def pin_session(spark: SparkSession) -> None:
-    """Pin the runtime confs the workload semantics depend on."""
+    """Pin the runtime confs the workload semantics depend on — the
+    driver runs queries on ITS session (ANSI on, 200 shuffle partitions,
+    unknown tz). ANSI/tz are semantic; shuffle partitions matter for the
+    streaming queries, whose state-store stages use the static setting
+    (AQE only coalesces batch shuffles)."""
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
 
 
 def query(name: str, oracle: str | None = None):
