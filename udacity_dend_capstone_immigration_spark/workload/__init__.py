@@ -16,5 +16,6 @@ from udacity_dend_capstone_immigration_spark.workload import vectors  # noqa: F4
 from udacity_dend_capstone_immigration_spark.workload import multimodal  # noqa: F401
 from udacity_dend_capstone_immigration_spark.workload import streamq  # noqa: F401
 from udacity_dend_capstone_immigration_spark.workload import advanced  # noqa: F401
+from udacity_dend_capstone_immigration_spark.workload import etlq  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES"]
