@@ -242,3 +242,107 @@ def immigration_etl_fact(spark, sf_dir):
     demographics = spark.createDataFrame([], DEMOGRAPHICS_SCHEMA)
     result = run_pipeline(spark, staging, demographics, LABELS_TEXT, compat=True)
     return result.fact
+
+
+@query(
+    "immigration_etl_city_demographics",
+    oracle="""
+    WITH demo AS (
+        SELECT CASE c_custkey % 4 WHEN 0 THEN 'New York'
+                                  WHEN 1 THEN 'BOSTON'
+                                  WHEN 2 THEN 'atlanta'
+                                  ELSE 'Nowhere' END AS city,
+               CASE c_custkey % 4 WHEN 0 THEN 'NY'
+                                  WHEN 1 THEN 'MA'
+                                  WHEN 2 THEN 'GA'
+                                  ELSE 'KS' END AS state_code,
+               CAST(c_custkey % 5 AS INT) AS race_bucket,
+               CAST(100 + c_custkey % 50 AS INT) AS male_population,
+               CAST(110 + c_custkey % 40 AS INT) AS female_population,
+               CAST(210 + c_custkey % 90 AS INT) AS total_population,
+               CAST(c_custkey % 10 AS INT) AS number_of_veterans,
+               CAST(c_custkey % 20 AS INT) AS foreign_born
+        FROM customer
+    ),
+    rolled AS (
+        SELECT city, state_code,
+               SUM(male_population) AS male_population,
+               SUM(female_population) AS female_population,
+               SUM(total_population) AS total_population,
+               SUM(number_of_veterans) AS number_of_veterans,
+               SUM(foreign_born) AS num_foreign_born
+        FROM (SELECT DISTINCT * FROM demo)
+        GROUP BY city, state_code
+    ),
+    ports AS (
+        SELECT code AS port_code,
+               trim(string_split(name, ',')[1]) AS city,
+               CASE WHEN len(string_split(name, ',')) > 1
+                    THEN trim(string_split(name, ',')[2]) END AS state_code
+        FROM (VALUES ('ANC','ANCHORAGE, AK'), ('BOS','BOSTON, MA'),
+                     ('NYC','NEW YORK, NY'), ('ATL','ATLANTA, GA'),
+                     ('XXX','No PORT Code (XXX)')) AS t(code, name)
+        WHERE len(string_split(name, ',')) > 1
+    )
+    SELECT p.port_code,
+           r.city, r.state_code,
+           CAST(r.male_population AS BIGINT) AS male_population,
+           CAST(r.female_population AS BIGINT) AS female_population,
+           CAST(r.total_population AS BIGINT) AS total_population,
+           CAST(r.number_of_veterans AS BIGINT) AS number_of_veterans,
+           CAST(r.num_foreign_born AS BIGINT) AS num_foreign_born
+    FROM ports p JOIN rolled r
+        ON lower(r.city) = lower(p.city) AND r.state_code = p.state_code
+    """,
+)
+def immigration_etl_city_demographics(spark, sf_dir):
+    """The ETL's demographics branch (reference etl.py:327-357):
+    per-race rows synthesized from customer with case-mismatched city
+    names, deduped, SUM-rolled per (city, state), then case-insensitively
+    inner-joined to the cleaned ports dim. 'Nowhere, KS' rows prove the
+    inner-join drop; 'BOSTON'/'atlanta' prove the lower() key."""
+    from udacity_dend_capstone_immigration_spark.plans.immigration_etl import (
+        build_city_demographics,
+        build_label_dims,
+        clean_demographics,
+        clean_ports,
+    )
+
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    k = F.col("c_custkey")
+    city = (
+        F.when(k % 4 == 0, F.lit("New York"))
+        .when(k % 4 == 1, F.lit("BOSTON"))
+        .when(k % 4 == 2, F.lit("atlanta"))
+        .otherwise(F.lit("Nowhere"))
+    )
+    state = (
+        F.when(k % 4 == 0, F.lit("NY"))
+        .when(k % 4 == 1, F.lit("MA"))
+        .when(k % 4 == 2, F.lit("GA"))
+        .otherwise(F.lit("KS"))
+    )
+    demo = cust.select(
+        city.alias("city"),
+        F.lit(None).cast("string").alias("state"),
+        F.lit(None).cast("double").alias("median_age"),
+        (100 + k % 50).cast("int").alias("male_population"),
+        (110 + k % 40).cast("int").alias("female_population"),
+        (210 + k % 90).cast("int").alias("total_population"),
+        (k % 10).cast("int").alias("number_of_veterans"),
+        (k % 20).cast("int").alias("foreign_born"),
+        F.lit(None).cast("double").alias("average_household_size"),
+        state.alias("state_code"),
+        (k % 5).cast("string").alias("race"),
+        F.lit(None).cast("int").alias("count"),
+    )
+    ports = clean_ports(build_label_dims(spark, LABELS_TEXT)["ports"])
+    out = build_city_demographics(clean_demographics(demo), ports)
+    return out.select(
+        "port_code", "city", "state_code",
+        F.col("male_population").cast("long").alias("male_population"),
+        F.col("female_population").cast("long").alias("female_population"),
+        F.col("total_population").cast("long").alias("total_population"),
+        F.col("number_of_veterans").cast("long").alias("number_of_veterans"),
+        F.col("num_foreign_born").cast("long").alias("num_foreign_born"),
+    )
