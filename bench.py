@@ -36,6 +36,7 @@ HEADLINE = [
     "events_hourly_by_type",
     "events_sessionize",
     "knn_brute_force",
+    "knn_brute_force_arrow",
     "multimodal_decode",
     "events_stream_hourly",
 ]
