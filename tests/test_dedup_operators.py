@@ -71,3 +71,23 @@ def test_simhash_is_64_bits_and_identical_for_identical_docs(spark):
     assert all(len(v) == 64 and set(v) <= {0, 1} for v in out.values())
     assert out[0] == out[1]
     assert out[0] != out[2]
+
+
+def test_connected_components_chain_and_singleton(spark):
+    from udacity_dend_capstone_immigration_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 6, 9)], "id long")
+    out = dict(connected_components(pairs, nodes).collect())
+    # chain 1-2-3 collapses to min id 1; pair 5-6 to 5; 9 is a singleton
+    assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from udacity_dend_capstone_immigration_spark.operators.dedup import connected_components
+
+    n = 12
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(n + 1)], "id long")
+    out = dict(connected_components(pairs, nodes).collect())
+    assert set(out.values()) == {0}

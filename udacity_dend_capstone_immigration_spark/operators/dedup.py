@@ -241,3 +241,61 @@ def simhash64(df: DataFrame, id_col: str, tokens: Column) -> DataFrame:
             lambda x: F.when(x["s"] > 0, 1).otherwise(0),
         ).alias("simhash")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair graph by min-label
+    propagation — turns near-dup PAIRS into dedup CLUSTERS (the step
+    after MinHash/LSH: every document gets the min doc-id of its
+    component as ``cluster_id``).
+
+    Iterative Spark: each round joins labels to edges, takes the min
+    neighbor label, and ``localCheckpoint``s the result to truncate
+    lineage (without it the plan doubles every round — the classic
+    iterative-algorithm trap). Convergence is checked driver-side with
+    ``isEmpty`` on the changed set; rounds needed = graph diameter,
+    which for dedup clusters is tiny. Shuffle per round is O(edges).
+
+    ``pairs`` needs (id_a, id_b); ``nodes`` needs ``id_col`` (singletons
+    become their own cluster).
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    labels = labels.localCheckpoint()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+        )
+        converged = changed.isEmpty()
+        labels = new_labels
+        if converged:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))

@@ -331,3 +331,37 @@ def token_counts_bpe_ish(spark, sf_dir):
         token_count("text").alias("ws_tokens"),
         bpe_ish_token_count("text").alias("bpe_ish_tokens"),
     )
+
+
+# --- pairs -> clusters: connected components over the near-dup graph
+# (the step that turns MinHash pair output into usable dedup groups).
+# Spark side is iterative min-label propagation with localCheckpoint
+# lineage truncation; the oracle is a recursive CTE over the same pairs.
+from udacity_dend_capstone_immigration_spark.operators.dedup import connected_components  # noqa: E402
+from udacity_dend_capstone_immigration_spark.workload.base import ORACLES  # noqa: E402
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({ORACLES["dedup_minhash_lsh"]}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach AS (
+        SELECT doc_id AS id, doc_id AS lab FROM documents
+        UNION
+        SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup_pairs(
+        docs, "doc_id", "text", shingle_n=3, num_hashes=_MH_N, bands=_MH_BANDS, threshold=0.5
+    ).select("id_a", "id_b")
+    return connected_components(pairs, docs.select("doc_id"), id_col="doc_id")
