@@ -60,6 +60,9 @@ def main() -> None:
     # timing isn't session bootstrap. Not a dry run of the suite — each
     # query still pays its own planning/codegen below.
     spark.range(1_000_000).select(F.sum("id")).collect()
+    # spin up the Python worker pool so the first mapInPandas query
+    # doesn't absorb it
+    spark.range(64).repartition(8).mapInPandas(lambda it: it, "id long").count()
     for name in ("lineitem", "orders", "customer", "nation", "region", "part",
                  "supplier", "events", "documents", "embeddings"):
         try:
