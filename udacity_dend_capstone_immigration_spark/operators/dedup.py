@@ -272,7 +272,12 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    # Only nodes that appear in a pair ride through the iteration — in a
+    # real corpus the overwhelming majority of documents are singletons
+    # and must not be shuffled diameter-many times. Singletons rejoin at
+    # the end as their own cluster.
+    in_pairs = edges.select(F.col("src").alias("id")).distinct()
+    labels = in_pairs.select("id", F.col("id").alias("label"))
     labels = labels.localCheckpoint()
     for _ in range(max_iterations):
         neighbor_min = (
@@ -298,4 +303,12 @@ def connected_components(
         if converged:
             break
     edges.unpersist()
-    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+    clustered = labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+    return (
+        nodes.select(F.col(id_col))
+        .join(clustered, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+    )
