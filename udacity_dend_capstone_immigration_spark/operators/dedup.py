@@ -312,3 +312,45 @@ def connected_components(
             F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
         )
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    rolling-hash fingerprint scheme MOSS uses): hash every character
+    k-gram of the normalized text, then keep the MINIMUM hash of each
+    sliding window of ``window`` consecutive k-grams. Guarantees any
+    shared substring of length >= k + window - 1 contributes at least
+    one common fingerprint — partial-overlap detection that whole-doc
+    md5 can't do, with output ~1/window of the k-gram count.
+
+    Spark shape: explode positions (codegen), one window pass per doc,
+    DISTINCT on (id, fingerprint). md5-based so the oracle matches
+    bit-for-bit. Returns (id_col, fingerprint).
+    """
+    from udacity_dend_capstone_immigration_spark.functions.text import normalize_text
+
+    norm = df.select(F.col(id_col), normalize_text(text_col).alias("t"))
+    npos = F.length("t") - (k - 1)
+    pos = norm.where(F.length("t") >= k).select(
+        F.col(id_col),
+        "t",
+        F.explode(F.sequence(F.lit(1), npos)).alias("p"),
+    )
+    kg = pos.select(
+        F.col(id_col), F.col("p"), F.md5(F.col("t").substr(F.col("p"), F.lit(k))).alias("h")
+    )
+    w = Window.partitionBy(id_col).orderBy("p")
+    win_min = F.min("h").over(w.rowsBetween(0, window - 1))
+    guard = F.lead("h", window - 1).over(w)
+    return (
+        kg.select(F.col(id_col), win_min.alias("fingerprint"), guard.alias("_g"))
+        .where(F.col("_g").isNotNull())
+        .select(id_col, "fingerprint")
+        .distinct()
+    )

@@ -139,3 +139,44 @@ def set_ops_customer_keys(spark, sf_dir):
         .select(F.lit("high_balance_without_orders").alias("bucket"), "cnt")
     )
     return a.unionByName(b)
+
+
+# --- interval (range) join, bucketed: points ∈ [start, end) as a
+# bucket equi-join + residual predicate instead of the O(n×m)
+# nested-loop a raw range predicate plans. Intervals synthesized from
+# orders onto the events month; output aggregated per interval.
+@query(
+    "range_join_event_counts",
+    oracle=f"""
+    WITH iv AS (
+        SELECT o_orderkey AS interval_id,
+               TIMESTAMP '2024-01-01' + INTERVAL (o_orderkey % 28) DAY AS start_ts,
+               TIMESTAMP '2024-01-01' + INTERVAL (o_orderkey % 28) DAY
+                   + INTERVAL (1 + o_orderkey % 3) DAY AS end_ts
+        FROM orders WHERE o_orderkey % 100 = 0
+    )
+    SELECT iv.interval_id,
+           COUNT(*) AS event_cnt,
+           {sql_dsum("e.value", "total_value")}
+    FROM events e JOIN iv
+        ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
+    GROUP BY iv.interval_id
+    """,
+)
+def range_join_event_counts(spark, sf_dir):
+    from udacity_dend_capstone_immigration_spark.operators.rangejoin import range_join_bucketed
+
+    ev = table(spark, sf_dir, "events").select("ts", "value")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 == 0)
+    base = F.to_timestamp(F.lit("2024-01-01"))
+    start = F.timestamp_add("DAY", (F.col("o_orderkey") % 28).cast("int"), base)
+    end = F.timestamp_add("DAY", (1 + F.col("o_orderkey") % 3).cast("int"), start)
+    iv = o.select(
+        F.col("o_orderkey").alias("interval_id"),
+        start.alias("start_ts"),
+        end.alias("end_ts"),
+    )
+    joined = range_join_bucketed(ev, iv, "ts", "start_ts", "end_ts", bucket_width_sec=86_400)
+    return joined.groupBy("interval_id").agg(
+        F.count(F.lit(1)).alias("event_cnt"), dsum(F.col("value"), "total_value")
+    )

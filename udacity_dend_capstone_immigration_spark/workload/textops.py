@@ -365,3 +365,32 @@ def dedup_clusters(spark, sf_dir):
         docs, "doc_id", "text", shingle_n=3, num_hashes=_MH_N, bands=_MH_BANDS, threshold=0.5
     ).select("id_a", "id_b")
     return connected_components(pairs, docs.select("doc_id"), id_col="doc_id")
+
+
+# --- winnowing (rolling-hash) fingerprints: the partial-overlap
+# fingerprint scheme (min k-gram hash per sliding window).
+from udacity_dend_capstone_immigration_spark.operators.dedup import winnowing_fingerprints  # noqa: E402
+
+
+@query(
+    "doc_winnowing_fingerprints",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {NORM} AS t FROM documents),
+    kg AS (
+        SELECT doc_id, i AS p, md5(substring(t, i, 8)) AS h
+        FROM norm, UNNEST(generate_series(1, length(t) - 7)) AS u(i)
+        WHERE length(t) >= 8
+    ),
+    win AS (
+        SELECT doc_id,
+               min(h) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+               lead(h, 3) OVER (PARTITION BY doc_id ORDER BY p) AS guard
+        FROM kg
+    )
+    SELECT DISTINCT doc_id, fp AS fingerprint FROM win WHERE guard IS NOT NULL
+    """,
+)
+def doc_winnowing_fingerprints(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs, "doc_id", "text", k=8, window=4)
