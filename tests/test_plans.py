@@ -87,3 +87,17 @@ def test_column_pruning_reaches_scan(spark):
     assert read, "no ReadSchema in plan"
     (line,) = read[:1]
     assert "l_returnflag" in line and "l_quantity" not in line and "l_partkey" not in line
+
+
+def test_range_join_avoids_nested_loop(spark):
+    # the bucketed rewrite must hash-join on the bucket key — a raw range
+    # predicate would plan BroadcastNestedLoopJoin
+    plan = plan_of(spark, "range_join_event_counts")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_winnowing_stays_udf_free(spark):
+    plan = plan_of(spark, "doc_winnowing_fingerprints")
+    assert "BatchEvalPython" not in plan
+    assert "Window" in plan
