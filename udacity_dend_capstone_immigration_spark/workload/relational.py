@@ -612,3 +612,46 @@ def sql_revenue_by_priority(spark, sf_dir):
         GROUP BY o_orderpriority
         """
     )
+
+
+# --- partitioned-sink round trip (S6): aggregate -> guardrailed
+# partitioned parquet write -> read back. The oracle states the
+# aggregate itself, so the driver's hash compare proves the write/read
+# cycle is lossless (values, schema, partition-column round-trip).
+@query(
+    "partitioned_write_roundtrip",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS row_cnt,
+           {sql_dsum("l_extendedprice", "total_price")}
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def partitioned_write_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from udacity_dend_capstone_immigration_spark.sources.writers import write_parquet
+
+    li = table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("row_cnt"), dsum(F.col("l_extendedprice"), "total_price")
+    )
+    out = tempfile.mkdtemp(prefix="roundtrip_")
+    write_parquet(agg, out, partition_by=("l_returnflag",))
+    back = spark.read.parquet(out)
+    # partition columns come back typed as read; restore column order
+    return back.select("l_returnflag", "l_linestatus", "row_cnt", "total_price")
+
+
+# --- sketch path for 100 TB distinct counts: HLL approx_count_distinct.
+# Sketches are engine-specific, so this is a rows-only driver check; the
+# accuracy bound is pinned by tests/test_approx.py instead.
+@query("approx_distinct_summary")
+def approx_distinct_summary(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", 0.02).alias("approx_suppliers"),
+    )
