@@ -64,3 +64,47 @@ def running_totals_stateful(events: DataFrame, key_col: str = "user_id") -> Data
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+INTEGER_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_cnt", LongType()),
+        StructField("value_millis", LongType()),
+    ]
+)
+
+_INT_STATE_SCHEMA = StructType(
+    [StructField("cnt", LongType()), StructField("millis", LongType())]
+)
+
+
+def _update_integer_totals(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """Integer fold: count + sum(floor(value*1000)) — order-independent,
+    so the emitted totals are bit-identical to any batch engine."""
+    import numpy as np
+
+    cnt, millis = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        cnt += len(pdf)
+        millis += int(np.floor(pdf["value"].to_numpy() * 1000.0).astype("int64").sum())
+    state.update((cnt, millis))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "event_cnt": [cnt], "value_millis": [millis]}
+    )
+
+
+def integer_totals_stateful(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Per-key running (count, integer-milli sum) — the oracle-matchable
+    variant of :func:`running_totals_stateful`."""
+    return events.groupBy(key_col).applyInPandasWithState(
+        _update_integer_totals,
+        outputStructType=INTEGER_TOTALS_SCHEMA,
+        stateStructType=_INT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -119,3 +119,67 @@ def events_stream_sessions(spark, sf_dir):
     name = f"events_stream_sessions_{uuid.uuid4().hex[:8]}"
     ck = tempfile.mkdtemp(prefix="ck_events_sessions_")
     return run_available_now(sess, name, checkpoint_dir=ck)
+
+
+@query(
+    "events_stream_sliding",
+    oracle="""
+    WITH expanded AS (
+        SELECT date_trunc('hour', ts) AS window_start, event_type FROM events
+        UNION ALL
+        SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type FROM events
+    )
+    SELECT window_start, window_start + INTERVAL 2 HOUR AS window_end,
+           event_type, COUNT(*) AS event_cnt
+    FROM expanded
+    GROUP BY window_start, event_type
+    """,
+)
+def events_stream_sliding(spark, sf_dir):
+    """Sliding (2h long / 1h slide) windows computed BY THE STREAMING
+    ENGINE — each event lands in two windows; complete mode over the
+    finite backlog equals the batch union-expand."""
+    from udacity_dend_capstone_immigration_spark.streaming import watermarked_sliding
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = read_stream(spark, sf_dir, EVENTS_RAW_SCHEMA, path_glob_filter="events.parquet")
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    agg = watermarked_sliding(
+        ev, "ts", "2 hours", "1 hour", ["event_type"],
+        [F.count(F.lit(1)).alias("event_cnt")], watermark="1 hour",
+    )
+    name = f"events_stream_sliding_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix="ck_events_sliding_")
+    return run_available_now(agg, name, checkpoint_dir=ck)
+
+
+@query(
+    "events_stream_stateful_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS event_cnt,
+           CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_millis
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_stream_stateful_totals(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState) through the
+    driver gate: per-user running totals drained with availableNow. The
+    finite backlog is one micro-batch, so the single emission per user
+    equals the batch aggregate. The value aggregate is an integer
+    (floor(value*1000) per element) because int sums are
+    order-independent — a float sum would differ in the last bits
+    between pandas' pairwise summation and DuckDB's sequential SUM.
+    """
+    from udacity_dend_capstone_immigration_spark.streaming.stateful import (
+        integer_totals_stateful,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = read_stream(spark, sf_dir, EVENTS_RAW_SCHEMA, path_glob_filter="events.parquet")
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    totals = integer_totals_stateful(ev)
+    name = f"events_stream_stateful_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix="ck_events_stateful_")
+    return run_available_now(totals, name, output_mode="update", checkpoint_dir=ck)
