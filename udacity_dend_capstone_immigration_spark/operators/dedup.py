@@ -1,6 +1,6 @@
 """Deduplication operators for the training-data pipeline tier.
 
-Four families, all engine-portable (md5-based hashing so the DuckDB oracle
+Six families, all engine-portable (md5-based hashing so the DuckDB oracle
 reproduces results bit-for-bit) and all designed around Spark's shuffle
 model:
 
@@ -16,6 +16,10 @@ model:
   group-by — near-duplicate Hamming buckets without pairwise compare.
 - **n-gram Jaccard**: exact pairwise verification used standalone on
   candidate sets (never on the full cross product at scale).
+- **winnowing**: rolling-hash fingerprints (min k-gram hash per sliding
+  window) for partial-overlap detection.
+- **connected components**: pairs → clusters by iterative min-label
+  propagation with checkpointed lineage.
 """
 
 from __future__ import annotations

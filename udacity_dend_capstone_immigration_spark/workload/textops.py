@@ -394,3 +394,43 @@ from udacity_dend_capstone_immigration_spark.operators.dedup import winnowing_fi
 def doc_winnowing_fingerprints(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     return winnowing_fingerprints(docs, "doc_id", "text", k=8, window=4)
+
+
+# --- overlap detection via winnowing: pairs sharing >= 20 selected
+# fingerprints. The join is on fingerprint hashes (32-char strings) —
+# never text — and candidates are bounded by fingerprint collisions.
+@query(
+    "dedup_winnowing_overlap",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {NORM} AS t FROM documents),
+    kg AS (
+        SELECT doc_id, i AS p, md5(substring(t, i, 8)) AS h
+        FROM norm, UNNEST(generate_series(1, length(t) - 7)) AS u(i)
+        WHERE length(t) >= 8
+    ),
+    win AS (
+        SELECT doc_id,
+               min(h) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+               lead(h, 3) OVER (PARTITION BY doc_id ORDER BY p) AS guard
+        FROM kg
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM win WHERE guard IS NOT NULL)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fps
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 20
+    """,
+)
+def dedup_winnowing_overlap(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    fps = winnowing_fingerprints(docs, "doc_id", "text", k=8, window=4)
+    a = fps.select(F.col("doc_id").alias("id_a"), "fingerprint")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fingerprint")
+    return (
+        a.join(b, ["fingerprint"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= 20)
+    )
