@@ -1,0 +1,78 @@
+"""Curation operator semantics: split stability, quota, packing, containment."""
+
+from pyspark.sql import functions as F
+
+from udacity_dend_capstone_immigration_spark.operators.curation import (
+    containment_pairs,
+    hash_split,
+    pack_by_token_budget,
+    quota_per_group,
+)
+from udacity_dend_capstone_immigration_spark.operators.dedup import shingle_rows
+
+
+def test_hash_split_is_deterministic_and_partitioned(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    assert a == b  # rerun-stable (the property randomSplit lacks)
+    frac_train = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.75 <= frac_train <= 0.85
+    assert set(a.values()) == {"train", "valid", "test"}
+
+
+def test_hash_split_stable_under_append(spark):
+    """A doc's split never changes when the corpus grows."""
+    small = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(small, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(big, "doc_id").collect()}
+    assert all(b[k] == v for k, v in a.items())
+
+
+def test_hash_split_salt_changes_assignment(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id", salt="s1").collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id", salt="s2").collect()}
+    assert a != b
+
+
+def test_quota_per_group_caps_and_orders(spark):
+    rows = [(i, f"src{i % 2}", i * 10) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score long")
+    out = quota_per_group(df, "source", [F.col("score").desc(), F.col("doc_id")], 2)
+    got = {(r["source"], r["rn"]): r["doc_id"] for r in out.collect()}
+    # per source: the two highest scores, rank 1 = highest
+    assert got == {("src0", 1): 8, ("src0", 2): 6, ("src1", 1): 9, ("src1", 2): 7}
+
+
+def test_pack_by_token_budget_boundaries(spark):
+    rows = [(1, "s", 900), (2, "s", 900), (3, "s", 900), (4, "s", 2500), (5, "s", 100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, toks long")
+    out = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_by_token_budget(df, "source", "doc_id", "toks", 2000).collect()
+    }
+    # exclusive running sums: 0, 900, 1800, 2700, 5200 → packs 0,0,0,1,2
+    assert out == {1: 0, 2: 0, 3: 0, 4: 1, 5: 2}
+
+
+def test_containment_is_asymmetric(spark):
+    # bench doc fully inside a much larger corpus doc → containment 1.0
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, "zero alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    b = shingle_rows(bench, "doc_id", "text", 3)
+    c = shingle_rows(corpus, "doc_id", "text", 3)
+    out = containment_pairs(b, c, 0.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["bench_id"], r["corpus_id"]) == (0, 1)
+    assert r["containment"] == 1.0
+    # reversed direction: the big doc is NOT contained in the small one
+    rev = containment_pairs(c, b, 0.5).collect()
+    assert rev == []

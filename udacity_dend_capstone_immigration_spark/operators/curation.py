@@ -1,0 +1,145 @@
+"""Corpus-curation operators for training-data pipelines.
+
+The reference pipeline (`etl.py:28-82`) is a curate-then-publish DAG over
+immigration records; this module is the same shape specialised for LLM
+corpus curation at 100 TB: deterministic splits, per-source quotas,
+token-budget packing, and benchmark-contamination checks.
+
+Scale posture shared by every operator here:
+
+- **Determinism over randomness.** ``rand()`` splits are not reproducible
+  across retries/backfills and cannot be oracle-checked. All assignment
+  here is content/key-hashed (md5), so re-running a failed partition
+  yields identical rows — essential for idempotent 100 TB backfills.
+- **Shuffle keys, not bodies.** Quota/packing/contamination move
+  (id, token_count) or (id, shingle-hash) pairs; document text stays in
+  the map stage where it was read.
+- **Window-over-groupBy when per-group state is needed.** Quota and
+  packing are single-shuffle window computations partitioned by source —
+  at 1000 executors that is one exchange on a low-cardinality key; skewed
+  sources are handled by AQE skew-split since the window partition key is
+  the same as the exchange key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: 16-bit bucket space: md5 prefix → 0..65535. Wide enough that split
+#: fractions quantize to ±0.002%, small enough for conv() exactness.
+HASH_BUCKETS = 65536
+
+
+def hash_bucket(key: Column, salt: str, buckets: int = HASH_BUCKETS) -> Column:
+    """Deterministic bucket in [0, buckets) from md5(salt ':' key).
+
+    Engine-portable: Spark ``conv(substring(md5(s),1,4),16,10)`` equals
+    DuckDB ``('0x' || substring(md5(s),1,4))::BIGINT`` for every input.
+    """
+    h = F.md5(F.concat_ws(":", F.lit(salt), key.cast("string")))
+    return (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % F.lit(buckets)).alias("bucket")
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    salt: str = "split",
+    train: float = 0.8,
+    valid: float = 0.1,
+) -> DataFrame:
+    """Assign a deterministic train/valid/test split by hashed key.
+
+    Unlike ``df.randomSplit`` this is stable under retries, repartitions
+    and incremental appends (a doc keeps its split forever), which is the
+    property a training pipeline actually needs. Pure map work — no
+    shuffle, fully codegen'd, and the split predicate pushes down when a
+    consumer filters one split.
+    """
+    b = hash_bucket(F.col(key_col), salt)
+    t_hi = int(train * HASH_BUCKETS)
+    v_hi = int((train + valid) * HASH_BUCKETS)
+    split = (
+        F.when(F.col("bucket") < t_hi, F.lit("train"))
+        .when(F.col("bucket") < v_hi, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("bucket", b).withColumn("split", split)
+
+
+def quota_per_group(
+    df: DataFrame, group_col: str, order_by: list[Column], n: int
+) -> DataFrame:
+    """Keep the top-``n`` rows per group under a total order (quota
+    sampling / per-source caps).
+
+    One shuffle on ``group_col``; rank prunes inside the window stage, so
+    only ``n × |groups|`` rows survive to downstream operators. The
+    ordering must include a tiebreaker column to stay deterministic.
+    """
+    w = Window.partitionBy(group_col).orderBy(*order_by)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n)
+    )
+
+
+def pack_by_token_budget(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """Assign contiguous pack ids so each pack holds ~``budget`` tokens.
+
+    Sequence packing for pre-training: documents are taken in a
+    deterministic order within each group and a pack boundary is placed
+    every ``budget`` tokens of exclusive running sum (a pack may overrun
+    by at most one document — the standard streaming-chunker semantics,
+    computable in one window pass; a strict no-overrun packer needs
+    sequential state, cf. :mod:`..streaming`'s applyInPandasWithState).
+
+    Single shuffle on ``group_col``; only (id, token_count) flow through
+    the window, so at 100 TB this is a metadata-sized exchange.
+    """
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    cum_excl = (F.sum(tokens_col).over(w) - F.col(tokens_col)).cast("bigint")
+    return df.withColumn("pack_id", F.floor(cum_excl / F.lit(budget)))
+
+
+def containment_pairs(
+    bench_shingles: DataFrame,
+    corpus_shingles: DataFrame,
+    min_containment: float,
+) -> DataFrame:
+    """Benchmark-contamination detection: for (bench_id, shingle) and
+    (corpus_id, shingle) inputs, emit pairs whose shingle containment
+    |bench ∩ corpus| / |bench| reaches ``min_containment``.
+
+    Containment (not Jaccard) is the right asymmetric measure: a small
+    eval item fully embedded in a large training doc scores 1.0 even
+    though Jaccard is tiny. Candidates come from the shingle equi-join —
+    only docs sharing ≥1 shingle ever pair, and only hashes shuffle.
+    Returns (bench_id, corpus_id, shared, bench_size, containment).
+    """
+    b = bench_shingles.select(
+        F.col("doc_id").alias("bench_id"), F.col("shingle")
+    )
+    c = corpus_shingles.select(
+        F.col("doc_id").alias("corpus_id"), F.col("shingle")
+    )
+    shared = (
+        b.join(c, "shingle")
+        .groupBy("bench_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sizes = bench_shingles.groupBy(F.col("doc_id").alias("bench_id")).agg(
+        F.count(F.lit(1)).alias("bench_size")
+    )
+    cont = F.col("shared").cast("double") / F.col("bench_size")
+    return (
+        shared.join(sizes, "bench_id")
+        .select("bench_id", "corpus_id", "shared", "bench_size", cont.alias("containment"))
+        .where(F.col("containment") >= min_containment)
+    )

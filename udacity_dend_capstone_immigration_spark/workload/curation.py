@@ -1,0 +1,208 @@
+"""Corpus-curation queries: the train-data preparation tier.
+
+Deterministic split / quota / packing / contamination / filter-funnel over
+``documents`` — the operations a pre-training data pipeline runs after
+dedup (:mod:`.textops`) and before writing shards. All md5-keyed and
+window-shaped, so the DuckDB oracles reproduce results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from udacity_dend_capstone_immigration_spark.functions.text import (
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+)
+from udacity_dend_capstone_immigration_spark.operators.curation import (
+    containment_pairs,
+    hash_split,
+    pack_by_token_budget,
+    quota_per_group,
+)
+from udacity_dend_capstone_immigration_spark.operators.dedup import shingle_rows
+from udacity_dend_capstone_immigration_spark.workload.base import query, table
+from udacity_dend_capstone_immigration_spark.workload.textops import NORM, TOKS
+
+#: DuckDB mirror of operators/curation.py:hash_bucket (salt 'split').
+_BUCKET = (
+    "CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)"
+    " % 65536"
+)
+_T_HI = int(0.8 * 65536)
+_V_HI = int(0.9 * 65536)
+
+
+# --- deterministic hash split: stable under retries/appends (vs randomSplit).
+@query(
+    "corpus_train_test_split",
+    oracle=f"""
+    SELECT split, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+        SELECT source, n_chars,
+               CASE WHEN {_BUCKET} < {_T_HI} THEN 'train'
+                    WHEN {_BUCKET} < {_V_HI} THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    GROUP BY split, source
+    """,
+)
+def corpus_train_test_split(spark, sf_dir):
+    """80/10/10 by md5(doc_id) bucket; zero shuffle for the assignment
+    itself (pure codegen'd map), one exchange for the summary rollup."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id", salt="split", train=0.8, valid=0.1)
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# --- per-source quota: cap each source's contribution, best docs first.
+@query(
+    "corpus_quota_sample",
+    oracle="""
+    SELECT doc_id, source, rn FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def corpus_quota_sample(spark, sf_dir):
+    """Top-10 docs per source by length (doc_id tiebreak). One shuffle
+    on source; row_number prunes in the window stage so only
+    10 × |sources| rows continue downstream."""
+    docs = table(spark, sf_dir, "documents")
+    kept = quota_per_group(
+        docs, "source", [F.col("n_chars").desc(), F.col("doc_id")], 10
+    )
+    return kept.select("doc_id", "source", "rn")
+
+
+# --- sequence packing: ~2000-token packs per source, deterministic order.
+@query(
+    "corpus_token_packing",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, len({TOKS}) AS toks FROM documents),
+    packed AS (
+        SELECT source, doc_id, toks,
+               CAST(floor((SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - toks) / 2000.0) AS BIGINT)
+                   AS pack_id
+        FROM t
+    )
+    SELECT source, pack_id, COUNT(*) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS pack_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM packed GROUP BY source, pack_id
+    """,
+)
+def corpus_token_packing(spark, sf_dir):
+    """Pack boundary every 2000 tokens of exclusive running sum (window
+    chunker — overruns by at most one doc). Only (doc_id, token_count)
+    flows through the single source-keyed exchange."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "source", token_count("text").alias("toks"))
+    packed = pack_by_token_budget(t, "source", "doc_id", "toks", 2000)
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+# --- benchmark contamination: shingle containment of a held-out set in
+# the training corpus (asymmetric — small eval items embedded in big
+# training docs must score high).
+_SHINGLE_ROWS = f"""
+    SELECT doc_id, g FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 0)),
+                   i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+        FROM (SELECT doc_id, {TOKS} AS t FROM documents)
+        WHERE len(t) >= 3
+    )
+"""
+
+
+@query(
+    "benchmark_contamination",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_ROWS}),
+    bench AS (SELECT doc_id AS bench_id, g FROM sh WHERE doc_id % 7 = 0),
+    corpus AS (SELECT doc_id AS corpus_id, g FROM sh WHERE doc_id % 7 != 0),
+    shared AS (
+        SELECT bench_id, corpus_id, COUNT(*) AS shared
+        FROM bench JOIN corpus USING (g)
+        GROUP BY bench_id, corpus_id
+    ),
+    sizes AS (SELECT doc_id AS bench_id, COUNT(*) AS bench_size
+              FROM sh WHERE doc_id % 7 = 0 GROUP BY doc_id)
+    SELECT bench_id, corpus_id, shared, bench_size,
+           CAST(shared AS DOUBLE) / bench_size AS containment
+    FROM shared JOIN sizes USING (bench_id)
+    WHERE CAST(shared AS DOUBLE) / bench_size >= 0.5
+    """,
+)
+def benchmark_contamination(spark, sf_dir):
+    """Pseudo-benchmark = doc_id % 7 == 0 (deterministic stand-in for an
+    eval set). Candidates come from the shingle equi-join — only hash
+    keys shuffle, never text; flagged when ≥50% of a benchmark doc's
+    shingles appear in one corpus doc."""
+    docs = table(spark, sf_dir, "documents")
+    sh = shingle_rows(docs, "doc_id", "text", 3)
+    bench = sh.where(F.col("doc_id") % 7 == 0)
+    corpus = sh.where(F.col("doc_id") % 7 != 0)
+    return containment_pairs(bench, corpus, 0.5)
+
+
+# --- quality-filter funnel: per-source survivor counts through the
+# standard cleaning cascade (stage predicates nest, so each count is a
+# subset of the previous — one pass, conditional aggregates).
+_P_LEN = f"len({TOKS}) >= 5"
+_P_PUNCT = (
+    f"CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)"
+    f" / greatest(length(text), 1) <= 0.25"
+)
+_P_STOP = (
+    f"CAST(len(list_filter({TOKS},"
+    f" t -> list_contains(['the','a','of','and','is','to','in'], t))) AS DOUBLE)"
+    f" / greatest(len({TOKS}), 1) >= 0.01"
+)
+
+
+@query(
+    "quality_filter_funnel",
+    oracle=f"""
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(*) FILTER ({_P_LEN}) AS pass_len,
+           COUNT(*) FILTER ({_P_LEN} AND {_P_PUNCT}) AS pass_punct,
+           COUNT(*) FILTER ({_P_LEN} AND {_P_PUNCT} AND {_P_STOP}) AS pass_all
+    FROM documents GROUP BY source
+    """,
+)
+def quality_filter_funnel(spark, sf_dir):
+    """The curation report a pipeline emits before committing a filter
+    config: how many docs survive each cascade stage, per source. One
+    map-side-combinable aggregate; ratio features are per-row doubles
+    (deterministic across engines)."""
+    docs = table(spark, sf_dir, "documents")
+    p_len = token_count("text") >= 5
+    p_punct = punct_ratio(F.col("text")) <= 0.25
+    p_stop = stopword_ratio(F.col("text")) >= 0.01
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(p_len, 1)).alias("pass_len"),
+        F.count(F.when(p_len & p_punct, 1)).alias("pass_punct"),
+        F.count(F.when(p_len & p_punct & p_stop, 1)).alias("pass_all"),
+    )
