@@ -30,3 +30,16 @@ def test_arrow_knn_handles_more_neighbors_than_rows(spark):
     out = brute_force_knn_arrow(queries, tiny, "vec_id", k=10).collect()
     # 2 queries × 4 non-self candidates each
     assert len(out) == 8
+
+
+def test_arrow_pairs_match_hof_pairs(spark):
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        cosine_pairs_above,
+        cosine_pairs_above_arrow,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select("vec_id", "embedding")
+    hof = sorted(map(tuple, cosine_pairs_above(emb, "vec_id", 0.4).collect()))
+    arrow = sorted(map(tuple, cosine_pairs_above_arrow(emb, "vec_id", 0.4).collect()))
+    assert len(hof) > 0
+    assert hof == arrow

@@ -23,6 +23,7 @@ from udacity_dend_capstone_immigration_spark.operators.dedup import (
 from udacity_dend_capstone_immigration_spark.operators.similarity import (
     brute_force_knn,
     cosine_pairs_above,
+    cosine_pairs_above_arrow,
     signbit_lsh_knn,
 )
 from udacity_dend_capstone_immigration_spark.operators.windows import (

@@ -20,12 +20,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from udacity_dend_capstone_immigration_spark.functions.vectors import cosine_similarity
+from udacity_dend_capstone_immigration_spark.functions.vectors import dot, l2_norm
 from udacity_dend_capstone_immigration_spark.operators.topk import top_k_per_group
 
 
+def _with_norm(df: DataFrame, id_col: str) -> DataFrame:
+    """(id, embedding, nrm): the norm is an interpreted HOF fold, so it is
+    computed ONCE per row here instead of once per PAIR in the join —
+    for an n-row self-join that removes 2·n² of the 3·n² lambda folds
+    (the pair dot product is the only one left). Bit-identical: the
+    cosine is still dot/(nrm_q·nrm_c), same fold order."""
+    return df.select(F.col(id_col), F.col("embedding"), l2_norm("embedding").alias("nrm"))
+
+
 def _sim(round_to: int | None) -> Column:
-    sim = cosine_similarity(F.col("q.embedding"), F.col("c.embedding"))
+    sim = dot(F.col("q.embedding"), F.col("c.embedding")) / (
+        F.col("q.nrm") * F.col("c.nrm")
+    )
     return F.round(sim, round_to) if round_to is not None else sim
 
 
@@ -43,8 +54,8 @@ def brute_force_knn(
     oracle comparison) is deterministic; ties break on candidate id.
     Returns (query_id, neighbor_id, cosine_sim, rank).
     """
-    q = queries.alias("q")
-    c = corpus.alias("c")
+    q = _with_norm(queries, id_col).alias("q")
+    c = _with_norm(corpus, id_col).alias("c")
     scored = (
         q.crossJoin(F.broadcast(c))
         .where(F.col(f"q.{id_col}") != F.col(f"c.{id_col}"))
@@ -73,8 +84,9 @@ def cosine_pairs_above(
     Quadratic by definition — at scale, feed bucketed subsets (e.g. the
     sign-bit LSH buckets) instead of the whole corpus.
     """
-    a = df.alias("q")
-    b = df.alias("c")
+    n = _with_norm(df, id_col)
+    a = n.alias("q")
+    b = n.alias("c")
     return (
         a.join(b, F.col(f"q.{id_col}") < F.col(f"c.{id_col}"))
         .select(
@@ -83,6 +95,58 @@ def cosine_pairs_above(
             _sim(round_to).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= threshold)
+    )
+
+
+def cosine_pairs_above_arrow(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Arrow/numpy fast path for :func:`cosine_pairs_above`.
+
+    The HOF pair join evaluates an interpreted 64-element fold per pair —
+    O(n²·d) lambda dispatches (32s at sf0.1's 2k vectors vs ~1s here).
+    This collects the comparison set to one (n, d) float64 matrix —
+    bounded by the same contract as the HOF version: the input is a
+    bucket (LSH band / IVF cell), not a 100 TB corpus — broadcasts it,
+    and streams the same rows back through ``mapInPandas``, computing
+    one BLAS block of the gram matrix per Arrow batch. Only pairs at or
+    above the threshold leave Python. Cosine is rounded to 6dp like the
+    HOF path; values match the sequential fold after rounding (same
+    contract ``brute_force_knn_arrow`` relies on).
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = df.select(id_col, "embedding").collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    bc = df.sparkSession.sparkContext.broadcast((ids, mat, norms))
+
+    def score(batches):
+        ids_, mat_, norms_ = bc.value
+        for pdf in batches:
+            b_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            b_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            b_norm = np.linalg.norm(b_mat, axis=1)
+            sims = (b_mat @ mat_.T) / np.outer(b_norm, norms_)
+            np.round(sims, 6, out=sims)
+            # unordered pairs once: batch row is the smaller id
+            keep = (b_ids[:, None] < ids_[None, :]) & (sims >= threshold)
+            bi, ci = np.nonzero(keep)
+            if len(bi):
+                yield pd.DataFrame(
+                    {
+                        "id_a": b_ids[bi],
+                        "id_b": ids_[ci],
+                        "cosine_sim": sims[bi, ci],
+                    }
+                )
+
+    return df.select(id_col, "embedding").mapInPandas(
+        score, "id_a long, id_b long, cosine_sim double"
     )
 
 
@@ -112,8 +176,8 @@ def signbit_lsh_knn(
     trade for making the join key a 2^num_bits-ary bucket instead of a
     cross product.
     """
-    coded = df.select(
-        F.col(id_col), F.col("embedding"), signbit_code(F.col("embedding"), num_bits).alias("bucket")
+    coded = _with_norm(df, id_col).withColumn(
+        "bucket", signbit_code(F.col("embedding"), num_bits)
     )
     a = coded.alias("q")
     b = coded.alias("c")
