@@ -75,3 +75,79 @@ def multimodal_decode(spark, sf_dir):
     round-trip (including utf-8 byte lengths) is verified value-exact."""
     docs = table(spark, sf_dir, "documents")
     return decode_metadata(documents_as_media(docs))
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(224 AS INT) AS width,
+           CAST(224 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(16 AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_resize(spark, sf_dir):
+    """resize → decode round-trip: every blob re-packed to 224×224 (the
+    fake codec replaces the payload with its 16-byte digest — so
+    n_bytes = 16 proves the payload was actually rewritten, not passed
+    through). Two chained mapInPandas stages in ONE Python worker pass —
+    no shuffle between resize and decode, media bytes never leave the
+    map side. Exact resized bytes are unit-tested
+    (tests/test_multimodal.py); the oracle verifies the full pipeline's
+    metadata value-exactly."""
+    from udacity_dend_capstone_immigration_spark.operators.multimodal import resize_media
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_metadata(resize_media(documents_as_media(docs), 224, 224))
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(u.i AS INT) AS frame_idx,
+           CAST(16 AS BIGINT) AS frame_bytes
+    FROM documents,
+         UNNEST(generate_series(0, CAST(doc_id % 30 AS BIGINT), 10)) AS u(i)
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame sampling: n_frames = doc_id % 30 + 1, every 10th
+    frame. Sampled frame INDEXES explode natively (int rows); only those
+    frames decode in the Python stage. The oracle verifies the sampling
+    lattice (media_id × frame_idx) value-exactly; frame payloads are
+    surfaced as their byte length (digest bytes are unit-tested — DuckDB
+    cannot md5 arbitrary binary, VARCHAR only)."""
+    from udacity_dend_capstone_immigration_spark.operators.multimodal import sample_frames
+
+    docs = table(spark, sf_dir, "documents")
+    media = documents_as_media(docs).withColumn(
+        "n_frames", (F.col("media_id") % 30 + 1).cast("int")
+    )
+    frames = sample_frames(media, every_n=10)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.octet_length("frame_data").cast("bigint").alias("frame_bytes"),
+    )
+
+
+@query("multimodal_features")  # rows-only: md5-chain over raw bytes is not SQL-expressible
+def multimodal_features(spark, sf_dir):
+    """binary → 8-dim pseudo-embedding (md5-chained floats). DuckDB's
+    md5 takes VARCHAR only, so the exact values cannot be recomputed in
+    SQL over binary blobs — the driver does the rows-only check here and
+    exact values are unit-tested (tests/test_multimodal.py). Feature
+    rows are compact (id + 8 floats): the shuffle after extraction
+    carries vectors, never media bytes."""
+    from udacity_dend_capstone_immigration_spark.operators.multimodal import extract_features
+
+    docs = table(spark, sf_dir, "documents")
+    feats = extract_features(documents_as_media(docs), dim=8)
+    return feats.select(
+        "media_id",
+        F.size("feature").alias("feature_dim"),
+        F.col("feature"),
+    )
