@@ -37,6 +37,8 @@ HEADLINE = [
     "events_sessionize",
     "knn_brute_force",
     "knn_brute_force_arrow",
+    "embedding_near_dup",
+    "corpus_token_packing",
     "multimodal_decode",
     "events_stream_hourly",
 ]

@@ -205,6 +205,14 @@ def minhash_lsh_dedup_pairs(
     banded buckets → candidate pairs → Jaccard verify."""
     rows_per_band = num_hashes // bands
     rows = shingle_rows(df, id_col, text_col, shingle_n, distinct=False)
+    # Both the signature branch and the shingle-set branch consume the
+    # exploded rows; without materialization Spark recomputes the whole
+    # tokenize→explode→window pipeline per branch (~27% slower measured
+    # at sf0.1). localCheckpoint stores the compact (id, shingle) rows —
+    # never document bodies — and truncates lineage; at cluster scale
+    # this is the standard cache-the-small-intermediate trade (recompute
+    # on block loss is not possible, so pair it with job retry).
+    rows = rows.localCheckpoint(eager=False)
     sig = minhash_signatures_agg(rows, id_col, num_hashes)
     cand = lsh_candidate_pairs(sig, id_col, bands, rows_per_band)
     sets = rows.groupBy(id_col).agg(F.array_sort(F.collect_set("shingle")).alias("shingles"))
