@@ -180,3 +180,131 @@ def range_join_event_counts(spark, sf_dir):
     return joined.groupBy("interval_id").agg(
         F.count(F.lit(1)).alias("event_cnt"), dsum(F.col("value"), "total_value")
     )
+
+
+# --- CUBE: all 4 grouping combinations in one pass. grouping() flags
+# disambiguate the roll-up NULLs from natural NULLs on both engines.
+@query(
+    "cube_order_summary",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+           COUNT(*) AS order_cnt,
+           {sql_dsum("o_totalprice", "total_price")}
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_summary(spark, sf_dir):
+    """One shuffle; Spark expands the cube map-side (Expand node) so
+    partial aggregation still combines before the exchange."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("order_cnt"),
+        dsum(F.col("o_totalprice"), "total_price"),
+    ).select(
+        "o_orderstatus", "o_orderpriority", "g_status", "g_priority",
+        "order_cnt", "total_price",
+    )
+
+
+# --- explicit GROUPING SETS (the general form rollup/cube sugar over),
+# via the SQL entry point.
+@query(
+    "grouping_sets_revenue",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS order_cnt,
+           {sql_dsum("o_totalprice", "total_price")}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_revenue(spark, sf_dir):
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS order_cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE) AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# --- explicit left-semi join (EXISTS): customers with at least one
+# order. The anti-join sibling is customers_without_orders.
+@query(
+    "customers_with_orders_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_with_orders_semi(spark, sf_dir):
+    """left_semi keeps the probe row on first match — no fan-out, and
+    only the join key of the build side ships (broadcast-able when the
+    order-key projection is small; at 100 TB Catalyst picks SMJ and the
+    semi short-circuit still avoids the match fan-out)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+# --- scalar subquery: orders above the global average price. The
+# average is the decimal-sum/count portable form so the per-row
+# comparison threshold is the SAME double on both engines (a native
+# double avg differs in the last ulp by summation order — boundary rows
+# would flip).
+@query(
+    "orders_above_avg_price",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (
+        SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+               / CAST(COUNT(o_totalprice) AS DOUBLE)
+        FROM orders)
+    """,
+)
+def orders_above_avg_price(spark, sf_dir):
+    from udacity_dend_capstone_immigration_spark.workload.base import davg
+
+    orders = table(spark, sf_dir, "orders")
+    avg_df = orders.agg(davg(F.col("o_totalprice"), "avg_price"))
+    return (
+        orders.crossJoin(F.broadcast(avg_df))
+        .where(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# --- schema'd JSON parsing: from_json with an explicit struct schema
+# (vs events_json_extract's path-at-a-time get_json_object).
+@query(
+    "events_json_schema",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(*) FILTER (CAST(json_extract_string(props, '$.k') AS INT) >= 50) AS k_ge_50,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_schema(spark, sf_dir):
+    """Parse once into a typed struct column; downstream predicates and
+    aggregates then run on plain ints inside codegen instead of
+    re-walking JSON text per reference."""
+    ev = table(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k INT"))
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("p.k") >= 50, 1)).alias("k_ge_50"),
+        F.sum(F.col("p.k")).cast("bigint").alias("k_sum"),
+    )
