@@ -116,3 +116,21 @@ def test_session_window_stream(spark, event_dir, tmp_path):
     # user 2: 10:45, 11:20 merge? gap is 35min > 30 → separate; 13:00 separate
     assert (1, 2) in rows and (1, 1) in rows
     assert got.where("user_id = 2").count() == 3
+
+
+def test_watermarked_dedup_across_batches(spark, event_dir, tmp_path):
+    """Duplicates arriving in DIFFERENT micro-batches must still dedup —
+    that's the state-store property (not just intra-batch distinct)."""
+    from udacity_dend_capstone_immigration_spark.streaming import watermarked_dedup
+
+    # two streams over the same files, unioned: every event id arrives
+    # twice, and with maxFilesPerTrigger=1 arrivals straddle batches
+    a = read_stream(spark, event_dir, EVENTS_SCHEMA, max_files_per_trigger=1)
+    b = read_stream(spark, event_dir, EVENTS_SCHEMA, max_files_per_trigger=1)
+    deduped = watermarked_dedup(a.unionByName(b), "ts", ["event_id"], watermark="10 hours")
+    out = run_available_now(
+        deduped, "dedup_t", output_mode="append",
+        checkpoint_dir=str(tmp_path / "ck_dedup"),
+    )
+    ids = sorted(r["event_id"] for r in out.select("event_id").collect())
+    assert ids == [1, 2, 3, 4, 5, 6]

@@ -10,6 +10,7 @@ from udacity_dend_capstone_immigration_spark.streaming.windows import (
     read_stream,
     run_available_now,
     session_window_agg,
+    watermarked_dedup,
     watermarked_sliding,
     watermarked_tumbling,
 )
@@ -19,6 +20,7 @@ __all__ = [
     "read_stream",
     "run_available_now",
     "session_window_agg",
+    "watermarked_dedup",
     "watermarked_sliding",
     "watermarked_tumbling",
     "running_totals_stateful",

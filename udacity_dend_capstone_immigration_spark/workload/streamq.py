@@ -183,3 +183,41 @@ def events_stream_stateful_totals(spark, sf_dir):
     name = f"events_stream_stateful_{uuid.uuid4().hex[:8]}"
     ck = tempfile.mkdtemp(prefix="ck_events_stateful_")
     return run_available_now(totals, name, output_mode="update", checkpoint_dir=ck)
+
+
+@query(
+    "events_stream_dedup",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS event_cnt,
+           {sql_dsum("value", "total_value")}
+    FROM events GROUP BY event_type
+    """,
+)
+def events_stream_dedup(spark, sf_dir):
+    """Streaming exactly-once dedup, streaming-executed: the backlog is
+    read TWICE (two file-source streams unioned → every event arrives as
+    a duplicate) and ``watermarked_dedup`` on (event_id, ts) collapses
+    it back to exactly one row per event in append mode. The drained
+    memory table is then aggregated per type — matching the plain batch
+    group-by over the single-copy events table, which is exactly the
+    invariant a streaming ingest pipeline needs when upstream delivery
+    is at-least-once."""
+    from udacity_dend_capstone_immigration_spark.streaming import watermarked_dedup
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def one_stream():
+        raw = read_stream(
+            spark, sf_dir, EVENTS_RAW_SCHEMA, path_glob_filter="events.parquet"
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+    doubled = one_stream().unionByName(one_stream())
+    deduped = watermarked_dedup(doubled, "ts", ["event_id"], watermark="1 hour")
+    name = f"events_stream_dedup_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix="ck_events_dedup_")
+    drained = run_available_now(deduped, name, output_mode="append", checkpoint_dir=ck)
+    return drained.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("event_cnt"),
+        dsum(F.col("value"), "total_value"),
+    )
