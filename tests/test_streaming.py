@@ -134,3 +134,34 @@ def test_watermarked_dedup_across_batches(spark, event_dir, tmp_path):
     )
     ids = sorted(r["event_id"] for r in out.select("event_id").collect())
     assert ids == [1, 2, 3, 4, 5, 6]
+
+
+def test_stream_stream_interval_join_across_batches(spark, event_dir, tmp_path):
+    """The matching click (batch 1) and purchase (batch 2) arrive in
+    different micro-batches — the pair can only come from buffered join
+    state, not intra-batch matching."""
+    from udacity_dend_capstone_immigration_spark.streaming import stream_interval_join
+
+    def side(event_type, ts_name, cols):
+        s = read_stream(spark, event_dir, EVENTS_SCHEMA, max_files_per_trigger=1)
+        return s.where(F.col("event_type") == event_type).select(
+            F.col("ts").alias(ts_name), *cols
+        )
+
+    clicks = side("click", "click_ts", [F.col("user_id").alias("c_user")])
+    purchases = side(
+        "purchase", "purch_ts",
+        [F.col("user_id").alias("p_user"), F.col("value").alias("p_value")],
+    )
+    pairs = stream_interval_join(
+        clicks, "click_ts", purchases, "purch_ts",
+        on=F.col("c_user") == F.col("p_user"),
+        interval="1 HOUR", watermark="10 hours",
+    )
+    out = run_available_now(
+        pairs, "attr_t", output_mode="append",
+        checkpoint_dir=str(tmp_path / "ck_attr"),
+    )
+    got = [(r["c_user"], r["p_value"]) for r in out.collect()]
+    # only user 2's 10:45 click has a purchase (11:20) within the hour
+    assert got == [(2, 5.0)]

@@ -10,6 +10,7 @@ from udacity_dend_capstone_immigration_spark.streaming.windows import (
     read_stream,
     run_available_now,
     session_window_agg,
+    stream_interval_join,
     watermarked_dedup,
     watermarked_sliding,
     watermarked_tumbling,
@@ -20,6 +21,7 @@ __all__ = [
     "read_stream",
     "run_available_now",
     "session_window_agg",
+    "stream_interval_join",
     "watermarked_dedup",
     "watermarked_sliding",
     "watermarked_tumbling",

@@ -147,3 +147,34 @@ def watermarked_dedup(
     row exactly once, on arrival).
     """
     return df.withWatermark(ts_col, watermark).dropDuplicates([*key_cols, ts_col])
+
+
+def stream_interval_join(
+    left: DataFrame,
+    left_ts: str,
+    right: DataFrame,
+    right_ts: str,
+    on: Column,
+    interval: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: right rows within ``[left_ts, left_ts +
+    interval]`` of a matching left row.
+
+    Both sides are watermarked and the join carries an explicit
+    event-time range constraint — the two things Spark's state cleanup
+    needs to drop buffered rows once the watermark passes them. Without
+    the range bound, stream-stream join state grows without limit; with
+    it, each side buffers only ``watermark + interval`` of data per key,
+    which is what makes this runnable on an unbounded stream. Append
+    mode: each matched pair is emitted exactly once, when the match
+    becomes final.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        on
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {interval}"))
+    )
+    return lw.join(rw, cond, "inner")

@@ -221,3 +221,101 @@ def events_stream_dedup(spark, sf_dir):
         F.count(F.lit(1)).alias("event_cnt"),
         dsum(F.col("value"), "total_value"),
     )
+
+
+@query(
+    "events_stream_enriched",
+    oracle=f"""
+    SELECT c.c_mktsegment AS mktsegment, COUNT(*) AS event_cnt,
+           {sql_dsum("e.value", "total_value")}
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def events_stream_enriched(spark, sf_dir):
+    """Stream-static enrichment join, streaming-executed: the events
+    backlog streams through an inner join against the static customer
+    dimension (user_id = c_custkey). A stream-static equi-join is
+    STATELESS — Catalyst broadcasts the dim to every micro-batch, so
+    no watermark and no state store; append mode emits each enriched
+    row exactly once. That broadcast shape is precisely what a 100 TB
+    ingest stream needs: dim refreshes are a re-broadcast, not a state
+    rebuild. The drained table is then aggregated per market segment
+    to match the batch oracle."""
+    from pyspark.sql.functions import broadcast
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = read_stream(
+        spark, sf_dir, EVENTS_RAW_SCHEMA, path_glob_filter="events.parquet"
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = ev.join(
+        broadcast(customer), ev.user_id == customer.c_custkey, "inner"
+    ).select("event_type", "value", F.col("c_mktsegment").alias("mktsegment"))
+    name = f"events_stream_enriched_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix="ck_events_enriched_")
+    drained = run_available_now(
+        enriched, name, output_mode="append", checkpoint_dir=ck
+    )
+    return drained.groupBy("mktsegment").agg(
+        F.count(F.lit(1)).alias("event_cnt"),
+        dsum(F.col("value"), "total_value"),
+    )
+
+
+@query(
+    "events_stream_click_attribution",
+    oracle=f"""
+    SELECT c.user_id, COUNT(*) AS pair_cnt,
+           {sql_dsum("p.value", "attributed_value")}
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    GROUP BY c.user_id
+    """,
+)
+def events_stream_click_attribution(spark, sf_dir):
+    """Stream-stream interval join, streaming-executed: the click stream
+    inner-joins the purchase stream on user with purchases attributed to
+    any click in the preceding 30 minutes. Both sides watermarked + the
+    explicit time-range bound → state per side is capped at
+    watermark+interval of events, regardless of backlog length (the
+    property that makes stream-stream joins viable on unbounded input).
+    The drained pair table is aggregated per user to match the batch
+    self-join oracle."""
+    from udacity_dend_capstone_immigration_spark.streaming import stream_interval_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def typed_stream(event_type, ts_name, cols):
+        raw = read_stream(
+            spark, sf_dir, EVENTS_RAW_SCHEMA, path_glob_filter="events.parquet"
+        )
+        ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return ev.where(F.col("event_type") == event_type).select(
+            F.col("ts").alias(ts_name), *cols
+        )
+
+    clicks = typed_stream("click", "click_ts", [F.col("user_id").alias("c_user")])
+    purchases = typed_stream(
+        "purchase", "purch_ts",
+        [F.col("user_id").alias("p_user"), F.col("value").alias("p_value")],
+    )
+    pairs = stream_interval_join(
+        clicks, "click_ts", purchases, "purch_ts",
+        on=F.col("c_user") == F.col("p_user"),
+        interval="30 MINUTE", watermark="1 hour",
+    )
+    name = f"events_stream_attr_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix="ck_events_attr_")
+    drained = run_available_now(
+        pairs, name, output_mode="append", checkpoint_dir=ck
+    )
+    return drained.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("pair_cnt"),
+        dsum(F.col("p_value"), "attributed_value"),
+    )
