@@ -178,3 +178,146 @@ def doc_top_terms(spark, sf_dir):
         .orderBy(F.desc("term_cnt"), "term")
         .limit(20)
     )
+
+
+# --- FULL OUTER join: per-nation customer vs supplier tallies on
+# deliberately sparse filters so both null branches are exercised
+# (reference covers left/inner/anti — SURVEY.md §2.3; semi is
+# customers_with_orders_semi). Both sides pre-aggregate to nation
+# cardinality before the join, so the full-outer is dim-sized at any
+# scale; Catalyst broadcasts it.
+@query(
+    "nation_balance_full_outer",
+    oracle="""
+    WITH c AS (
+        SELECT c_nationkey AS nationkey, COUNT(*) AS cust_cnt
+        FROM customer WHERE c_acctbal < -900 GROUP BY c_nationkey
+    ),
+    s AS (
+        SELECT s_nationkey AS nationkey, COUNT(*) AS supp_cnt
+        FROM supplier WHERE s_acctbal < -700 GROUP BY s_nationkey
+    )
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           COALESCE(cust_cnt, 0) AS cust_cnt,
+           COALESCE(supp_cnt, 0) AS supp_cnt
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+)
+def nation_balance_full_outer(spark, sf_dir):
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    c = (
+        customer.where(F.col("c_acctbal") < -900)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("cust_cnt"))
+    )
+    s = (
+        supplier.where(F.col("s_acctbal") < -700)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("supp_cnt"))
+    )
+    out = c.join(s, "nationkey", "full_outer")
+    return out.select(
+        "nationkey",
+        F.coalesce("cust_cnt", F.lit(0)).alias("cust_cnt"),
+        F.coalesce("supp_cnt", F.lit(0)).alias("supp_cnt"),
+    )
+
+
+# --- correlated scalar subqueries (orders above their own customer's
+# average). Catalyst decorrelates both subqueries into aggregate+join —
+# .explain shows no per-row subplan execution, so the shape scales as
+# two hash aggregates plus one join on o_custkey. The avg comparison is
+# cross-multiplied (price * count > sum) in exact decimals so the
+# boundary rows are engine-independent (no float-average tie risk).
+@query(
+    "orders_above_customer_avg",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE CAST(o_totalprice AS DECIMAL(28,10))
+          * (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+          > (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(28,10)))
+             FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+    """,
+)
+def orders_above_customer_avg(spark, sf_dir):
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_corr")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders_corr o
+        WHERE CAST(o_totalprice AS DECIMAL(28,10))
+              * (SELECT COUNT(*) FROM orders_corr o2 WHERE o2.o_custkey = o.o_custkey)
+              > (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(28,10)))
+                 FROM orders_corr o3 WHERE o3.o_custkey = o.o_custkey)
+        """
+    )
+
+
+# --- ranking-family windows: percent_rank / cume_dist / first_value /
+# nth_value per order (the rest of §2.5's idiomatic set; lag and ntile
+# are covered above). Explicit unbounded ROWS frame for the value
+# functions so both engines read the whole partition; (price,
+# linenumber) is a total order within each order so ranks are
+# deterministic. percent_rank's (rank-1)/(n-1) division is the same
+# double op in both engines.
+@query(
+    "lineitem_price_rank_stats",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice,
+           percent_rank() OVER w AS price_pr,
+           cume_dist() OVER w AS price_cd,
+           first_value(l_extendedprice) OVER
+               (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS min_price,
+           nth_value(l_extendedprice, 2) OVER
+               (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_extendedprice, l_linenumber)
+    """,
+)
+def lineitem_price_rank_stats(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_extendedprice", "l_linenumber")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.percent_rank().over(w).alias("price_pr"),
+        F.cume_dist().over(w).alias("price_cd"),
+        F.first("l_extendedprice").over(wf).alias("min_price"),
+        F.nth_value("l_extendedprice", 2).over(wf).alias("second_price"),
+    )
+
+
+# --- blocked fuzzy join: near-duplicate part names by edit distance.
+# Entity-resolution shape: dedup to distinct names first (64 here, but
+# the point is names << rows at any scale), block on a cheap predicate
+# (length difference) to bound the candidate set, then run levenshtein
+# only on survivors. At 100 TB the distinct-name table is dim-sized, so
+# the self-join broadcasts; the expensive metric never touches raw rows.
+@query(
+    "fuzzy_part_name_pairs",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM names a JOIN names b ON a.p_name < b.p_name
+    WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+      AND levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def fuzzy_part_name_pairs(spark, sf_dir):
+    part = table(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("name_a") < F.col("name_b"))
+        & (F.abs(F.length("name_a") - F.length("name_b")) <= 2),
+    )
+    return pairs.withColumn(
+        "edit_dist", F.levenshtein("name_a", "name_b")
+    ).where(F.col("edit_dist") <= 3)

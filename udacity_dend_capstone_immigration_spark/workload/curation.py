@@ -206,3 +206,28 @@ def quality_filter_funnel(spark, sf_dir):
         F.count(F.when(p_len & p_punct, 1)).alias("pass_punct"),
         F.count(F.when(p_len & p_punct & p_stop, 1)).alias("pass_all"),
     )
+
+
+# --- stratified deterministic sampling: per-language keep rates via the
+# same md5 bucket space as hash_split (salt 'sample'). The rebalancing
+# op every corpus pipeline runs (downsample the dominant language,
+# upsample the tail). Pure map-side — zero shuffle at any scale — and
+# content-keyed, so retries/backfills keep exactly the same rows.
+@query(
+    "corpus_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE CAST(('0x' || substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+          % 65536
+          < CASE WHEN lang = 'en' THEN 13107 ELSE 32768 END
+    """,
+)
+def corpus_stratified_sample(spark, sf_dir):
+    from udacity_dend_capstone_immigration_spark.operators.curation import hash_bucket
+
+    docs = table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit(13107)).otherwise(F.lit(32768))
+    return docs.where(
+        hash_bucket(F.col("doc_id"), "sample") < rate
+    ).select("doc_id", "lang", "source", "n_chars")

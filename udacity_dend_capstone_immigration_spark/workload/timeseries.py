@@ -1,0 +1,118 @@
+"""Time-series queries over ``events``: RANGE-interval frames, gap
+filling / resampling, and keep-latest dedup.
+
+These extend the window family (`SURVEY.md` §2.5 notes the reference has
+none; the engine exposes the full idiomatic set). Scale posture:
+
+- The RANGE frame and keep-latest queries are a single exchange on
+  ``user_id`` / the dedup key; the window sort is within-partition and
+  spills gracefully.
+- Gap fill generates the per-user hour spine from an already-aggregated
+  (user, hour) table, so the explode fans out dim-sized rows, never raw
+  events. At 100 TB the spine cardinality is |users| x |hours|, bounded
+  and independent of event volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from udacity_dend_capstone_immigration_spark.workload.base import query, table
+
+#: 1 hour in microseconds — Spark's rangeBetween needs a numeric order
+#: key; unix_micros keeps full event-time precision so the inclusive
+#: lower bound lands on exactly the same rows as DuckDB's
+#: RANGE BETWEEN INTERVAL 1 HOUR PRECEDING (both bounds inclusive).
+_HOUR_US = 3_600_000_000
+
+
+# --- moving aggregate over an event-time RANGE frame (value-based, not
+# row-based: each row's frame is [ts - 1h, ts] regardless of row count).
+@query(
+    "events_moving_agg_1h",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER w AS cnt_1h,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) OVER w AS VARCHAR) AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_moving_agg_1h(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-_HOUR_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("cnt_1h"),
+        F.sum(F.col("value").cast("decimal(28,10)")).over(w).cast("double").alias("sum_1h"),
+    )
+
+
+# --- gap fill / resample: dense hourly series per user, zero-filled
+# where the user had no events (hypertable-rollup shape).
+@query(
+    "events_hourly_gap_fill",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour, COUNT(*) AS event_cnt
+        FROM events GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    span AS (
+        SELECT user_id, MIN(hour) AS mn, MAX(hour) AS mx FROM hourly GROUP BY user_id
+    ),
+    spine AS (
+        SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+        FROM span
+    )
+    SELECT s.user_id, s.hour, COALESCE(h.event_cnt, 0) AS event_cnt
+    FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour
+    """,
+)
+def events_hourly_gap_fill(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("event_cnt"))
+    span = hourly.groupBy("user_id").agg(F.min("hour").alias("mn"), F.max("hour").alias("mx"))
+    spine = span.select(
+        "user_id",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    out = spine.join(hourly, ["user_id", "hour"], "left")
+    return out.select(
+        "user_id", "hour", F.coalesce(F.col("event_cnt"), F.lit(0)).alias("event_cnt")
+    )
+
+
+# --- keep-latest dedup: newest record per (user, event_type) — the
+# SCD-style "current version of each key" operator every ingest
+# pipeline needs (row_number desc = 1; one exchange on the key).
+@query(
+    "events_latest_per_key",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts, value
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def events_latest_per_key(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    )

@@ -213,3 +213,38 @@ def knn_brute_force_arrow(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries = emb.where(F.col("vec_id") < 10)
     return brute_force_knn_arrow(queries, emb, "vec_id", k=10)
+
+
+# --- per-label centroids: the aggregation half of IVF (knn_ivf trains
+# its own centroids; this exposes the op as a query). posexplode +
+# groupBy(label, dim) is the shuffle-lean shape: partial aggregation
+# runs map-side per dimension, the exchange carries |labels| x 64 cells
+# regardless of row count, and nothing is collected to the driver.
+#
+# Portability: decimal rounding of float-derived doubles hits exact
+# scale-10 midpoints (float mantissas are /2^e, and e.g. 2^-11 * 10^10
+# ends in .5), where Spark HALF_UP != DuckDB HALF_EVEN. So quantize by a
+# power of TWO instead: v * 2^24 is an exact exponent shift, floor is
+# exact, and the bigint sum is order-independent in both engines.
+@query(
+    "label_centroids",
+    oracle="""
+    SELECT label, i AS dim,
+           CAST(SUM(CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 16777216.0) AS BIGINT)) AS DOUBLE)
+           / (CAST(COUNT(*) AS DOUBLE) * 16777216.0) AS centroid_val
+    FROM embeddings, range(64) t(i)
+    GROUP BY label, i
+    """,
+)
+def label_centroids(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    cell = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    q = F.floor(F.col("v") * F.lit(16777216.0)).cast("bigint")
+    return cell.withColumn("q", q).groupBy("label", "dim").agg(
+        (
+            F.sum("q").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(16777216.0))
+        ).alias("centroid_val")
+    )
