@@ -308,3 +308,45 @@ def events_json_schema(spark, sf_dir):
         F.count(F.when(F.col("p.k") >= 50, 1)).alias("k_ge_50"),
         F.sum(F.col("p.k")).cast("bigint").alias("k_sum"),
     )
+
+
+# --- bag-semantics set ops: INTERSECT ALL / EXCEPT ALL keep
+# multiplicities (min / difference of per-value counts), unlike the
+# distinct-semantics pair above. Spark plans both as a single
+# aggregate-join on the value — one exchange per side, no row
+# explosion — so the shape holds when the inputs are 100 TB multisets.
+@query(
+    "set_ops_bag_semantics",
+    oracle="""
+    SELECT 'urgent_intersect_all_high' AS bucket, COUNT(*) AS cnt FROM (
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+    )
+    UNION ALL
+    SELECT 'urgent_except_all_high', COUNT(*) FROM (
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+    )
+    """,
+)
+def set_ops_bag_semantics(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    high = orders.where(F.col("o_orderpriority") == "2-HIGH").select(
+        F.col("o_custkey").alias("k")
+    )
+    a = (
+        urgent.intersectAll(high)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("urgent_intersect_all_high").alias("bucket"), "cnt")
+    )
+    b = (
+        urgent.exceptAll(high)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("urgent_except_all_high").alias("bucket"), "cnt")
+    )
+    return a.unionByName(b)

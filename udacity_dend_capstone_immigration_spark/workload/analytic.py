@@ -184,8 +184,9 @@ def doc_top_terms(spark, sf_dir):
 # deliberately sparse filters so both null branches are exercised
 # (reference covers left/inner/anti — SURVEY.md §2.3; semi is
 # customers_with_orders_semi). Both sides pre-aggregate to nation
-# cardinality before the join, so the full-outer is dim-sized at any
-# scale; Catalyst broadcasts it.
+# cardinality before the join, so the full-outer (which Spark can never
+# broadcast) sort-merges two dim-sized inputs — constant-cost at any
+# event volume.
 @query(
     "nation_balance_full_outer",
     oracle="""

@@ -655,3 +655,52 @@ def approx_distinct_summary(spark, sf_dir):
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.approx_count_distinct("l_suppkey", 0.02).alias("approx_suppliers"),
     )
+
+
+# --- TPC-H Q5 shape: 6-table star join (lineitem ⋈ orders ⋈ customer ⋈
+# supplier ⋈ nation ⋈ region) with the local-supplier predicate
+# (c_nationkey = s_nationkey). The scale showcase for join planning:
+# region/nation broadcast (tiny), supplier/customer broadcast at this sf
+# but shuffle-join at 100 TB (AQE decides from runtime stats), and the
+# year filter + region filter push into the scans so the big lineitem
+# scan is the only full pass. Revenue per row is one double multiply
+# (exact, order-free); the sum is decimal (dsum).
+@query(
+    "regional_supplier_revenue",
+    oracle=f"""
+    SELECT n_name AS nation,
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def regional_supplier_revenue(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(dsum(rev, "revenue"))
