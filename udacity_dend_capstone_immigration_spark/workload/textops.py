@@ -234,12 +234,17 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 # --- MinHash + LSH near-dup: the 100 TB-scale dedup path.
+# Hash family mirrors operators/dedup.py: one md5 per shingle, member i
+# = (h1 + i*h2) mod MINHASH_P with h1/h2 the md5's 32-bit halves.
 _MH_N, _MH_BANDS, _MH_R = 16, 4, 4
+_MH_P = 4294967291
 _MH_SIG = f"""
     SELECT doc_id, shingles,
            list_transform(generate_series(0, {_MH_N - 1}),
                i -> list_min(list_transform(shingles,
-                    s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig
+                    s -> (CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT)
+                          + i * CAST(('0x' || substring(md5(s), 9, 8)) AS BIGINT))
+                         % {_MH_P}))) AS sig
     FROM sh
 """
 
