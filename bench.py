@@ -65,6 +65,31 @@ def main() -> None:
     # spin up the Python worker pool so the first mapInPandas query
     # doesn't absorb it
     spark.range(64).repartition(8).mapInPandas(lambda it: it, "id long").count()
+    # spin up the streaming machinery (micro-batch scheduler, state
+    # store provider, checkpoint IO) on a 5-row stream so the first
+    # streaming query doesn't absorb it (~1.5s measured)
+    import tempfile
+    import uuid
+
+    try:
+        tiny = (
+            spark.readStream.schema("r_regionkey long, r_name string, r_comment string")
+            .option("pathGlobFilter", "region.parquet")
+            .parquet(sf_dir)
+            .groupBy("r_name")
+            .count()
+        )
+        (
+            tiny.writeStream.format("memory")
+            .queryName(f"warmup_{uuid.uuid4().hex[:8]}")
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_warmup_"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(60)
+        )
+    except Exception:
+        pass
     for name in ("lineitem", "orders", "customer", "nation", "region", "part",
                  "supplier", "events", "documents", "embeddings"):
         try:

@@ -130,6 +130,41 @@ def run_available_now(
     return stream_df.sparkSession.table(query_name)
 
 
+def run_foreach_batch_parquet(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    partition_by: Sequence[str] = (),
+    timeout_sec: int = 120,
+) -> None:
+    """Drain a stream into partitioned parquet via ``foreachBatch`` —
+    the production sink path for stores without a native streaming
+    writer (JDBC, object stores, Delta MERGE, ...).
+
+    Exactly-once layout: each micro-batch OVERWRITES its own
+    ``batch_id=<n>`` directory, so a batch replayed after failure
+    rewrites the same directory instead of appending duplicates —
+    idempotent-by-path, the standard foreachBatch transactionality
+    recipe (batch_id + overwrite). Readers see the whole dir as one
+    dataset with ``batch_id`` as a discovered partition column.
+    """
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        (
+            df.write.mode("overwrite")
+            .partitionBy(*partition_by)
+            .parquet(f"{out_dir}/batch_id={batch_id}")
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+
+
 def watermarked_dedup(
     df: DataFrame,
     ts_col: str,

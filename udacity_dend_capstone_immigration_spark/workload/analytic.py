@@ -322,3 +322,55 @@ def fuzzy_part_name_pairs(spark, sf_dir):
     return pairs.withColumn(
         "edit_dist", F.levenshtein("name_a", "name_b")
     ).where(F.col("edit_dist") <= 3)
+
+
+# --- cross join densification: the full region × order-priority grid
+# with zero-filled counts (reporting-grid shape). The deliberate
+# CartesianProduct is dims-only — 5 × 5 rows — while the fact-side
+# counts pre-aggregate before the left join, so the nested-loop join
+# Spark plans here never touches fact-table cardinality.
+@query(
+    "region_priority_grid",
+    oracle="""
+    WITH counts AS (
+        SELECT r_name, o_orderpriority, COUNT(*) AS order_cnt
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, o_orderpriority
+    ),
+    grid AS (
+        SELECT r_name, o_orderpriority
+        FROM (SELECT DISTINCT r_name FROM region)
+        CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)
+    )
+    SELECT g.r_name AS region, g.o_orderpriority AS priority,
+           COALESCE(c.order_cnt, 0) AS order_cnt
+    FROM grid g LEFT JOIN counts c
+        ON g.r_name = c.r_name AND g.o_orderpriority = c.o_orderpriority
+    """,
+)
+def region_priority_grid(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    counts = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_cnt"))
+    )
+    grid = (
+        region.select("r_name")
+        .distinct()
+        .crossJoin(orders.select("o_orderpriority").distinct())
+    )
+    out = grid.join(counts, ["r_name", "o_orderpriority"], "left")
+    return out.select(
+        F.col("r_name").alias("region"),
+        F.col("o_orderpriority").alias("priority"),
+        F.coalesce("order_cnt", F.lit(0)).alias("order_cnt"),
+    )

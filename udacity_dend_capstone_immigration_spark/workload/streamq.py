@@ -319,3 +319,37 @@ def events_stream_click_attribution(spark, sf_dir):
         F.count(F.lit(1)).alias("pair_cnt"),
         dsum(F.col("p_value"), "attributed_value"),
     )
+
+
+@query(
+    "events_stream_sink_roundtrip",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS event_cnt,
+           {sql_dsum("value", "total_value")}
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_stream_sink_roundtrip(spark, sf_dir):
+    """Streaming SINK path, executed end-to-end: the events backlog
+    streams through ``foreachBatch`` into event_type-partitioned
+    parquet (each batch overwrites its own batch_id directory — the
+    idempotent exactly-once recipe; streaming twin of the reference's
+    partitioned sink, `etl.py:71-79`), then the landed files are read
+    back and aggregated. The oracle checks the whole write→read loop
+    lost and duplicated nothing."""
+    from udacity_dend_capstone_immigration_spark.streaming import run_foreach_batch_parquet
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = read_stream(
+        spark, sf_dir, EVENTS_RAW_SCHEMA, path_glob_filter="events.parquet"
+    )
+    ev = raw.select("event_id", "event_type", "value")
+    out = tempfile.mkdtemp(prefix="sink_events_stream_")
+    ck = tempfile.mkdtemp(prefix="ck_events_sink_")
+    run_foreach_batch_parquet(ev, out, ck, partition_by=("event_type",))
+    landed = spark.read.parquet(out)
+    return landed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("event_cnt"),
+        dsum(F.col("value"), "total_value"),
+    )
