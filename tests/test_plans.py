@@ -101,3 +101,51 @@ def test_winnowing_stays_udf_free(spark):
     plan = plan_of(spark, "doc_winnowing_fingerprints")
     assert "BatchEvalPython" not in plan
     assert "Window" in plan
+
+
+def test_regional_supplier_revenue_plan(spark):
+    """TPC-H Q5 shape: date + region predicates reach the scans; the
+    tiny nation/region dims broadcast; no cartesian fallback."""
+    plan = plan_of(spark, "regional_supplier_revenue")
+    flat = plan.replace("\n", " ")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "o_orderdate" in flat and "PushedFilters" in flat
+    assert "r_name" in flat  # region filter pushed, not applied post-join
+
+
+def test_shingle_pipeline_has_no_exchange_before_aggregate(spark):
+    """Zero-shuffle shingle build: the only Exchanges in the minhash
+    signature subplan are the aggregate's own — the zip-slice shingle
+    construction itself must not shuffle or window-sort."""
+    from udacity_dend_capstone_immigration_spark.operators.dedup import shingle_rows
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = shingle_rows(docs, "doc_id", "text", 3, distinct=False)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "Generate" in plan  # the single explode
+
+
+def test_correlated_subquery_is_decorrelated(spark):
+    """orders_above_customer_avg must compile to aggregate+join (no
+    per-row subplan execution)."""
+    plan = plan_of(spark, "orders_above_customer_avg")
+    assert "Subquery" not in plan  # decorrelated into joins
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_grid_cross_join_is_dims_only(spark):
+    """region_priority_grid's cartesian product touches only the two
+    distinct-key sides, never fact rows: the fact side pre-aggregates
+    (HashAggregate below the final join)."""
+    plan = plan_of(spark, "region_priority_grid")
+    assert "HashAggregate" in plan
+    # the grid join itself is broadcast-nested-loop or cartesian over
+    # dim-sized inputs — both acceptable; what's forbidden is a
+    # cartesian involving the orders fact columns post-scan
+    assert "o_totalprice" not in plan

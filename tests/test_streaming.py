@@ -165,3 +165,32 @@ def test_stream_stream_interval_join_across_batches(spark, event_dir, tmp_path):
     got = [(r["c_user"], r["p_value"]) for r in out.collect()]
     # only user 2's 10:45 click has a purchase (11:20) within the hour
     assert got == [(2, 5.0)]
+
+
+def test_foreach_batch_sink_multi_batch_and_replay(spark, event_dir, tmp_path):
+    """foreachBatch parquet sink: two micro-batches land in two
+    batch_id directories; re-running with the same checkpoint is a
+    no-op (the backlog is already committed), so the landed dataset
+    stays exactly-once."""
+    from udacity_dend_capstone_immigration_spark.streaming import (
+        run_foreach_batch_parquet,
+    )
+
+    out = str(tmp_path / "landed")
+    ck = str(tmp_path / "ck")
+    stream = read_stream(spark, event_dir, EVENTS_SCHEMA, max_files_per_trigger=1)
+    sel = stream.select("event_id", "event_type", "value")
+    run_foreach_batch_parquet(sel, out, ck, partition_by=("event_type",))
+
+    landed = spark.read.parquet(out)
+    assert landed.count() == 6
+    assert {r.batch_id for r in landed.select("batch_id").distinct().collect()} == {0, 1}
+    assert {r.event_id for r in landed.collect()} == {1, 2, 3, 4, 5, 6}
+
+    # replay with the same checkpoint: nothing new to process, no dupes
+    stream2 = read_stream(spark, event_dir, EVENTS_SCHEMA, max_files_per_trigger=1)
+    run_foreach_batch_parquet(
+        stream2.select("event_id", "event_type", "value"), out, ck,
+        partition_by=("event_type",),
+    )
+    assert spark.read.parquet(out).count() == 6
