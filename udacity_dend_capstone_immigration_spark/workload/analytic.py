@@ -374,3 +374,27 @@ def region_priority_grid(spark, sf_dir):
         F.col("o_orderpriority").alias("priority"),
         F.coalesce("order_cnt", F.lit(0)).alias("order_cnt"),
     )
+
+
+# --- deterministic array aggregation: per-order sorted quantity vector
+# (the feature-assembly shape: rows → one array column per key).
+# collect_list order is nondeterministic under parallel merge, so the
+# engine-portable form is array_sort over the collected values — ties
+# are equal values, so the sorted array is unique. One exchange on the
+# group key; arrays are bounded by per-order line count (≤7 in TPC-H
+# shape), never unbounded.
+@query(
+    "order_quantity_vectors",
+    oracle="""
+    SELECT l_orderkey,
+           list(l_quantity ORDER BY l_quantity) AS qtys,
+           COUNT(*) AS n_items
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def order_quantity_vectors(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_quantity")).alias("qtys"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
