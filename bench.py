@@ -90,12 +90,14 @@ def main() -> None:
         )
     except Exception:
         pass
+    from udacity_dend_capstone_immigration_spark.workload.base import read_events
+
     for name in ("lineitem", "orders", "customer", "nation", "region", "part",
-                 "supplier", "events", "documents", "embeddings"):
-        try:
-            spark.read.parquet(f"{sf_dir}/{name}.parquet").limit(1).count()
-        except Exception:
-            pass  # events needs the nanosAsLong conf; queries set it themselves
+                 "supplier", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{name}.parquet").limit(1).count()
+    # events stores TIMESTAMP(NANOS): warm via read_events (sets the
+    # nanosAsLong conf) so the warmup emits no swallowed ERROR stack
+    read_events(spark, sf_dir).limit(1).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

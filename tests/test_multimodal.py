@@ -68,6 +68,22 @@ def test_sample_frames_explodes_only_sampled_indexes(spark):
     assert len({bytes(r["frame_data"]) for r in out}) == 3  # per-frame distinct
 
 
+def test_sample_frames_guards_empty_and_null_frame_counts(spark):
+    # n_frames = 0 would make sequence(0, -1, +10) throw; NULL would too.
+    # Both must yield zero rows for that media, not a runtime error.
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType(MEDIA_SCHEMA.fields + [StructField("n_frames", IntegerType())])
+    rows = [
+        (1, "video", "fake", pack_fake_media(8, 8, 3, b"a"), 0),
+        (2, "video", "fake", pack_fake_media(8, 8, 3, b"b"), None),
+        (3, "video", "fake", pack_fake_media(8, 8, 3, b"c"), 11),
+    ]
+    video = spark.createDataFrame(rows, schema)
+    out = sample_frames(video, every_n=10).collect()
+    assert sorted((r["media_id"], r["frame_idx"]) for r in out) == [(3, 0), (3, 10)]
+
+
 def test_real_codec_raises_loudly(media):
     # executor-side CodecUnavailableError surfaces driver-side as a
     # PythonException carrying the original message

@@ -46,3 +46,36 @@ def test_first_available_fallback(spark, tmp_path):
 def test_first_available_raises_when_none_exist(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         first_available(spark, [("parquet", str(tmp_path / "nope"))])
+
+
+def test_first_available_sas_present_but_connector_missing_fails_loudly(spark, tmp_path):
+    """S1 honesty gate (reference etl.py:128-138): first_available falls
+    back on file ABSENCE only. If the SAS7BDAT file exists but the
+    saurfang connector JAR is not on the classpath (it isn't, in this
+    runtime), the read must raise — never silently fall through to the
+    parquet candidate, which would return different data for the same
+    call on a connector-equipped cluster."""
+    sas = tmp_path / "i94_apr16_sub.sas7bdat"
+    sas.write_bytes(b"\x00" * 16)  # existence is what's under test
+    pq = tmp_path / "t.parquet"
+    spark.createDataFrame([(1,)], "a int").write.parquet(str(pq))
+    with pytest.raises(Exception) as exc:
+        first_available(
+            spark,
+            [("com.github.saurfang.sas.spark", str(sas)), ("parquet", str(pq))],
+        ).count()
+    assert "sas" in str(exc.value).lower() or "ClassNotFound" in str(exc.value)
+
+
+def test_load_star_full_default_list_on_default_session(spark, tmp_path):
+    """load_star with the DEFAULT table list must work on a session with
+    no special confs — events.parquet is TIMESTAMP(NANOS) and previously
+    threw unless the caller set nanosAsLong first (round-1 verdict #5)."""
+    from udacity_dend_capstone_immigration_spark.sources.readers import STAR_TABLES, load_star
+
+    dfs = load_star(spark, "/root/testdata/sf0.001")
+    assert set(dfs) == set(STAR_TABLES)
+    assert dfs["events"].schema["ts"].dataType.typeName() == "timestamp"
+    assert dfs["events"].limit(1).count() == 1
+    # temp views registered (S7)
+    assert spark.sql("SELECT COUNT(*) AS c FROM nation").collect()[0]["c"] == 25

@@ -220,12 +220,17 @@ def sample_frames(media: DataFrame, every_n: int = 10, n_frames_col: str = "n_fr
     (cheap int rows), then decode only those frames in one mapInPandas
     pass — never the full frame set."""
     codec = _CODEC
+    # sequence(0, -1, +step) THROWS (F.sequence with a positive step
+    # requires start <= stop) — guard n_frames < 1 / NULL to an empty
+    # index array, same rule as functions/text.py:_index_range
+    safe_seq = F.when(
+        F.col(n_frames_col) >= 1,
+        F.sequence(F.lit(0), F.col(n_frames_col) - 1, F.lit(every_n)),
+    ).otherwise(F.array().cast("array<int>"))
     idx = media.select(
         "media_id",
         "data",
-        F.explode(
-            F.sequence(F.lit(0), F.col(n_frames_col) - 1, F.lit(every_n))
-        ).alias("frame_idx"),
+        F.explode(safe_seq).alias("frame_idx"),
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:

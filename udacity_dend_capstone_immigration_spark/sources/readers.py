@@ -85,10 +85,21 @@ def first_available(spark: SparkSession, candidates: Sequence[tuple[str, str]]) 
 
 
 def load_star(spark: SparkSession, sf_dir: str, tables: Sequence[str] = STAR_TABLES) -> dict[str, DataFrame]:
-    """Load the driver's star-schema testdata and register temp views (S7)."""
+    """Load the driver's star-schema testdata and register temp views (S7).
+
+    ``events`` routes through
+    :func:`~udacity_dend_capstone_immigration_spark.workload.base.read_events`:
+    its parquet stores TIMESTAMP(NANOS), which a default session's reader
+    rejects — the plain path would throw on the full default table list.
+    """
+    from udacity_dend_capstone_immigration_spark.workload.base import read_events
+
     out: dict[str, DataFrame] = {}
     for name in tables:
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name == "events":
+            df = read_events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

@@ -105,6 +105,19 @@ def session_window_agg(
     )
 
 
+def _await_or_raise(q, timeout_sec: int, what: str) -> None:
+    """``awaitTermination(timeout)`` returns False on timeout with the
+    query still RUNNING — silently reading the sink at that point would
+    return a partially-drained result. Fail loudly instead."""
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain of {what!r} exceeded {timeout_sec}s; "
+            "sink contents would be partial — aborting instead of "
+            "returning them"
+        )
+
+
 def run_available_now(
     stream_df: DataFrame,
     query_name: str,
@@ -126,7 +139,7 @@ def run_available_now(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     q = writer.start()
-    q.awaitTermination(timeout_sec)
+    _await_or_raise(q, timeout_sec, query_name)
     return stream_df.sparkSession.table(query_name)
 
 
@@ -162,7 +175,7 @@ def run_foreach_batch_parquet(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    _await_or_raise(q, timeout_sec, f"foreachBatch:{out_dir}")
 
 
 def watermarked_dedup(

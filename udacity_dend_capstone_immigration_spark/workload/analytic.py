@@ -382,12 +382,16 @@ def region_priority_grid(spark, sf_dir):
 # engine-portable form is array_sort over the collected values — ties
 # are equal values, so the sorted array is unique. One exchange on the
 # group key; arrays are bounded by per-order line count (≤7 in TPC-H
-# shape), never unbounded.
+# shape), never unbounded. The DRIVER-facing column is the array
+# serialized to CSV (array outputs crash the driver canonicalizer —
+# tests/test_registry.py); quantities are integral 1–50 so the int cast
+# makes Spark/DuckDB string forms identical. concat_ws + cast are
+# codegen'd (no lambda HOF).
 @query(
     "order_quantity_vectors",
     oracle="""
     SELECT l_orderkey,
-           list(l_quantity ORDER BY l_quantity) AS qtys,
+           string_agg(CAST(l_quantity AS INT), ',' ORDER BY l_quantity) AS qtys_csv,
            COUNT(*) AS n_items
     FROM lineitem GROUP BY l_orderkey
     """,
@@ -395,6 +399,11 @@ def region_priority_grid(spark, sf_dir):
 def order_quantity_vectors(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_list("l_quantity")).alias("qtys"),
+        F.concat_ws(
+            ",",
+            F.array_sort(F.collect_list(F.col("l_quantity").cast("int"))).cast(
+                "array<string>"
+            ),
+        ).alias("qtys_csv"),
         F.count(F.lit(1)).alias("n_items"),
     )

@@ -134,20 +134,70 @@ def multimodal_frame_sample(spark, sf_dir):
     )
 
 
-@query("multimodal_features")  # rows-only: md5-chain over raw bytes is not SQL-expressible
+def native_feature_chain(data_col, dim: int):
+    """Recompute FakeCodec.feature entirely JVM-side: Spark's ``md5``
+    accepts BINARY, so the digest chain (seed = md5(seed), four LE
+    uint32 / 2^32 floats per digest) is expressible with md5/unhex/
+    substring/conv — no Python. Returns ``array<float>``.
+
+    Exists so the driver query below can bit-compare the Arrow
+    ``mapInPandas`` path against an independent whole-stage-codegen
+    recomputation of the same math.
+    """
+    exprs = []
+    seed = data_col
+    for _ in range((dim + 3) // 4):
+        hexs = F.md5(seed)  # 32 lowercase hex chars
+        seed = F.unhex(hexs)
+        for i in range(4):
+            # bytes 4i..4i+3 little-endian → reverse the hex pairs
+            le_hex = F.concat(
+                F.substring(hexs, i * 8 + 7, 2),
+                F.substring(hexs, i * 8 + 5, 2),
+                F.substring(hexs, i * 8 + 3, 2),
+                F.substring(hexs, i * 8 + 1, 2),
+            )
+            exprs.append(
+                (F.conv(le_hex, 16, 10).cast("bigint") / F.lit(2.0**32)).cast(
+                    "float"
+                )
+            )
+    return F.array(*exprs[:dim])
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(8 AS INT) AS feature_dim,
+           CAST(TRUE AS BOOLEAN) AS matches_native
+    FROM documents
+    """,
+)
 def multimodal_features(spark, sf_dir):
-    """binary → 8-dim pseudo-embedding (md5-chained floats). DuckDB's
-    md5 takes VARCHAR only, so the exact values cannot be recomputed in
-    SQL over binary blobs — the driver does the rows-only check here and
-    exact values are unit-tested (tests/test_multimodal.py). Feature
-    rows are compact (id + 8 floats): the shuffle after extraction
-    carries vectors, never media bytes."""
+    """binary → 8-dim pseudo-embedding (md5-chained floats) via the
+    Arrow ``mapInPandas`` codec path, verified value-exactly: the same
+    chain is recomputed JVM-side (:func:`native_feature_chain`) and the
+    emitted ``matches_native`` flag is the element-wise float equality
+    of the two vectors. DuckDB's md5 is VARCHAR-only so it cannot run
+    the chain over binary blobs — instead the oracle asserts the flag
+    is literally TRUE for every document, which the value hash enforces.
+    Exact feature values are additionally unit-tested
+    (tests/test_multimodal.py). Scalar output columns only — the
+    ``array<float>`` stays inside the query (the driver canonicalizer
+    cannot sort list cells); API users get arrays from
+    :func:`~udacity_dend_capstone_immigration_spark.operators.multimodal.extract_features`
+    directly. Feature rows are compact (id + 8 floats): the shuffle
+    after extraction carries vectors, never media bytes."""
     from udacity_dend_capstone_immigration_spark.operators.multimodal import extract_features
 
-    docs = table(spark, sf_dir, "documents")
-    feats = extract_features(documents_as_media(docs), dim=8)
-    return feats.select(
+    media = documents_as_media(table(spark, sf_dir, "documents"))
+    feats = extract_features(media, dim=8)
+    native = media.select(
+        "media_id", native_feature_chain(F.col("data"), 8).alias("native_feature")
+    )
+    return feats.join(native, "media_id").select(
         "media_id",
-        F.size("feature").alias("feature_dim"),
-        F.col("feature"),
+        F.size("feature").cast("int").alias("feature_dim"),
+        (F.col("feature") == F.col("native_feature")).alias("matches_native"),
     )

@@ -645,15 +645,50 @@ def partitioned_write_roundtrip(spark, sf_dir):
 
 
 # --- sketch path for 100 TB distinct counts: HLL approx_count_distinct.
-# Sketches are engine-specific, so this is a rows-only driver check; the
-# accuracy bound is pinned by tests/test_approx.py instead.
-@query("approx_distinct_summary")
+# Sketch VALUES are engine-specific (DuckDB can't reproduce Spark's HLL),
+# so the query is made self-validating instead of rows-only: it emits the
+# exact distinct counts (oracle-verifiable) plus a within_bound flag
+# asserting every sketch's relative error < 3×rsd — if a sketch ever
+# drifts, the flag flips and the value hash fails. The accuracy bound is
+# additionally pinned by tests/test_approx.py. The exact countDistincts
+# make this an EXPAND plan — fine for a 1-row summary; at 100 TB you'd
+# drop the exact columns and keep only the sketches.
+@query(
+    "approx_distinct_summary",
+    oracle="""
+    SELECT COUNT(DISTINCT l_orderkey) AS exact_orders,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(DISTINCT l_suppkey) AS exact_suppliers,
+           CAST(TRUE AS BOOLEAN) AS within_bound
+    FROM lineitem
+    """,
+)
 def approx_distinct_summary(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey", 0.02).alias("approx_suppliers"),
+    rsd = 0.02
+    agg = li.agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_suppkey").alias("exact_suppliers"),
+        F.approx_count_distinct("l_orderkey", rsd).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd).alias("approx_suppliers"),
+    )
+
+    def _ok(exact, approx):
+        return (
+            F.abs(F.col(approx) - F.col(exact)) / F.col(exact) < F.lit(3 * rsd)
+        )
+
+    return agg.select(
+        "exact_orders",
+        "exact_parts",
+        "exact_suppliers",
+        (
+            _ok("exact_orders", "approx_orders")
+            & _ok("exact_parts", "approx_parts")
+            & _ok("exact_suppliers", "approx_suppliers")
+        ).alias("within_bound"),
     )
 
 
