@@ -91,3 +91,50 @@ def test_connected_components_long_chain_converges(spark):
     nodes = spark.createDataFrame([(i,) for i in range(n + 1)], "id long")
     out = dict(connected_components(pairs, nodes).collect())
     assert set(out.values()) == {0}
+
+
+def test_substring_runs_exact_overlap(spark):
+    from udacity_dend_capstone_immigration_spark.operators.dedup import substring_run_pairs
+
+    shared = "one two three four five six seven eight nine ten"
+    df = _docs(
+        spark,
+        [
+            f"prefix words here {shared} and a tail",
+            f"other opening {shared} different ending tokens",
+            "no overlap with anything else at all in this document",
+        ],
+    )
+    out = substring_run_pairs(df, "doc_id", "text", shingle_n=5, min_tokens=10).collect()
+    assert [(r["id_a"], r["id_b"], r["max_run_tokens"]) for r in out] == [(0, 1, 10)]
+
+
+def test_substring_runs_below_threshold_empty(spark):
+    df = _docs(spark, ["a b c d e f g h", "a b c d e f g h"])
+    from udacity_dend_capstone_immigration_spark.operators.dedup import substring_run_pairs
+
+    # full 8-token match, but the threshold is higher
+    assert substring_run_pairs(df, "doc_id", "text", 5, min_tokens=9).count() == 0
+    full = substring_run_pairs(df, "doc_id", "text", 5, min_tokens=8).collect()
+    assert [(r["id_a"], r["id_b"], r["max_run_tokens"]) for r in full] == [(0, 1, 8)]
+
+
+def test_substring_runs_stop_shingle_cap(spark):
+    from udacity_dend_capstone_immigration_spark.operators.dedup import substring_run_pairs
+
+    boiler = "standard legal disclaimer text applies to everything here"
+    df = _docs(spark, [f"{boiler} doc one body", f"{boiler} doc two body", f"{boiler} doc three body"])
+    # without the cap the boilerplate run pairs every doc with every other
+    assert substring_run_pairs(df, "doc_id", "text", 5, min_tokens=8).count() == 3
+    # capping document frequency at 2 removes shingles present in all 3 docs
+    assert (
+        substring_run_pairs(df, "doc_id", "text", 5, min_tokens=8, max_shingle_df=2).count() == 0
+    )
+
+
+def test_positional_shingles_positions(spark):
+    from udacity_dend_capstone_immigration_spark.operators.dedup import positional_shingle_rows
+
+    df = _docs(spark, ["a b c d"])
+    rows = positional_shingle_rows(df, "doc_id", "text", 3).orderBy("pos").collect()
+    assert [(r["pos"], r["shingle"]) for r in rows] == [(0, "a b c"), (1, "b c d")]

@@ -398,3 +398,84 @@ def winnowing_fingerprints(
         .select(id_col, "fingerprint")
         .distinct()
     )
+
+
+def positional_shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """(id, pos, shingle) rows — like :func:`shingle_rows` but keeping the
+    0-based token position of each shingle's first token, via ONE
+    ``posexplode`` of the zip-slice arrays (zero shuffle, stays in
+    codegen). Position order is what turns shingle matches into
+    *consecutive-run* (exact substring) evidence."""
+    toks = tokenize(text_col)
+    d = df.select(F.col(id_col), toks.alias("_t"))
+    shifted = [F.col("_t")] + [
+        F.slice("_t", k + 1, F.greatest(F.size("_t") - k, F.lit(0))) for k in range(1, n)
+    ]
+    zipped = F.arrays_zip(*[c.alias(f"c{i}") for i, c in enumerate(shifted)])
+    ex = d.select(F.col(id_col), F.posexplode(zipped).alias("pos", "s")).where(
+        F.col(f"s.c{n - 1}").isNotNull()
+    )
+    return ex.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.concat_ws(" ", *[F.col(f"s.c{k}") for k in range(n)]).alias("shingle"),
+    )
+
+
+def substring_run_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 5,
+    min_tokens: int = 15,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact-substring overlap pairs (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better" — the suffix-array substring
+    criterion, re-expressed bounded): pairs of documents sharing a run of
+    >= ``min_tokens`` consecutive identical tokens.
+
+    A shared token run of length L is exactly a diagonal of L-n+1
+    consecutive matches in (position_a - position_b) space, so:
+    positional shingles → md5 equi-join (never text bodies) → group by
+    (id_a, id_b, diagonal) → gaps-and-islands max consecutive run →
+    max over diagonals. Shuffle is O(matching shingle pairs), not
+    O(docs²); ``max_shingle_df`` drops shingles appearing in more than
+    that many documents (stop-shingle cap — the standard frequency
+    guard that keeps boilerplate from exploding the join at corpus
+    scale).
+
+    Returns (id_a, id_b, max_run_tokens) with id_a < id_b.
+    """
+    ps = positional_shingle_rows(df, id_col, text_col, shingle_n).select(
+        F.col(id_col), "pos", F.md5("shingle").alias("h")
+    )
+    if max_shingle_df is not None:
+        df_counts = ps.groupBy("h").agg(
+            F.count_distinct(F.col(id_col)).alias("_df")
+        )
+        ps = ps.join(
+            F.broadcast(df_counts.where(F.col("_df") > max_shingle_df).select("h")),
+            "h",
+            "left_anti",
+        )
+    a = ps.select(
+        F.col(id_col).alias("id_a"), F.col("pos").alias("pa"), "h"
+    )
+    b = ps.select(
+        F.col(id_col).alias("id_b"), F.col("pos").alias("pb"), "h"
+    )
+    m = a.join(b, "h").where(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", "pa", (F.col("pa") - F.col("pb")).alias("diag")
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    runs = (
+        m.withColumn("island", F.col("pa") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "diag", "island")
+        .agg(F.count(F.lit(1)).alias("run"))
+        .groupBy("id_a", "id_b")
+        .agg((F.max("run") + F.lit(shingle_n - 1)).alias("max_run_tokens"))
+    )
+    return runs.where(F.col("max_run_tokens") >= min_tokens)

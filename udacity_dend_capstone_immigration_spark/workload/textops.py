@@ -439,3 +439,147 @@ def dedup_winnowing_overlap(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .where(F.col("shared_fps") >= 20)
     )
+
+
+# --- Gopher-style repetition signals: duplicate-token fraction,
+# duplicate-bigram fraction, and top-bigram mass fraction (the
+# "fraction of text inside the most common 2-gram" filter from the
+# Gopher/MassiveText quality rules). All counts are exact integers;
+# each fraction is ONE double division, so values are bit-identical
+# across engines without the decimal-sum machinery.
+@query(
+    "doc_repetition_scores",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    u AS (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+        GROUP BY doc_id, tok
+    ),
+    us AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS total,
+               COUNT(*) AS dist, CAST(MAX(c) AS BIGINT) AS mx
+        FROM u GROUP BY doc_id
+    ),
+    bg AS (
+        SELECT doc_id, g, COUNT(*) AS c
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(toks) - 1, 0)),
+                       i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
+            FROM t
+        )
+        GROUP BY doc_id, g
+    ),
+    bs AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS total,
+               COUNT(*) AS dist, CAST(MAX(c) AS BIGINT) AS mx
+        FROM bg GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(us.total, 0) AS INT) AS n_tokens,
+           CAST(coalesce(us.total - us.dist, 0) AS DOUBLE)
+               / greatest(coalesce(us.total, 0), 1) AS dup_token_frac,
+           CAST(coalesce(bs.total - bs.dist, 0) AS DOUBLE)
+               / greatest(coalesce(bs.total, 0), 1) AS dup_bigram_frac,
+           CAST(coalesce(bs.mx, 0) AS DOUBLE)
+               / greatest(coalesce(bs.total, 0), 1) AS top_bigram_frac,
+           coalesce(CAST(bs.mx AS DOUBLE)
+               / greatest(bs.total, 1), 0.0) > 0.18 AS repetitive
+    FROM t
+    LEFT JOIN us ON t.doc_id = us.doc_id
+    LEFT JOIN bs ON t.doc_id = bs.doc_id
+    """,
+)
+def doc_repetition_scores(spark, sf_dir):
+    """Two explode→two-level-aggregate pipelines (unigrams, bigrams)
+    joined back on doc_id. Both aggregations are map-side combinable
+    and shuffle only (doc_id, gram) count rows — never text bodies —
+    so the shape survives 100 TB; at that scale the second-level
+    aggregate reuses the first shuffle's hash partitioning on doc_id
+    (no extra exchange). Shingles come from the codegen'd zip-slice
+    builder (``shingle_rows``), not lambda HOFs."""
+    docs = table(spark, sf_dir, "documents")
+
+    def _gram_stats(n: int, prefix: str):
+        e = shingle_rows(docs, "doc_id", "text", n, distinct=False)
+        per = e.groupBy("doc_id", "shingle").agg(F.count(F.lit(1)).alias("c"))
+        return per.groupBy("doc_id").agg(
+            F.sum("c").alias(f"{prefix}_total"),
+            F.count(F.lit(1)).alias(f"{prefix}_dist"),
+            F.max("c").alias(f"{prefix}_mx"),
+        )
+
+    u = _gram_stats(1, "tok")
+    b = _gram_stats(2, "big")
+    tok_total = F.coalesce(F.col("tok_total"), F.lit(0))
+    big_total = F.coalesce(F.col("big_total"), F.lit(0))
+    top_frac = F.coalesce(F.col("big_mx"), F.lit(0)).cast("double") / F.greatest(
+        big_total, F.lit(1)
+    )
+    return (
+        docs.select("doc_id")
+        .join(u, "doc_id", "left")
+        .join(b, "doc_id", "left")
+        .select(
+            "doc_id",
+            tok_total.cast("int").alias("n_tokens"),
+            (
+                F.coalesce(F.col("tok_total") - F.col("tok_dist"), F.lit(0)).cast("double")
+                / F.greatest(tok_total, F.lit(1))
+            ).alias("dup_token_frac"),
+            (
+                F.coalesce(F.col("big_total") - F.col("big_dist"), F.lit(0)).cast("double")
+                / F.greatest(big_total, F.lit(1))
+            ).alias("dup_bigram_frac"),
+            top_frac.alias("top_bigram_frac"),
+            (top_frac > 0.18).alias("repetitive"),
+        )
+    )
+
+
+# --- exact-substring dedup (Lee et al. suffix-array criterion,
+# bounded): pairs of docs sharing >= 15 consecutive identical tokens,
+# found as diagonal runs of matching positional 5-gram shingles.
+from udacity_dend_capstone_immigration_spark.operators.dedup import substring_run_pairs  # noqa: E402
+
+
+@query(
+    "dedup_substring_runs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    ps AS (
+        SELECT doc_id, i - 1 AS pos,
+               md5(array_to_string(list_slice(toks, i, i + 4), ' ')) AS h
+        FROM t, UNNEST(generate_series(1, greatest(len(toks) - 4, 0))) AS u(i)
+    ),
+    m AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,
+               a.pos - b.pos AS diag
+        FROM ps a JOIN ps b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    r AS (
+        SELECT id_a, id_b, diag,
+               pa - row_number() OVER (
+                   PARTITION BY id_a, id_b, diag ORDER BY pa) AS island
+        FROM m
+    ),
+    runs AS (
+        SELECT id_a, id_b, COUNT(*) + 4 AS run_tokens
+        FROM r GROUP BY id_a, id_b, diag, island
+    )
+    SELECT id_a, id_b, CAST(MAX(run_tokens) AS BIGINT) AS max_run_tokens
+    FROM runs GROUP BY id_a, id_b
+    HAVING MAX(run_tokens) >= 15
+    """,
+)
+def dedup_substring_runs(spark, sf_dir):
+    """A shared L-token exact substring is a diagonal of L-4 consecutive
+    positional-5-gram matches; the operator joins md5'd shingles (never
+    bodies), groups by (pair, diagonal) and runs gaps-and-islands for
+    the max run. Shuffle is O(matching shingle pairs); at corpus scale
+    the ``max_shingle_df`` stop-shingle cap bounds boilerplate blowup
+    (tests/test_dedup.py covers the cap)."""
+    docs = table(spark, sf_dir, "documents")
+    return substring_run_pairs(docs, "doc_id", "text", shingle_n=5, min_tokens=15)
