@@ -97,3 +97,28 @@ class TestCrossTypeCoercion:
         # notebook cell 47: visa_category_code = 3 on a string column
         df = spark.createDataFrame([("3",), ("2",)], "v string")
         assert df.where(F.col("v") == 3).count() == 1
+
+
+def test_pii_redaction_and_counts(spark):
+    from udacity_dend_capstone_immigration_spark.functions.text import pii_counts, redact_pii
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (0, "Contact Bob.Smith+x@Example.COM or see https://ex.com/a?b=12 room 4211"),
+            (1, "no pii here, just words and a lone digit 7"),
+        ],
+        "id long, text string",
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id", *pii_counts("text").values(), redact_pii("text").alias("red")
+        ).collect()
+    }
+    assert rows[0]["n_email"] == 1
+    assert rows[0]["n_url"] == 1
+    assert rows[0]["n_digit_run"] >= 2  # 12 inside the url + 4211
+    assert rows[0]["red"] == "contact [EMAIL] or see [URL] room [NUM]"
+    assert rows[1]["n_email"] == 0 and rows[1]["n_url"] == 0
+    assert rows[1]["red"] == "no pii here, just words and a lone digit 7"

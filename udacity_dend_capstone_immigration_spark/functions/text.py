@@ -146,3 +146,36 @@ def language_guess(col: Column | str) -> Column:
         .when(fr >= de, F.lit("fr"))
         .otherwise(F.lit("de"))
     )
+
+
+#: PII-ish scrubbing patterns, RE2-compatible (no lookarounds, no
+#: backslash classes — portable verbatim between Java regex and DuckDB).
+#: Order matters when redacting: URLs first (they contain digits and
+#: dots), then emails, then standalone digit runs.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "url": ("https?://[^ ]+", "[URL]"),
+    "email": ("[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+", "[EMAIL]"),
+    "digit_run": ("[0-9][0-9]+", "[NUM]"),
+}
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-pattern match counts (over the lowercased text)."""
+    c = F.lower(_c(col))
+    return {
+        name: F.regexp_count(c, F.lit(pat)).alias(f"n_{name}")
+        for name, (pat, _) in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII pattern occurrence with its placeholder token.
+
+    A chained ``regexp_replace`` — one codegen stage, no UDFs. Matching
+    is done on the lowercased text (emails/URLs are case-insensitive by
+    nature; the corpus-normalization convention of this module).
+    """
+    out = F.lower(_c(col))
+    for pat, token in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, token)
+    return out

@@ -173,3 +173,42 @@ def events_user_running_total(spark, sf_dir):
         "ts",
         F.sum(F.col("value").cast("decimal(28,10)")).over(w).cast("double").alias("running_value"),
     )
+
+
+# --- PII scrubbing over the raw props payload: per-row pattern counts
+# + the redacted string. Pure map work (chained regexp_replace, one
+# codegen stage, zero shuffle) — the shape that scrubs 100 TB at scan
+# speed. Patterns are RE2-safe and shared verbatim with the oracle via
+# functions.text.PII_PATTERNS.
+from udacity_dend_capstone_immigration_spark.functions.text import PII_PATTERNS  # noqa: E402
+from udacity_dend_capstone_immigration_spark.functions.text import pii_counts, redact_pii  # noqa: E402
+
+
+def _sql_redacted() -> str:
+    out = "lower(props)"
+    for pat, token in PII_PATTERNS.values():
+        out = f"regexp_replace({out}, '{pat}', '{token}', 'g')"
+    return out
+
+
+_SQL_PII_COUNTS = ", ".join(
+    f"CAST(len(regexp_extract_all(lower(props), '{pat}')) AS INT) AS n_{name}"
+    for name, (pat, _) in PII_PATTERNS.items()
+)
+
+
+@query(
+    "events_props_redaction",
+    oracle=f"""
+    SELECT event_id, {_SQL_PII_COUNTS},
+           {_sql_redacted()} AS redacted_props
+    FROM events
+    """,
+)
+def events_props_redaction(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        *pii_counts("props").values(),
+        redact_pii("props").alias("redacted_props"),
+    )
