@@ -407,3 +407,141 @@ def order_quantity_vectors(spark, sf_dir):
         ).alias("qtys_csv"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+# --- cohort retention: users grouped by first-seen week, distinct
+# activity counted per week offset. Classic product-analytics rollup;
+# all heavy lifting happens in two user-keyed aggregates that share one
+# hash partitioning on user_id (min-week, then distinct user-weeks), so
+# at 100 TB there is exactly one wide shuffle of (user, week) pairs plus
+# a tiny cohort-size broadcast.
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH uw AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    ),
+    cohort AS (
+        SELECT user_id, MIN(w) AS cw FROM uw GROUP BY user_id
+    ),
+    sizes AS (
+        SELECT cw, COUNT(*) AS cohort_users FROM cohort GROUP BY cw
+    ),
+    act AS (
+        SELECT c.cw, CAST(date_diff('day', c.cw, uw.w) AS INT) // 7 AS week_offset,
+               COUNT(*) AS active_users
+        FROM uw JOIN cohort c ON uw.user_id = c.user_id
+        GROUP BY c.cw, CAST(date_diff('day', c.cw, uw.w) AS INT) // 7
+    )
+    SELECT act.cw AS cohort_week, week_offset, active_users,
+           cohort_users,
+           CAST(active_users AS DOUBLE) / cohort_users AS retention_rate
+    FROM act JOIN sizes ON act.cw = sizes.cw
+    """,
+)
+def events_cohort_retention(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("w").alias("cw"))
+    sizes = cohort.groupBy("cw").agg(F.count(F.lit(1)).alias("cohort_users"))
+    act = (
+        uw.join(cohort, "user_id")
+        .groupBy(
+            "cw",
+            F.floor(F.datediff(F.col("w"), F.col("cw")) / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    return act.join(F.broadcast(sizes), "cw").select(
+        F.col("cw").cast("date").alias("cohort_week"),
+        "week_offset",
+        "active_users",
+        "cohort_users",
+        (F.col("active_users").cast("double") / F.col("cohort_users")).alias(
+            "retention_rate"
+        ),
+    )
+
+
+# --- ordered funnel: view -> click (after the first view) -> purchase
+# (after that click), counted per user then rolled into 3 stage rows.
+# Each stage is a conditional-min aggregate keyed on user_id; Catalyst
+# keeps all three on the same user_id partitioning, so the funnel costs
+# one wide shuffle regardless of corpus size.
+@query(
+    "events_funnel_stages",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        GROUP BY e.user_id
+    ),
+    stages AS (
+        SELECT 1 AS stage_no, 'view' AS stage, COUNT(*) AS users FROM v
+        UNION ALL
+        SELECT 2, 'click_after_view', COUNT(*) FROM c
+        UNION ALL
+        SELECT 3, 'purchase_after_click', COUNT(*) FROM p
+    )
+    SELECT stage_no, stage, users,
+           CAST(users AS DOUBLE)
+               / MAX(users) OVER () AS conversion_from_start
+    FROM stages
+    """,
+)
+def events_funnel_stages(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(no: int, name: str, df):
+        return df.agg(
+            F.lit(no).alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("users"),
+        )
+
+    stages = (
+        stage(1, "view", v)
+        .unionAll(stage(2, "click_after_view", c))
+        .unionAll(stage(3, "purchase_after_click", p))
+    )
+    w = Window.partitionBy()
+    return stages.select(
+        "stage_no",
+        "stage",
+        "users",
+        (F.col("users").cast("double") / F.max("users").over(w)).alias(
+            "conversion_from_start"
+        ),
+    )
