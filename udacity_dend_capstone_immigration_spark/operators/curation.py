@@ -143,3 +143,41 @@ def containment_pairs(
         .select("bench_id", "corpus_id", "shared", "bench_size", cont.alias("containment"))
         .where(F.col("containment") >= min_containment)
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling without replacement via *priority sampling*
+    (Duffield–Lund–Thorup / Ohlsson sequential Poisson): each row gets
+    priority ``u / w`` with ``u`` a deterministic md5-uniform in (0, 1]
+    and ``w`` its weight; the ``k`` smallest priorities per group are the
+    sample. Inclusion probability is ∝ weight, and the md5-derived ``u``
+    makes the draw reproducible across retries and engines (no
+    ``rand()``), so backfills keep the identical sample.
+
+    Everything before the single ``group_col`` shuffle is map work; only
+    (group, key, weight, priority) flow through the window. The uniform
+    is ``(h + 1) / 2^32`` with ``h`` the first 8 md5 hex digits — a
+    power-of-two division, so the double value is exact and the DuckDB
+    oracle reproduces priorities bit-for-bit.
+    """
+    key = F.col(key_col)
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(salt), key.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h + F.lit(1)) / F.lit(4294967296.0)
+    prio = u / F.col(weight_col)
+    w = Window.partitionBy(group_col).orderBy("priority", key_col)
+    return (
+        df.withColumn("priority", prio)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )

@@ -350,3 +350,72 @@ def set_ops_bag_semantics(spark, sf_dir):
         .select(F.lit("urgent_except_all_high").alias("bucket"), "cnt")
     )
     return a.unionByName(b)
+
+
+# --- approximate-percentile sketch with in-query accuracy validation.
+# approx_percentile's contract is a RANK error <= n/accuracy; the query
+# recomputes the approx values' exact ranks in a second conditional
+# aggregate and asserts the bound, so the single within_bound column
+# proves sketch accuracy even though sketch internals differ across
+# engines (same pattern as approx_distinct_summary). Oracle checks the
+# exact percentile_disc columns; at 100 TB the sketch pass is the one
+# you'd run (fixed-size state, map-side combinable), the exact pass is
+# the audit.
+@query(
+    "approx_quantile_accuracy",
+    oracle="""
+    SELECT event_type,
+           quantile_disc(value, 0.5) AS p50_exact,
+           quantile_disc(value, 0.9) AS p90_exact,
+           COUNT(*) AS n,
+           CAST(TRUE AS BOOLEAN) AS within_bound
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def approx_quantile_accuracy(spark, sf_dir):
+    acc = 100  # rank error bound: n / acc
+    eps = 1.0 / acc
+    ev = table(spark, sf_dir, "events")
+    pd_ = lambda p, a: F.expr(  # noqa: E731
+        f"percentile_disc({p}) WITHIN GROUP (ORDER BY value)"
+    ).alias(a)
+    agg = ev.groupBy("event_type").agg(
+        pd_(0.5, "p50_exact"),
+        pd_(0.9, "p90_exact"),
+        F.expr(f"approx_percentile(value, 0.5, {acc})").alias("p50_approx"),
+        F.expr(f"approx_percentile(value, 0.9, {acc})").alias("p90_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ranks = (
+        ev.join(F.broadcast(agg), "event_type")
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.count(F.when(F.col("value") <= F.col(f"p{p}_approx"), 1)).alias(f"le{p}")
+                for p in (50, 90)
+            ],
+            *[
+                F.count(F.when(F.col("value") < F.col(f"p{p}_approx"), 1)).alias(f"lt{p}")
+                for p in (50, 90)
+            ],
+        )
+    )
+
+    def _ok(p: int, frac: float):
+        lo = (F.col("n").cast("double") * F.lit(frac - eps))
+        hi = (F.col("n").cast("double") * F.lit(frac + eps))
+        return (F.col(f"le{p}").cast("double") >= lo) & (
+            F.col(f"lt{p}").cast("double") <= hi
+        )
+
+    return (
+        agg.join(ranks, "event_type")
+        .select(
+            "event_type",
+            "p50_exact",
+            "p90_exact",
+            "n",
+            (_ok(50, 0.5) & _ok(90, 0.9)).alias("within_bound"),
+        )
+    )

@@ -231,3 +231,36 @@ def corpus_stratified_sample(spark, sf_dir):
     return docs.where(
         hash_bucket(F.col("doc_id"), "sample") < rate
     ).select("doc_id", "lang", "source", "n_chars")
+
+
+# --- weighted sampling without replacement (priority sampling): k docs
+# per language with inclusion probability ∝ n_chars, deterministic via
+# md5-uniform priorities — reproducible across retries AND engines
+# (the oracle recomputes identical priorities, see operator docstring).
+from udacity_dend_capstone_immigration_spark.operators.curation import weighted_priority_sample  # noqa: E402
+
+
+@query(
+    "corpus_weighted_sample",
+    oracle="""
+    WITH p AS (
+        SELECT lang, doc_id, n_chars,
+               (CAST(('0x' || substring(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) + 1) / 4294967296.0 / n_chars AS priority
+        FROM documents
+    ),
+    r AS (
+        SELECT lang, doc_id, n_chars, priority,
+               row_number() OVER (PARTITION BY lang ORDER BY priority, doc_id) AS rn
+        FROM p
+    )
+    SELECT lang, doc_id, n_chars AS weight, priority, CAST(rn AS INT) AS rn
+    FROM r WHERE rn <= 20
+    """,
+)
+def corpus_weighted_sample(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    out = weighted_priority_sample(docs, "lang", "doc_id", "n_chars", k=20)
+    return out.select(
+        "lang", "doc_id", F.col("n_chars").alias("weight"), "priority", "rn"
+    )
