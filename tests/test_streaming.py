@@ -194,3 +194,51 @@ def test_foreach_batch_sink_multi_batch_and_replay(spark, event_dir, tmp_path):
         partition_by=("event_type",),
     )
     assert spark.read.parquet(out).count() == 6
+
+
+def test_transform_with_state_gate_or_parity(spark, tmp_path):
+    """Spark 4 transformWithState twin: runs and matches the
+    applyInPandasWithState totals where protobuf is available; raises
+    the documented capability error where it is not."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from udacity_dend_capstone_immigration_spark.streaming.stateful import (
+        integer_totals_stateful,
+        integer_totals_transform_with_state,
+        transform_with_state_available,
+    )
+    from udacity_dend_capstone_immigration_spark.streaming.windows import (
+        read_stream,
+        run_available_now,
+    )
+    from udacity_dend_capstone_immigration_spark.workload.streamq import EVENTS_RAW_SCHEMA
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = read_stream(
+        spark, "/root/testdata/sf0.001", EVENTS_RAW_SCHEMA, path_glob_filter="events.parquet"
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+    if not transform_with_state_available():
+        with pytest.raises(RuntimeError, match="protobuf"):
+            integer_totals_transform_with_state(ev)
+        return
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    tws = run_available_now(
+        integer_totals_transform_with_state(ev),
+        "tws_totals_test",
+        output_mode="update",
+        checkpoint_dir=str(tmp_path / "ck_tws"),
+    )
+    base = run_available_now(
+        integer_totals_stateful(ev),
+        "apws_totals_test",
+        output_mode="update",
+        checkpoint_dir=str(tmp_path / "ck_apws"),
+    )
+    assert sorted(map(tuple, tws.collect())) == sorted(map(tuple, base.collect()))

@@ -108,3 +108,83 @@ def integer_totals_stateful(events: DataFrame, key_col: str = "user_id") -> Data
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+class _IntegerTotalsProcessor:
+    """Spark 4 arbitrary-state processor: the transformWithState twin of
+    :func:`integer_totals_stateful`. Per-key ValueState (cnt, millis)
+    maintained by the state store; one emission per key per batch."""
+
+    def init(self, handle) -> None:
+        self._totals = handle.getValueState("totals", "cnt BIGINT, millis BIGINT")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import numpy as np
+
+        cnt, millis = self._totals.get() if self._totals.exists() else (0, 0)
+        for pdf in rows:
+            cnt += len(pdf)
+            millis += int(
+                np.floor(pdf["value"].to_numpy() * 1000.0).astype("int64").sum()
+            )
+        self._totals.update((cnt, millis))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "event_cnt": [cnt], "value_millis": [millis]}
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def transform_with_state_available() -> bool:
+    """``transformWithStateInPandas``'s Python-side state server speaks
+    protobuf to the JVM; without the ``protobuf`` package the streaming
+    worker crashes at initialization (STREAMING_PYTHON_RUNNER_
+    INITIALIZATION_FAILURE). Probe the dependency up front so callers
+    fail loudly at plan time instead of mid-stream."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def integer_totals_transform_with_state(
+    events: DataFrame, key_col: str = "user_id"
+) -> DataFrame:
+    """Per-key running integer totals via ``transformWithStateInPandas``
+    (Spark 4's arbitrary-state API — typed ValueState/ListState/MapState
+    per key, timers, TTL — superseding ``applyInPandasWithState``).
+
+    Same fold and same output contract as
+    :func:`integer_totals_stateful`, so the two APIs are interchangeable
+    and the test suite asserts they emit identical rows (or the loud
+    capability failure where protobuf is unavailable — the same
+    gate-don't-silently-claim policy as the SAS7BDAT and Delta paths).
+    State is a fixed-width (cnt, millis) value per active key —
+    state-store size is O(active keys) regardless of input volume.
+    """
+    if not transform_with_state_available():
+        raise RuntimeError(
+            "transformWithStateInPandas requires the 'protobuf' package in the "
+            "Python workers (google.protobuf not importable). Use "
+            "integer_totals_stateful (applyInPandasWithState) instead."
+        )
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    cls = type(
+        "IntegerTotalsProcessor", (_IntegerTotalsProcessor, StatefulProcessor), {}
+    )
+    return events.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=cls(),
+        outputStructType=INTEGER_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
