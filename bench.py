@@ -33,6 +33,8 @@ HEADLINE = [
     "doc_fingerprints",
     "dedup_exact_docs",
     "dedup_minhash_lsh",
+    "dedup_substring_runs",
+    "doc_repetition_scores",
     "events_hourly_by_type",
     "events_sessionize",
     "knn_brute_force",
