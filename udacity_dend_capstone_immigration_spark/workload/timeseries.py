@@ -116,3 +116,81 @@ def events_latest_per_key(spark, sf_dir):
         .where(F.col("rn") == 1)
         .select("event_id", "user_id", "event_type", "ts", "value")
     )
+
+
+# --- SCD Type 2 interval build: the history twin of keep-latest.
+# Each (user, event_type) version row gets [valid_from, valid_to)
+# bounds via lead() over the version order, plus an is_current flag —
+# the standard slowly-changing-dimension materialization. One exchange
+# on the key; lead() rides the same window sort as the version number,
+# so history construction costs exactly one shuffle at any scale.
+@query(
+    "events_scd2_intervals",
+    oracle="""
+    SELECT event_id, user_id, event_type, value,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           lead(ts) OVER w IS NULL AS is_current,
+           CAST(row_number() OVER w AS INT) AS version_no
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    """,
+)
+def events_scd2_intervals(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+        F.row_number().over(w).cast("int").alias("version_no"),
+    )
+
+
+# --- event-type transition matrix: per-user consecutive event pairs
+# (lag over the time order) rolled into Markov-style transition counts
+# and row-normalized probabilities. The sequence-mining building block
+# (funnels, next-action prediction features); the lag rides one
+# user_id exchange, the count rollup is map-side combinable on 25 keys.
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS cnt
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, cnt,
+           CAST(cnt AS DOUBLE)
+               / SUM(cnt) OVER (PARTITION BY prev_type) AS prob
+    FROM pairs
+    """,
+)
+def events_transition_matrix(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    pairs = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wn = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "cnt",
+        (F.col("cnt").cast("double") / F.sum("cnt").over(wn)).alias("prob"),
+    )
