@@ -45,3 +45,34 @@ def salted_join(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
     return salted_large.join(replicated_small, [on, SALT_COL], how).drop(SALT_COL)
+
+
+def salted_count_sum(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-stage salted aggregation for hot grouping keys: partial
+    (count, exact-decimal sum) per (key, salt), then final rollup per
+    key. Decimal addition is associative and exact, so the two-stage
+    result is identical to the direct aggregate — this is manual
+    map-side-combine with ``salt_buckets``× more reducers on stage one,
+    for engines/stages where hash-partial aggregation alone leaves one
+    reducer owning a hot key's final merge.
+
+    Returns (key_cols..., cnt, total) with total a portable double
+    (see ``workload.base.dsum``).
+    """
+    salted = df.withColumn(
+        SALT_COL,
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)).cast("int"),
+    )
+    partial = salted.groupBy(*key_cols, SALT_COL).agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.sum(F.col(value_col).cast("decimal(28,10)")).alias("_s"),
+    )
+    return partial.groupBy(*key_cols).agg(
+        F.sum("_c").alias("cnt"),
+        F.sum("_s").cast("double").alias("total"),
+    )

@@ -419,3 +419,24 @@ def approx_quantile_accuracy(spark, sf_dir):
             (_ok(50, 0.5) & _ok(90, 0.9)).alias("within_bound"),
         )
     )
+
+
+# --- salted two-stage aggregation through the gate: 5 hot event types
+# x 10k rows per type is exactly the shape where one reducer owns a hot
+# key's merge; the salted partial spreads it over 16 sub-keys. The
+# oracle is the PLAIN group-by — proving salting changes the schedule,
+# never the answer (decimal partials are exact and associative).
+from udacity_dend_capstone_immigration_spark.operators.skew import salted_count_sum  # noqa: E402
+
+
+@query(
+    "events_salted_type_totals",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS cnt,
+           {sql_dsum("value", "total")}
+    FROM events GROUP BY event_type
+    """,
+)
+def events_salted_type_totals(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return salted_count_sum(ev, ["event_type"], "value", salt_buckets=16)

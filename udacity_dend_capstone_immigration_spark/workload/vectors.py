@@ -248,3 +248,56 @@ def label_centroids(spark, sf_dir):
             / (F.count(F.lit(1)).cast("double") * F.lit(16777216.0))
         ).alias("centroid_val")
     )
+
+
+# --- ANN quality audit: recall@5 of the IVF index against the exact
+# brute-force top-5, per query vector. The measurement every ANN
+# deployment runs before trusting an index; both sides are already
+# oracle-defined above, so the report itself is oracle-verified by
+# composing their SQL. At 100 TB you run the exact side on a sampled
+# query set (here: the same 10 probe queries) — recall auditing cost is
+# O(sample x corpus), not O(corpus^2).
+@query(
+    "ann_ivf_recall",
+    oracle=f"""
+    WITH ivf AS ({ORACLES["knn_ivf"]}),
+    exact AS ({ORACLES["knn_brute_force"]}),
+    exact5 AS (SELECT query_id, neighbor_id FROM exact WHERE rank <= 5),
+    hits AS (
+        SELECT i.query_id, COUNT(*) AS hits
+        FROM ivf i JOIN exact5 e
+            ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+        GROUP BY i.query_id
+    )
+    SELECT q.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+           CAST(coalesce(h.hits, 0) AS DOUBLE) / 5.0 AS recall_at_5
+    FROM (SELECT DISTINCT query_id FROM exact5) q
+    LEFT JOIN hits h ON q.query_id = h.query_id
+    """,
+)
+def ann_ivf_recall(spark, sf_dir):
+    from udacity_dend_capstone_immigration_spark.workload.base import QUERIES
+
+    ivf = QUERIES["knn_ivf"](spark, sf_dir).select("query_id", "neighbor_id")
+    exact5 = (
+        QUERIES["knn_brute_force"](spark, sf_dir)
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    hits = (
+        ivf.join(exact5, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        exact5.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+            (F.coalesce(F.col("hits"), F.lit(0)).cast("double") / F.lit(5.0)).alias(
+                "recall_at_5"
+            ),
+        )
+    )
