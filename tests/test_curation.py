@@ -76,3 +76,36 @@ def test_containment_is_asymmetric(spark):
     # reversed direction: the big doc is NOT contained in the small one
     rev = containment_pairs(c, b, 0.5).collect()
     assert rev == []
+
+
+def test_weighted_priority_sample_is_deterministic_and_weighted(spark):
+    from udacity_dend_capstone_immigration_spark.operators.curation import (
+        weighted_priority_sample,
+    )
+
+    rows = [(i, "g", 1 if i < 500 else 100) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w long")
+    out = weighted_priority_sample(df, "grp", "doc_id", "w", k=50)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # deterministic across runs
+    again = sorted(r["doc_id"] for r in weighted_priority_sample(df, "grp", "doc_id", "w", k=50).collect())
+    assert ids == again
+    assert len(ids) == 50
+    # heavy-weight rows (100x) must dominate the sample
+    heavy = sum(1 for i in ids if i >= 500)
+    assert heavy >= 40
+
+
+def test_weighted_priority_sample_respects_group_partitions(spark):
+    from udacity_dend_capstone_immigration_spark.operators.curation import (
+        weighted_priority_sample,
+    )
+
+    rows = [(i, "a" if i % 2 else "b", 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w long")
+    out = weighted_priority_sample(df, "grp", "doc_id", "w", k=10).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["grp"], 0)
+        per[r["grp"]] += 1
+    assert per == {"a": 10, "b": 10}

@@ -44,3 +44,28 @@ def test_rejects_unsupported_how(skewed):
     large, small = skewed
     with pytest.raises(ValueError):
         salted_join(large, small, "k", how="full")
+
+
+def test_salted_count_sum_matches_plain_aggregate(spark):
+    from pyspark.sql import functions as F
+
+    from udacity_dend_capstone_immigration_spark.operators.skew import salted_count_sum
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold", float(i) / 7) for i in range(1000)],
+        "id long, k string, v double",
+    )
+    salted = {
+        r["k"]: (r["cnt"], r["total"])
+        for r in salted_count_sum(df, ["k"], "v", salt_buckets=8).collect()
+    }
+    plain = {
+        r["k"]: (r["cnt"], r["total"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("v").cast("decimal(28,10)")).cast("double").alias("total"),
+        )
+        .collect()
+    }
+    assert salted == plain
