@@ -212,3 +212,46 @@ def events_props_redaction(spark, sf_dir):
         *pii_counts("props").values(),
         redact_pii("props").alias("redacted_props"),
     )
+
+
+# --- CEP-style consecutive-pattern detection: strictly consecutive
+# (view -> click -> purchase) triples in each user's event sequence —
+# the MATCH_RECOGNIZE shape expressed as two lags over one user_id
+# window sort (a third window would reuse the same exchange+sort; lag
+# offsets 1 and 2 share it outright). Output is per-user match counts.
+@query(
+    "events_cep_triples",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type, 1) OVER w AS prev1,
+               lag(event_type, 2) OVER w AS prev2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, COUNT(*) AS triple_cnt
+    FROM seq
+    WHERE prev2 = 'view' AND prev1 = 'click' AND event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def events_cep_triples(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("prev1"),
+        F.lag("event_type", 2).over(w).alias("prev2"),
+    )
+    return (
+        seq.where(
+            (F.col("prev2") == "view")
+            & (F.col("prev1") == "click")
+            & (F.col("event_type") == "purchase")
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("triple_cnt"))
+    )

@@ -739,3 +739,83 @@ def regional_supplier_revenue(spark, sf_dir):
     )
     rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return joined.groupBy(F.col("n_name").alias("nation")).agg(dsum(rev, "revenue"))
+
+
+# --- column-level data profile (the DQ profiling operator): null
+# counts, distinct counts, numeric and lexicographic extrema for every
+# column of ``orders`` — computed in ONE scan as a single wide
+# aggregate, then exploded into per-column rows (profiling 100 TB must
+# not scan once per column; the oracle's UNION-ALL-per-column form is
+# the readable equivalent, not the executable shape). Timestamps are
+# profiled as epoch seconds to stay engine-portable.
+_PROFILE_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn, mx = f"CAST(MIN({c}) AS DOUBLE)", f"CAST(MAX({c}) AS DOUBLE)"
+            ms, xs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        elif kind == "ts":
+            mn = f"CAST(epoch(MIN({c})) AS DOUBLE)"
+            mx = f"CAST(epoch(MAX({c})) AS DOUBLE)"
+            ms, xs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        else:
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            ms, xs = f"MIN({c})", f"MAX({c})"
+        parts.append(
+            f"SELECT '{c}' AS column_name, COUNT(*) AS n_rows,"
+            f" COUNT({c}) AS n_nonnull, COUNT(DISTINCT {c}) AS n_distinct,"
+            f" {mn} AS min_num, {mx} AS max_num, {ms} AS min_str, {xs} AS max_str"
+            f" FROM orders"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("orders_column_profile", oracle=_profile_oracle())
+def orders_column_profile(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    aggs, structs = [], []
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    aggs.append(F.count(F.lit(1)).alias("_rows"))
+    for c, kind in _PROFILE_COLS:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}_nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}_nd"),
+        ]
+        if kind == "num":
+            aggs += [
+                F.min(c).cast("double").alias(f"{c}_mn"),
+                F.max(c).cast("double").alias(f"{c}_mx"),
+            ]
+        elif kind == "ts":
+            aggs += [
+                (F.unix_micros(F.min(c).cast("timestamp")) / F.lit(1000000.0)).alias(f"{c}_mn"),
+                (F.unix_micros(F.max(c).cast("timestamp")) / F.lit(1000000.0)).alias(f"{c}_mx"),
+            ]
+        else:
+            aggs += [F.min(c).alias(f"{c}_ms"), F.max(c).alias(f"{c}_xs")]
+    wide = orders.agg(*aggs)
+    for c, kind in _PROFILE_COLS:
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("_rows").alias("n_rows"),
+                F.col(f"{c}_nn").alias("n_nonnull"),
+                F.col(f"{c}_nd").alias("n_distinct"),
+                (F.col(f"{c}_mn") if kind != "str" else null_d).alias("min_num"),
+                (F.col(f"{c}_mx") if kind != "str" else null_d).alias("max_num"),
+                (F.col(f"{c}_ms") if kind == "str" else null_s).alias("min_str"),
+                (F.col(f"{c}_xs") if kind == "str" else null_s).alias("max_str"),
+            )
+        )
+    return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
