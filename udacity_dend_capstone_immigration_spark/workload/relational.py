@@ -819,3 +819,114 @@ def orders_column_profile(spark, sf_dir):
             )
         )
     return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+# --- TPC-H Q3 shape (shipping priority): segment-filtered 3-table join,
+# revenue per order, top 10. Both date filters push into the scans;
+# customer (after the segment filter) broadcasts; the orders⋈lineitem
+# join is the only wide exchange. TakeOrderedAndProject caps the sort.
+@query(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")},
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    rev = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    )
+    return rev.orderBy(
+        F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey")
+    ).limit(10)
+
+
+# --- TPC-H Q6 shape (forecast revenue change): the pure scan-aggregate
+# — every predicate is a pushable range filter, zero joins, zero
+# shuffles beyond the final partial-agg merge. The pushdown showcase:
+# at 100 TB this reads only row groups whose min/max stats overlap the
+# predicate ranges.
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_dsum("l_extendedprice * l_discount", "revenue")},
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --- TPC-H Q14 shape (promo effect): conditional revenue share over a
+# month of shipments. part broadcasts (dim), lineitem's date range
+# pushes down, and the percentage is one double division of two exact
+# decimal sums — portable to the last bit.
+@query(
+    "tpch_q14_promo_effect",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                   THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+               AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) * 100.0
+           / CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS promo_pct,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+)
+def tpch_q14_promo_effect(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    part = table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return j.agg(
+        (
+            F.sum(promo.cast("decimal(28,10)")).cast("double")
+            * F.lit(100.0)
+            / F.sum(rev.cast("decimal(28,10)")).cast("double")
+        ).alias("promo_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
