@@ -149,3 +149,44 @@ def test_grid_cross_join_is_dims_only(spark):
     # dim-sized inputs — both acceptable; what's forbidden is a
     # cartesian involving the orders fact columns post-scan
     assert "o_totalprice" not in plan
+
+
+def test_q6_is_pure_scan_aggregate_with_pushdown(spark):
+    plan = plan_of(spark, "tpch_q6_forecast_revenue")
+    flat = plan.replace("\n", " ")
+    # every predicate reaches the scan; no joins, no wide exchange
+    assert "PushedFilters" in flat and "l_shipdate" in flat and "l_discount" in flat
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_q3_broadcasts_customer_and_takes_ordered(spark):
+    plan = plan_of(spark, "tpch_q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_partition_pruning_on_partitioned_sink(spark, tmp_path):
+    """Writing partitioned parquet then filtering on the partition column
+    must prune directories at plan time (PartitionFilters), not scan all
+    partitions — the property that makes partitioned layouts pay off at
+    100 TB."""
+    import contextlib
+    import io
+
+    from udacity_dend_capstone_immigration_spark.sources.writers import write_table
+    from udacity_dend_capstone_immigration_spark.workload.base import table
+
+    out = str(tmp_path / "orders_by_priority")
+    orders = table(spark, SF_DIR, "orders")
+    write_table(orders, out, partition_by=["o_orderpriority"])
+    back = spark.read.parquet(out).where("o_orderpriority = '1-URGENT'")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue().replace("\n", " ")
+    assert "PartitionFilters" in plan and "1-URGENT" in plan
+    # count matches the unpartitioned filter
+    expect = orders.where("o_orderpriority = '1-URGENT'").count()
+    assert back.count() == expect
