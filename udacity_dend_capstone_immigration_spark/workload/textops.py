@@ -583,3 +583,52 @@ def dedup_substring_runs(spark, sf_dir):
     (tests/test_dedup.py covers the cap)."""
     docs = table(spark, sf_dir, "documents")
     return substring_run_pairs(docs, "doc_id", "text", shingle_n=5, min_tokens=15)
+
+
+# --- corpus trigram LM counts: c(w1 w2 w3) and P(w3 | w1 w2), the
+# n-gram language-model estimation pass (perplexity filters, Kneser-Ney
+# inputs). One shingle explode → map-side-combinable count → window sum
+# over the bigram prefix (the denominator rides the same shuffle as the
+# count when Catalyst co-partitions on prefix). Top 20 for the gate;
+# unbounded output is the real op.
+@query(
+    "doc_trigram_lm",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    tri AS (
+        SELECT array_to_string(list_slice(toks, i, i + 2), ' ') AS trigram
+        FROM t, UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)
+    ),
+    cnt AS (SELECT trigram, COUNT(*) AS cnt FROM tri GROUP BY trigram),
+    pref AS (
+        SELECT trigram, regexp_replace(trigram, ' [^ ]+$', '') AS prefix, cnt,
+               SUM(cnt) OVER (PARTITION BY regexp_replace(trigram, ' [^ ]+$', ''))
+                   AS prefix_cnt
+        FROM cnt
+    )
+    SELECT trigram, prefix, cnt,
+           CAST(cnt AS DOUBLE) / prefix_cnt AS cond_prob
+    FROM pref
+    ORDER BY cnt DESC, trigram ASC
+    LIMIT 20
+    """,
+)
+def doc_trigram_lm(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    tri = shingle_rows(docs, "doc_id", "text", 3, distinct=False)
+    cnt = tri.groupBy("shingle").agg(F.count(F.lit(1)).alias("cnt"))
+    prefix = F.regexp_replace(F.col("shingle"), " [^ ]+$", "")
+    w = Window.partitionBy("prefix")
+    out = (
+        cnt.withColumn("prefix", prefix)
+        .withColumn("prefix_cnt", F.sum("cnt").over(w))
+        .select(
+            F.col("shingle").alias("trigram"),
+            "prefix",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("prefix_cnt")).alias("cond_prob"),
+        )
+    )
+    return out.orderBy(F.desc("cnt"), F.asc("trigram")).limit(20)
