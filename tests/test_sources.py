@@ -79,3 +79,38 @@ def test_load_star_full_default_list_on_default_session(spark, tmp_path):
     assert dfs["events"].limit(1).count() == 1
     # temp views registered (S7)
     assert spark.sql("SELECT COUNT(*) AS c FROM nation").collect()[0]["c"] == 25
+
+
+def test_jsonl_roundtrip_with_schema_and_corrupt_capture(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from udacity_dend_capstone_immigration_spark.sources.readers import read_jsonl_with_schema
+    from udacity_dend_capstone_immigration_spark.sources.writers import write_jsonl
+
+    docs = spark.createDataFrame(
+        [(0, "hello world", "en"), (1, "hola mundo", "es")],
+        "doc_id long, text string, lang string",
+    )
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, out, target_files=1)
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+        ]
+    )
+    back = read_jsonl_with_schema(spark, out, schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+
+    # malformed line -> _corrupt_record column, scan does not fail
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "part-0.jsonl").write_text('{"doc_id": 7, "text": "ok", "lang": "en"}\n{not json\n')
+    schema_c = schema.add("_corrupt_record", StringType())
+    rows = read_jsonl_with_schema(spark, str(bad), schema_c).collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    corrupt = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(good) == 1 and good[0]["doc_id"] == 7
+    assert len(corrupt) == 1

@@ -103,3 +103,26 @@ def load_star(spark: SparkSession, sf_dir: str, tables: Sequence[str] = STAR_TAB
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def read_jsonl_with_schema(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    path_glob_filter: str | None = None,
+) -> DataFrame:
+    """JSON-Lines scan with explicit schema — the interchange format LLM
+    corpora actually ship in (one JSON document per line).
+
+    An explicit StructType is non-negotiable at scale: inference reads
+    the whole input once before the real job, and JSONL corpora are
+    TB-sized. Malformed lines land in the PERMISSIVE-mode
+    ``_corrupt_record`` column when the schema declares one, instead of
+    failing the scan — add ``StructField("_corrupt_record", StringType())``
+    to opt in. Line-split JSON is splittable, so parallelism matches
+    file blocks like any text source.
+    """
+    reader = spark.read
+    if path_glob_filter:
+        reader = reader.option("pathGlobFilter", path_glob_filter)
+    return reader.json(path, schema=schema)

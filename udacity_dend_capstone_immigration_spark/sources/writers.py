@@ -143,3 +143,21 @@ def write_table(
             df.write.format("delta").mode(mode).save(path)
         return
     raise ValueError(f"unsupported sink format: {fmt!r}")
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    target_files: int | None = None,
+) -> None:
+    """JSON-Lines sink (the export format for corpus hand-off).
+
+    ``target_files`` coalesces the output to a bounded file count —
+    JSONL consumers (tokenizer runs, upload tools) choke on
+    one-file-per-task explosions; coalesce (not repartition) avoids a
+    shuffle when reducing. Compression stays off: JSONL interchange is
+    usually re-read by line-oriented tools that can't split gzip.
+    """
+    out = df.coalesce(target_files) if target_files else df
+    out.write.mode(mode).json(path)
