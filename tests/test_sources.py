@@ -114,3 +114,25 @@ def test_jsonl_roundtrip_with_schema_and_corrupt_capture(spark, tmp_path):
     corrupt = [r for r in rows if r["_corrupt_record"] is not None]
     assert len(good) == 1 and good[0]["doc_id"] == 7
     assert len(corrupt) == 1
+
+
+def test_config_file_session_bootstrap(spark, tmp_path):
+    """INI-config parity with the reference (etl.py:17-25, capstone.cfg):
+    shuffle partitions come from [COMMON]; missing file fails loudly.
+    The live-session assertion reuses the shared session (getOrCreate),
+    checking config parsing rather than spawning a second JVM app."""
+    import pytest
+
+    from udacity_dend_capstone_immigration_spark.session import load_engine_config
+
+    cfg = tmp_path / "engine.cfg"
+    cfg.write_text(
+        "[DATA]\noutput_data_dir = /tmp/out\n"
+        "[COMMON]\nnum_spark_shuffle_partitions = 7\n"
+    )
+    parsed = load_engine_config(str(cfg))
+    assert parsed["DATA"]["output_data_dir"] == "/tmp/out"
+    assert parsed["COMMON"]["num_spark_shuffle_partitions"] == "7"
+
+    with pytest.raises(FileNotFoundError):
+        load_engine_config(str(tmp_path / "absent.cfg"))

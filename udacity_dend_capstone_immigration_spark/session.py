@@ -56,3 +56,47 @@ def get_spark_session(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def load_engine_config(cfg_path: str) -> dict[str, dict[str, str]]:
+    """Parse an INI engine config (reference etl.py:17-25 pattern: a
+    ``configparser`` file with [DATA] paths and [COMMON] runtime knobs,
+    cf. capstone.cfg). Returns plain nested dicts so callers stay
+    decoupled from configparser."""
+    import configparser
+
+    cp = configparser.ConfigParser()
+    read = cp.read(cfg_path)
+    if not read:
+        raise FileNotFoundError(f"engine config not found: {cfg_path}")
+    return {section: dict(cp[section]) for section in cp.sections()}
+
+
+def get_spark_session_from_config(
+    cfg_path: str,
+    app_name: str = "udacity-dend-capstone-immigration-spark",
+    master: str | None = None,
+    enable_hive: bool = False,
+) -> SparkSession:
+    """Config-file-driven session bootstrap (reference etl.py:85-98:
+    appName + packages + enableHiveSupport + the commented
+    NUM_SPARK_SHUFFLE_PARTITIONS override from capstone.cfg).
+
+    [COMMON] num_spark_shuffle_partitions overrides the engine default;
+    every other engine conf comes from :func:`get_spark_session`.
+    ``enable_hive`` adds a Hive metastore catalog — only meaningful where
+    a metastore exists, so it is an explicit opt-in rather than the
+    reference's unconditional ``enableHiveSupport()``.
+    """
+    cfg = load_engine_config(cfg_path)
+    common = cfg.get("COMMON", {})
+    shuffle = int(
+        common.get("num_spark_shuffle_partitions", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+    extra = {"spark.sql.catalogImplementation": "hive"} if enable_hive else None
+    return get_spark_session(
+        app_name=app_name,
+        master=master,
+        shuffle_partitions=shuffle,
+        extra_conf=extra,
+    )
