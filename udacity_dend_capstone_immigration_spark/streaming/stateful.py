@@ -17,6 +17,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -187,4 +188,75 @@ def integer_totals_transform_with_state(
         outputStructType=INTEGER_TOTALS_SCHEMA,
         outputMode="Update",
         timeMode="None",
+    )
+
+
+TRANSITION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("prev_type", StringType()),
+        StructField("next_type", StringType()),
+        StructField("pair_cnt", LongType()),
+    ]
+)
+
+_TRANSITION_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts", LongType()),
+        StructField("last_id", LongType()),
+        StructField("last_type", StringType()),
+    ]
+)
+
+
+def _update_transitions(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """Ordered-state CEP fold: sort this batch's rows by (ts, event_id),
+    chain them onto the stored last event, emit per-(prev, next) pair
+    counts for the batch. State is one (ts, id, type) triple per user —
+    O(active keys), never O(events)."""
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if batch.empty:
+        return
+    batch = batch.sort_values(["ts_us", "event_id"], kind="mergesort")
+    types = batch["event_type"].tolist()
+    if state.exists:
+        _, _, last_type = state.get
+        seq = [last_type] + types
+    else:
+        seq = types
+    tail = batch.iloc[-1]
+    state.update((int(tail["ts_us"]), int(tail["event_id"]), str(tail["event_type"])))
+    pairs: dict[tuple[str, str], int] = {}
+    for a, b in zip(seq, seq[1:]):
+        pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    if not pairs:
+        return
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(pairs),
+            "prev_type": [a for a, _ in pairs],
+            "next_type": [b for _, b in pairs],
+            "pair_cnt": list(pairs.values()),
+        }
+    )
+
+
+def transition_counts_stateful(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Streaming event-type transition counts — the stateful twin of the
+    batch ``events_transition_matrix`` lag query. ``lag()`` windows are
+    unsupported over unbounded streams, so the per-user order is
+    maintained as explicit state: the last (ts, id, type) triple chains
+    each micro-batch onto the previous one. Requires an integer-micros
+    ``ts_us`` column (exact state round-trip; timestamps in state
+    columns invite tz/precision drift)."""
+    return events.groupBy(key_col).applyInPandasWithState(
+        _update_transitions,
+        outputStructType=TRANSITION_SCHEMA,
+        stateStructType=_TRANSITION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -353,3 +353,45 @@ def events_stream_sink_roundtrip(spark, sf_dir):
         F.count(F.lit(1)).alias("event_cnt"),
         dsum(F.col("value"), "total_value"),
     )
+
+
+@query(
+    "events_stream_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS cnt
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def events_stream_transitions(spark, sf_dir):
+    """Streaming CEP transition counts, streaming-executed: ``lag()`` is
+    unsupported over unbounded input, so per-user order lives in explicit
+    state (last (ts, id, type) per user — transition_counts_stateful).
+    The drained per-batch pair counts aggregate to exactly the batch lag
+    query's counts; cross-batch chaining is unit-tested with a forced
+    two-batch run (tests/test_streaming.py)."""
+    from udacity_dend_capstone_immigration_spark.streaming.stateful import (
+        transition_counts_stateful,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = read_stream(spark, sf_dir, EVENTS_RAW_SCHEMA, path_glob_filter="events.parquet")
+    ev = raw.select(
+        "event_id",
+        F.expr("ts DIV 1000").alias("ts_us"),
+        "user_id",
+        "event_type",
+    )
+    pairs = transition_counts_stateful(ev)
+    name = f"events_stream_transitions_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix="ck_events_transitions_")
+    drained = run_available_now(pairs, name, output_mode="append", checkpoint_dir=ck)
+    return drained.groupBy("prev_type", "next_type").agg(
+        F.sum("pair_cnt").alias("cnt")
+    )
