@@ -242,3 +242,68 @@ def test_transform_with_state_gate_or_parity(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ck_apws"),
     )
     assert sorted(map(tuple, tws.collect())) == sorted(map(tuple, base.collect()))
+
+
+def test_stream_transitions_chain_across_batches(spark, tmp_path):
+    """Two forced micro-batches (maxFilesPerTrigger=1): the pair that
+    SPANS the batch boundary must still be counted — that's the state
+    the operator exists to carry."""
+    from pyspark.sql import functions as F
+
+    from udacity_dend_capstone_immigration_spark.streaming.stateful import (
+        transition_counts_stateful,
+    )
+    from udacity_dend_capstone_immigration_spark.streaming.windows import (
+        read_stream,
+        run_available_now,
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts_us", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    import shutil
+
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    for i, rows in enumerate(
+        [
+            [(0, 1000, 1, "view"), (1, 2000, 1, "click")],
+            [(2, 3000, 1, "purchase"), (3, 4000, 2, "view")],
+        ]
+    ):
+        staging = tmp_path / f"staging_{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(staging))
+        part = next(staging.glob("part-*.parquet"))
+        shutil.copy(part, d / f"b{i}.parquet")
+
+    # stream the two directories' files one per trigger: boundary pair is
+    # (click -> purchase), which exists in NEITHER single batch
+    raw = read_stream(
+        spark,
+        str(d),
+        schema,
+        max_files_per_trigger=1,
+        path_glob_filter="*.parquet",
+    )
+    pairs = transition_counts_stateful(raw)
+    drained = run_available_now(
+        pairs,
+        "stream_transitions_xbatch",
+        output_mode="append",
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    out = {
+        (r["prev_type"], r["next_type"]): r["cnt"]
+        for r in drained.groupBy("prev_type", "next_type")
+        .agg(F.sum("pair_cnt").alias("cnt"))
+        .collect()
+    }
+    assert out == {("view", "click"): 1, ("click", "purchase"): 1}
