@@ -545,3 +545,48 @@ def events_funnel_stages(spark, sf_dir):
             "conversion_from_start"
         ),
     )
+
+
+# --- rolling 7-day active users (WAU): COUNT(DISTINCT) is not legal
+# over window frames in either engine, so each (user, day) activity row
+# is exploded to the 7 day-spine rows it covers and the rollup is a
+# plain distinct-count per covering day — the standard dense-rollup
+# shape. Cardinality into the final shuffle is |users| x |days| x 7
+# (bounded by the spine, independent of raw event volume).
+@query(
+    "events_rolling_wau",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud),
+    cover AS (
+        SELECT days.d AS day, ud.user_id
+        FROM days JOIN ud
+            ON ud.d <= days.d AND ud.d > days.d - INTERVAL 7 DAY
+    )
+    SELECT day, COUNT(DISTINCT user_id) AS wau
+    FROM cover GROUP BY day
+    """,
+)
+def events_rolling_wau(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).distinct()
+    # explode each activity day to the 7 spine days it contributes to,
+    # then keep only days that actually exist in the data (the oracle's
+    # days-join semantics)
+    days = ud.select("d").distinct().withColumnRenamed("d", "day")
+    covered = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    return (
+        covered.join(days, "day")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
