@@ -632,3 +632,40 @@ def doc_trigram_lm(spark, sf_dir):
         )
     )
     return out.orderBy(F.desc("cnt"), F.asc("trigram")).limit(20)
+
+
+# --- feature hashing (HashingTF re-expressed): tokens → fixed 1024-dim
+# sparse counts via md5-mod bucketing. The feature-engineering step that
+# turns a corpus into model input without a vocabulary build; sparse
+# (doc_id, bucket, tf) rows are the scalable representation (dense
+# vectors would ship 1024 doubles per doc; sparse ships |distinct
+# tokens|). One explode → map-side-combinable count; md5 keeps the
+# bucket assignment identical across engines and retries.
+_FH_DIM = 1024
+
+
+@query(
+    "doc_feature_hashing",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents),
+    b AS (
+        SELECT doc_id,
+               CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT)
+                    % {_FH_DIM} AS INT) AS bucket
+        FROM tok
+    )
+    SELECT doc_id, bucket, COUNT(*) AS tf
+    FROM b GROUP BY doc_id, bucket
+    """,
+)
+def doc_feature_hashing(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint") % _FH_DIM
+    ).cast("int")
+    return (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
