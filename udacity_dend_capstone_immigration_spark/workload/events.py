@@ -255,3 +255,56 @@ def events_cep_triples(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("triple_cnt"))
     )
+
+
+# --- session bounce-rate rollup: sessions built by the 30-minute-gap
+# operator, classified single-event (bounce) vs multi-event, rolled up
+# per session-start day. Builds on the sessionize island pass (one
+# user_id exchange) plus one day rollup — session analytics at any
+# scale is exactly these two exchanges.
+@query(
+    "events_session_bounce_rate",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sess_n
+        FROM ordered
+    ),
+    per_session AS (
+        SELECT user_id, sess_n, COUNT(*) AS event_cnt,
+               CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS day
+        FROM sessions GROUP BY user_id, sess_n
+    )
+    SELECT day, COUNT(*) AS sessions,
+           COUNT(*) FILTER (event_cnt = 1) AS bounces,
+           CAST(COUNT(*) FILTER (event_cnt = 1) AS DOUBLE)
+               / COUNT(*) AS bounce_rate
+    FROM per_session GROUP BY day
+    """,
+)
+def events_session_bounce_rate(spark, sf_dir):
+    from udacity_dend_capstone_immigration_spark.operators.windows import sessionize
+
+    ev = table(spark, sf_dir, "events")
+    sess = sessionize(ev, "ts", "user_id", gap_minutes=30)
+    per_session = sess.groupBy("session_id").agg(
+        F.count(F.lit(1)).alias("event_cnt"),
+        F.date_trunc("day", F.min("ts")).alias("day"),
+    )
+    return per_session.groupBy("day").agg(
+        F.count(F.lit(1)).alias("sessions"),
+        F.count(F.when(F.col("event_cnt") == 1, 1)).alias("bounces"),
+        (
+            F.count(F.when(F.col("event_cnt") == 1, 1)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("bounce_rate"),
+    )
