@@ -669,3 +669,57 @@ def doc_feature_hashing(spark, sf_dir):
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+
+
+# --- dedup survivor selection: the step after pairs→clusters — keep ONE
+# representative per near-dup cluster, chosen by quality (longest
+# normalized text, doc_id tiebreak), and report what was dropped. This
+# closes the dedup ladder: candidates (LSH) → clusters (connected
+# components) → survivors. Cluster ids ride the connected-components
+# output; the survivor pick is one max_by per cluster — shuffle carries
+# (cluster, id, quality) triples only.
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH clusters AS ({ORACLES["dedup_clusters"]}),
+    q AS (
+        SELECT doc_id, length({NORM}) AS quality FROM documents
+    ),
+    ranked AS (
+        SELECT c.cluster_id, c.doc_id, q.quality,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY q.quality DESC, c.doc_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+        FROM clusters c JOIN q ON c.doc_id = q.doc_id
+    )
+    SELECT cluster_id, doc_id AS kept_doc_id,
+           CAST(quality AS INT) AS quality,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(cluster_size - 1 AS BIGINT) AS dropped_cnt
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from udacity_dend_capstone_immigration_spark.functions.text import normalize_text
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup_pairs(
+        docs, "doc_id", "text", shingle_n=3, num_hashes=_MH_N, bands=_MH_BANDS, threshold=0.5
+    ).select("id_a", "id_b")
+    clusters = connected_components(pairs, docs.select("doc_id"), id_col="doc_id")
+    q = docs.select("doc_id", F.length(normalize_text("text")).alias("quality"))
+    joined = clusters.join(q, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    ws = Window.partitionBy("cluster_id")
+    ranked = joined.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cluster_size", F.count(F.lit(1)).over(ws)
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("kept_doc_id"),
+        F.col("quality").cast("int").alias("quality"),
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        (F.col("cluster_size") - 1).cast("bigint").alias("dropped_cnt"),
+    )
