@@ -441,9 +441,15 @@ def order_quantity_vectors(spark, sf_dir):
 )
 def events_cohort_retention(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
-    uw = ev.select(
-        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
-    ).distinct()
+    # the distinct (user, week) activity set feeds three consumers
+    # (cohort min, sizes, activity join); a lazy localCheckpoint
+    # materializes it once instead of re-scanning events per consumer
+    # (same lineage-truncation pattern as the MinHash pipeline)
+    uw = (
+        ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("w"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     cohort = uw.groupBy("user_id").agg(F.min("w").alias("cw"))
     sizes = cohort.groupBy("cw").agg(F.count(F.lit(1)).alias("cohort_users"))
     act = (
@@ -589,9 +595,13 @@ def events_funnel_stages(spark, sf_dir):
 )
 def events_rolling_wau(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
-    ud = ev.select(
-        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
-    ).distinct()
+    # distinct (user, day) feeds both the day spine and the covering
+    # explode — checkpoint once, scan events once
+    ud = (
+        ev.select("user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     # explode each activity day to the 7 spine days it contributes to,
     # then keep only days that actually exist in the data (the oracle's
     # days-join semantics)

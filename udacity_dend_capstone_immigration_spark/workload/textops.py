@@ -501,9 +501,32 @@ def doc_repetition_scores(spark, sf_dir):
     (no extra exchange). Shingles come from the codegen'd zip-slice
     builder (``shingle_rows``), not lambda HOFs."""
     docs = table(spark, sf_dir, "documents")
+    # tokenize ONCE and lazily checkpoint the compact (doc_id, tokens)
+    # rows: the unigram and bigram pipelines plus the doc spine would
+    # otherwise each re-scan + re-tokenize the corpus (6 scans → 1)
+    toks = docs.select(
+        "doc_id", tokenize(F.col("text")).alias("_t")
+    ).localCheckpoint(eager=False)
 
     def _gram_stats(n: int, prefix: str):
-        e = shingle_rows(docs, "doc_id", "text", n, distinct=False)
+        if n == 1:
+            e = toks.select("doc_id", F.explode("_t").alias("shingle"))
+        else:
+            shifted = [F.col("_t")] + [
+                F.slice("_t", k + 1, F.greatest(F.size("_t") - k, F.lit(0)))
+                for k in range(1, n)
+            ]
+            zipped = F.arrays_zip(*[c.alias(f"c{i}") for i, c in enumerate(shifted)])
+            e = (
+                toks.select("doc_id", F.explode(zipped).alias("s"))
+                .where(F.col(f"s.c{n - 1}").isNotNull())
+                .select(
+                    "doc_id",
+                    F.concat_ws(" ", *[F.col(f"s.c{k}") for k in range(n)]).alias(
+                        "shingle"
+                    ),
+                )
+            )
         per = e.groupBy("doc_id", "shingle").agg(F.count(F.lit(1)).alias("c"))
         return per.groupBy("doc_id").agg(
             F.sum("c").alias(f"{prefix}_total"),
@@ -519,7 +542,7 @@ def doc_repetition_scores(spark, sf_dir):
         big_total, F.lit(1)
     )
     return (
-        docs.select("doc_id")
+        toks.select("doc_id")
         .join(u, "doc_id", "left")
         .join(b, "doc_id", "left")
         .select(
