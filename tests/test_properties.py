@@ -99,3 +99,23 @@ def test_port_split_matches_reference_udf(spark, names):
     # also strips unicode spaces — normalize the comparison the same way
     assert [c.strip() if c else c for c in got_city] == want_city
     assert [s.strip() if s else s for s in got_state] == want_state
+
+
+@given(
+    run_len=st.integers(min_value=5, max_value=12),
+    pad_a=st.integers(min_value=0, max_value=6),
+    pad_b=st.integers(min_value=0, max_value=6),
+)
+@settings(**SETTINGS)
+def test_substring_run_length_is_exact(spark, run_len, pad_a, pad_b):
+    """Plant a shared run of known length between two otherwise-disjoint
+    documents; the operator must report exactly that length (no
+    off-by-shingle errors at any padding alignment)."""
+    from udacity_dend_capstone_immigration_spark.operators.dedup import substring_run_pairs
+
+    shared = " ".join(f"s{i}" for i in range(run_len))
+    a = " ".join([f"a{i}" for i in range(pad_a)] + [shared] + ["atail"])
+    b = " ".join([f"b{i}" for i in range(pad_b)] + [shared] + ["btail"])
+    df = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    out = substring_run_pairs(df, "doc_id", "text", shingle_n=5, min_tokens=5).collect()
+    assert [(r["id_a"], r["id_b"], r["max_run_tokens"]) for r in out] == [(0, 1, run_len)]
