@@ -264,3 +264,72 @@ def corpus_weighted_sample(spark, sf_dir):
     return out.select(
         "lang", "doc_id", F.col("n_chars").alias("weight"), "priority", "rn"
     )
+
+
+# --- the end-to-end curation pipeline as ONE declarative plan: quality
+# filter → exact dedup (min-id per fingerprint) → deterministic split
+# (train only) → per-source token packing → pack stats. Each stage is
+# the already-verified operator; the value here is the composition — a
+# user's whole corpus-prep run expressed as a single Catalyst plan, so
+# filters push into the scan, the dedup and packing shuffles are the
+# only exchanges, and NOTHING materializes between stages. The oracle
+# chains the same CTEs.
+@query(
+    "corpus_curation_pipeline",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, lang, n_chars,
+               md5({NORM}) AS fp, len({TOKS}) AS toks
+        FROM documents
+        WHERE n_chars >= 100
+    ),
+    dedup AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM t
+        ) WHERE rn = 1
+    ),
+    train AS (
+        SELECT * FROM dedup
+        WHERE CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))
+                   AS BIGINT) % 65536 < 52428
+    ),
+    packed AS (
+        SELECT source, doc_id, toks,
+               CAST(floor((SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - toks) / 2000.0) AS BIGINT)
+                   AS pack_id
+        FROM train
+    )
+    SELECT source, pack_id, COUNT(*) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS pack_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM packed GROUP BY source, pack_id
+    """,
+)
+def corpus_curation_pipeline(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from udacity_dend_capstone_immigration_spark.functions.text import doc_fingerprint, token_count
+    from udacity_dend_capstone_immigration_spark.operators.curation import (
+        hash_bucket,
+        pack_by_token_budget,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("n_chars") >= 100)
+    t = docs.select(
+        "doc_id",
+        "source",
+        doc_fingerprint("text").alias("fp"),
+        token_count("text").alias("toks"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    dedup = t.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    train = dedup.where(hash_bucket(F.col("doc_id"), "split") < int(0.8 * 65536))
+    packed = pack_by_token_budget(train, "source", "doc_id", "toks", 2000)
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
