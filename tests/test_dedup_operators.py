@@ -138,3 +138,33 @@ def test_positional_shingles_positions(spark):
     df = _docs(spark, ["a b c d"])
     rows = positional_shingle_rows(df, "doc_id", "text", 3).orderBy("pos").collect()
     assert [(r["pos"], r["shingle"]) for r in rows] == [(0, "a b c"), (1, "b c d")]
+
+
+def test_pagerank_star_graph_ranks_hub_highest(spark):
+    from udacity_dend_capstone_immigration_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    # spokes 1,2,3 all point at hub 0; hub points back at 1
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (0, 1)], "src long, dst long"
+    )
+    r = {row["doc_id"]: row["pagerank"] for row in pagerank(edges, nodes, iters=3).collect()}
+    assert r[0] > r[1] > r[2]  # hub beats its one in-link spoke beats the rest
+    assert r[2] == r[3]  # symmetric spokes tie exactly
+    base = (1.0 - 0.85) / 4.0
+    # nodes 2,3 have no in-edges: teleport mass only, exactly
+    assert r[2] == base
+    # probability never leaks: total mass bounded by 1 (dangling variant)
+    assert sum(r.values()) <= 1.0
+
+
+def test_pagerank_deterministic_across_runs(spark):
+    from udacity_dend_capstone_immigration_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 20) for i in range(20)], "src long, dst long"
+    )
+    a = sorted(map(tuple, pagerank(edges, nodes, iters=3).collect()))
+    b = sorted(map(tuple, pagerank(edges, nodes, iters=3).collect()))
+    assert a == b

@@ -746,3 +746,63 @@ def dedup_keep_best(spark, sf_dir):
         F.col("cluster_size").cast("bigint").alias("cluster_size"),
         (F.col("cluster_size") - 1).cast("bigint").alias("dropped_cnt"),
     )
+
+
+# --- PageRank over the near-dup graph: the iterative-fixed-point
+# operator family beyond connected components. 3 unrolled iterations in
+# the oracle mirror the operator's exact expression sequence (teleport
+# base, per-edge double contribution, exact decimal sum), so 500 ranks
+# match DuckDB bit-for-bit — determinism that survives partitioning and
+# retries is what makes iterative distributed algorithms debuggable.
+from udacity_dend_capstone_immigration_spark.operators.graph import pagerank  # noqa: E402
+
+
+def _pr_iter(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+        SELECT d.doc_id AS node,
+               (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                   / (SELECT CAST(c AS DOUBLE) FROM nn)
+               + coalesce(s.s, CAST(0.0 AS DOUBLE)) AS r
+        FROM documents d LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(CAST(SUM(CAST((CAST(0.85 AS DOUBLE) * p.r) / deg.deg
+                        AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS s
+            FROM edges e JOIN {prev} p ON e.src = p.node
+                JOIN deg ON e.src = deg.src
+            GROUP BY e.dst
+        ) s ON d.doc_id = s.node
+    )"""
+
+
+@query(
+    "doc_pagerank_near_dup",
+    oracle=f"""
+    WITH pairs AS ({ORACLES["dedup_minhash_lsh"]}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(*) AS c FROM documents),
+    r0 AS (
+        SELECT doc_id AS node,
+               CAST(1.0 AS DOUBLE) / (SELECT CAST(c AS DOUBLE) FROM nn) AS r
+        FROM documents
+    ),
+    {_pr_iter("r0", "r1")},
+    {_pr_iter("r1", "r2")},
+    {_pr_iter("r2", "r3")}
+    SELECT node AS doc_id, r AS pagerank FROM r3
+    """,
+)
+def doc_pagerank_near_dup(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup_pairs(
+        docs, "doc_id", "text", shingle_n=3, num_hashes=_MH_N, bands=_MH_BANDS, threshold=0.5
+    ).select("id_a", "id_b")
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    return pagerank(edges, docs.select("doc_id"), id_col="doc_id", iters=3)
