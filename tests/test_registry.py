@@ -33,6 +33,8 @@ _EXECUTING = frozenset(
     in {
         "partitioned_write_roundtrip",
         "dedup_clusters",
+        "dedup_keep_best",
+        "doc_pagerank_near_dup",
         "immigration_etl_fact",
         "immigration_etl_city_demographics",
     }
@@ -70,3 +72,23 @@ def test_executing_query_schemas_are_canonicalizable(spark):
     """The executing set is small enough to run for real at sf0.001."""
     for name in sorted(_EXECUTING):
         _assert_atomic(name, QUERIES[name](spark, SF_DIR).schema)
+
+
+def test_no_row_at_a_time_python_in_any_lazy_query(spark):
+    """Registry-wide ban on BatchEvalPython (row-at-a-time Python UDFs).
+    Arrow-vectorized nodes (MapInPandas, FlatMapGroupsInPandas,
+    ArrowEvalPython) are the sanctioned Python path; BatchEvalPython in
+    ANY query means a hot path silently fell off codegen."""
+    import contextlib
+    import io
+
+    for name, fn in QUERIES.items():
+        if name in _EXECUTING:
+            continue
+        df = fn(spark, SF_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        assert "BatchEvalPython" not in buf.getvalue(), (
+            f"{name} contains a row-at-a-time Python UDF boundary"
+        )
