@@ -194,3 +194,38 @@ def events_transition_matrix(spark, sf_dir):
         "cnt",
         (F.col("cnt").cast("double") / F.sum("cnt").over(wn)).alias("prob"),
     )
+
+
+# --- running extrema + drawdown: per-user running max of value and the
+# gap from it (the monitoring/finance window shape: peak tracking,
+# regression-from-peak alerts). Same single user_id exchange as the
+# other window queries; running max is order-independent given the
+# (ts, event_id) total order, and the drawdown is one exact double
+# subtraction per row.
+@query(
+    "events_running_drawdown",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           MAX(value) OVER w AS running_max,
+           MAX(value) OVER w - value AS drawdown
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def events_running_drawdown(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run_max = F.max("value").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        run_max.alias("running_max"),
+        (run_max - F.col("value")).alias("drawdown"),
+    )
