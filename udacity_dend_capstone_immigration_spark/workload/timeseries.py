@@ -229,3 +229,78 @@ def events_running_drawdown(spark, sf_dir):
         run_max.alias("running_max"),
         (run_max - F.col("value")).alias("drawdown"),
     )
+
+
+# --- trailing-window anomaly ratio: each hour's event count vs the
+# average of the preceding 24 hourly counts (per type). Counts are
+# integers, the trailing average is an exact int-sum / int-count, and
+# the ratio is one double division — the anomaly-detection shape
+# without the float-stddev portability trap. Pre-aggregation to hourly
+# keys the window over |types| x |hours| rows, independent of raw
+# volume.
+@query(
+    "events_hourly_anomaly_ratio",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS cnt
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    trail AS (
+        SELECT event_type, hour, cnt,
+               SUM(cnt) OVER w AS tr_sum,
+               COUNT(*) OVER w AS tr_n
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour, cnt,
+           CAST(cnt * tr_n AS DOUBLE) / tr_sum AS ratio_to_trailing,
+           CAST(cnt * tr_n AS DOUBLE) / tr_sum > 2.0 AS anomalous
+    FROM trail WHERE tr_n > 0
+    """,
+)
+def events_hourly_anomaly_ratio(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("hour").rowsBetween(-24, -1)
+    trail = hourly.select(
+        "event_type",
+        "hour",
+        "cnt",
+        F.sum("cnt").over(w).alias("tr_sum"),
+        F.count(F.lit(1)).over(w).alias("tr_n"),
+    ).where(F.col("tr_n") > 0)
+    ratio = (F.col("cnt") * F.col("tr_n")).cast("double") / F.col("tr_sum")
+    return trail.select(
+        "event_type",
+        "hour",
+        "cnt",
+        ratio.alias("ratio_to_trailing"),
+        (ratio > 2.0).alias("anomalous"),
+    )
+
+
+# --- fixed-width histogram: value distribution of events in width-2
+# bins with readable labels — the profiling primitive behind every
+# engine's `histogram()`. Bin assignment is floor division (exact);
+# the rollup is map-side combinable on ~tens of keys.
+@query(
+    "events_value_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 2.0) * 2 AS DOUBLE) AS bin_lo,
+           CAST(floor(value / 2.0) * 2 + 2 AS DOUBLE) AS bin_hi,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY floor(value / 2.0)
+    """,
+)
+def events_value_histogram(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    bin_lo = (F.floor(F.col("value") / 2.0) * 2).cast("double")
+    return ev.groupBy(bin_lo.alias("bin_lo")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).select(
+        "bin_lo", (F.col("bin_lo") + 2).cast("double").alias("bin_hi"), "cnt"
+    )
