@@ -214,7 +214,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
     combinable. At 100 TB you'd band first (see dedup_minhash_lsh) —
     this is the exact-verification building block."""
     docs = table(spark, sf_dir, "documents")
-    e = shingle_rows(docs, "doc_id", "text", 3).withColumnRenamed("shingle", "g")
+    # the distinct shingle rows feed three consumers (both join sides +
+    # set sizes); a lazy checkpoint tokenizes the corpus once instead of
+    # four times (explain audit: 8 scans → 0 rescans)
+    e = (
+        shingle_rows(docs, "doc_id", "text", 3)
+        .withColumnRenamed("shingle", "g")
+        .localCheckpoint(eager=False)
+    )
     a, b = e.alias("a"), e.alias("b")
     inter = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
