@@ -930,3 +930,56 @@ def tpch_q14_promo_effect(spark, sf_dir):
         ).alias("promo_pct"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+# --- exact distributed second moments: Pearson correlation of price vs
+# quantity per return flag, computed from five exact decimal sums
+# (Σx, Σy, Σxy, Σx², Σy²) combined in one fixed double-arithmetic
+# formula — order-independent and bit-identical across engines, unlike
+# built-in corr()/stddev() whose float accumulation order varies with
+# partitioning. The moments are map-side-combinable, so the whole
+# statistic costs one aggregate pass at any scale. sqrt is IEEE
+# correctly-rounded in both engines.
+@query(
+    "lineitem_price_qty_corr",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sxy,
+               CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_items,
+           (n * sxy - sx * sy)
+               / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS price_qty_corr
+    FROM m
+    """,
+)
+def lineitem_price_qty_corr(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_extendedprice"), F.col("l_quantity")
+
+    def dsum_expr(c, alias):
+        return F.sum(c.cast("decimal(28,10)")).cast("double").alias(alias)
+
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum_expr(x, "sx"),
+        dsum_expr(y, "sy"),
+        dsum_expr(x * y, "sxy"),
+        dsum_expr(x * x, "sxx"),
+        dsum_expr(y * y, "syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy"))
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return m.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_items"),
+        corr.alias("price_qty_corr"),
+    )
