@@ -307,3 +307,80 @@ def test_stream_transitions_chain_across_batches(spark, tmp_path):
         .collect()
     }
     assert out == {("view", "click"): 1, ("click", "purchase"): 1}
+
+
+def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
+    """Late-data semantics, actually exercised: batch 1 advances the
+    watermark far past an old window; batch 2 delivers a late event for
+    that window. In append mode the late row must NOT resurrect the
+    closed window — its count stays at the on-time value."""
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from udacity_dend_capstone_immigration_spark.streaming.windows import (
+        read_stream,
+        run_available_now,
+        watermarked_tumbling,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts_us", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    hour = 3_600_000_000
+    # a batch's effective watermark is computed from the batch BEFORE
+    # the previous one (one-batch computation lag + one-batch
+    # application lag), so the straggler needs a filler batch between
+    # the watermark-advancing event and its own arrival: batch 0 fills
+    # hour-0; batch 1's hour-10 event raises the computed watermark;
+    # batch 2 (filler) makes 9h effective and evicts hour-0 (cnt 2);
+    # batch 3's hour-0 straggler is then dropped by the watermark
+    # (numRowsDroppedByWatermark = 1 observed).
+    batches = [
+        [(0, 1 * hour // 2, "a"), (1, 1 * hour // 3, "a")],
+        [(2, 10 * hour, "a")],
+        [(4, 11 * hour, "a")],
+        [(3, 1 * hour // 4, "a")],
+    ]
+    d = tmp_path / "late_stream"
+    d.mkdir()
+    import os
+
+    for i, rows in enumerate(batches):
+        staging = tmp_path / f"staging_{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(staging))
+        target = d / f"b{i}.parquet"
+        shutil.copy(next(staging.glob("part-*.parquet")), target)
+        # the file source orders by modification time: force distinct,
+        # increasing mtimes so batch order matches intent
+        os.utime(target, (1700000000 + i * 100, 1700000000 + i * 100))
+
+    raw = read_stream(
+        spark, str(d), schema, max_files_per_trigger=1, path_glob_filter="*.parquet"
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    agg = watermarked_tumbling(
+        ev, "ts", "1 hour", ["event_type"], [F.count(F.lit(1)).alias("cnt")],
+        watermark="1 hour",
+    )
+    out = run_available_now(
+        agg,
+        "late_drop_test",
+        output_mode="append",
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    counts = {
+        r["window_start"].hour: r["cnt"]
+        for r in out.collect()
+        if r["window_start"].year == 1970
+    }
+    # hour-0 window closed with exactly the 2 on-time events; the late
+    # event (id 3) was dropped, not re-emitted
+    assert counts.get(0) == 2
