@@ -440,3 +440,56 @@ from udacity_dend_capstone_immigration_spark.operators.skew import salted_count_
 def events_salted_type_totals(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     return salted_count_sum(ev, ["event_type"], "value", salt_buckets=16)
+
+
+# --- robust statistics: median, interpolated median, MAD (median
+# absolute deviation), IQR per event type. MAD is the two-pass shape:
+# per-group median → join back (broadcast — group cardinality is tiny)
+# → median of absolute deviations. Interpolated percentile() proved
+# bit-identical to DuckDB quantile_cont on doubles (a + (b-a)*frac with
+# the same frac arithmetic both engines — verified empirically before
+# registering); the deviations are per-row exact double subtractions.
+@query(
+    "events_robust_stats",
+    oracle="""
+    WITH med AS (
+        SELECT event_type,
+               quantile_disc(value, 0.5) AS median,
+               quantile_cont(value, 0.5) AS median_interp,
+               quantile_disc(value, 0.75) - quantile_disc(value, 0.25) AS iqr
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, abs(e.value - m.median) AS adev
+        FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type, quantile_disc(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT med.event_type, median, median_interp, iqr, mad
+    FROM med JOIN mad ON med.event_type = mad.event_type
+    """,
+)
+def events_robust_stats(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    pd_ = lambda p, a: F.expr(  # noqa: E731
+        f"percentile_disc({p}) WITHIN GROUP (ORDER BY value)"
+    ).alias(a)
+    med = ev.groupBy("event_type").agg(
+        pd_(0.5, "median"),
+        F.expr("percentile(value, 0.5)").alias("median_interp"),
+        (
+            F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)")
+            - F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)")
+        ).alias("iqr"),
+    )
+    dev = ev.join(F.broadcast(med.select("event_type", "median")), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("median")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad")
+    )
+    return med.join(mad, "event_type").select(
+        "event_type", "median", "median_interp", "iqr", "mad"
+    )
