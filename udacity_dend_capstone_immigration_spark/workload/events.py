@@ -308,3 +308,84 @@ def events_session_bounce_rate(spark, sf_dir):
             / F.count(F.lit(1))
         ).alias("bounce_rate"),
     )
+
+
+# --- native session_window() in batch: Spark's built-in gap-session
+# operator, oracle'd against the same islands SQL as events_sessionize
+# — proving the built-in and the explicit window-island construction
+# agree row-for-row. The built-in plans a single SessionWindow node on
+# one user_id exchange (no row_number pass), the preferred form when
+# you don't need the session_id string.
+@query(
+    "events_native_session_window",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sess_n
+        FROM ordered
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS event_cnt,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS total_value
+    FROM sessions
+    GROUP BY user_id, sess_n
+    """,
+)
+def events_native_session_window(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("event_cnt"),
+            dsum(F.col("value"), "total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "event_cnt",
+            "total_value",
+        )
+    )
+
+
+# --- Spark 4 VariantType JSON path: parse the props payload into a
+# variant (the binary semi-structured type supplanting string-JSON
+# round-trips), extract a typed field, and aggregate on it. Variant
+# parse+extract stays JVM-side and shreds once instead of re-parsing
+# the JSON per expression; output columns are atomic (the variant never
+# leaves the query). Oracle uses DuckDB's JSON extraction — same typed
+# semantics.
+@query(
+    "events_props_variant",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS INT) // 10 AS k_decile,
+           COUNT(*) AS event_cnt,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS k_min,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS k_max
+    FROM events
+    GROUP BY CAST(json_extract(props, '$.k') AS INT) // 10
+    """,
+)
+def events_props_variant(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        ev.select(k.alias("k"))
+        .groupBy(F.floor(F.col("k") / 10).cast("int").alias("k_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("event_cnt"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
