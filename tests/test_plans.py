@@ -190,3 +190,30 @@ def test_partition_pruning_on_partitioned_sink(spark, tmp_path):
     # count matches the unpartitioned filter
     expect = orders.where("o_orderpriority = '1-URGENT'").count()
     assert back.count() == expect
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, tmp_path):
+    """Star-schema DPP: joining a partition-keyed fact with a filtered
+    dim must inject a dynamicpruning subquery so only matching fact
+    partitions are scanned — the runtime half of partition pruning that
+    makes dim-filtered scans over a 100 TB partitioned fact cheap."""
+    import contextlib
+    import io
+
+    from udacity_dend_capstone_immigration_spark.workload.base import table
+
+    out = str(tmp_path / "orders_part")
+    orders = table(spark, SF_DIR, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("1-URGENT", 1), ("3-MEDIUM", 3)], "o_orderpriority string, rank int"
+    ).where("rank = 1")
+    j = fact.join(dim, "o_orderpriority").groupBy("o_orderpriority").count()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        j.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan.lower()
+    rows = j.collect()
+    assert [r["o_orderpriority"] for r in rows] == ["1-URGENT"]
