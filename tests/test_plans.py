@@ -217,3 +217,42 @@ def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, tmp_path):
     assert "dynamicpruning" in plan.lower()
     rows = j.collect()
     assert [r["o_orderpriority"] for r in rows] == ["1-URGENT"]
+
+
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
+    """AQE runtime bloom filter: a selective dim filter on the build
+    side of a shuffle join must inject a might_contain() filter into
+    the fact scan side, cutting shuffle volume before the exchange. At
+    real scale the default thresholds (10GB application-side scan)
+    fire on their own; the test lowers them because sf0.001 is tiny —
+    what's being pinned is that the engine's session keeps the feature
+    ON and the plan shape is achievable."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtimeFilter.creationSideThreshold": "10MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        from udacity_dend_capstone_immigration_spark.workload.base import table
+
+        li = table(spark, SF_DIR, "lineitem")
+        orders = table(spark, SF_DIR, "orders").where("o_orderpriority = '1-URGENT'")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        assert "might_contain" in buf.getvalue().lower()
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
