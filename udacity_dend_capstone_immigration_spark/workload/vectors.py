@@ -301,3 +301,71 @@ def ann_ivf_recall(spark, sf_dir):
             ),
         )
     )
+
+
+# --- nearest-centroid classification eval: assign each vector to the
+# closest label centroid (dot product — centroids share the corpus
+# scale, so argmax of dot tracks cosine up to per-label norm) and roll
+# up the confusion matrix — the eval loop of a centroid classifier.
+# Per-(vec, label) scores are exact decimal sums of per-dim products,
+# so the argmax (label-asc tiebreak) is engine-deterministic; the
+# explode⋈centroid join shuffles (vec, dim, v) rows once, and the
+# centroid side (|labels| × 64) broadcasts at any corpus size.
+@query(
+    "centroid_classifier_confusion",
+    oracle=f"""
+    WITH cents AS ({ORACLES["label_centroids"]}),
+    v AS (
+        SELECT vec_id, label AS true_label, i AS dim,
+               CAST(embedding[i + 1] AS DOUBLE) AS v
+        FROM embeddings, range(64) t(i)
+    ),
+    scores AS (
+        SELECT v.vec_id, v.true_label, cents.label AS cand,
+               CAST(CAST(SUM(CAST(v.v * cents.centroid_val AS DECIMAL(28,10)))
+                    AS VARCHAR) AS DOUBLE) AS score
+        FROM v JOIN cents ON v.dim = cents.dim
+        GROUP BY v.vec_id, v.true_label, cents.label
+    ),
+    assigned AS (
+        SELECT vec_id, true_label, cand AS predicted_label
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY score DESC, cand ASC) AS rn
+            FROM scores
+        ) WHERE rn = 1
+    )
+    SELECT true_label, predicted_label, COUNT(*) AS cnt
+    FROM assigned GROUP BY true_label, predicted_label
+    """,
+)
+def centroid_classifier_confusion(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from udacity_dend_capstone_immigration_spark.workload.base import QUERIES
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = QUERIES["label_centroids"](spark, sf_dir).withColumnRenamed(
+        "label", "cand"
+    )
+    v = emb.select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
+    )
+    scores = (
+        v.join(F.broadcast(cents), "dim")
+        .groupBy("vec_id", "true_label", "cand")
+        .agg(
+            F.sum((F.col("v") * F.col("centroid_val")).cast("decimal(28,10)"))
+            .cast("double")
+            .alias("score")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cand"))
+    assigned = scores.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    return assigned.groupBy(
+        "true_label", F.col("cand").alias("predicted_label")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
