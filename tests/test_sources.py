@@ -136,3 +136,22 @@ def test_config_file_session_bootstrap(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         load_engine_config(str(tmp_path / "absent.cfg"))
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Corpus batches gain columns over time; mergeSchema read must
+    union the schemas and null-fill the missing column in old files —
+    the schema-on-read property the engine's data-lake posture claims."""
+    d = tmp_path / "evolving"
+    spark.createDataFrame([(0, "old doc")], "doc_id long, text string").write.parquet(
+        str(d / "batch0")
+    )
+    spark.createDataFrame(
+        [(1, "new doc", "en")], "doc_id long, text string, lang string"
+    ).write.parquet(str(d / "batch1"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        str(d / "batch0"), str(d / "batch1")
+    )
+    assert set(merged.columns) == {"doc_id", "text", "lang"}
+    rows = {r["doc_id"]: r["lang"] for r in merged.collect()}
+    assert rows == {0: None, 1: "en"}

@@ -493,3 +493,38 @@ def events_robust_stats(spark, sf_dir):
     return med.join(mad, "event_type").select(
         "event_type", "median", "median_interp", "iqr", "mad"
     )
+
+
+# --- equi-depth histogram: 10 equal-count buckets over value with
+# per-bucket bounds — how engines build optimizer column statistics
+# (and how you pick balanced range-partition boundaries). ntile over
+# the (value, event_id) total order is deterministic; the rollup is
+# map-side combinable on 10 keys. At real scale you'd ntile a
+# deterministic hash-sample instead of the full column — same plan,
+# sampled input.
+@query(
+    "events_equi_depth_histogram",
+    oracle="""
+    WITH tiled AS (
+        SELECT value,
+               ntile(10) OVER (ORDER BY value, event_id) AS bucket
+        FROM events
+    )
+    SELECT bucket, COUNT(*) AS cnt,
+           CAST(MIN(value) AS DOUBLE) AS lo,
+           CAST(MAX(value) AS DOUBLE) AS hi
+    FROM tiled GROUP BY bucket
+    """,
+)
+def events_equi_depth_histogram(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    tiled = ev.select(
+        "value", F.ntile(10).over(Window.orderBy("value", "event_id")).alias("bucket")
+    )
+    return tiled.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
