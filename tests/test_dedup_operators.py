@@ -168,3 +168,40 @@ def test_pagerank_deterministic_across_runs(spark):
     a = sorted(map(tuple, pagerank(edges, nodes, iters=3).collect()))
     b = sorted(map(tuple, pagerank(edges, nodes, iters=3).collect()))
     assert a == b
+
+
+def test_prefix_filter_matches_full_join(spark):
+    """Prefix-filter candidate generation must be COMPLETE: the verified
+    output equals the full shingle equi-join's pairs exactly."""
+    from udacity_dend_capstone_immigration_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    near_a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near_b = "the quick brown fox jumps over the lazy dog near the river bank now"
+    near_c = "the quick brown fox jumps over the lazy dog near the river bank today"
+    other = "completely unrelated text about database engines and shuffle partitions"
+    df = _docs(spark, [near_a, near_b, other, near_c])
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in prefix_filter_jaccard_pairs(df, "doc_id", "text", 3, 0.5).collect()
+    }
+    # full-join reference, computed directly
+    e = shingle_rows(df, "doc_id", "text", 3, distinct=True)
+    a = e.select(F.col("doc_id").alias("id_a"), F.col("shingle").alias("g"))
+    b = e.select(F.col("doc_id").alias("id_b"), F.col("shingle").alias("g"))
+    inter = (
+        a.join(b, "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    z = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    want = set()
+    sizes = {r["doc_id"]: r["n"] for r in z.collect()}
+    for r in inter.collect():
+        j = r["i"] / (sizes[r["id_a"]] + sizes[r["id_b"]] - r["i"])
+        if j >= 0.5:
+            want.add((r["id_a"], r["id_b"], round(j, 6)))
+    assert got == want
+    assert (0, 3, 1.0) in got  # the identical pair survives

@@ -479,3 +479,71 @@ def substring_run_pairs(
         .agg((F.max("run") + F.lit(shingle_n - 1)).alias("max_run_tokens"))
     )
     return runs.where(F.col("max_run_tokens") >= min_tokens)
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Set-similarity join via prefix filtering (the PPJoin/AllPairs
+    family, Chaudhuri et al. / Xiao et al.): order each document's
+    shingle set by ascending global frequency and join only on the
+    first ``|s| - ceil(t*|s|) + 1`` rarest shingles — any pair with
+    Jaccard >= t MUST share a prefix token, so the candidate set is
+    complete while the join touches rare tokens instead of every
+    shingle. The exact-Jaccard verify then filters candidates.
+
+    Same verified output as the full shingle equi-join
+    (:func:`..workload.textops.dedup_ngram_jaccard` shape) — the win is
+    join volume: hot (frequent) shingles are excluded from candidate
+    generation, which is exactly what explodes on boilerplate-heavy
+    corpora at scale. Shuffles carry (id, shingle-rank) pairs only.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    e = shingle_rows(df, id_col, text_col, n, distinct=True).localCheckpoint(
+        eager=False
+    )
+    freq = e.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    rank = freq.withColumn(
+        "_rank",
+        F.row_number().over(Window.orderBy(F.asc("_df"), F.asc("shingle"))),
+    ).select("shingle", "_rank")
+    ranked = e.join(rank, "shingle")
+    sizes = e.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.partitionBy(id_col).orderBy("_rank")
+    prefix_len = F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+    prefix = (
+        ranked.withColumn("_pos", F.row_number().over(w))
+        .join(sizes, id_col)
+        .where(F.col("_pos") <= prefix_len)
+        .select(F.col(id_col), "shingle")
+    )
+    a = prefix.select(F.col(id_col).alias("id_a"), "shingle")
+    b = prefix.select(F.col(id_col).alias("id_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = e.select(F.col(id_col).alias("id_a"), F.col("shingle").alias("g"))
+    eb = e.select(F.col(id_col).alias("id_b"), F.col("shingle").alias("g"))
+    inter = (
+        cand.join(ea, "id_a")
+        .join(eb, ["id_b", "g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("na"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -813,3 +813,18 @@ def doc_pagerank_near_dup(spark, sf_dir):
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     return pagerank(edges, docs.select("doc_id"), id_col="doc_id", iters=3)
+
+
+# --- prefix-filtering set-similarity join (PPJoin/AllPairs family):
+# same verified pairs as dedup_ngram_jaccard (same oracle — algorithm
+# equivalence, like knn_brute_force_arrow), but candidates come from
+# each set's rarest-shingle prefix instead of every shingle, so hot
+# boilerplate shingles never enter the join — the variant that holds
+# up on repetitive corpora at scale.
+from udacity_dend_capstone_immigration_spark.operators.dedup import prefix_filter_jaccard_pairs  # noqa: E402
+
+
+@query("dedup_prefix_filter_jaccard", oracle=ORACLES["dedup_ngram_jaccard"])
+def dedup_prefix_filter_jaccard(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
