@@ -44,3 +44,40 @@ def test_asof_join_keeps_all_left_rows_and_columns(spark):
     out = asof_join(left, right, "k", "k", "ts", "ts", ["px"]).collect()
     assert len(out) == 1
     assert out[0]["note"] == "extra" and out[0]["px"] is None
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from udacity_dend_capstone_immigration_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 12, 0)),   # click 11:50 → fresh
+            (2, datetime(2024, 1, 1, 12, 0)),   # click 10:00 → stale
+            (3, datetime(2024, 1, 1, 12, 0)),   # no click at all
+        ],
+        "k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 11, 50), 10.0),
+            (2, datetime(2024, 1, 1, 10, 0), 20.0),
+        ],
+        "k long, ts timestamp, v double",
+    )
+    out = {
+        r["k"]: r["v"]
+        for r in asof_join(
+            left, right, "k", "k", "ts", "ts", ["v"], tolerance="30 minutes"
+        ).collect()
+    }
+    assert out == {1: 10.0, 2: None, 3: None}
+    # without tolerance the stale match is kept
+    base = {
+        r["k"]: r["v"]
+        for r in asof_join(left, right, "k", "k", "ts", "ts", ["v"]).collect()
+    }
+    assert base == {1: 10.0, 2: 20.0, 3: None}

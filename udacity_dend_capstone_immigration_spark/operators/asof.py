@@ -34,10 +34,18 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     payload: list[str],
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Backward as-of join. Returns all left columns plus ``payload``
     columns from the most recent right row at-or-before ``left_ts``
-    (nulls when no right row precedes)."""
+    (nulls when no right row precedes).
+
+    ``tolerance`` (an INTERVAL string, e.g. ``"30 minutes"``) bounds
+    how stale the matched right row may be — pandas ``merge_asof``
+    tolerance semantics: matches older than ``left_ts - tolerance``
+    are nulled out. Implemented by propagating the matched right
+    timestamp through the same window pass, so the bound costs zero
+    extra shuffles."""
     l_cols = left.columns
     tagged_left = left.select(
         F.col(left_on).alias("_k"),
@@ -45,6 +53,7 @@ def asof_join(
         F.lit(1).alias("_side"),  # sorts after right at equal ts
         *[F.col(c) for c in l_cols],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_p__rts"),
     )
     tagged_right = right.select(
         F.col(right_on).alias("_k"),
@@ -52,6 +61,7 @@ def asof_join(
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols],
         *[F.col(c).alias(f"_p_{c}") for c in payload],
+        F.col(right_ts).alias("_p__rts"),
     )
     unioned = tagged_left.unionByName(tagged_right)
     w = (
@@ -62,9 +72,19 @@ def asof_join(
     filled = unioned.select(
         *l_cols,
         F.col("_side"),
+        F.col("_ts"),
         *[
             F.last(F.col(f"_p_{c}"), ignorenulls=True).over(w).alias(c)
             for c in payload
         ],
+        F.last(F.col("_p__rts"), ignorenulls=True).over(w).alias("_rts"),
     )
-    return filled.where(F.col("_side") == 1).drop("_side")
+    out = filled.where(F.col("_side") == 1)
+    if tolerance is not None:
+        fresh = F.col("_rts") >= F.col("_ts") - F.expr(f"INTERVAL {tolerance}")
+        out = out.select(
+            *l_cols,
+            F.col("_side"),
+            *[F.when(fresh, F.col(c)).alias(c) for c in payload],
+        )
+    return out.select(*l_cols, *payload)

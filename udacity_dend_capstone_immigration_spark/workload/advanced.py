@@ -528,3 +528,53 @@ def events_equi_depth_histogram(spark, sf_dir):
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
     )
+
+
+# --- as-of join with tolerance (pandas merge_asof parity): attribution
+# windows expire — a click older than 30 minutes no longer explains the
+# purchase. The matched right timestamp rides the same window pass, so
+# the staleness bound costs zero extra shuffles (operators/asof.py).
+@query(
+    "asof_purchase_to_click_30m",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, max(event_id) AS click_event_id,
+               arg_max(value, event_id) AS click_value
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    ),
+    purch AS (
+        SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value AS purchase_value,
+           CASE WHEN c.ts >= p.ts - INTERVAL 30 MINUTE
+                THEN c.click_event_id END AS click_event_id,
+           CASE WHEN c.ts >= p.ts - INTERVAL 30 MINUTE
+                THEN c.click_value END AS click_value
+    FROM purch p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_purchase_to_click_30m(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("click_event_id"),
+            F.max_by("value", "event_id").alias("click_value"),
+        )
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        left_on="user_id",
+        right_on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload=["click_event_id", "click_value"],
+        tolerance="30 minutes",
+    )
