@@ -333,3 +333,62 @@ def corpus_curation_pipeline(spark, sf_dir):
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# --- nucleus (top-p) corpus selection: per source, take documents in
+# quality order until 80% of the source's token mass is covered (the
+# proportion-based cousin of count-quotas and budget-packing — the
+# data-mixing op for "keep the best docs worth p of each source").
+# Inclusive-of-crossing-doc semantics: the doc that crosses the
+# threshold is kept, so coverage is always >= p. One window pass per
+# source; only (doc_id, tokens) ride the shuffle.
+@query(
+    "corpus_nucleus_sample",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, n_chars, len({TOKS}) AS toks
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, source, n_chars, toks,
+               SUM(toks) OVER (PARTITION BY source
+                               ORDER BY n_chars DESC, doc_id ASC
+                               ROWS UNBOUNDED PRECEDING) AS cum_toks,
+               SUM(toks) OVER (PARTITION BY source) AS total_toks
+        FROM t
+    )
+    SELECT doc_id, source, CAST(toks AS BIGINT) AS toks,
+           CAST(cum_toks AS BIGINT) AS cum_toks
+    FROM cum
+    WHERE cum_toks - toks < 0.8 * total_toks
+    """,
+)
+def corpus_nucleus_sample(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from udacity_dend_capstone_immigration_spark.functions.text import token_count
+
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "source", "n_chars", token_count("text").alias("toks"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ws = Window.partitionBy("source")
+    cum = t.select(
+        "doc_id",
+        "source",
+        "toks",
+        F.sum("toks").over(w).alias("cum_toks"),
+        F.sum("toks").over(ws).alias("total_toks"),
+    )
+    return cum.where(
+        (F.col("cum_toks") - F.col("toks")).cast("double")
+        < F.lit(0.8) * F.col("total_toks").cast("double")
+    ).select(
+        "doc_id",
+        "source",
+        F.col("toks").cast("bigint").alias("toks"),
+        F.col("cum_toks").cast("bigint").alias("cum_toks"),
+    )
