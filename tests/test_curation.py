@@ -109,3 +109,19 @@ def test_weighted_priority_sample_respects_group_partitions(spark):
         per.setdefault(r["grp"], 0)
         per[r["grp"]] += 1
     assert per == {"a": 10, "b": 10}
+
+
+def test_weighted_priority_sample_rejects_nonpositive_weight(spark):
+    """weight <= 0 must fail loudly at execution (r2 advice): 0 would
+    silently never sample the row, a negative weight would always win."""
+    import pytest as _pytest
+
+    from udacity_dend_capstone_immigration_spark.operators.curation import (
+        weighted_priority_sample,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 2.0), ("a", 2, 0.0)], "grp string, doc_id int, w double"
+    )
+    with _pytest.raises(Exception, match="weight > 0"):
+        weighted_priority_sample(df, "grp", "doc_id", "w", k=1).collect()

@@ -256,3 +256,13 @@ def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_prefix_filter_has_no_single_partition_exchange(spark):
+    """prefix_filter_jaccard_pairs must not rank the global shingle
+    vocabulary through one task (r2 verdict): every Window is
+    partitioned by doc id, so the plan may not contain an
+    Exchange SinglePartition feeding a sort."""
+    plan = plan_of(spark, "dedup_prefix_filter_jaccard")
+    assert "SinglePartition" not in plan
+    assert "Window" in plan  # the per-doc prefix window is still there

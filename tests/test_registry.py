@@ -92,3 +92,32 @@ def test_no_row_at_a_time_python_in_any_lazy_query(spark):
         assert "BatchEvalPython" not in buf.getvalue(), (
             f"{name} contains a row-at-a-time Python UDF boundary"
         )
+
+
+def test_showcase_window_spans_every_workload_module():
+    """The driver records only the first 50 queries() entries
+    (CORRECTNESS_r02.json was exactly registration order, so whole tiers
+    had no official row). The showcase ordering must keep >=2
+    representatives of EVERY workload module inside that window, cover
+    only real queries, and drop nothing."""
+    import collections
+    import inspect
+
+    import __spark_entry__ as E
+    from udacity_dend_capstone_immigration_spark.workload import QUERIES
+
+    q = E.queries()
+    assert set(q) == set(QUERIES)
+    assert len(E.SHOWCASE) == 50 == len(set(E.SHOWCASE))
+    assert all(n in QUERIES for n in E.SHOWCASE)
+    first50 = list(q)[:50]
+    assert first50 == E.SHOWCASE
+    per_mod = collections.Counter(
+        inspect.getmodule(QUERIES[n]).__name__.rsplit(".", 1)[-1] for n in first50
+    )
+    all_mods = {
+        inspect.getmodule(f).__name__.rsplit(".", 1)[-1] for f in QUERIES.values()
+    }
+    assert set(per_mod) == all_mods
+    assert min(per_mod.values()) >= 2
+    assert list(E.oracle_sql())[:50] == first50

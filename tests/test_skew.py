@@ -69,3 +69,44 @@ def test_salted_count_sum_matches_plain_aggregate(spark):
         .collect()
     }
     assert salted == plain
+
+
+def test_salted_count_sum_row_id_spreads_duplicate_rows(spark):
+    """The degenerate hot key whose rows are EXACT duplicates collapses
+    the full-row salt to one bucket (r2 advice); mixing in a unique
+    row-id column restores the fan-out while keeping the same totals."""
+    from pyspark.sql import functions as F
+
+    from udacity_dend_capstone_immigration_spark.operators.skew import (
+        SALT_COL,
+        salted_count_sum,
+    )
+
+    df = (
+        spark.range(1000)
+        .select(
+            F.col("id").alias("rid"),
+            F.lit("hot").alias("k"),
+            F.lit(7.0).alias("v"),  # every row identical apart from rid
+        )
+    )
+    out = salted_count_sum(df, ["k"], "v", salt_buckets=8, row_id_col="rid").collect()
+    assert [(r["k"], r["cnt"], r["total"]) for r in out] == [("hot", 1000, 7000.0)]
+    # the partial stage actually fans out: distinct salts over the rid hash > 1
+    n_salts = (
+        df.withColumn(SALT_COL, F.pmod(F.xxhash64("rid"), F.lit(8)).cast("int"))
+        .select(SALT_COL)
+        .distinct()
+        .count()
+    )
+    assert n_salts > 1
+
+
+def test_salted_count_sum_rejects_unknown_row_id(spark):
+    import pytest as _pytest
+
+    from udacity_dend_capstone_immigration_spark.operators.skew import salted_count_sum
+
+    df = spark.createDataFrame([(1, 2.0)], "k int, v double")
+    with _pytest.raises(ValueError, match="nope"):
+        salted_count_sum(df, ["k"], "v", row_id_col="nope")

@@ -161,6 +161,13 @@ def weighted_priority_sample(
     makes the draw reproducible across retries and engines (no
     ``rand()``), so backfills keep the identical sample.
 
+    Weights must be strictly positive: ``u/0`` is Infinity (the row would
+    silently never be sampled) and a negative weight inverts the priority
+    order (the row would always win), so any non-positive weight raises
+    at execution time rather than skewing the draw. The helper columns
+    ``priority`` and ``rn`` ride along in the output so callers (and the
+    oracle) can audit the draw; drop them if you only need the rows.
+
     Everything before the single ``group_col`` shuffle is map work; only
     (group, key, weight, priority) flow through the window. The uniform
     is ``(h + 1) / 2^32`` with ``h`` the first 8 md5 hex digits — a
@@ -174,7 +181,15 @@ def weighted_priority_sample(
         10,
     ).cast("bigint")
     u = (h + F.lit(1)) / F.lit(4294967296.0)
-    prio = u / F.col(weight_col)
+    w_checked = F.when(F.col(weight_col) > 0, F.col(weight_col)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("weighted_priority_sample requires weight > 0, got "),
+                F.col(weight_col).cast("string"),
+            )
+        )
+    )
+    prio = u / w_checked
     w = Window.partitionBy(group_col).orderBy("priority", key_col)
     return (
         df.withColumn("priority", prio)

@@ -508,13 +508,15 @@ def prefix_filter_jaccard_pairs(
         eager=False
     )
     freq = e.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    rank = freq.withColumn(
-        "_rank",
-        F.row_number().over(Window.orderBy(F.asc("_df"), F.asc("shingle"))),
-    ).select("shingle", "_rank")
-    ranked = e.join(rank, "shingle")
+    # Prefix filtering only needs SOME consistent total order over the
+    # shingle vocabulary shared by both sides of a pair; (_df, shingle)
+    # ascending IS that order, so join the frequency onto the shingle rows
+    # and sort inside each document's window. No corpus-wide rank — a
+    # global row_number() here would funnel the whole vocabulary through
+    # one task, which is the plan's death at scale.
+    ranked = e.join(freq, "shingle")
     sizes = e.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
-    w = Window.partitionBy(id_col).orderBy("_rank")
+    w = Window.partitionBy(id_col).orderBy("_df", "shingle")
     prefix_len = F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
     prefix = (
         ranked.withColumn("_pos", F.row_number().over(w))

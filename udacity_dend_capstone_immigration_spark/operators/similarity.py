@@ -34,6 +34,11 @@ from pyspark.sql import functions as F
 from udacity_dend_capstone_immigration_spark.functions.vectors import dot, l2_norm
 from udacity_dend_capstone_immigration_spark.operators.topk import top_k_per_group
 
+#: ``brute_force_knn_arrow`` broadcasts the collected query set to every
+#: executor; above this many query rows that contract is wrong and the
+#: call fails loudly instead of silently ballooning the driver.
+MAX_BROADCAST_QUERY_ROWS = 100_000
+
 
 def _with_norm(df: DataFrame, id_col: str) -> DataFrame:
     """(id, embedding, nrm): the norm is an interpreted HOF fold, so it is
@@ -166,20 +171,24 @@ def cosine_pairs_above_arrow(
     def gram(pdf: "pd.DataFrame") -> "pd.DataFrame":
         bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
         a = pdf[pdf["blk"] == bi]
+        b = a if bi == bj else pdf[pdf["blk"] == bj]
+        # Emptiness check BEFORE np.stack: a (bi, bj) group exists when
+        # EITHER block emitted rows, so an unoccupied crc32 bucket
+        # (n < num_blocks or a hash gap) leaves one side with zero rows
+        # and np.stack([]) would raise.
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "cosine_sim": np.float64}
+            )
         a_ids = a[id_col].to_numpy(dtype=np.int64)
         a_mat = np.stack(a["embedding"].to_numpy()).astype(np.float64)
         a_nrm = np.linalg.norm(a_mat, axis=1)
         if bi == bj:
             b_ids, b_mat, b_nrm = a_ids, a_mat, a_nrm
         else:
-            b = pdf[pdf["blk"] == bj]
             b_ids = b[id_col].to_numpy(dtype=np.int64)
             b_mat = np.stack(b["embedding"].to_numpy()).astype(np.float64)
             b_nrm = np.linalg.norm(b_mat, axis=1)
-        if len(a_ids) == 0 or len(b_ids) == 0:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []}).astype(
-                {"id_a": np.int64, "id_b": np.int64, "cosine_sim": np.float64}
-            )
         sims = (a_mat @ b_mat.T) / np.outer(a_nrm, b_nrm)
         np.round(sims, 6, out=sims)
         if bi == bj:
@@ -274,6 +283,14 @@ def brute_force_knn_arrow(
     import numpy as np
     import pandas as pd
 
+    n_queries = queries.count()
+    if n_queries > MAX_BROADCAST_QUERY_ROWS:
+        raise ValueError(
+            f"brute_force_knn_arrow broadcasts the query set to every "
+            f"executor; {n_queries} query rows exceeds the "
+            f"{MAX_BROADCAST_QUERY_ROWS}-row contract. Use knn_lsh_bucketed "
+            f"or ivf_knn for large query sets."
+        )
     q_rows = queries.select(id_col, "embedding").collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
