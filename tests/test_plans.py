@@ -266,3 +266,13 @@ def test_prefix_filter_has_no_single_partition_exchange(spark):
     plan = plan_of(spark, "dedup_prefix_filter_jaccard")
     assert "SinglePartition" not in plan
     assert "Window" in plan  # the per-doc prefix window is still there
+
+
+def test_equi_depth_queries_have_no_single_partition_sort(spark):
+    """customer_spend_quartiles and events_equi_depth_histogram must not
+    funnel all rows through one task (r2 verdict): the distributed-rank
+    rewrite leaves no Exchange SinglePartition and no ntile window."""
+    for name in ("customer_spend_quartiles", "events_equi_depth_histogram"):
+        plan = plan_of(spark, name)
+        assert "SinglePartition" not in plan, name
+        assert "ntile" not in plan, name

