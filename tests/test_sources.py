@@ -50,11 +50,10 @@ def test_first_available_raises_when_none_exist(spark, tmp_path):
 
 def test_first_available_sas_present_but_connector_missing_fails_loudly(spark, tmp_path):
     """S1 honesty gate (reference etl.py:128-138): first_available falls
-    back on file ABSENCE only. If the SAS7BDAT file exists but the
-    saurfang connector JAR is not on the classpath (it isn't, in this
-    runtime), the read must raise — never silently fall through to the
-    parquet candidate, which would return different data for the same
-    call on a connector-equipped cluster."""
+    back on file ABSENCE only. A file that exists but is not a parseable
+    SAS7BDAT must raise (pandas magic-number check in the pure-Python
+    reader) — never silently fall through to the parquet candidate,
+    which would return different data once the file is fixed."""
     sas = tmp_path / "i94_apr16_sub.sas7bdat"
     sas.write_bytes(b"\x00" * 16)  # existence is what's under test
     pq = tmp_path / "t.parquet"

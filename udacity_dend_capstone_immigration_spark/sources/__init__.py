@@ -5,6 +5,7 @@ from udacity_dend_capstone_immigration_spark.sources.readers import (
     from_pairs,
     load_star,
 )
+from udacity_dend_capstone_immigration_spark.sources.sas7bdat import read_sas7bdat, sas7bdat_schema
 from udacity_dend_capstone_immigration_spark.sources.sas_labels import parse_sas_labels
 from udacity_dend_capstone_immigration_spark.sources.writers import (
     write_parquet,
@@ -19,6 +20,8 @@ __all__ = [
     "from_pairs",
     "load_star",
     "parse_sas_labels",
+    "read_sas7bdat",
+    "sas7bdat_schema",
     "write_parquet",
     "write_star_outputs",
     "write_table",

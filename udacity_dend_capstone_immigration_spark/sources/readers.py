@@ -76,10 +76,16 @@ def first_available(spark: SparkSession, candidates: Sequence[tuple[str, str]]) 
     The reference reads SAS7BDAT if the file exists, else a parquet dir.
     Generalized: ``candidates`` is an ordered list of (format, path); the
     first path that exists wins. ``format`` is any Spark datasource name
-    ("parquet", "csv", "com.github.saurfang.sas.spark", ...).
+    ("parquet", "csv", ...) or the built-in ``"sas7bdat"``, which routes
+    through :mod:`udacity_dend_capstone_immigration_spark.sources.sas7bdat` — a pure-Python
+    executor-side reader, no ``saurfang:spark-sas7bdat`` JAR needed.
     """
     for fmt, path in candidates:
         if os.path.exists(path):
+            if fmt in ("sas7bdat", "com.github.saurfang.sas.spark"):
+                from udacity_dend_capstone_immigration_spark.sources.sas7bdat import read_sas7bdat
+
+                return read_sas7bdat(spark, path)
             return spark.read.format(fmt).load(path)
     raise FileNotFoundError(f"No candidate source exists: {[p for _, p in candidates]}")
 
