@@ -67,14 +67,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects. Read nanos as long and floor-divide to micros —
-    ``DIV`` (integer division) because a double division would lose
-    precision above 2^53 ns — matching DuckDB's nanos→micros
-    truncation exactly."""
+    """events.parquet's ``ts`` physical type has varied across driver
+    testdata generations: TIMESTAMP(NANOS) (which Spark's reader rejects
+    outright without the legacy flag) or TIMESTAMP(MICROS) (read as
+    TIMESTAMP_NTZ). Normalize both to session-tz TIMESTAMP:
+
+    - nanos → read as long (legacy flag) and floor-divide to micros.
+      ``DIV`` (integer division) because a double division would lose
+      precision above 2^53 ns — matching DuckDB's nanos→micros
+      truncation exactly.
+    - micros NTZ → cast to TIMESTAMP (identity under the pinned UTC
+      session timezone, matching DuckDB's plain-TIMESTAMP read).
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if df.schema["ts"].dataType.simpleString() == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def dsum(col: Column, alias: str) -> Column:
