@@ -76,14 +76,81 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``DIV`` (integer division) because a double division would lose
       precision above 2^53 ns — matching DuckDB's nanos→micros
       truncation exactly.
-    - micros NTZ → cast to TIMESTAMP (identity under the pinned UTC
-      session timezone, matching DuckDB's plain-TIMESTAMP read).
+    - micros NTZ → cast to TIMESTAMP (identity under a UTC session
+      timezone, matching DuckDB's plain-TIMESTAMP read). The tz is
+      pinned HERE, not just in pin_session, so non-query callers
+      (bench warm-up, test star loads) get identical values too.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if df.schema["ts"].dataType.simpleString() == "bigint":
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def events_ts_is_nanos(spark: SparkSession, sf_dir: str) -> bool:
+    """Probe the events.parquet footer (one driver-side schema read, no
+    data scan) for the testdata generation: True = TIMESTAMP(NANOS)
+    (surfaces as bigint under the legacy flag), False = TIMESTAMP(MICROS)
+    (surfaces as timestamp_ntz)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.schema["ts"].dataType.simpleString() == "bigint"
+
+
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`read_events` — the file source needs an
+    explicit schema, so probe the batch footer once (driver-side, no
+    scan) and declare the schema matching the testdata generation:
+
+    - nanos → declare ``ts: long`` (the legacy-flag representation) and
+      floor-divide to micros, exactly like the batch path.
+    - micros → declare ``ts: timestamp_ntz`` (what the batch reader
+      infers) and cast to TIMESTAMP under the UTC session tz.
+
+    Every streaming query MUST ingest through this helper; a hard-coded
+    schema silently compresses timestamps 1000× when the generation
+    flips (the round-3 regression: 4 streaming queries returned garbage
+    because streamq.py pinned the nanos schema over micros data).
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    from udacity_dend_capstone_immigration_spark.streaming import read_stream
+
+    nanos = events_ts_is_nanos(spark, sf_dir)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType() if nanos else TimestampNTZType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    raw = read_stream(
+        spark,
+        sf_dir,
+        schema,
+        path_glob_filter="events.parquet",
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    if nanos:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def dsum(col: Column, alias: str) -> Column:
