@@ -1,0 +1,108 @@
+"""Events-ingest generation parity: the PRODUCTION batch and streaming
+readers must agree, bit-for-bit, on BOTH physical ``ts`` generations the
+driver testdata has shipped — TIMESTAMP(NANOS) and TIMESTAMP(MICROS).
+
+This is the regression test for the round-3/4 streaming breakage: a
+hard-coded nanos schema over micros data compressed every timestamp
+1000× and four streaming queries returned garbage while the unit suite
+stayed green, because every streaming test wrote its own fixtures and
+never pushed a testdata-shaped file through ``workload.base``'s real
+ingest path. These fixtures go through exactly ``read_events`` and
+``read_events_stream``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from udacity_dend_capstone_immigration_spark.streaming.windows import run_available_now
+from udacity_dend_capstone_immigration_spark.workload.base import (
+    read_events,
+    read_events_stream,
+)
+
+#: Epoch-nanos with sub-microsecond residue (…789 ns) so the nanos
+#: branch's DIV-1000 truncation is actually exercised, not a no-op.
+_TS_NANOS = [
+    1_700_000_000_123_456_789,
+    1_700_000_060_000_000_001,
+    1_700_003_600_999_999_999,
+    1_700_007_199_000_000_000,
+]
+_TS_MICROS = [t // 1000 for t in _TS_NANOS]
+
+
+def _write_events(tmp_path, name: str, unit: str):
+    """Write a testdata-shaped events.parquet (single file inside its own
+    sf-dir-shaped directory) with ts physical type timestamp[unit]."""
+    values = _TS_NANOS if unit == "ns" else _TS_MICROS
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array(values, pa.timestamp(unit)),
+            "user_id": pa.array([10, 10, 20, 20], pa.int64()),
+            "event_type": pa.array(["click", "view", "click", "purchase"]),
+            "value": pa.array([1.5, 2.5, 3.5, 4.5], pa.float64()),
+            "props": pa.array(["{}", "{}", "{}", "{}"]),
+        }
+    )
+    sf_dir = tmp_path / name
+    sf_dir.mkdir()
+    pq.write_table(table, sf_dir / "events.parquet")
+    return str(sf_dir)
+
+
+def _drain_stream(spark, sf_dir: str, tmp_path, tag: str):
+    stream = read_events_stream(spark, sf_dir)
+    return run_available_now(
+        stream,
+        f"ingest_parity_{tag}",
+        output_mode="append",
+        checkpoint_dir=str(tmp_path / f"ck_{tag}"),
+    )
+
+
+def _ts_by_id(rows):
+    return {r["event_id"]: r["ts"] for r in rows}
+
+
+@pytest.mark.parametrize("unit", ["us", "ns"])
+def test_batch_and_stream_agree_per_generation(spark, tmp_path, unit):
+    """read_events and read_events_stream must return identical ts values
+    for the same file — whichever physical generation it carries."""
+    sf_dir = _write_events(tmp_path, f"sf_{unit}", unit)
+    batch = _ts_by_id(read_events(spark, sf_dir).collect())
+    streamed = _ts_by_id(
+        _drain_stream(spark, sf_dir, tmp_path, unit).collect()
+    )
+    assert batch == streamed
+    assert len(batch) == 4
+
+
+def test_generations_agree_with_each_other(spark, tmp_path):
+    """The SAME logical instants written as nanos and as micros must
+    normalize to the same timestamps through both ingest paths (nanos
+    truncates the sub-micro residue, exactly like DuckDB)."""
+    us_dir = _write_events(tmp_path, "sf_us2", "us")
+    ns_dir = _write_events(tmp_path, "sf_ns2", "ns")
+    batch_us = _ts_by_id(read_events(spark, us_dir).collect())
+    batch_ns = _ts_by_id(read_events(spark, ns_dir).collect())
+    assert batch_us == batch_ns
+    stream_ns = _ts_by_id(_drain_stream(spark, ns_dir, tmp_path, "ns2").collect())
+    assert stream_ns == batch_us
+    # sanity: values are real micros-precision instants, not 1000x-compressed
+    micros = sorted(int(t.timestamp() * 1_000_000) for t in batch_us.values())
+    assert micros[0] == _TS_MICROS[0]
+
+
+def test_current_testdata_batch_stream_parity(spark, tmp_path):
+    """Whatever generation /root/testdata currently ships, the streaming
+    ingest must match the batch ingest on it (ADVICE r4 medium item)."""
+    sf_dir = "/root/testdata/sf0.001"
+    batch = _ts_by_id(read_events(spark, sf_dir).collect())
+    streamed = _ts_by_id(
+        _drain_stream(spark, sf_dir, tmp_path, "testdata").collect()
+    )
+    assert batch == streamed

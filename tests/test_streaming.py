@@ -209,16 +209,11 @@ def test_transform_with_state_gate_or_parity(spark, tmp_path):
         transform_with_state_available,
     )
     from udacity_dend_capstone_immigration_spark.streaming.windows import (
-        read_stream,
         run_available_now,
     )
-    from udacity_dend_capstone_immigration_spark.workload.streamq import EVENTS_RAW_SCHEMA
+    from udacity_dend_capstone_immigration_spark.workload.base import read_events_stream
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = read_stream(
-        spark, "/root/testdata/sf0.001", EVENTS_RAW_SCHEMA, path_glob_filter="events.parquet"
-    )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ev = read_events_stream(spark, "/root/testdata/sf0.001")
 
     if not transform_with_state_available():
         with pytest.raises(RuntimeError, match="protobuf"):

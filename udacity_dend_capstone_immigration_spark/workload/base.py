@@ -108,38 +108,34 @@ def read_events_stream(
     explicit schema, so probe the batch footer once (driver-side, no
     scan) and declare the schema matching the testdata generation:
 
-    - nanos → declare ``ts: long`` (the legacy-flag representation) and
-      floor-divide to micros, exactly like the batch path.
-    - micros → declare ``ts: timestamp_ntz`` (what the batch reader
-      infers) and cast to TIMESTAMP under the UTC session tz.
+    - nanos (inferred ``bigint`` under the legacy flag) → declare
+      ``ts: long`` and floor-divide to micros, exactly like the batch
+      path.
+    - micros NTZ (inferred ``timestamp_ntz``) → declare that and cast
+      to TIMESTAMP under the UTC session tz.
+    - micros UTC-adjusted (inferred ``timestamp``) → declare that;
+      identity cast.
+
+    The declared streaming schema mirrors the batch reader's *inferred*
+    type exactly — declaring NTZ over a UTC-adjusted column (or vice
+    versa) would silently shift values by the session offset.
 
     Every streaming query MUST ingest through this helper; a hard-coded
     schema silently compresses timestamps 1000× when the generation
     flips (the round-3 regression: 4 streaming queries returned garbage
     because streamq.py pinned the nanos schema over micros data).
     """
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-        TimestampNTZType,
-    )
+    from pyspark.sql.types import StructField, StructType
 
     from udacity_dend_capstone_immigration_spark.streaming import read_stream
 
-    nanos = events_ts_is_nanos(spark, sf_dir)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ts_type = batch_schema["ts"].dataType
+    nanos = ts_type.simpleString() == "bigint"
     schema = StructType(
-        [
-            StructField("event_id", LongType()),
-            StructField("ts", LongType() if nanos else TimestampNTZType()),
-            StructField("user_id", LongType()),
-            StructField("event_type", StringType()),
-            StructField("value", DoubleType()),
-            StructField("props", StringType()),
-        ]
+        [StructField(f.name, f.dataType, f.nullable) for f in batch_schema.fields]
     )
     raw = read_stream(
         spark,

@@ -5,6 +5,12 @@
 sink) and returns the drained table — proving the streaming tier
 computes the exact batch semantics the DuckDB oracle states. The
 testdata's finite events file is the stream backlog.
+
+Every query ingests through ``workload.base.read_events_stream``, which
+probes the parquet footer and declares the schema matching the testdata
+generation (TIMESTAMP(NANOS) vs TIMESTAMP(MICROS)). A hard-coded schema
+here silently compresses timestamps 1000× when the generation flips —
+the round-3/4 regression that broke four of these queries.
 """
 
 from __future__ import annotations
@@ -13,33 +19,17 @@ import tempfile
 import uuid
 
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
 
 from udacity_dend_capstone_immigration_spark.streaming import (
     session_window_agg,
-    read_stream,
     run_available_now,
     watermarked_tumbling,
 )
-from udacity_dend_capstone_immigration_spark.workload.base import dsum, query, sql_dsum
-
-#: events.parquet physical schema — ts is TIMESTAMP(NANOS), which Spark
-#: reads as long under the legacy nanosAsLong flag (workload.base.read_events).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
+from udacity_dend_capstone_immigration_spark.workload.base import (
+    dsum,
+    query,
+    read_events_stream,
+    sql_dsum,
 )
 
 
@@ -58,11 +48,7 @@ EVENTS_RAW_SCHEMA = StructType(
 def events_stream_hourly(spark, sf_dir):
     """Hourly tumbling counts computed BY THE STREAMING ENGINE (complete
     mode over the finite backlog == the batch group-by)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = read_stream(
-        spark, sf_dir, EVENTS_RAW_SCHEMA, path_glob_filter="events.parquet"
-    )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ev = read_events_stream(spark, sf_dir)
     agg = watermarked_tumbling(
         ev,
         "ts",
@@ -109,9 +95,7 @@ def events_stream_sessions(spark, sf_dir):
     last_ts + gap, exclusive), so the oracle's break condition is ``>=``
     — one tick stricter than the batch ``sessionize`` operator's ``>``.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = read_stream(spark, sf_dir, EVENTS_RAW_SCHEMA, path_glob_filter="events.parquet")
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ev = read_events_stream(spark, sf_dir)
     sess = session_window_agg(
         ev, "ts", "user_id", "30 minutes", [F.count(F.lit(1)).alias("event_cnt")],
         watermark="1 hour",
@@ -141,9 +125,7 @@ def events_stream_sliding(spark, sf_dir):
     finite backlog equals the batch union-expand."""
     from udacity_dend_capstone_immigration_spark.streaming import watermarked_sliding
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = read_stream(spark, sf_dir, EVENTS_RAW_SCHEMA, path_glob_filter="events.parquet")
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ev = read_events_stream(spark, sf_dir)
     agg = watermarked_sliding(
         ev, "ts", "2 hours", "1 hour", ["event_type"],
         [F.count(F.lit(1)).alias("event_cnt")], watermark="1 hour",
@@ -176,9 +158,7 @@ def events_stream_stateful_totals(spark, sf_dir):
         integer_totals_stateful,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = read_stream(spark, sf_dir, EVENTS_RAW_SCHEMA, path_glob_filter="events.parquet")
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ev = read_events_stream(spark, sf_dir)
     totals = integer_totals_stateful(ev)
     name = f"events_stream_stateful_{uuid.uuid4().hex[:8]}"
     ck = tempfile.mkdtemp(prefix="ck_events_stateful_")
@@ -204,15 +184,9 @@ def events_stream_dedup(spark, sf_dir):
     is at-least-once."""
     from udacity_dend_capstone_immigration_spark.streaming import watermarked_dedup
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
-    def one_stream():
-        raw = read_stream(
-            spark, sf_dir, EVENTS_RAW_SCHEMA, path_glob_filter="events.parquet"
-        )
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-
-    doubled = one_stream().unionByName(one_stream())
+    doubled = read_events_stream(spark, sf_dir).unionByName(
+        read_events_stream(spark, sf_dir)
+    )
     deduped = watermarked_dedup(doubled, "ts", ["event_id"], watermark="1 hour")
     name = f"events_stream_dedup_{uuid.uuid4().hex[:8]}"
     ck = tempfile.mkdtemp(prefix="ck_events_dedup_")
@@ -244,11 +218,7 @@ def events_stream_enriched(spark, sf_dir):
     to match the batch oracle."""
     from pyspark.sql.functions import broadcast
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = read_stream(
-        spark, sf_dir, EVENTS_RAW_SCHEMA, path_glob_filter="events.parquet"
-    )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ev = read_events_stream(spark, sf_dir)
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         "c_custkey", "c_mktsegment"
     )
@@ -289,13 +259,8 @@ def events_stream_click_attribution(spark, sf_dir):
     self-join oracle."""
     from udacity_dend_capstone_immigration_spark.streaming import stream_interval_join
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
     def typed_stream(event_type, ts_name, cols):
-        raw = read_stream(
-            spark, sf_dir, EVENTS_RAW_SCHEMA, path_glob_filter="events.parquet"
-        )
-        ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ev = read_events_stream(spark, sf_dir)
         return ev.where(F.col("event_type") == event_type).select(
             F.col("ts").alias(ts_name), *cols
         )
@@ -340,11 +305,7 @@ def events_stream_sink_roundtrip(spark, sf_dir):
     lost and duplicated nothing."""
     from udacity_dend_capstone_immigration_spark.streaming import run_foreach_batch_parquet
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = read_stream(
-        spark, sf_dir, EVENTS_RAW_SCHEMA, path_glob_filter="events.parquet"
-    )
-    ev = raw.select("event_id", "event_type", "value")
+    ev = read_events_stream(spark, sf_dir).select("event_id", "event_type", "value")
     out = tempfile.mkdtemp(prefix="sink_events_stream_")
     ck = tempfile.mkdtemp(prefix="ck_events_sink_")
     run_foreach_batch_parquet(ev, out, ck, partition_by=("event_type",))
@@ -373,18 +334,19 @@ def events_stream_transitions(spark, sf_dir):
     """Streaming CEP transition counts, streaming-executed: ``lag()`` is
     unsupported over unbounded input, so per-user order lives in explicit
     state (last (ts, id, type) per user — transition_counts_stateful).
-    The drained per-batch pair counts aggregate to exactly the batch lag
-    query's counts; cross-batch chaining is unit-tested with a forced
-    two-batch run (tests/test_streaming.py)."""
+    State orders by true integer micros (``unix_micros`` of the
+    normalized timestamp) + event_id — exactly the oracle's
+    ``ORDER BY ts, event_id``. The drained per-batch pair counts
+    aggregate to exactly the batch lag query's counts; cross-batch
+    chaining is unit-tested with a forced two-batch run
+    (tests/test_streaming.py)."""
     from udacity_dend_capstone_immigration_spark.streaming.stateful import (
         transition_counts_stateful,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = read_stream(spark, sf_dir, EVENTS_RAW_SCHEMA, path_glob_filter="events.parquet")
-    ev = raw.select(
+    ev = read_events_stream(spark, sf_dir).select(
         "event_id",
-        F.expr("ts DIV 1000").alias("ts_us"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
         "user_id",
         "event_type",
     )
