@@ -34,6 +34,7 @@ HEADLINE = [
     "dedup_exact_docs",
     "dedup_minhash_lsh",
     "dedup_substring_runs",
+    "dedup_winnowing_overlap",
     "doc_repetition_scores",
     "events_hourly_by_type",
     "events_sessionize",
@@ -97,8 +98,9 @@ def main() -> None:
     for name in ("lineitem", "orders", "customer", "nation", "region", "part",
                  "supplier", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{name}.parquet").limit(1).count()
-    # events stores TIMESTAMP(NANOS): warm via read_events (sets the
-    # nanosAsLong conf) so the warmup emits no swallowed ERROR stack
+    # events' ts physical type varies by testdata generation: warm via
+    # read_events (probes the footer, sets the confs it needs) so the
+    # warmup emits no swallowed ERROR stack
     read_events(spark, sf_dir).limit(1).count()
 
     timings: dict[str, float] = {}

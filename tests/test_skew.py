@@ -112,56 +112,39 @@ def test_salted_count_sum_rejects_unknown_row_id(spark):
         salted_count_sum(df, ["k"], "v", row_id_col="nope")
 
 
-def test_hot_shingle_self_join_gets_aqe_skew_split(spark):
-    """VERDICT r2 #8: plan evidence that a hot shingle does not straggle.
+def test_hot_shingle_grouped_pairs_complete_and_join_free(spark):
+    """Hot-shingle scale contract for the grouped substring_run_pairs
+    shape (round-5 rewrite of the VERDICT r2 #8 scenario).
 
-    A shingle shared by D docs makes one join key carry D rows per side
-    (D^2 output) — the classic straggler in dedup_substring_runs /
-    dedup_ngram_jaccard shingle equi-joins. AQE's OptimizeSkewedJoin
-    splits the oversized shuffle partition at runtime; this pins that it
-    actually FIRES on the shingle self-join shape. Thresholds are scaled
-    down to test size, and broadcast is disabled because at corpus scale
-    both shingle sides are far beyond any broadcast threshold (SMJ is
-    the real plan; at test size Spark would otherwise broadcast).
+    A shingle shared by D docs used to make one self-join key carry D
+    rows per side (the straggler AQE skew-split had to rescue). The
+    grouped shape instead collects the match group once and generates
+    pairs by double-explode inside the group, so: (a) the D^2 pair set
+    is still complete and correct, (b) the executed plan contains NO
+    join at all — one Exchange for the group stage, one for the
+    run-window — and (c) the ``max_shingle_df`` cap drops the hot group
+    outright, which is the production guard bounding per-group fan-out
+    on boilerplate-heavy corpora.
     """
     from udacity_dend_capstone_immigration_spark.operators.dedup import substring_run_pairs
 
-    tuned = {
-        "spark.sql.adaptive.enabled": "true",
-        "spark.sql.adaptive.skewJoin.enabled": "true",
-        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2KB",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
-        # keep AQE from coalescing everything into one partition first
-        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
-    }
-    old = {}
-    for k, v in tuned.items():
-        try:
-            old[k] = spark.conf.get(k)
-        except Exception:
-            old[k] = None
-        spark.conf.set(k, v)
-    try:
-        hot = "alpha beta gamma delta epsilon"  # one 5-gram shared by all docs
-        docs = spark.createDataFrame(
-            [(f"d{i:04d}", f"{hot} u{i:04d}") for i in range(400)],
-            "doc_id string, text string",
-        )
-        pairs = substring_run_pairs(
-            docs, "doc_id", "text", shingle_n=5, min_tokens=5, max_shingle_df=None
-        )
-        rows = pairs.collect()
-        # every doc pair shares exactly the 5-token run
-        assert len(rows) == 400 * 399 // 2
-        assert all(r["max_run_tokens"] == 5 for r in rows)
-        plan = pairs._jdf.queryExecution().executedPlan().toString()
-        assert "skew=true" in plan, f"no skew split in executed plan:\n{plan[:2000]}"
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+    hot = "alpha beta gamma delta epsilon"  # one 5-gram shared by all docs
+    docs = spark.createDataFrame(
+        [(f"d{i:04d}", f"{hot} u{i:04d}") for i in range(400)],
+        "doc_id string, text string",
+    )
+    pairs = substring_run_pairs(
+        docs, "doc_id", "text", shingle_n=5, min_tokens=5, max_shingle_df=None
+    )
+    rows = pairs.collect()
+    # every doc pair shares exactly the 5-token run
+    assert len(rows) == 400 * 399 // 2
+    assert all(r["max_run_tokens"] == 5 for r in rows)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, f"pair generation should be join-free:\n{plan[:2000]}"
+
+    # the stop-shingle cap removes the hot group before any fan-out
+    capped = substring_run_pairs(
+        docs, "doc_id", "text", shingle_n=5, min_tokens=5, max_shingle_df=100
+    )
+    assert capped.count() == 0

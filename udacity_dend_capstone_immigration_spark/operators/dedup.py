@@ -364,6 +364,7 @@ def winnowing_fingerprints(
     text_col: str,
     k: int = 8,
     window: int = 4,
+    distinct: bool = True,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
     rolling-hash fingerprint scheme MOSS uses): hash every character
@@ -373,30 +374,90 @@ def winnowing_fingerprints(
     one common fingerprint — partial-overlap detection that whole-doc
     md5 can't do, with output ~1/window of the k-gram count.
 
-    Spark shape: explode positions (codegen), one window pass per doc,
-    DISTINCT on (id, fingerprint). md5-based so the oracle matches
-    bit-for-bit. Returns (id_col, fingerprint).
+    Spark shape: repartition the COMPACT doc rows (id, normalized text —
+    a narrow shuffle of documents, not k-grams), then one map stage —
+    explode window-start positions (codegen) and take ``least()`` of the
+    ``window`` k-gram md5s computed inline. Each k-gram hash is
+    recomputed ``window`` times, but that beats the alternative (a
+    per-k-gram exchange + per-document sort for a window-function min)
+    by shuffling ~window× fewer, far narrower rows; the doc-level
+    repartition also spreads the ~300× explode fan-out across all cores
+    even when the input parquet is a handful of partitions (without it
+    the whole md5 stage runs on however many file splits the scan
+    produced). md5-based so the oracle matches bit-for-bit.
+    Returns (id_col, fingerprint).
+
+    ``distinct=False`` returns the raw selected rows (one per window
+    position, duplicates included) for callers that fold the dedup into
+    their own aggregation — :func:`winnowing_overlap_pairs` uses
+    ``collect_set`` so the dedup rides its fingerprint-group shuffle
+    instead of paying a separate exchange.
     """
     from udacity_dend_capstone_immigration_spark.functions.text import normalize_text
 
     norm = df.select(F.col(id_col), normalize_text(text_col).alias("t"))
-    npos = F.length("t") - (k - 1)
-    pos = norm.where(F.length("t") >= k).select(
+    norm = norm.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # positions with a full window of k-grams: 1 .. len - (k-1) - (window-1)
+    nwin = F.length("t") - F.lit(k + window - 2)
+    pos = norm.where(F.length("t") >= k + window - 1).select(
         F.col(id_col),
         "t",
-        F.explode(F.sequence(F.lit(1), npos)).alias("p"),
+        F.explode(F.sequence(F.lit(1), nwin)).alias("p"),
     )
-    kg = pos.select(
-        F.col(id_col), F.col("p"), F.md5(F.col("t").substr(F.col("p"), F.lit(k))).alias("h")
+    rows = pos.select(
+        F.col(id_col),
+        F.least(
+            *[
+                F.md5(F.col("t").substr(F.col("p") + F.lit(i), F.lit(k)))
+                for i in range(window)
+            ]
+        ).alias("fingerprint"),
     )
-    w = Window.partitionBy(id_col).orderBy("p")
-    win_min = F.min("h").over(w.rowsBetween(0, window - 1))
-    guard = F.lead("h", window - 1).over(w)
+    return rows.distinct() if distinct else rows
+
+
+def winnowing_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 20,
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints.
+
+    Pair generation is the grouped, join-free shape (one groupBy per
+    fingerprint building the doc group + its document frequency in the
+    same shuffle, then an in-group double explode) — NOT a fingerprint
+    self-equi-join. Winnowing's min-hash selection CONCENTRATES: the
+    same low-hash k-grams win their windows in every document that
+    contains them, so corpus boilerplate yields fingerprints shared by
+    thousands of documents and a self-join squares on them (measured at
+    sf0.1: one fingerprint in 3379/5000 docs; join volume 190M pairs —
+    OOM on a 128 GiB single node, a cluster-melter at 100 TB).
+    ``max_fp_df`` is the stop-fingerprint cap: fingerprints in more than
+    that many documents are boilerplate with no discriminative value and
+    are dropped before fan-out, bounding per-group output at cap². The
+    df >= 2 filter additionally prunes every unshared fingerprint before
+    the explode.
+
+    Returns (id_a, id_b, shared_fps) with id_a < id_b.
+    """
+    fps = winnowing_fingerprints(df, id_col, text_col, k, window, distinct=False)
+    grp = fps.groupBy("fingerprint").agg(
+        F.collect_set(F.col(id_col)).alias("g"),
+    )
+    grp = grp.select("g", F.size("g").alias("_df")).where(F.col("_df") >= 2)
+    if max_fp_df is not None:
+        grp = grp.where(F.col("_df") <= max_fp_df)
     return (
-        kg.select(F.col(id_col), win_min.alias("fingerprint"), guard.alias("_g"))
-        .where(F.col("_g").isNotNull())
-        .select(id_col, "fingerprint")
-        .distinct()
+        grp.select(F.explode("g").alias("id_a"), "g")
+        .select("id_a", F.explode("g").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
     )
 
 
@@ -439,36 +500,48 @@ def substring_run_pairs(
 
     A shared token run of length L is exactly a diagonal of L-n+1
     consecutive matches in (position_a - position_b) space, so:
-    positional shingles → md5 equi-join (never text bodies) → group by
-    (id_a, id_b, diagonal) → gaps-and-islands max consecutive run →
-    max over diagonals. Shuffle is O(matching shingle pairs), not
-    O(docs²); ``max_shingle_df`` drops shingles appearing in more than
-    that many documents (stop-shingle cap — the standard frequency
-    guard that keeps boilerplate from exploding the join at corpus
-    scale).
+    positional shingles → ONE groupBy(shingle-hash) building the match
+    group (collect_list of (id, pos)) and the document frequency in the
+    same shuffle → pair generation by double-explode WITHIN each group →
+    group by (id_a, id_b, diagonal) → gaps-and-islands max consecutive
+    run → max over diagonals.
+
+    Why grouped instead of a self-equi-join: the join shape shuffles the
+    full shingle set twice (both sides) plus once more for the
+    frequency cap, and recomputes the tokenize/explode/md5 scan three
+    times. Grouping shuffles the shingle set ONCE, evaluates the scan
+    once, applies the ``max_shingle_df`` stop-shingle cap as a plain
+    group filter (no anti-join), and — the big pruning win — drops every
+    group with df < 2 before pair generation (a shingle in one document
+    can never pair; on real corpora that's the overwhelming majority of
+    the vocabulary). Per-group fan-out is bounded by the cap, so the
+    explode can't square on boilerplate at corpus scale; match volume is
+    O(matching shingle pairs), not O(docs²), exactly as before.
 
     Returns (id_a, id_b, max_run_tokens) with id_a < id_b.
     """
     ps = positional_shingle_rows(df, id_col, text_col, shingle_n).select(
         F.col(id_col), "pos", F.md5("shingle").alias("h")
     )
+    grp = ps.groupBy("h").agg(
+        F.collect_list(
+            F.struct(F.col(id_col).alias("id"), F.col("pos").alias("p"))
+        ).alias("g"),
+        F.count_distinct(F.col(id_col)).alias("_df"),
+    )
+    grp = grp.where(F.col("_df") >= 2)
     if max_shingle_df is not None:
-        df_counts = ps.groupBy("h").agg(
-            F.count_distinct(F.col(id_col)).alias("_df")
+        grp = grp.where(F.col("_df") <= max_shingle_df)
+    m = (
+        grp.select(F.explode("g").alias("x"), "g")
+        .select("x", F.explode("g").alias("y"))
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.p").alias("pa"),
+            (F.col("x.p") - F.col("y.p")).alias("diag"),
         )
-        ps = ps.join(
-            F.broadcast(df_counts.where(F.col("_df") > max_shingle_df).select("h")),
-            "h",
-            "left_anti",
-        )
-    a = ps.select(
-        F.col(id_col).alias("id_a"), F.col("pos").alias("pa"), "h"
-    )
-    b = ps.select(
-        F.col(id_col).alias("id_b"), F.col("pos").alias("pb"), "h"
-    )
-    m = a.join(b, "h").where(F.col("id_a") < F.col("id_b")).select(
-        "id_a", "id_b", "pa", (F.col("pa") - F.col("pb")).alias("diag")
     )
     w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
     runs = (

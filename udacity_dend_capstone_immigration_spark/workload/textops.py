@@ -409,8 +409,13 @@ def doc_winnowing_fingerprints(spark, sf_dir):
 
 
 # --- overlap detection via winnowing: pairs sharing >= 20 selected
-# fingerprints. The join is on fingerprint hashes (32-char strings) —
-# never text — and candidates are bounded by fingerprint collisions.
+# fingerprints, on fingerprint hashes (32-char strings) — never text.
+# Winnowing min-hash selection concentrates on boilerplate (one
+# fingerprint hit 3379/5000 docs at sf0.1 → a fingerprint self-join is
+# 190M pairs → OOM), so fingerprints in > 50 docs are dropped as
+# stop-fingerprints — mirrored in the oracle's ``keep`` CTE — and pair
+# generation is the grouped join-free shape, fan-out bounded by 50²
+# per fingerprint.
 @query(
     "dedup_winnowing_overlap",
     oracle=f"""
@@ -427,7 +432,12 @@ def doc_winnowing_fingerprints(spark, sf_dir):
                lead(h, 3) OVER (PARTITION BY doc_id ORDER BY p) AS guard
         FROM kg
     ),
-    fps AS (SELECT DISTINCT doc_id, fp FROM win WHERE guard IS NOT NULL)
+    fps0 AS (SELECT DISTINCT doc_id, fp FROM win WHERE guard IS NOT NULL),
+    fps AS (
+        SELECT fps0.* FROM fps0
+        JOIN (SELECT fp FROM fps0 GROUP BY fp HAVING COUNT(*) <= 50) keep
+          USING (fp)
+    )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fps
     FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
@@ -435,16 +445,11 @@ def doc_winnowing_fingerprints(spark, sf_dir):
     """,
 )
 def dedup_winnowing_overlap(spark, sf_dir):
+    from udacity_dend_capstone_immigration_spark.operators.dedup import winnowing_overlap_pairs
+
     docs = table(spark, sf_dir, "documents")
-    fps = winnowing_fingerprints(docs, "doc_id", "text", k=8, window=4)
-    a = fps.select(F.col("doc_id").alias("id_a"), "fingerprint")
-    b = fps.select(F.col("doc_id").alias("id_b"), "fingerprint")
-    return (
-        a.join(b, ["fingerprint"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared_fps"))
-        .where(F.col("shared_fps") >= 20)
+    return winnowing_overlap_pairs(
+        docs, "doc_id", "text", k=8, window=4, min_shared=20, max_fp_df=50
     )
 
 
