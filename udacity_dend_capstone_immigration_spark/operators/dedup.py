@@ -263,21 +263,25 @@ def simhash64(df: DataFrame, id_col: str, tokens: Column) -> DataFrame:
     """
     tok = df.select(F.col(id_col), F.explode(tokens).alias("tok"))
     tok = tok.select(id_col, F.substring(F.md5("tok"), 1, 16).alias("h"))
-    # (doc, bit-position p, contribution ±1); digit value is exact in a
-    # double, so floor(digit / 2^(3 - p%4)) % 2 extracts bit p portably.
-    contrib = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda p: F.when(
-            F.floor(
-                F.conv(F.col("h").substr((p / 4).cast("int") + 1, F.lit(1)), 16, 10).cast("int")
-                / F.pow(F.lit(2.0), (F.lit(3) - (p % 4)).cast("double"))
-            ).cast("int")
-            % 2
-            == 1,
-            1,
-        ).otherwise(-1),
+    # Two codegen'd explode stages instead of a per-token `transform`
+    # lambda (interpreted HOFs evaluated conv/pow 64× per token —
+    # measured 13s at sf0.1; this shape is ~1s for identical rows):
+    # hex → (digit position d, digit value v) via split/posexplode, then
+    # v → its 4 bits msb-first via a plain arithmetic array. p = 4d+b.
+    dig = tok.select(
+        id_col, F.posexplode(F.slice(F.split("h", ""), 1, 16)).alias("d", "c")
+    ).select(id_col, "d", F.conv("c", 16, 10).cast("int").alias("v"))
+    bit4 = F.array(
+        (F.col("v") / 8).cast("int") % 2,
+        (F.col("v") / 4).cast("int") % 2,
+        (F.col("v") / 2).cast("int") % 2,
+        F.col("v") % 2,
     )
-    bits = tok.select(id_col, F.posexplode(contrib).alias("p", "v"))
+    bits = dig.select(id_col, "d", F.posexplode(bit4).alias("b", "bit")).select(
+        id_col,
+        (F.col("d") * 4 + F.col("b")).alias("p"),
+        (F.col("bit") * 2 - 1).alias("v"),
+    )
     summed = bits.groupBy(id_col, "p").agg(F.sum("v").alias("s"))
     return summed.groupBy(id_col).agg(
         F.transform(

@@ -666,14 +666,23 @@ def partitioned_write_roundtrip(spark, sf_dir):
 def approx_distinct_summary(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
     rsd = 0.02
-    agg = li.agg(
+    # Two SEPARATE passes, cross-joined (1 row × 1 row): mixing several
+    # COUNT(DISTINCT) with approx_count_distinct in ONE aggregate makes
+    # Catalyst route the HLL updates through the Expand it plans for the
+    # distinct columns — measured 30.5s vs 1.7s + 1.5s for the split
+    # aggregates at sf0.1 (~19× slower for identical results). Two scans
+    # of one column-pruned table beat one scan through an Expand.
+    exact = li.agg(
         F.countDistinct("l_orderkey").alias("exact_orders"),
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.countDistinct("l_suppkey").alias("exact_suppliers"),
+    )
+    approx = li.agg(
         F.approx_count_distinct("l_orderkey", rsd).alias("approx_orders"),
         F.approx_count_distinct("l_partkey", rsd).alias("approx_parts"),
         F.approx_count_distinct("l_suppkey", rsd).alias("approx_suppliers"),
     )
+    agg = exact.crossJoin(approx)
 
     def _ok(exact, approx):
         return (
