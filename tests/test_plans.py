@@ -97,10 +97,16 @@ def test_range_join_avoids_nested_loop(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_winnowing_stays_udf_free(spark):
+def test_winnowing_stays_udf_free_and_windowless(spark):
+    """The round-5 fingerprint shape computes each window's min as an
+    inline least() of the window's k-gram md5s — no Python boundary, and
+    no per-k-gram Window/sort stage (the only exchanges are the doc-level
+    repartition and the distinct aggregate)."""
     plan = plan_of(spark, "doc_winnowing_fingerprints")
     assert "BatchEvalPython" not in plan
-    assert "Window" in plan
+    assert "Window" not in plan
+    assert "Sort" not in plan
+    assert "least(" in plan
 
 
 def test_regional_supplier_revenue_plan(spark):
