@@ -121,9 +121,11 @@ def test_regional_supplier_revenue_plan(spark):
 
 
 def test_shingle_pipeline_has_no_exchange_before_aggregate(spark):
-    """Zero-shuffle shingle build: the only Exchanges in the minhash
-    signature subplan are the aggregate's own — the zip-slice shingle
-    construction itself must not shuffle or window-sort."""
+    """Shuffle-light shingle build: the zip-slice construction must not
+    window-sort, and the only allowed Exchange is spread_scan's narrow
+    doc-row round-robin (present exactly when the scan is unsplittable
+    — it carries compact pre-explode rows, never shingles). No Exchange
+    may sit AFTER the explode."""
     from udacity_dend_capstone_immigration_spark.operators.dedup import shingle_rows
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -132,9 +134,16 @@ def test_shingle_pipeline_has_no_exchange_before_aggregate(spark):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     plan = buf.getvalue()
-    assert "Exchange" not in plan
     assert "Window" not in plan
     assert "Generate" in plan  # the single explode
+    # one "(N) Exchange" detail header per physical Exchange node
+    assert plan.count(") Exchange") <= 1
+    if "Exchange" in plan:
+        # the spread exchange must feed the Generate, not consume it:
+        # the formatted tree prints root-first, so the upstream Exchange
+        # line appears after (below) the Generate line
+        assert plan.index("Generate") < plan.index("Exchange")
+        assert "RoundRobinPartitioning" in plan
 
 
 def test_correlated_subquery_is_decorrelated(spark):

@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from udacity_dend_capstone_immigration_spark.functions.text import doc_fingerprint, tokenize, word_shingles
+from udacity_dend_capstone_immigration_spark.operators.spread import spread_scan
 
 
 def exact_dedup(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
@@ -61,7 +62,9 @@ def shingle_rows(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
 ) -> DataFrame:
     """(id, shingle) rows: word n-grams via ``arrays_zip`` of shifted
-    ``slice``s, then one explode. ZERO shuffle.
+    ``slice``s, then one explode. Zero wide shuffles (``spread_scan``
+    adds one narrow doc-row exchange only when the scan is unsplittable
+    — see ``operators/spread.py``).
 
     ``arrays_zip``/``slice`` are collection expressions (not lambda
     HOFs), so the whole shingle build stays in whole-stage codegen —
@@ -74,7 +77,7 @@ def shingle_rows(
     equi-joins) without re-exploding.
     """
     toks = tokenize(text_col)
-    d = df.select(F.col(id_col), toks.alias("_t"))
+    d = spread_scan(df.select(F.col(id_col), toks.alias("_t")))
     shifted = [F.col("_t")] + [
         F.slice("_t", k + 1, F.greatest(F.size("_t") - k, F.lit(0))) for k in range(1, n)
     ]
@@ -261,7 +264,9 @@ def simhash64(df: DataFrame, id_col: str, tokens: Column) -> DataFrame:
     document length — and set the bit on a strictly-positive majority.
     Returns (id_col, simhash: array<int> of 64 bits, msb first).
     """
-    tok = df.select(F.col(id_col), F.explode(tokens).alias("tok"))
+    tok = spread_scan(df.select(F.col(id_col), tokens.alias("_t"))).select(
+        F.col(id_col), F.explode("_t").alias("tok")
+    )
     tok = tok.select(id_col, F.substring(F.md5("tok"), 1, 16).alias("h"))
     # Two codegen'd explode stages instead of a per-token `transform`
     # lambda (interpreted HOFs evaluated conv/pow 64× per token —
@@ -399,8 +404,7 @@ def winnowing_fingerprints(
     """
     from udacity_dend_capstone_immigration_spark.functions.text import normalize_text
 
-    norm = df.select(F.col(id_col), normalize_text(text_col).alias("t"))
-    norm = norm.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    norm = spread_scan(df.select(F.col(id_col), normalize_text(text_col).alias("t")))
     # positions with a full window of k-grams: 1 .. len - (k-1) - (window-1)
     nwin = F.length("t") - F.lit(k + window - 2)
     pos = norm.where(F.length("t") >= k + window - 1).select(
@@ -474,7 +478,7 @@ def positional_shingle_rows(
     codegen). Position order is what turns shingle matches into
     *consecutive-run* (exact substring) evidence."""
     toks = tokenize(text_col)
-    d = df.select(F.col(id_col), toks.alias("_t"))
+    d = spread_scan(df.select(F.col(id_col), toks.alias("_t")))
     shifted = [F.col("_t")] + [
         F.slice("_t", k + 1, F.greatest(F.size("_t") - k, F.lit(0))) for k in range(1, n)
     ]

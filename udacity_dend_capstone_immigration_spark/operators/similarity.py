@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from udacity_dend_capstone_immigration_spark.functions.vectors import dot, l2_norm
+from udacity_dend_capstone_immigration_spark.operators.spread import spread_scan
 from udacity_dend_capstone_immigration_spark.operators.topk import top_k_per_group
 
 #: ``brute_force_knn_arrow`` broadcasts the collected query set to every
@@ -70,7 +71,10 @@ def brute_force_knn(
     oracle comparison) is deterministic; ties break on candidate id.
     Returns (query_id, neighbor_id, cosine_sim, rank).
     """
-    q = _with_norm(queries, id_col).alias("q")
+    # the query side streams through the broadcast join and carries the
+    # interpreted dot-product fold — spread it so a 1-split scan doesn't
+    # serialize all n_q × n_c HOF evaluations onto one core
+    q = spread_scan(_with_norm(queries, id_col)).alias("q")
     c = _with_norm(corpus, id_col).alias("c")
     scored = (
         q.crossJoin(F.broadcast(c))
@@ -100,7 +104,7 @@ def cosine_pairs_above(
     Quadratic by definition — at scale, feed bucketed subsets (e.g. the
     sign-bit LSH buckets) instead of the whole corpus.
     """
-    n = _with_norm(df, id_col)
+    n = spread_scan(_with_norm(df, id_col))
     a = n.alias("q")
     b = n.alias("c")
     return (
@@ -328,7 +332,11 @@ def brute_force_knn_arrow(
                     }
                 )
 
-    partial = corpus.select(id_col, "embedding").mapInPandas(score, out_schema)
+    # spread the corpus so a 1-split scan fans the per-batch BLAS work
+    # across all Python workers instead of one
+    partial = spread_scan(corpus.select(id_col, "embedding")).mapInPandas(
+        score, out_schema
+    )
     return top_k_per_group(
         partial,
         partition_by=["query_id"],
