@@ -332,11 +332,12 @@ def brute_force_knn_arrow(
                     }
                 )
 
-    # spread the corpus so a 1-split scan fans the per-batch BLAS work
-    # across all Python workers instead of one
-    partial = spread_scan(corpus.select(id_col, "embedding")).mapInPandas(
-        score, out_schema
-    )
+    # deliberately NOT spread_scan'd: each mapInPandas partition pays a
+    # Python-worker spin-up + broadcast deserialization, which at small
+    # corpus sizes outweighs the BLAS parallelism (measured 0.6 -> 1.3s
+    # when round-robin'd to 32 partitions); a multi-split corpus at real
+    # scale parallelizes naturally
+    partial = corpus.select(id_col, "embedding").mapInPandas(score, out_schema)
     return top_k_per_group(
         partial,
         partition_by=["query_id"],

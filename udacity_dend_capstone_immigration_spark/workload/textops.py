@@ -29,7 +29,6 @@ from udacity_dend_capstone_immigration_spark.operators.dedup import (
     shingle_rows,
     simhash64,
 )
-from udacity_dend_capstone_immigration_spark.operators.spread import spread_scan
 from udacity_dend_capstone_immigration_spark.workload.base import (
     davg,
     query,
@@ -94,9 +93,7 @@ def doc_fingerprints(spark, sf_dir):
     from udacity_dend_capstone_immigration_spark.functions.text import CJK_PATTERN, LANG_MARKERS, tokenize
 
     docs = table(spark, sf_dir, "documents")
-    tok_rows = spread_scan(
-        docs.select("doc_id", tokenize(F.col("text")).alias("_t"))
-    ).select("doc_id", F.explode_outer("_t").alias("tok"))
+    tok_rows = docs.select("doc_id", F.explode_outer(tokenize(F.col("text"))).alias("tok"))
     hits = tok_rows.groupBy("doc_id").agg(
         F.count("tok").alias("n_tokens"),
         *[
@@ -519,11 +516,8 @@ def doc_repetition_scores(spark, sf_dir):
     # tokenize ONCE and lazily checkpoint the compact (doc_id, tokens)
     # rows: the unigram and bigram pipelines plus the doc spine would
     # otherwise each re-scan + re-tokenize the corpus (6 scans → 1)
-    # spread BEFORE the checkpoint: localCheckpoint freezes the current
-    # partitioning, so a 1-split scan would pin every downstream explode
-    # to one task
-    toks = spread_scan(
-        docs.select("doc_id", tokenize(F.col("text")).alias("_t"))
+    toks = docs.select(
+        "doc_id", tokenize(F.col("text")).alias("_t")
     ).localCheckpoint(eager=False)
 
     def _gram_stats(n: int, prefix: str):
@@ -710,9 +704,7 @@ _FH_DIM = 1024
 )
 def doc_feature_hashing(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
-    tok = spread_scan(
-        docs.select("doc_id", tokenize(F.col("text")).alias("_t"))
-    ).select("doc_id", F.explode("_t").alias("tok"))
+    tok = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
     bucket = (
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint") % _FH_DIM
     ).cast("int")
