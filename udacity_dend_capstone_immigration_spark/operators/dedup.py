@@ -617,20 +617,11 @@ def prefix_filter_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    ea = e.select(F.col(id_col).alias("id_a"), F.col("shingle").alias("g"))
-    eb = e.select(F.col(id_col).alias("id_b"), F.col("shingle").alias("g"))
-    inter = (
-        cand.join(ea, "id_a")
-        .join(eb, ["id_b", "g"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("i"))
+    # exact verify on collected shingle ARRAYS (codegen'd array_intersect
+    # / array_union) — one groupBy of the checkpointed rows instead of
+    # re-joining the full shingle set once per pair side; the same
+    # verify stage the MinHash pipeline uses
+    sets = e.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("shingle")).alias("shingles")
     )
-    za = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("na"))
-    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("nb"))
-    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
-    return (
-        inter.join(za, "id_a")
-        .join(zb, "id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
-    )
+    return jaccard_verified_pairs(cand, sets, id_col, threshold)
