@@ -252,9 +252,25 @@ def minhash_lsh_dedup_pairs(
     # this is the standard cache-the-small-intermediate trade (recompute
     # on block loss is not possible, so pair it with job retry).
     rows = rows.localCheckpoint(eager=False)
-    sig = minhash_signatures_agg(rows, id_col, num_hashes)
+    # ONE groupBy(doc) computes the 16 signature minima AND the shingle
+    # set in the same shuffle (both the signature branch and the verify
+    # branch group on id_col; separate aggregates would shuffle the
+    # shingle rows twice). The checkpoint stops the two downstream
+    # selects from re-running the aggregate.
+    h1, h2 = _hash_halves(F.col("shingle"))
+    hashed = rows.select(id_col, "shingle", h1.alias("_h1"), h2.alias("_h2"))
+    mins = [
+        F.min((F.col("_h1") + F.lit(i) * F.col("_h2")) % F.lit(MINHASH_P)).alias(f"_m{i}")
+        for i in range(num_hashes)
+    ]
+    grouped = hashed.groupBy(id_col).agg(
+        *mins, F.array_sort(F.collect_set("shingle")).alias("shingles")
+    ).localCheckpoint(eager=False)
+    sig = grouped.select(
+        id_col, F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig")
+    )
     cand = lsh_candidate_pairs(sig, id_col, bands, rows_per_band)
-    sets = rows.groupBy(id_col).agg(F.array_sort(F.collect_set("shingle")).alias("shingles"))
+    sets = grouped.select(id_col, "shingles")
     return jaccard_verified_pairs(cand, sets, id_col, threshold)
 
 
