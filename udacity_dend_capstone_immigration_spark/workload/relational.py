@@ -795,12 +795,16 @@ def orders_column_profile(spark, sf_dir):
     aggs, structs = [], []
     null_d = F.lit(None).cast("double")
     null_s = F.lit(None).cast("string")
+    # The count_distinct family goes in its OWN aggregate: multiple
+    # distinct columns force an Expand (xN row multiplication), and any
+    # plain agg in the same pass rides it — same ~19x pathology as
+    # approx_distinct_summary. Split passes + 1-row cross join instead.
+    nd_aggs = [
+        F.count_distinct(F.col(c)).alias(f"{c}_nd") for c, _ in _PROFILE_COLS
+    ]
     aggs.append(F.count(F.lit(1)).alias("_rows"))
     for c, kind in _PROFILE_COLS:
-        aggs += [
-            F.count(F.col(c)).alias(f"{c}_nn"),
-            F.count_distinct(F.col(c)).alias(f"{c}_nd"),
-        ]
+        aggs.append(F.count(F.col(c)).alias(f"{c}_nn"))
         if kind == "num":
             aggs += [
                 F.min(c).cast("double").alias(f"{c}_mn"),
@@ -813,7 +817,7 @@ def orders_column_profile(spark, sf_dir):
             ]
         else:
             aggs += [F.min(c).alias(f"{c}_ms"), F.max(c).alias(f"{c}_xs")]
-    wide = orders.agg(*aggs)
+    wide = orders.agg(*aggs).crossJoin(orders.agg(*nd_aggs))
     for c, kind in _PROFILE_COLS:
         structs.append(
             F.struct(
