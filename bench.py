@@ -111,6 +111,11 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # stop FIRST: the JVM occasionally emits async unified-logging lines
+    # (e.g. [gc,alloc] warnings) on the shared stdout; printing after
+    # shutdown guarantees the JSON is the final line for line-tailing
+    # consumers
+    spark.stop()
     print(
         json.dumps(
             {
@@ -120,9 +125,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
             }
-        )
+        ),
+        flush=True,
     )
-    spark.stop()
 
 
 if __name__ == "__main__":
