@@ -119,3 +119,50 @@ def test_substring_run_length_is_exact(spark, run_len, pad_a, pad_b):
     df = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
     out = substring_run_pairs(df, "doc_id", "text", shingle_n=5, min_tokens=5).collect()
     assert [(r["id_a"], r["id_b"], r["max_run_tokens"]) for r in out] == [(0, 1, run_len)]
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["w0", "w1", "w2", "w3"]), min_size=8, max_size=25),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_substring_runs_match_naive_reference(spark, corpora):
+    """The grouped join-free pair generation must equal a naive
+    longest-common-token-run reference on random corpora drawn from a
+    4-word alphabet (small alphabet → dense shingle collisions, the
+    regime where the diagonal bookkeeping could go wrong)."""
+    from udacity_dend_capstone_immigration_spark.operators.dedup import substring_run_pairs
+
+    n, min_tokens = 5, 6
+
+    def lcrun(a, b):
+        best = 0
+        for i in range(len(a)):
+            for j in range(len(b)):
+                k = 0
+                while i + k < len(a) and j + k < len(b) and a[i + k] == b[j + k]:
+                    k += 1
+                best = max(best, k)
+        return best
+
+    expected = {}
+    for i in range(len(corpora)):
+        for j in range(i + 1, len(corpora)):
+            r = lcrun(corpora[i], corpora[j])
+            if r >= min_tokens:
+                expected[(i, j)] = r
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(corpora)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["max_run_tokens"]
+        for r in substring_run_pairs(
+            df, "doc_id", "text", shingle_n=n, min_tokens=min_tokens
+        ).collect()
+    }
+    assert got == expected
