@@ -166,49 +166,62 @@ def minhash_signatures_agg(
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, id_col: str, bands: int, rows_per_band: int
+    sig_df: DataFrame,
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
+    max_bucket_df: int | None = None,
 ) -> DataFrame:
-    """Band the signature, bucket by band-hash, self-join buckets.
+    """Band the signature, bucket by band-hash, pair up within buckets.
 
     Input needs columns (id_col, sig). Output: distinct (id_a, id_b) with
-    id_a < id_b. The self-join shuffles on (band, bucket) — tiny keys —
-    and only colliding docs ever meet, so the join fan-out is bounded by
-    bucket sizes, not the corpus square.
+    id_a < id_b. Pair generation is the grouped, join-free shape — ONE
+    groupBy(band, bucket) collecting the doc group, then an in-group
+    double explode — not a bucket self-equi-join: the join shuffles the
+    banded rows twice and, worse, squares on any mega-bucket. Buckets
+    collect near-identical documents by construction, so a boilerplate
+    corpus (thousands of docs sharing one template) puts thousands of ids
+    in ONE bucket and the join fans out to its square — the same failure
+    class the winnowing fingerprint cap fixed (one fingerprint in
+    3379/5000 docs → 190M pairs → OOM). ``max_bucket_df`` is the
+    stop-bucket cap: buckets with more than that many documents are
+    boilerplate clusters better handled by exact dedup upstream, and are
+    dropped before fan-out, bounding per-group output at cap². Groups of
+    one doc can never pair and are pruned before the explode.
     """
+    # bands is a plan-time literal, so the band structs are built as plain
+    # expressions (slice/concat_ws are non-lambda collection exprs — stay
+    # in whole-stage codegen) instead of an interpreted transform() lambda
+    # over F.sequence.
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.md5(
+                F.concat(
+                    F.lit(f"{j}:"),
+                    F.concat_ws(
+                        ",",
+                        F.slice(F.col("sig"), j * rows_per_band + 1, rows_per_band).cast(
+                            "array<string>"
+                        ),
+                    ),
+                )
+            ).alias("bucket"),
+        )
+        for j in range(bands)
+    ]
     banded = sig_df.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda j: F.struct(
-                    j.alias("band"),
-                    F.md5(
-                        F.concat(
-                            j.cast("string"),
-                            F.lit(":"),
-                            F.concat_ws(
-                                ",",
-                                F.slice(F.col("sig"), j * rows_per_band + 1, rows_per_band).cast(
-                                    "array<string>"
-                                ),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
 
-    a = banded.alias("a")
-    b = banded.alias("b")
+    grp = banded.groupBy("band", "bucket").agg(F.collect_set(F.col(id_col)).alias("g"))
+    grp = grp.select("g", F.size("g").alias("_df")).where(F.col("_df") >= 2)
+    if max_bucket_df is not None:
+        grp = grp.where(F.col("_df") <= max_bucket_df)
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        grp.select(F.explode("g").alias("id_a"), "g")
+        .select("id_a", F.explode("g").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
 
@@ -239,24 +252,24 @@ def minhash_lsh_dedup_pairs(
     num_hashes: int = 24,
     bands: int = 8,
     threshold: float = 0.5,
+    max_bucket_df: int | None = None,
 ) -> DataFrame:
     """End-to-end MinHash/LSH near-dup pipeline: shingle → signature →
     banded buckets → candidate pairs → Jaccard verify."""
     rows_per_band = num_hashes // bands
+    # Since the signature/shingle-set aggregate merge, the exploded
+    # shingle rows have exactly ONE consumer (the grouped aggregate
+    # below), so they are deliberately NOT checkpointed — materializing
+    # a single-consumer intermediate only adds a block-manager write +
+    # read with zero reuse (the leftover checkpoint here was the r5
+    # driver-bench regression: first-run 6.4s → 2.6s without it).
     rows = shingle_rows(df, id_col, text_col, shingle_n, distinct=False)
-    # Both the signature branch and the shingle-set branch consume the
-    # exploded rows; without materialization Spark recomputes the whole
-    # tokenize→explode→window pipeline per branch (~27% slower measured
-    # at sf0.1). localCheckpoint stores the compact (id, shingle) rows —
-    # never document bodies — and truncates lineage; at cluster scale
-    # this is the standard cache-the-small-intermediate trade (recompute
-    # on block loss is not possible, so pair it with job retry).
-    rows = rows.localCheckpoint(eager=False)
-    # ONE groupBy(doc) computes the 16 signature minima AND the shingle
-    # set in the same shuffle (both the signature branch and the verify
-    # branch group on id_col; separate aggregates would shuffle the
-    # shingle rows twice). The checkpoint stops the two downstream
-    # selects from re-running the aggregate.
+    # ONE groupBy(doc) computes the num_hashes signature minima AND the
+    # shingle set in the same shuffle (both the signature branch and the
+    # verify branch group on id_col; separate aggregates would shuffle
+    # the shingle rows twice). The checkpoint stops the three downstream
+    # reads (banding + both verify join sides) from re-running the
+    # aggregate.
     h1, h2 = _hash_halves(F.col("shingle"))
     hashed = rows.select(id_col, "shingle", h1.alias("_h1"), h2.alias("_h2"))
     mins = [
@@ -269,7 +282,7 @@ def minhash_lsh_dedup_pairs(
     sig = grouped.select(
         id_col, F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig")
     )
-    cand = lsh_candidate_pairs(sig, id_col, bands, rows_per_band)
+    cand = lsh_candidate_pairs(sig, id_col, bands, rows_per_band, max_bucket_df)
     sets = grouped.select(id_col, "shingles")
     return jaccard_verified_pairs(cand, sets, id_col, threshold)
 

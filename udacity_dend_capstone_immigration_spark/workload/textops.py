@@ -245,6 +245,12 @@ def dedup_ngram_jaccard(spark, sf_dir):
 # = (h1 + i*h2) mod MINHASH_P with h1/h2 the md5's 32-bit halves.
 _MH_N, _MH_BANDS, _MH_R = 16, 4, 4
 _MH_P = 4294967291
+#: Stop-bucket cap (max docs per LSH bucket before the bucket is dropped
+#: as boilerplate). Mirrored between the operator call and the oracle's
+#: ``bg`` CTE; at the current corpus the largest bucket holds 5 docs, so
+#: 50 is semantics-preserving here while bounding in-bucket fan-out at
+#: cap² on boilerplate-heavy corpora.
+_MH_BUCKET_CAP = 50
 _MH_SIG = f"""
     SELECT doc_id, shingles,
            list_transform(generate_series(0, {_MH_N - 1}),
@@ -267,10 +273,15 @@ _MH_SIG = f"""
                    array_to_string(list_slice(sig, j*{_MH_R}+1, j*{_MH_R}+{_MH_R}), ',')) AS bucket
         FROM sig, UNNEST(generate_series(0, {_MH_BANDS - 1})) AS u(j)
     ),
+    bg AS (
+        SELECT j, bucket FROM bands GROUP BY j, bucket
+        HAVING COUNT(*) BETWEEN 2 AND {_MH_BUCKET_CAP}
+    ),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b
             ON a.j = b.j AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        JOIN bg ON bg.j = a.j AND bg.bucket = a.bucket
     ),
     z AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh)
     SELECT id_a, id_b,
@@ -287,7 +298,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     O(docs × bands) small keys; only bucket-colliding docs ever pair."""
     docs = table(spark, sf_dir, "documents")
     return minhash_lsh_dedup_pairs(
-        docs, "doc_id", "text", shingle_n=3, num_hashes=_MH_N, bands=_MH_BANDS, threshold=0.5
+        docs, "doc_id", "text", shingle_n=3, num_hashes=_MH_N, bands=_MH_BANDS, threshold=0.5, max_bucket_df=_MH_BUCKET_CAP
     )
 
 
@@ -374,7 +385,7 @@ from udacity_dend_capstone_immigration_spark.workload.base import ORACLES  # noq
 def dedup_clusters(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     pairs = minhash_lsh_dedup_pairs(
-        docs, "doc_id", "text", shingle_n=3, num_hashes=_MH_N, bands=_MH_BANDS, threshold=0.5
+        docs, "doc_id", "text", shingle_n=3, num_hashes=_MH_N, bands=_MH_BANDS, threshold=0.5, max_bucket_df=_MH_BUCKET_CAP
     ).select("id_a", "id_b")
     return connected_components(pairs, docs.select("doc_id"), id_col="doc_id")
 
@@ -750,7 +761,7 @@ def dedup_keep_best(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     pairs = minhash_lsh_dedup_pairs(
-        docs, "doc_id", "text", shingle_n=3, num_hashes=_MH_N, bands=_MH_BANDS, threshold=0.5
+        docs, "doc_id", "text", shingle_n=3, num_hashes=_MH_N, bands=_MH_BANDS, threshold=0.5, max_bucket_df=_MH_BUCKET_CAP
     ).select("id_a", "id_b")
     clusters = connected_components(pairs, docs.select("doc_id"), id_col="doc_id")
     q = docs.select("doc_id", F.length(normalize_text("text")).alias("quality"))
@@ -821,7 +832,7 @@ def _pr_iter(prev: str, out: str) -> str:
 def doc_pagerank_near_dup(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     pairs = minhash_lsh_dedup_pairs(
-        docs, "doc_id", "text", shingle_n=3, num_hashes=_MH_N, bands=_MH_BANDS, threshold=0.5
+        docs, "doc_id", "text", shingle_n=3, num_hashes=_MH_N, bands=_MH_BANDS, threshold=0.5, max_bucket_df=_MH_BUCKET_CAP
     ).select("id_a", "id_b")
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
