@@ -205,3 +205,40 @@ def test_prefix_filter_matches_full_join(spark):
             want.add((r["id_a"], r["id_b"], round(j, 6)))
     assert got == want
     assert (0, 3, 1.0) in got  # the identical pair survives
+
+
+def test_lsh_bucket_cap_drops_mega_bucket(spark):
+    # 8 identical docs collide into ONE bucket per band (the boilerplate
+    # mega-bucket shape); with the stop-bucket cap below the bucket size
+    # no pair is generated, without it the full C(8,2) square comes out.
+    df = _docs(spark, ["alpha beta gamma delta epsilon zeta"] * 8 + ["totally different words here now"])
+    sig = minhash_signatures_agg(shingle_rows(df, "doc_id", "text", 3), "doc_id", 8)
+    uncapped = lsh_candidate_pairs(sig, "doc_id", bands=2, rows_per_band=4)
+    assert uncapped.count() == 28  # 8 choose 2
+    capped = lsh_candidate_pairs(sig, "doc_id", bands=2, rows_per_band=4, max_bucket_df=7)
+    assert capped.count() == 0
+    # cap above the bucket size is a no-op
+    roomy = lsh_candidate_pairs(sig, "doc_id", bands=2, rows_per_band=4, max_bucket_df=8)
+    assert roomy.count() == 28
+
+
+def test_prefix_filter_cap_drops_hot_prefix_tokens(spark):
+    from udacity_dend_capstone_immigration_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    # near-identical doc pair is found normally...
+    texts = [
+        "the quick brown fox jumps over the lazy dog by the river bank",
+        "the quick brown fox jumps over the lazy dog by the river edge",
+    ]
+    df = _docs(spark, texts)
+    found = prefix_filter_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in found] == [(0, 1)]
+    # ...but a cap of 1 marks every shared prefix token as boilerplate-hot,
+    # so the candidate stage produces nothing — the documented recall
+    # trade of the hard fan-out bound.
+    capped = prefix_filter_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.5, max_prefix_df=1
+    )
+    assert capped.count() == 0

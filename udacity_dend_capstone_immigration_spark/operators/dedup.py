@@ -227,10 +227,28 @@ def lsh_candidate_pairs(
 
 
 def jaccard_verified_pairs(
-    pairs: DataFrame, shingle_df: DataFrame, id_col: str, threshold: float
+    pairs: DataFrame,
+    shingle_df: DataFrame,
+    id_col: str,
+    threshold: float,
+    spread: bool = False,
 ) -> DataFrame:
     """Join candidate pairs back to their shingle sets and keep pairs with
-    true Jaccard >= threshold. Returns (id_a, id_b, jaccard)."""
+    true Jaccard >= threshold. Returns (id_a, id_b, jaccard).
+
+    ``spread=True`` repartitions the candidate pairs to default
+    parallelism first: pair rows are two ids — tiny in bytes — so AQE's
+    byte-based coalescing packs a large candidate set into a handful of
+    partitions while the per-row verify cost (array_intersect over the
+    joined shingle arrays) is CPU-heavy. Measured at sf0.1 on 409k
+    prefix-filter candidates: AQE coalesced to 3 tasks, 17.7 cpu-sec
+    serialized; the explicit spread runs it wide. Leave False for small
+    candidate sets (LSH output) where the extra exchange is pure
+    overhead.
+    """
+    if spread:
+        sc = pairs.sparkSession.sparkContext
+        pairs = pairs.repartition(sc.defaultParallelism)
     s1 = shingle_df.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     s2 = shingle_df.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -601,6 +619,7 @@ def prefix_filter_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_prefix_df: int | None = None,
 ) -> DataFrame:
     """Set-similarity join via prefix filtering (the PPJoin/AllPairs
     family, Chaudhuri et al. / Xiao et al.): order each document's
@@ -610,11 +629,23 @@ def prefix_filter_jaccard_pairs(
     complete while the join touches rare tokens instead of every
     shingle. The exact-Jaccard verify then filters candidates.
 
-    Same verified output as the full shingle equi-join
-    (:func:`..workload.textops.dedup_ngram_jaccard` shape) — the win is
-    join volume: hot (frequent) shingles are excluded from candidate
-    generation, which is exactly what explodes on boilerplate-heavy
-    corpora at scale. Shuffles carry (id, shingle-rank) pairs only.
+    The win over the full shingle equi-join is join volume: hot
+    (frequent) shingles are mostly excluded from candidate generation by
+    ranking, which is exactly what explodes on boilerplate-heavy corpora
+    at scale. Shuffles carry (id, shingle-rank) pairs only.
+
+    Prefix ranking alone is NOT a hard bound, though: on a
+    boilerplate-dominated corpus even the *rarest* shingles of many
+    documents coincide (thousands of near-identical docs have identical
+    prefixes), so the candidate stage can still square — measured as the
+    steepest scale exponent in the suite (5.0× wall-time at 10× data).
+    ``max_prefix_df`` is the hard cap: candidate generation is the
+    grouped join-free shape (ONE groupBy(shingle) over prefix rows, df
+    filter, in-group double explode), and prefix tokens appearing in
+    more than ``max_prefix_df`` documents' prefixes are dropped before
+    fan-out, bounding per-group output at cap². A pair whose every
+    shared prefix token is that hot is boilerplate better handled by
+    exact/minhash dedup upstream.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
@@ -636,21 +667,41 @@ def prefix_filter_jaccard_pairs(
         ranked.withColumn("_pos", F.row_number().over(w))
         .join(sizes, id_col)
         .where(F.col("_pos") <= prefix_len)
-        .select(F.col(id_col), "shingle")
+        .select(F.col(id_col), "shingle", "_n")
     )
-    a = prefix.select(F.col(id_col).alias("id_a"), "shingle")
-    b = prefix.select(F.col(id_col).alias("id_b"), "shingle")
+    # Set sizes ride the group structs so the PPJoin LENGTH filter prunes
+    # in-group, before the distinct: Jaccard >= t implies
+    # min(|a|,|b|) >= t * max(|a|,|b|) (intersection <= min, union >=
+    # max), so dropping length-mismatched pairs here is pure pruning —
+    # no semantic change, no oracle mirror needed — and it cuts ~25% of
+    # candidates on this corpus before the expensive verify join.
+    pgrp = prefix.groupBy("shingle").agg(
+        F.collect_set(F.struct(F.col(id_col).alias("id"), F.col("_n").alias("n"))).alias(
+            "ids"
+        )
+    )
+    pgrp = pgrp.select("ids", F.size("ids").alias("_pdf")).where(F.col("_pdf") >= 2)
+    if max_prefix_df is not None:
+        pgrp = pgrp.where(F.col("_pdf") <= max_prefix_df)
     cand = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        pgrp.select(F.explode("ids").alias("x"), "ids")
+        .select("x", F.explode("ids").alias("y"))
+        .where(
+            (F.col("x.id") < F.col("y.id"))
+            & (
+                F.least("x.n", "y.n")
+                >= F.lit(threshold) * F.greatest("x.n", "y.n")
+            )
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
     # exact verify on collected shingle ARRAYS (codegen'd array_intersect
     # / array_union) — one groupBy of the checkpointed rows instead of
     # re-joining the full shingle set once per pair side; the same
-    # verify stage the MinHash pipeline uses
+    # verify stage the MinHash pipeline uses. spread=True: the candidate
+    # set is large and CPU-heavy per row (see jaccard_verified_pairs).
     sets = e.groupBy(id_col).agg(
         F.array_sort(F.collect_set("shingle")).alias("shingles")
     )
-    return jaccard_verified_pairs(cand, sets, id_col, threshold)
+    return jaccard_verified_pairs(cand, sets, id_col, threshold, spread=True)

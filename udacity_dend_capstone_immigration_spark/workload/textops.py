@@ -190,15 +190,25 @@ def dedup_exact_docs(spark, sf_dir):
     return exact_dedup_by_fingerprint(docs, "doc_id", "text")
 
 
-# --- n-gram Jaccard near-dup: exploded shingle equi-join, exact scores.
+# --- n-gram Jaccard near-dup: grouped shingle pair generation, exact
+# scores. Stop-shingle cap: shingles in more than this many documents
+# are boilerplate and are excluded from intersection evidence (mirrored
+# in the oracle's ``keep`` CTE). Set sizes stay uncapped, so kept pairs
+# score their TRUE Jaccard minus only hot-shingle contributions.
+_NGRAM_SHINGLE_CAP = 50
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH sh AS ({SHINGLES}),
     e AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+    keep AS (SELECT g FROM e GROUP BY g
+             HAVING COUNT(*) BETWEEN 2 AND {_NGRAM_SHINGLE_CAP}),
     inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
         FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        JOIN keep ON keep.g = a.g
         GROUP BY a.doc_id, b.doc_id
     ),
     z AS (SELECT doc_id, len(shingles) AS n FROM sh)
@@ -209,23 +219,34 @@ def dedup_exact_docs(spark, sf_dir):
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Candidates come from the shingle equi-join (docs sharing ≥1
-    shingle), not a cross product; the group-count is map-side
-    combinable. At 100 TB you'd band first (see dedup_minhash_lsh) —
-    this is the exact-verification building block."""
+    """Exact-Jaccard near-dup via ONE groupBy(shingle) building the doc
+    group + document frequency in the same shuffle, then an in-group
+    double explode — never a shingle self-equi-join (CLAUDE.md hard-won
+    rule: one hot shingle squares the join; the exact OOM the winnowing
+    path hit pre-cap). Groups with df < 2 (the bulk of the vocabulary)
+    are pruned before fan-out; the ``_NGRAM_SHINGLE_CAP`` stop-shingle
+    cap (oracle-mirrored) bounds per-group pair output at cap² so
+    boilerplate can't blow up at corpus scale. The intersection count is
+    map-side combinable; set sizes ride a second aggregate of the same
+    checkpointed rows."""
     docs = table(spark, sf_dir, "documents")
-    # the distinct shingle rows feed three consumers (both join sides +
-    # set sizes); a lazy checkpoint tokenizes the corpus once instead of
-    # four times (explain audit: 8 scans → 0 rescans)
+    # the distinct shingle rows feed two consumers (pair groups + set
+    # sizes); a lazy checkpoint tokenizes the corpus once instead of
+    # twice
     e = (
         shingle_rows(docs, "doc_id", "text", 3)
         .withColumnRenamed("shingle", "g")
         .localCheckpoint(eager=False)
     )
-    a, b = e.alias("a"), e.alias("b")
+    grp = e.groupBy("g").agg(F.collect_set("doc_id").alias("ids"))
+    grp = grp.select("ids", F.size("ids").alias("_df")).where(
+        (F.col("_df") >= 2) & (F.col("_df") <= _NGRAM_SHINGLE_CAP)
+    )
     inter = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        grp.select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
     z = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -841,15 +862,53 @@ def doc_pagerank_near_dup(spark, sf_dir):
 
 
 # --- prefix-filtering set-similarity join (PPJoin/AllPairs family):
-# same verified pairs as dedup_ngram_jaccard (same oracle — algorithm
-# equivalence, like knn_brute_force_arrow), but candidates come from
-# each set's rarest-shingle prefix instead of every shingle, so hot
-# boilerplate shingles never enter the join — the variant that holds
-# up on repetitive corpora at scale.
+# candidates come from each set's rarest-shingle prefix instead of every
+# shingle, so hot boilerplate shingles rarely enter the join — the
+# variant that holds up on repetitive corpora at scale. The oracle
+# mirrors the FULL candidate semantics (per-doc (df, shingle) ranking,
+# prefix length |s| - ceil(t*|s|) + 1, prefix-token df cap) rather than
+# sharing the ngram oracle: with the hard cap, prefix filtering is no
+# longer guaranteed-complete on pathological corpora, so equivalence to
+# the full join is not an invariant to assert.
 from udacity_dend_capstone_immigration_spark.operators.dedup import prefix_filter_jaccard_pairs  # noqa: E402
 
+_PREFIX_DF_CAP = 50
 
-@query("dedup_prefix_filter_jaccard", oracle=ORACLES["dedup_ngram_jaccard"])
+
+@query(
+    "dedup_prefix_filter_jaccard",
+    oracle=f"""
+    WITH sh AS ({SHINGLES}),
+    e AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+    freq AS (SELECT g, COUNT(*) AS df FROM e GROUP BY g),
+    z AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh),
+    ranked AS (
+        SELECT e.doc_id, e.g,
+               row_number() OVER (PARTITION BY e.doc_id ORDER BY f.df, e.g) AS pos
+        FROM e JOIN freq f ON e.g = f.g
+    ),
+    prefix AS (
+        SELECT r.doc_id, r.g
+        FROM ranked r JOIN z ON r.doc_id = z.doc_id
+        WHERE r.pos <= z.n - CEIL(0.5 * z.n) + 1
+    ),
+    pg AS (SELECT g FROM prefix GROUP BY g
+           HAVING COUNT(*) BETWEEN 2 AND {_PREFIX_DF_CAP}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM prefix a JOIN prefix b ON a.g = b.g AND a.doc_id < b.doc_id
+        JOIN pg ON pg.g = a.g
+    )
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(za.shingles, zb.shingles)) AS DOUBLE)
+               / len(list_distinct(za.shingles || zb.shingles)) AS jaccard
+    FROM cand JOIN z za ON id_a = za.doc_id JOIN z zb ON id_b = zb.doc_id
+    WHERE CAST(len(list_intersect(za.shingles, zb.shingles)) AS DOUBLE)
+               / len(list_distinct(za.shingles || zb.shingles)) >= 0.5
+    """,
+)
 def dedup_prefix_filter_jaccard(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
-    return prefix_filter_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return prefix_filter_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_prefix_df=_PREFIX_DF_CAP
+    )
