@@ -30,8 +30,10 @@ FLAGSHIP = "top_nations_by_orders"
 #: queries follow in registration order — nothing dropped, only
 #: reordered.
 SHOWCASE = [
-    # streaming tier — red in r3/r4 (nanos-schema-over-micros-data bug),
-    # fixed this round by routing ingest through read_events_stream
+    # streaming tier — hourly/sessions were red in r3 (nanos-schema-over-
+    # micros-data bug, fixed by routing ingest through
+    # read_events_stream); sliding/click_attribution had no official row
+    # at all before r5
     "events_stream_hourly",
     "events_stream_sessions",
     "events_stream_sliding",

@@ -99,7 +99,9 @@ def test_showcase_window_completes_official_coverage():
     Rounds 2–3 gave official rows to 80 distinct queries (their
     CORRECTNESS files are checked in); the current window must (a) be 50
     unique registered queries, dropping nothing from the registry, (b)
-    re-prove the 4 streaming queries whose r3/r4 rows were red, and (c)
+    re-prove the 2 streaming queries red in r3 (hourly, sessions) and
+    first-record the 2 streaming queries with no official row at all
+    (sliding, click_attribution), and (c)
     close the gap: every registered query has an official row across
     r2 ∪ r3 ∪ this window."""
     import json

@@ -501,6 +501,15 @@ def winnowing_overlap_pairs(
     df >= 2 filter additionally prunes every unshared fingerprint before
     the explode.
 
+    Memory bound: the cap filters AFTER the collect_set, so one hot
+    fingerprint's group is still fully buffered in a single reducer's
+    aggregation buffer before being dropped — but the element is a bare
+    doc id (~8 bytes), so even a fingerprint shared by ten million
+    documents buffers ~80 MB, inside executor memory. If corpus profiling
+    ever shows hotter fingerprints than that, pre-filter with a
+    count-only aggregate + join (no collect) before this one — costs an
+    extra shuffle, so it is not the default.
+
     Returns (id_a, id_b, shared_fps) with id_a < id_b.
     """
     fps = winnowing_fingerprints(df, id_col, text_col, k, window, distinct=False)
@@ -576,6 +585,15 @@ def substring_run_pairs(
     the vocabulary). Per-group fan-out is bounded by the cap, so the
     explode can't square on boilerplate at corpus scale; match volume is
     O(matching shingle pairs), not O(docs²), exactly as before.
+
+    Memory bound: the df cap filters AFTER the collect_list, so a hot
+    shingle's (id, pos) structs (~16 bytes each) are fully buffered in
+    one reducer before the group is dropped — ~16 MB per million
+    occurrences; the residual risk is a single shingle repeated
+    pathologically often (df counts documents, not occurrences). If a
+    corpus profile shows that shape, pre-filter with a count-only
+    aggregate + join (no collect) before this one — an extra shuffle,
+    so not the default.
 
     Returns (id_a, id_b, max_run_tokens) with id_a < id_b.
     """

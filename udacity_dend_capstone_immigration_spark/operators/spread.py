@@ -17,18 +17,34 @@ partitions than the cluster has slots — on a real multi-split layout
 
 from __future__ import annotations
 
+import logging
+
+from pyspark.errors import PySparkException
 from pyspark.sql import DataFrame
+
+logger = logging.getLogger(__name__)
 
 
 def spread_scan(df: DataFrame) -> DataFrame:
     """Repartition ``df`` to ``defaultParallelism`` iff its current plan
     yields fewer partitions; identity otherwise. Call on narrow rows
-    (ids + text to be exploded), never on already-fanned-out output."""
+    (ids + text to be exploded), never on already-fanned-out output.
+
+    The partition probe converts the plan to an RDD, which is undefined
+    for streaming/unsupported plans — those fall through to identity
+    (logged), so batch/streaming twins can share operator code. Any
+    non-Spark exception is a real bug and propagates.
+    """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
         nparts = df.rdd.getNumPartitions()
-    except Exception:
+    except PySparkException as exc:
+        # streaming plans (and other non-RDD-convertible shapes) can't be
+        # probed; skipping the spread is correct but worth a trace — a
+        # scan that silently stays at 1 partition is the exact failure
+        # this helper exists to fix.
+        logger.debug("spread_scan skipped (plan not probeable): %s", exc)
         return df
     if nparts >= target:
         return df
