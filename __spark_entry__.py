@@ -21,76 +21,77 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "top_nations_by_orders"
 
 #: The driver's CORRECTNESS record keeps only the first 50 entries of
-#: ``queries()``. Rounds 2–4 gave official green rows to 80 distinct
-#: queries (r2 = registration-order head; r3/r4 = the module-coverage
-#: showcase). This round-5 window holds the 4 streaming queries whose
-#: r3/r4 rows were red (fixed this round — proven officially here) plus
-#: ALL 46 queries that never had an official row, so that across r2–r5
-#: every registered query has a green official record. The remaining
-#: queries follow in registration order — nothing dropped, only
-#: reordered.
+#: ``queries()``. Official coverage is complete: across r1–r5 every one
+#: of the 126 registered queries has at least one green official row
+#: (r5 closed the gap). This round-6 window therefore prioritizes the
+#: queries whose RESULTS changed this round — the stop-bucket /
+#: stop-shingle / prefix-df caps alter the minhash-family and
+#: ngram/prefix pair sets, so their historical green rows describe the
+#: old semantics and must be re-recorded — followed by the 18 bench
+#: headliners and the streaming tier kept under standing official
+#: watch. The remaining queries follow in registration order — nothing
+#: dropped, only reordered.
 SHOWCASE = [
-    # streaming tier — hourly/sessions were red in r3 (nanos-schema-over-
-    # micros-data bug, fixed by routing ingest through
-    # read_events_stream); sliding/click_attribution had no official row
-    # at all before r5
+    # semantics changed this round: max_bucket_df=50 on LSH buckets
+    # (inherited by clusters/keep_best/pagerank), stop-shingle cap on
+    # ngram, prefix-df cap + length filter on prefix-filter
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_prefix_filter_jaccard",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "doc_pagerank_near_dup",
+    # bench headliners (perf re-proven this round) kept under official
+    # correctness watch
+    "top_nations_by_orders",
+    "pricing_summary",
+    "fact_denormalize",
+    "top_customers_per_nation",
+    "doc_fingerprints",
+    "dedup_exact_docs",
+    "dedup_substring_runs",
+    "dedup_winnowing_overlap",
+    "doc_repetition_scores",
+    "events_hourly_by_type",
+    "events_sessionize",
+    "knn_brute_force",
+    "knn_brute_force_arrow",
+    "embedding_near_dup",
+    "corpus_token_packing",
+    "multimodal_decode",
+    # streaming tier — standing watch (first proven green in r5)
     "events_stream_hourly",
     "events_stream_sessions",
     "events_stream_sliding",
     "events_stream_click_attribution",
-    # streaming tail — never officially recorded
     "events_stream_enriched",
     "events_stream_sink_roundtrip",
     "events_stream_transitions",
-    # perf-watch: substring-run dedup (tuned this round)
-    "dedup_substring_runs",
-    # ETL flagship kept under official watch
+    "events_stream_stateful_totals",
+    "events_stream_dedup",
+    # reference-parity ETL tier
     "immigration_etl_fact",
-    # event analytics tail
-    "events_daily_pivot",
-    "events_user_running_total",
-    "events_props_redaction",
-    "events_session_bounce_rate",
-    "events_native_session_window",
-    "events_props_variant",
-    "events_json_schema",
-    "events_lag_gaps",
-    "events_funnel_stages",
-    "events_rolling_wau",
-    "events_moving_agg_1h",
-    "events_transition_matrix",
-    "events_running_drawdown",
-    "events_hourly_anomaly_ratio",
-    "events_value_histogram",
-    "events_robust_stats",
-    "range_join_event_counts",
-    "asof_purchase_to_click_30m",
-    # vectors / classification tail
+    "immigration_etl_city_demographics",
+    "sas_date_convert",
+    "case_insensitive_join",
+    "cross_type_join",
+    "dq_referential_summary",
+    "partitioned_write_roundtrip",
+    # dedup/text tier tail
+    "dedup_simhash",
+    "doc_winnowing_fingerprints",
+    "doc_trigram_lm",
+    "doc_feature_hashing",
+    # vector tier
     "knn_lsh_bucketed",
+    "knn_ivf",
+    "ann_ivf_recall",
     "label_centroids",
-    "centroid_classifier_confusion",
-    "order_quantity_vectors",
-    # relational / analytic tail
-    "lineitem_rollup",
-    "value_percentiles_by_type",
-    "set_ops_customer_keys",
-    "set_ops_bag_semantics",
-    "cube_order_summary",
-    "grouping_sets_revenue",
-    "customers_with_orders_semi",
-    "orders_above_avg_price",
-    "orders_above_customer_avg",
-    "orders_metrics_unpivot",
-    "nation_balance_full_outer",
-    "lineitem_price_rank_stats",
-    "region_priority_grid",
-    "approx_quantile_accuracy",
-    "fuzzy_part_name_pairs",
-    # curation tail
-    "corpus_quota_sample",
+    # curation tier
+    "corpus_train_test_split",
+    "benchmark_contamination",
+    "corpus_curation_pipeline",
     "quality_filter_funnel",
-    "corpus_stratified_sample",
-    "corpus_nucleus_sample",
 ]
 
 

@@ -96,14 +96,13 @@ def test_no_row_at_a_time_python_in_any_lazy_query(spark):
 
 def test_showcase_window_completes_official_coverage():
     """The driver records only the first 50 queries() entries per round.
-    Rounds 2–3 gave official rows to 80 distinct queries (their
-    CORRECTNESS files are checked in); the current window must (a) be 50
-    unique registered queries, dropping nothing from the registry, (b)
-    re-prove the 2 streaming queries red in r3 (hourly, sessions) and
-    first-record the 2 streaming queries with no official row at all
-    (sliding, click_attribution), and (c)
-    close the gap: every registered query has an official row across
-    r2 ∪ r3 ∪ this window."""
+    Official coverage closed in r5 (every registered query has a green
+    row across r2 ∪ r3 ∪ r5). The round-6 window must (a) be 50 unique
+    registered queries, dropping nothing from the registry, (b) contain
+    every query whose RESULT SET changed this round (the dedup caps:
+    minhash family + ngram + prefix-filter) so the new semantics get
+    official rows, and (c) keep the closure: every registered query has
+    an official row across r2 ∪ r3 ∪ r5 ∪ this window."""
     import json
     from pathlib import Path
 
@@ -118,17 +117,23 @@ def test_showcase_window_completes_official_coverage():
     assert first50 == E.SHOWCASE
     assert list(E.oracle_sql())[:50] == first50
 
-    fixed_in_r5 = {
-        "events_stream_hourly",
-        "events_stream_sessions",
-        "events_stream_sliding",
-        "events_stream_click_attribution",
+    semantics_changed_in_r6 = {
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_prefix_filter_jaccard",
+        "dedup_clusters",
+        "dedup_keep_best",
+        "doc_pagerank_near_dup",
     }
-    assert fixed_in_r5 <= set(first50)
+    assert semantics_changed_in_r6 <= set(first50)
 
     root = Path(__file__).resolve().parent.parent
     prior = set()
-    for rec in ("CORRECTNESS_r02.json", "CORRECTNESS_r03.json"):
+    for rec in (
+        "CORRECTNESS_r02.json",
+        "CORRECTNESS_r03.json",
+        "CORRECTNESS_r05.json",
+    ):
         prior |= set(json.loads((root / rec).read_text()))
     uncovered = set(QUERIES) - prior - set(first50)
     assert not uncovered, f"queries with no official row in any round: {uncovered}"
