@@ -912,3 +912,88 @@ def dedup_prefix_filter_jaccard(spark, sf_dir):
     return prefix_filter_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.5, max_prefix_df=_PREFIX_DF_CAP
     )
+
+
+# --- overlapping token-window chunking (RAG / context-window prep):
+# 64-token windows every 48 tokens. One MAP stage end-to-end — see
+# operators/chunking.py for the scale notes. chunk_text is projected
+# away here so the compared result shuffles hashes, not bodies.
+_CHUNK, _STRIDE = 64, 48
+
+
+@query(
+    "doc_chunk_windows",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS t FROM documents WHERE len({TOKS}) >= 1)
+    SELECT doc_id,
+           CAST((s - 1) // {_STRIDE} AS INT) AS chunk_idx,
+           CAST(len(list_slice(t, s, s + {_CHUNK} - 1)) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(list_slice(t, s, s + {_CHUNK} - 1), ' ')) AS chunk_hash
+    FROM t, UNNEST(generate_series(1, len(t), {_STRIDE})) AS u(s)
+    """,
+)
+def doc_chunk_windows(spark, sf_dir):
+    from udacity_dend_capstone_immigration_spark.operators.chunking import chunk_windows
+
+    docs = table(spark, sf_dir, "documents")
+    return chunk_windows(docs, "doc_id", "text", chunk_size=_CHUNK, stride=_STRIDE).select(
+        "doc_id", "chunk_idx", "n_chunk_tokens", "chunk_hash"
+    )
+
+
+# --- TF-IDF top terms per document. Raw inverse document frequency
+# (tf * N / df, one double multiply + one divide — bit-portable across
+# engines, unlike ln-based idf whose libm rounding may differ) with an
+# explicit (score DESC, term ASC) tiebreak. Plan shape: tf aggregate
+# shuffles (doc, term) once; df is a COUNT window over the term
+# partition of the SAME tf rows — no df-side join and no second
+# tokenize/scan of documents (a tf⋈df join recomputed the whole tf
+# subtree: 5 shuffles + 3 document scans vs 3 shuffles + 2, audited);
+# the final top-5 window partitions by doc_id. n_docs broadcasts from
+# a column-pruned count scan. At 100 TB the term partition is
+# Zipf-skewed, but the window carries only (doc, term, tf) rows and
+# hot stopword terms are exactly the ones the idf weight buries.
+@query(
+    "doc_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE)
+                   / CAST(df.df AS DOUBLE) AS tfidf,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE)
+                                / CAST(df.df AS DOUBLE) DESC,
+                            tf.term ASC
+               ) AS rk
+        FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term, tf, df, tfidf, CAST(rk AS INT) AS rk
+    FROM scored WHERE rk <= 5
+    """,
+)
+def doc_tfidf_top_terms(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_w = Window.partitionBy("term")
+    scored = tf.withColumn("df", F.count(F.lit(1)).over(df_w)).join(
+        F.broadcast(n_docs)
+    ).withColumn(
+        "tfidf",
+        F.col("tf").cast("double") * F.col("n_docs").cast("double")
+            / F.col("df").cast("double"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rk")
+    )

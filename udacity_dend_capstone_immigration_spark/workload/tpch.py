@@ -1,0 +1,412 @@
+"""Additional TPC-H query shapes adapted to the driver testdata star
+schema (no partsupp table; no o_comment / l_commitdate / c_phone
+columns — substituted with equivalent predicates on existing columns,
+noted per query).
+
+Each query exercises a distinct optimizer/execution pattern at scale:
+existential semi-joins (Q4), multi-hop nation-pair joins (Q7), top-k
+over a quarter of returns (Q10), outer-join count distributions (Q13),
+scalar-max view selection (Q15), correlated-average filters (Q17),
+group-HAVING IN-subqueries (Q18), disjunctive pushdown brackets (Q19),
+and anti-join + scalar-threshold reporting (Q22). All aggregates use
+the bit-portable decimal-sum forms from ``workload.base``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from udacity_dend_capstone_immigration_spark.workload.base import (
+    davg,
+    dsum,
+    query,
+    sql_davg,
+    sql_dsum,
+    table,
+)
+
+
+def _ts(lit: str):
+    return F.lit(lit).cast("timestamp_ntz")
+
+
+# --- TPC-H Q4 shape (order priority checking): one year of orders,
+# counted per priority when EXISTS a lineitem shipped >90 days after
+# the order date (l_commitdate/l_receiptdate aren't in the testdata;
+# ship-lag expresses the same existential semi-join with a
+# non-equi residual). The semi-join keeps orders-side columns only —
+# no fan-out however many late lineitems an order has. At 100 TB both
+# date filters push to the scans and the semi-join shuffles just
+# (orderkey, dates).
+@query(
+    "tpch_q4_late_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def tpch_q4_late_order_priority(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-01-01"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- TPC-H Q7 shape (volume shipping): revenue flows between distinct
+# (supplier nation, customer nation) pairs per ship year. Two broadcast
+# dim chains (supplier→nation, customer→nation) hang off the one wide
+# lineitem⋈orders exchange; the pair inequality prunes same-nation
+# flow. Nation names are re-used from two broadcast copies — no
+# self-join materialization.
+@query(
+    "tpch_q7_nation_trade_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_name <> n2.n_name
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_nation_trade_volume(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    orders = table(spark, sf_dir, "orders")
+    supp = table(spark, sf_dir, "supplier")
+    cust = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --- TPC-H Q10 shape (returned item reporting): top 20 customers by
+# revenue lost to returns in one quarter. The quarter filter pushes to
+# the orders scan, the returnflag filter to lineitem; customer and
+# nation broadcast; TakeOrderedAndProject caps the final sort at 20.
+@query(
+    "tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")},
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate <  TIMESTAMP '1996-10-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts("1996-07-01"))
+        & (F.col("o_orderdate") < _ts("1996-10-01"))
+    )
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    rev = j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    )
+    return rev.select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name").orderBy(
+        F.desc("revenue"), F.asc("c_custkey")
+    ).limit(20)
+
+
+# --- TPC-H Q13 shape (customer order-count distribution): LEFT join so
+# zero-order customers survive (the join predicate carries the
+# priority filter — a WHERE would turn it inner), COUNT of the
+# nullable side, then a second tiny aggregate over the counts. The
+# first aggregate shuffles customer keys once; the distribution
+# aggregate is dim-sized.
+@query(
+    "tpch_q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON o_custkey = c_custkey
+             AND o_orderpriority = '1-URGENT'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_order_count_distribution(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --- TPC-H Q15 shape (top supplier): revenue-per-supplier view over a
+# quarter, then select the supplier(s) hitting the maximum. The max is
+# a one-row broadcast (crossJoin) — no second scan of lineitem and no
+# global sort. Revenue equality across engines is safe because both
+# sides compute the identical decimal-sum double.
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {sql_dsum("l_extendedprice * (1 - l_discount)", "total_revenue")}
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1996-04-01"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# --- TPC-H Q17 shape (small-quantity-order revenue): average yearly
+# revenue lost if small-quantity orders for one brand stopped. The
+# correlated per-part average becomes one partkey aggregate joined
+# back broadcast (parts are dim-sized); the 0.2× threshold is a single
+# deterministic double multiply on an identically-computed average, so
+# the float comparison is bit-portable.
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle=f"""
+    WITH part_avg AS (
+        SELECT l_partkey AS pk, {sql_davg("l_quantity", "avg_qty")}
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+               / 7.0 AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN part_avg ON pk = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < 0.2 * avg_qty
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        davg(F.col("l_quantity"), "avg_qty")
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(part_avg), li.l_partkey == F.col("pk"))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    )
+    return j.agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(28,10)")).cast("double") / 7.0).alias(
+            "avg_yearly"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# --- TPC-H Q18 shape (large-volume customers): orders whose total
+# quantity exceeds a threshold, reported with customer detail. The
+# HAVING filter runs on the lineitem-side aggregate BEFORE the joins —
+# only qualifying orderkeys (46 at sf0.01) reach the orders/customer
+# join, which then broadcasts. Quantity sums are exact decimals.
+@query(
+    "tpch_q18_large_volume_customers",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey AS bk, {sql_dsum("l_quantity", "sum_qty")}
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(28,10))) > 300
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM big
+    JOIN orders   ON o_orderkey = bk
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def tpch_q18_large_volume_customers(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("bk"))
+        .agg(dsum(F.col("l_quantity"), "sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, F.col("bk") == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# --- TPC-H Q19 shape (disjunctive revenue brackets): three OR'd
+# (brand, size, quantity) brackets over the part⋈lineitem join. The
+# disjunction references both sides, so it can't fully push down — but
+# the per-side bounds Catalyst derives (size BETWEEN 1 AND 15,
+# quantity BETWEEN 1 AND 30, brand IN (...)) DO push to the scans,
+# shrinking the join inputs before the residual OR evaluates.
+@query(
+    "tpch_q19_bracketed_revenue",
+    oracle=f"""
+    SELECT {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")},
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def tpch_q19_bracketed_revenue(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    bracket = (
+        ((b == "Brand#12") & s.between(1, 5) & (q >= 1) & (q <= 11))
+        | ((b == "Brand#23") & s.between(1, 10) & (q >= 10) & (q <= 20))
+        | ((b == "Brand#3") & s.between(1, 15) & (q >= 20) & (q <= 30))
+    )
+    return j.where(bracket).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# --- TPC-H Q22 shape (idle high-balance customers): customers above
+# the average positive balance with no recent orders, rolled up by
+# nation (the testdata has no c_phone; nationkey plays the country
+# code). The scalar average broadcasts from a one-row aggregate; the
+# recency check is a LEFT ANTI join that shuffles only custkeys. Both
+# engines compute the identical decimal-sum average, so the balance
+# comparison is bit-portable.
+@query(
+    "tpch_q22_idle_customer_balance",
+    oracle=f"""
+    WITH avg_bal AS (
+        SELECT {sql_davg("c_acctbal", "ab")} FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           {sql_dsum("c_acctbal", "totacctbal")}
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1999-01-01'
+      )
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def tpch_q22_idle_customer_balance(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(davg(F.col("c_acctbal"), "ab"))
+    recent = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= _ts("1999-01-01")
+    )
+    rich = cust.join(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("ab"))
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return (
+        idle.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("numcust"), dsum(F.col("c_acctbal"), "totacctbal"))
+        .orderBy("c_nationkey")
+    )
