@@ -166,3 +166,41 @@ def test_substring_runs_match_naive_reference(spark, corpora):
         ).collect()
     }
     assert got == expected
+
+
+# ---- chunk_windows vs a pure-Python reference ----
+
+
+def ref_chunks(text, chunk_size, stride):
+    import re
+
+    toks = [t for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).strip().split(" ") if t]
+    out = []
+    for idx, s in enumerate(range(0, len(toks), stride)):
+        out.append((idx, toks[s : s + chunk_size]))
+    return out
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.text(alphabet="ab c.!X7", min_size=0, max_size=40),
+        min_size=1,
+        max_size=16,
+    ),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=6),
+)
+def test_chunk_windows_matches_reference(spark, texts, chunk_size, stride):
+    from udacity_dend_capstone_immigration_spark.operators.chunking import chunk_windows
+
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, text string")
+    got = {
+        (r.id, r.chunk_idx): (r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_windows(df, "id", "text", chunk_size, stride).collect()
+    }
+    want = {}
+    for i, text in enumerate(texts):
+        for idx, toks in ref_chunks(text, chunk_size, stride):
+            want[(i, idx)] = (len(toks), " ".join(toks))
+    assert got == want

@@ -81,3 +81,34 @@ def test_write_table_rejects_unknown_format(fact, tmp_path):
 
     with pytest.raises(ValueError, match="unsupported"):
         write_table(fact, str(tmp_path / "x"), fmt="orc2")
+
+
+def test_orc_roundtrip_partitioned(spark, fact, tmp_path):
+    from udacity_dend_capstone_immigration_spark.sources.readers import read_orc
+    from udacity_dend_capstone_immigration_spark.sources.writers import write_orc
+
+    out = str(tmp_path / "fact_orc")
+    write_orc(fact, out, partition_by=("entry_year", "entry_month"))
+    assert sorted(os.listdir(f"{out}/entry_year=2016")) == ["entry_month=4", "entry_month=5"]
+    files = [
+        f
+        for f in os.listdir(f"{out}/entry_year=2016/entry_month=4")
+        if f.endswith(".orc")
+    ]
+    assert len(files) == 1  # compaction applies to ORC too
+    back = read_orc(spark, out)
+    assert sorted(back.columns) == sorted(fact.columns)
+    assert (
+        sorted(tuple(r) for r in back.select(*fact.columns).collect())
+        == sorted(tuple(r) for r in fact.collect())
+    )
+
+
+def test_write_table_orc_dispatch_and_guardrail(spark, fact, tmp_path):
+    from udacity_dend_capstone_immigration_spark.sources.writers import write_table
+
+    out = str(tmp_path / "t_orc")
+    write_table(fact, out, fmt="orc")
+    assert spark.read.orc(out).count() == 60
+    with pytest.raises(PartitionExplosionError):
+        write_table(fact, out, fmt="orc", partition_by=("v",), max_partitions=5)

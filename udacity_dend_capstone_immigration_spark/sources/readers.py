@@ -38,6 +38,14 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same vectorized read / pushdown / pruning posture as
+    parquet (both are native columnar sources with Catalyst filter and
+    partition pruning); the interchange format for Hive/Trino-resident
+    inputs."""
+    return spark.read.orc(path)
+
+
 def read_csv_with_schema(
     spark: SparkSession,
     path: str,

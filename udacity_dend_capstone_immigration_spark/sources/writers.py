@@ -42,6 +42,33 @@ def estimate_partition_count(df: DataFrame, partition_by: Sequence[str]) -> int:
     ).first()["n"]
 
 
+def _write_guarded(
+    df: DataFrame,
+    path: str,
+    fmt: str,
+    partition_by: Sequence[str] | None,
+    mode: str,
+    max_partitions: int,
+    compact: bool,
+) -> None:
+    """Shared guarded-write path for the native columnar formats
+    (explosion guardrail + per-directory compaction, see module doc)."""
+    writer = df
+    if partition_by:
+        est = estimate_partition_count(df, partition_by)
+        if est > max_partitions:
+            raise PartitionExplosionError(
+                f"partitionBy({list(partition_by)}) would create ~{est} "
+                f"directories (> {max_partitions}); coarsen the layout or "
+                f"raise max_partitions explicitly"
+            )
+        if compact:
+            writer = df.repartition(*[F.col(c) for c in partition_by])
+        writer.write.mode(mode).partitionBy(*partition_by).format(fmt).save(path)
+    else:
+        writer.write.mode(mode).format(fmt).save(path)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,
@@ -56,20 +83,20 @@ def write_parquet(
     directory gets one file. For very large single partitions (skew), pass
     ``compact=False`` and let AQE/maxPartitionBytes size the tasks instead.
     """
-    writer = df
-    if partition_by:
-        est = estimate_partition_count(df, partition_by)
-        if est > max_partitions:
-            raise PartitionExplosionError(
-                f"partitionBy({list(partition_by)}) would create ~{est} "
-                f"directories (> {max_partitions}); coarsen the layout or "
-                f"raise max_partitions explicitly"
-            )
-        if compact:
-            writer = df.repartition(*[F.col(c) for c in partition_by])
-        writer.write.mode(mode).partitionBy(*partition_by).parquet(path)
-    else:
-        writer.write.mode(mode).parquet(path)
+    _write_guarded(df, path, "parquet", partition_by, mode, max_partitions, compact)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] | None = None,
+    mode: str = "overwrite",
+    max_partitions: int = DEFAULT_MAX_PARTITIONS,
+    compact: bool = True,
+) -> None:
+    """ORC twin of :func:`write_parquet` (same guardrail + compaction) —
+    the interchange format for Hive/Trino-resident consumers."""
+    _write_guarded(df, path, "orc", partition_by, mode, max_partitions, compact)
 
 
 #: Reference output layout (etl.py:71-79) with the port-level fact
@@ -116,13 +143,13 @@ def write_table(
     mode: str = "overwrite",
     max_partitions: int = DEFAULT_MAX_PARTITIONS,
 ) -> None:
-    """Format-dispatching sink: ``parquet`` (always available) or
-    ``delta`` (requires the delta-spark package; raises ImportError with
-    guidance when absent — BASELINE.json names Parquet/Delta as the sink
-    pair, and the delta path is the same writer call with ACID/OPTIMIZE
-    semantics layered by the format)."""
-    if fmt == "parquet":
-        write_parquet(df, path, partition_by=partition_by, mode=mode, max_partitions=max_partitions)
+    """Format-dispatching sink: ``parquet`` / ``orc`` (always available)
+    or ``delta`` (requires the delta-spark package; raises ImportError
+    with guidance when absent — BASELINE.json names Parquet/Delta as the
+    sink pair, and the delta path is the same writer call with
+    ACID/OPTIMIZE semantics layered by the format)."""
+    if fmt in ("parquet", "orc"):
+        _write_guarded(df, path, fmt, partition_by, mode, max_partitions, compact=True)
         return
     if fmt == "delta":
         if not delta_available():
