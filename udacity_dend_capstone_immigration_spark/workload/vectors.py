@@ -183,7 +183,12 @@ def knn_ivf(spark, sf_dir):
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
-    q = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    # the broadcast q side must pre-filter to the query set — joining
+    # the unfiltered table would broadcast EVERY embedding and rely on
+    # the join to drop them (fine at 10k rows, a cluster-melter at 1e9)
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
     c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
     scored = (
         cand.join(F.broadcast(q), "query_id")
