@@ -112,10 +112,13 @@ def tpch_q7_nation_trade_volume(spark, sf_dir):
     n2 = table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
+    # supplier/nation are true dims → explicit broadcast; customer is
+    # lineitem/40 at TPC-H ratios (too big to force-broadcast at 100 TB)
+    # → AQE picks broadcast at small SF, shuffle join beyond threshold
     j = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
         .where(F.col("supp_nation") != F.col("cust_nation"))
@@ -133,8 +136,8 @@ def tpch_q7_nation_trade_volume(spark, sf_dir):
 
 # --- TPC-H Q10 shape (returned item reporting): top 20 customers by
 # revenue lost to returns in one quarter. The quarter filter pushes to
-# the orders scan, the returnflag filter to lineitem; customer and
-# nation broadcast; TakeOrderedAndProject caps the final sort at 20.
+# the orders scan, the returnflag filter to lineitem; nation broadcasts;
+# TakeOrderedAndProject caps the final sort at 20.
 @query(
     "tpch_q10_returned_items",
     oracle=f"""
@@ -161,9 +164,11 @@ def tpch_q10_returned_items(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     cust = table(spark, sf_dir, "customer")
     nation = table(spark, sf_dir, "nation")
+    # nation broadcasts (true dim); customer rides an AQE-chosen join —
+    # broadcast at small SF, shuffle at 100 TB where it's lineitem/40
     j = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
     )
     rev = j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
@@ -324,9 +329,11 @@ def tpch_q18_large_volume_customers(spark, sf_dir):
     )
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
+    # customer joins AQE-planned (HAVING already shrank the other side
+    # to the qualifying orderkeys, so either strategy is cheap)
     return (
         big.join(orders, F.col("bk") == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"
         )
