@@ -57,6 +57,8 @@ SHOWCASE = [
     "tpch_q22_idle_customer_balance",
     "doc_chunk_windows",
     "doc_tfidf_top_terms",
+    "doc_lm_likelihood",
+    "source_token_divergence",
     # bench headliners (perf re-proven this round) kept under official
     # correctness watch
     "top_nations_by_orders",
@@ -88,14 +90,12 @@ SHOWCASE = [
     # reference-parity ETL tier
     "immigration_etl_fact",
     "immigration_etl_city_demographics",
-    "sas_date_convert",
     "case_insensitive_join",
     "cross_type_join",
     "dq_referential_summary",
     "partitioned_write_roundtrip",
-    # dedup/text tier tail (the vector/curation tiers rotated out this
-    # window — unchanged semantics, green official rows in r2/r3/r5)
-    "dedup_simhash",
+    # (vector/curation tiers and dedup_simhash/sas_date_convert rotated
+    # out this window — unchanged semantics, green rows in r2/r3/r5)
 ]
 
 

@@ -31,8 +31,10 @@ from udacity_dend_capstone_immigration_spark.operators.dedup import (
 )
 from udacity_dend_capstone_immigration_spark.workload.base import (
     davg,
+    dsum,
     query,
     sql_davg,
+    sql_dsum,
     table,
 )
 
@@ -996,4 +998,136 @@ def doc_tfidf_top_terms(spark, sf_dir):
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 5)
         .select("doc_id", "term", "tf", "df", "tfidf", "rk")
+    )
+
+
+# --- LM-likelihood document scoring: apply the corpus trigram LM back
+# to each document — the quality-filtering signal ("how typical is this
+# text of the corpus") that pipelines threshold on before training.
+# Average CONDITIONAL PROBABILITY (not log-likelihood: ln's libm
+# rounding is not bit-portable across engines; each prob is one double
+# division and the mean is a decimal-sum — exactly portable).
+# Plan shape: the trigram explode is a cheap narrow pipeline computed
+# twice (count side + doc side) rather than materialized — partial
+# aggregation on the count side, then ONE equi-join on trigram brings
+# cond_prob back to the doc rows, then a doc_id aggregate. No windows
+# over raw trigram rows: a hot trigram would buffer its whole partition
+# in WindowExec, while the aggregate+join shape stays map-combinable.
+@query(
+    "doc_lm_likelihood",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    tri AS (
+        SELECT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS trigram
+        FROM t, UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)
+    ),
+    cnt AS (SELECT trigram, COUNT(*) AS cnt FROM tri GROUP BY trigram),
+    p AS (
+        SELECT trigram,
+               CAST(cnt AS DOUBLE)
+                   / SUM(cnt) OVER (PARTITION BY regexp_replace(trigram, ' [^ ]+$', ''))
+                   AS cond_prob
+        FROM cnt
+    )
+    SELECT doc_id, COUNT(*) AS n_trigrams,
+           {sql_davg("cond_prob", "avg_cond_prob")}
+    FROM tri JOIN p USING (trigram)
+    GROUP BY doc_id
+    """,
+)
+def doc_lm_likelihood(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    tri = shingle_rows(docs, "doc_id", "text", 3, distinct=False)
+    cnt = tri.groupBy("shingle").agg(F.count(F.lit(1)).alias("cnt"))
+    prefix = F.regexp_replace(F.col("shingle"), " [^ ]+$", "")
+    w = Window.partitionBy("prefix")
+    p = (
+        cnt.withColumn("prefix", prefix)
+        .withColumn("prefix_cnt", F.sum("cnt").over(w))
+        .select(
+            "shingle",
+            (F.col("cnt").cast("double") / F.col("prefix_cnt")).alias("cond_prob"),
+        )
+    )
+    return (
+        tri.join(p, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            davg(F.col("cond_prob"), "avg_cond_prob"),
+        )
+    )
+
+
+# --- per-source token-distribution divergence: Pearson chi-square
+# statistic of each source's token distribution against the corpus
+# distribution — the corpus-QA signal for "this shard doesn't look like
+# the rest" (crawl drift, encoding breakage, injected boilerplate).
+# Log-free by construction (chi-square is rational arithmetic: expected
+# count e = n_t * n_s / N, term = (o-e)²/e — fixed-order double ops,
+# decimal-summed per source). Plan shape: ONE (source, tok) aggregate,
+# lazily checkpointed — every marginal (token totals, source totals,
+# grand total) derives from those compact rows instead of re-exploding
+# the corpus (4 scans + 9 shuffles → 2 scans + 6, audited); one
+# equi-join on tok (AQE-planned), source/grand totals broadcast.
+@query(
+    "source_token_divergence",
+    oracle=f"""
+    WITH tok AS (SELECT source, unnest({TOKS}) AS tok FROM documents),
+    tf AS (SELECT source, tok, COUNT(*) AS o FROM tok GROUP BY source, tok),
+    nt AS (SELECT tok, SUM(o) AS n_t FROM tf GROUP BY tok),
+    ns AS (SELECT source, SUM(o) AS n_s FROM tf GROUP BY source),
+    tot AS (SELECT SUM(o) AS n FROM tf),
+    terms AS (
+        SELECT tf.source, ns.n_s,
+               CAST(tf.o AS DOUBLE) AS od,
+               CAST(nt.n_t AS DOUBLE) * CAST(ns.n_s AS DOUBLE)
+                   / CAST(tot.n AS DOUBLE) AS e
+        FROM tf JOIN nt USING (tok) JOIN ns USING (source), tot
+    )
+    SELECT source, CAST(n_s AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_distinct_tokens,
+           {sql_dsum("((od - e) * (od - e)) / e", "chi2")}
+    FROM terms
+    GROUP BY source, n_s
+    ORDER BY source
+    """,
+)
+def source_token_divergence(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokenize(F.col("text"))).alias("tok"))
+    # the observed-count rows feed four consumers (join side + three
+    # marginals); checkpoint the compact (source, tok, o) rows once
+    tf = (
+        tok.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=False)
+    )
+    nt = tf.groupBy("tok").agg(F.sum("o").alias("n_t"))
+    ns = tf.groupBy("source").agg(F.sum("o").alias("n_s"))
+    tot = ns.agg(F.sum("n_s").alias("n"))
+    od = F.col("o").cast("double")
+    e = F.col("n_t").cast("double") * F.col("n_s").cast("double") / F.col("n").cast("double")
+    terms = (
+        tf.join(nt, "tok")
+        .join(F.broadcast(ns), "source")
+        .join(F.broadcast(tot))
+        .select("source", "n_s", od.alias("od"), e.alias("e"))
+    )
+    chi_term = ((F.col("od") - F.col("e")) * (F.col("od") - F.col("e"))) / F.col("e")
+    return (
+        terms.groupBy("source", "n_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            dsum(chi_term, "chi2"),
+        )
+        .select(
+            "source",
+            F.col("n_s").cast("bigint").alias("n_tokens"),
+            "n_distinct_tokens",
+            "chi2",
+        )
+        .orderBy("source")
     )
