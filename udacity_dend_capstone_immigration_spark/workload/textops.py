@@ -947,14 +947,19 @@ def doc_chunk_windows(spark, sf_dir):
 # (tf * N / df, one double multiply + one divide — bit-portable across
 # engines, unlike ln-based idf whose libm rounding may differ) with an
 # explicit (score DESC, term ASC) tiebreak. Plan shape: tf aggregate
-# shuffles (doc, term) once; df is a COUNT window over the term
-# partition of the SAME tf rows — no df-side join and no second
-# tokenize/scan of documents (a tf⋈df join recomputed the whole tf
-# subtree: 5 shuffles + 3 document scans vs 3 shuffles + 2, audited);
-# the final top-5 window partitions by doc_id. n_docs broadcasts from
-# a column-pruned count scan. At 100 TB the term partition is
-# Zipf-skewed, but the window carries only (doc, term, tf) rows and
-# hot stopword terms are exactly the ones the idf weight buries.
+# shuffles (doc, term) once; df is an independent map-combinable
+# groupBy(term).count() over per-row array_distinct'd terms (codegen,
+# no lambda HOF) equi-joined back — NOT a Window.partitionBy(term):
+# the term key is Zipf-distributed, and a stopword's window partition
+# would buffer ~every document's row in ONE task at 100×, whereas AQE
+# can skew-split (or broadcast) a hot JOIN key. The df branch re-scans
+# documents, but explodes only DISTINCT terms per doc and partial-
+# aggregates before its shuffle — A/B'd at sf0.1 vs a localCheckpoint
+# of the tf rows (0.77s vs 0.84s min-of-3; the checkpoint's
+# materialization outweighs the second tokenize at this width). The
+# final top-5 window partitions by doc_id (naturally bounded, and
+# WindowGroupLimit prunes to 5 per group before the shuffle). n_docs
+# broadcasts from a column-pruned count scan.
 @query(
     "doc_tfidf_top_terms",
     oracle=f"""
@@ -985,8 +990,12 @@ def doc_tfidf_top_terms(spark, sf_dir):
     tok = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    df_w = Window.partitionBy("term")
-    scored = tf.withColumn("df", F.count(F.lit(1)).over(df_w)).join(
+    df = (
+        docs.select(F.explode(F.array_distinct(tokenize(F.col("text")))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = tf.join(df, "term").join(
         F.broadcast(n_docs)
     ).withColumn(
         "tfidf",

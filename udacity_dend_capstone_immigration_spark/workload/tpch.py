@@ -112,12 +112,13 @@ def tpch_q7_nation_trade_volume(spark, sf_dir):
     n2 = table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
-    # supplier/nation are true dims → explicit broadcast; customer is
-    # lineitem/40 at TPC-H ratios (too big to force-broadcast at 100 TB)
-    # → AQE picks broadcast at small SF, shuffle join beyond threshold
+    # nation (25 rows, SF-invariant) is the only true dim → explicit
+    # broadcast. supplier scales 10k×SF and customer 150k×SF — both are
+    # left to AQE, which broadcasts at small SF and switches to a
+    # shuffle join once they outgrow the threshold at 100 TB.
     j = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
@@ -260,9 +261,15 @@ def tpch_q15_top_supplier(spark, sf_dir):
 # --- TPC-H Q17 shape (small-quantity-order revenue): average yearly
 # revenue lost if small-quantity orders for one brand stopped. The
 # correlated per-part average becomes one partkey aggregate joined
-# back broadcast (parts are dim-sized); the 0.2× threshold is a single
-# deterministic double multiply on an identically-computed average, so
-# the float comparison is bit-portable.
+# back. Neither part nor the per-partkey aggregate is dim-sized at
+# TPC-H scaling (part is 200k×SF; part_avg has one row per distinct
+# partkey), so no forced broadcasts: the aggregate's lineitem input is
+# first semi-joined to the brand-filtered parts — semantics-preserving
+# since only brand parts survive the final join, and it shrinks the
+# aggregate ~25× — and AQE picks broadcast-vs-shuffle per SF. The 0.2×
+# threshold is a single deterministic double multiply on an
+# identically-computed average, so the float comparison is
+# bit-portable.
 @query(
     "tpch_q17_small_quantity_revenue",
     oracle=f"""
@@ -283,12 +290,16 @@ def tpch_q15_top_supplier(spark, sf_dir):
 def tpch_q17_small_quantity_revenue(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
-    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        davg(F.col("l_quantity"), "avg_qty")
+    part_avg = (
+        li.join(
+            part.select("p_partkey"), li.l_partkey == F.col("p_partkey"), "left_semi"
+        )
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(davg(F.col("l_quantity"), "avg_qty"))
     )
     j = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(part_avg), li.l_partkey == F.col("pk"))
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(part_avg, li.l_partkey == F.col("pk"))
         .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
     )
     return j.agg(
