@@ -96,13 +96,13 @@ def test_no_row_at_a_time_python_in_any_lazy_query(spark):
 
 def test_showcase_window_completes_official_coverage():
     """The driver records only the first 50 queries() entries per round.
-    Official coverage closed in r5 (every registered query has a green
-    row across r2 ∪ r3 ∪ r5). The round-6 window must (a) be 50 unique
-    registered queries, dropping nothing from the registry, (b) contain
-    every query whose RESULT SET changed this round (the dedup caps:
-    minhash family + ngram + prefix-filter) so the new semantics get
-    official rows, and (c) keep the closure: every registered query has
-    an official row across r2 ∪ r3 ∪ r5 ∪ this window."""
+    The round-7 window must (a) be 50 unique registered queries,
+    dropping nothing from the registry, (b) contain every query that is
+    NEW or whose RESULT SET / PLAN changed this round (TPC-H Q8/Q12/Q21;
+    the Q7/Q17/tfidf scale fixes; the trained-centroid IVF pair) so the
+    new behavior gets official rows, and (c) keep the closure: every
+    registered query has an official row across r2 ∪ r3 ∪ r5 ∪ this
+    window."""
     import json
     from pathlib import Path
 
@@ -117,15 +117,17 @@ def test_showcase_window_completes_official_coverage():
     assert first50 == E.SHOWCASE
     assert list(E.oracle_sql())[:50] == first50
 
-    semantics_changed_in_r6 = {
-        "dedup_minhash_lsh",
-        "dedup_ngram_jaccard",
-        "dedup_prefix_filter_jaccard",
-        "dedup_clusters",
-        "dedup_keep_best",
-        "doc_pagerank_near_dup",
+    changed_in_r7 = {
+        "tpch_q8_market_share",
+        "tpch_q12_priority_by_shipcat",
+        "tpch_q21_waiting_suppliers",
+        "tpch_q7_nation_trade_volume",
+        "tpch_q17_small_quantity_revenue",
+        "doc_tfidf_top_terms",
+        "knn_ivf",
+        "ann_ivf_recall",
     }
-    assert semantics_changed_in_r6 <= set(first50)
+    assert changed_in_r7 <= set(first50)
 
     root = Path(__file__).resolve().parent.parent
     prior = set()

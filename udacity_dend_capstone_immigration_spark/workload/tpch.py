@@ -4,11 +4,14 @@ columns — substituted with equivalent predicates on existing columns,
 noted per query).
 
 Each query exercises a distinct optimizer/execution pattern at scale:
-existential semi-joins (Q4), multi-hop nation-pair joins (Q7), top-k
-over a quarter of returns (Q10), outer-join count distributions (Q13),
-scalar-max view selection (Q15), correlated-average filters (Q17),
-group-HAVING IN-subqueries (Q18), disjunctive pushdown brackets (Q19),
-and anti-join + scalar-threshold reporting (Q22). All aggregates use
+existential semi-joins (Q4), multi-hop nation-pair joins (Q7),
+conditional-aggregate market-share ratios (Q8), top-k over a quarter
+of returns (Q10), two-way conditional counts over a pushed-down
+disjunction (Q12), outer-join count distributions (Q13), scalar-max
+view selection (Q15), correlated-average filters (Q17), group-HAVING
+IN-subqueries (Q18), disjunctive pushdown brackets (Q19),
+multi-correlated EXISTS + NOT-EXISTS semi/anti self-joins (Q21), and
+anti-join + scalar-threshold reporting (Q22). All aggregates use
 the bit-portable decimal-sum forms from ``workload.base``.
 """
 
@@ -135,6 +138,94 @@ def tpch_q7_nation_trade_volume(spark, sf_dir):
     )
 
 
+# --- TPC-H Q8 shape (national market share): one nation's share of a
+# region's revenue for one part type, per order year (reference
+# pattern: TPC-H spec Q8; p_type here is the testdata's categorical
+# PROMO/ECONOMY/... column, the customer region is n_regionkey = 2,
+# and the 2-year window is 1996-1997 within the testdata's date span).
+# The share is a conditional-aggregate ratio: CASE WHEN supp_nation
+# THEN volume ELSE 0 summed against total volume in the SAME hash
+# aggregate — one pass, map-side-combinable, no second scan or
+# self-join. Both sums are decimal-exact and the share is a single
+# double division of two portable doubles (bit-portable vs DuckDB).
+# Plan shape: date filter pushes to the orders scan, p_type to the
+# part scan (pre-join selectivity 1/6); nation copies broadcast
+# (25 rows); part/supplier/customer scale with SF and ride AQE-chosen
+# joins off the one wide lineitem⋈orders exchange.
+@query(
+    "tpch_q8_market_share",
+    oracle="""
+    WITH flows AS (
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE n1.n_regionkey = 2
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+          AND p_type = 'PROMO'
+    )
+    SELECT o_year,
+           CAST(CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END
+                               AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(SUM(CAST(volume AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+               AS mkt_share,
+           COUNT(*) AS n_flows
+    FROM flows
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def tpch_q8_market_share(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    supp = table(spark, sf_dir, "supplier")
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    cust = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").where(F.col("n_regionkey") == 2).select(
+        F.col("n_nationkey").alias("n1_key")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    flows = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"), "left_semi")
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    nat_vol = F.when(F.col("supp_nation") == "NATION_7", F.col("volume")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        flows.groupBy("o_year")
+        .agg(
+            (
+                F.sum(nat_vol.cast("decimal(28,10)")).cast("double")
+                / F.sum(F.col("volume").cast("decimal(28,10)")).cast("double")
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_flows"),
+        )
+        .orderBy("o_year")
+    )
+
+
 # --- TPC-H Q10 shape (returned item reporting): top 20 customers by
 # revenue lost to returns in one quarter. The quarter filter pushes to
 # the orders scan, the returnflag filter to lineitem; nation broadcasts;
@@ -178,6 +269,57 @@ def tpch_q10_returned_items(spark, sf_dir):
     return rev.select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name").orderBy(
         F.desc("revenue"), F.asc("c_custkey")
     ).limit(20)
+
+
+# --- TPC-H Q12 shape (shipping modes and order priority): for two
+# ship categories, how many late lineitems came from high- vs
+# low-priority orders (reference pattern: TPC-H spec Q12). The
+# testdata has no l_shipmode / l_commitdate / l_receiptdate:
+# l_returnflag IN ('A','R') stands in for the two-mode IN
+# disjunction, and "late" is the Q4/Q21 ship-lag substitution
+# l_shipdate > o_orderdate + 90 days, with the receipt-year window
+# mapped onto l_shipdate. Plan shape: the IN list and the shipdate
+# range both push to the lineitem scan (PushedFilters); the ship-lag
+# residual evaluates on the join; the two CASE counts are conditional
+# aggregates in ONE map-combinable hash aggregate over a 2-row group
+# key — no second pass, no pivot. orders scales with SF and rides an
+# AQE-chosen join.
+@query(
+    "tpch_q12_priority_by_shipcat",
+    oracle="""
+    SELECT l_returnflag AS ship_cat,
+           COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_line_count,
+           COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag IN ('A', 'R')
+      AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def tpch_q12_priority_by_shipcat(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    orders = table(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).where(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy(F.col("l_returnflag").alias("ship_cat"))
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("ship_cat")
+    )
 
 
 # --- TPC-H Q13 shape (customer order-count distribution): LEFT join so
@@ -386,6 +528,102 @@ def tpch_q19_bracketed_revenue(spark, sf_dir):
     return j.where(bracket).agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
         F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# --- TPC-H Q21 shape (suppliers who kept waiting): late lineitems of
+# finished multi-supplier orders where the supplier was the ONLY late
+# one — the multi-correlated EXISTS + NOT-EXISTS pattern, the hardest
+# join shape in the public suite (reference pattern: TPC-H spec Q21).
+# l_commitdate/l_receiptdate aren't in the testdata; "late" is the Q4
+# substitution l_shipdate > o_orderdate + 90 days (varies per lineitem
+# within an order, so the per-supplier distinction is preserved). The
+# one-nation filter of the spec is widened to one REGION of nations so
+# the result is non-empty at smoke scale (sf0.001 has 10 suppliers).
+# Plan shape: the EXISTS becomes a left_semi and the NOT EXISTS a
+# left_anti self-join of lineitem, both keyed on l_orderkey with the
+# supplier-inequality (and, for the anti, the late-date comparison
+# against the probe row's o_orderdate) as non-equi RESIDUALS on the
+# hash join — semi/anti never fan out however many lineitems an order
+# has, and all three lineitem branches hash-partition on l_orderkey so
+# the shuffles line up. Nation broadcasts (25 rows, SF-invariant);
+# supplier scales 10k×SF and rides an AQE-chosen join;
+# TakeOrderedAndProject caps the final (numwait DESC, s_name) sort at
+# 100.
+@query(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+    WITH l1 AS (
+        SELECT l_orderkey, l_suppkey, o_orderdate
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_regionkey = 3
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > l1.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def tpch_q21_waiting_suppliers(spark, sf_dir):
+    orders = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    l1 = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("ok3"),
+        F.col("l_suppkey").alias("sk3"),
+        F.col("l_shipdate").alias("sd3"),
+    )
+    only_late = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("ok2")) & (F.col("l_suppkey") != F.col("sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("ok3"))
+            & (F.col("l_suppkey") != F.col("sk3"))
+            & (F.col("sd3") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+            "left_anti",
+        )
+    )
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation").where(F.col("n_regionkey") == 3)
+    return (
+        only_late.join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
     )
 
 
