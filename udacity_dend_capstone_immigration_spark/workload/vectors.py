@@ -102,21 +102,51 @@ def knn_lsh_bucketed(spark, sf_dir):
 
 
 # --- IVF (inverted-file) kNN: the other classic ANN layout. Coarse
-# centroids are the first N_CELLS corpus vectors (deterministic
-# "training"); every vector is assigned to its nearest centroid cell;
-# queries probe their NPROBE nearest cells only. At scale the cell id is
-# the shuffle/partition key and probe cost is corpus/N_CELLS × NPROBE.
+# centroids are k-means-TRAINED: seeded deterministically with the
+# first N_CELLS corpus vectors, then refined with one distributed
+# Lloyd iteration (assign-to-nearest-seed → per-(cell,dim) mean).
+# Every vector is assigned to its nearest refined centroid cell;
+# queries probe their NPROBE nearest cells only. At scale the cell id
+# is the shuffle/partition key and probe cost is corpus/N_CELLS ×
+# NPROBE; the training pass is one broadcast-assign map stage plus a
+# (cell,dim)-keyed aggregate whose exchange carries N_CELLS × 64 cells
+# regardless of corpus size (the label_centroids shape below). Means
+# are quantized by 2^24 (an exact exponent shift — see the
+# label_centroids portability note) so the refined centroids, their
+# norms, and every downstream similarity are bit-identical across
+# engines. Each seed vector assigns to itself at cosine 1.0, so no
+# refined cell is ever empty.
 _IVF_CELLS, _IVF_PROBE = 8, 2
 
-_CENTS = f"SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < {_IVF_CELLS}"
 _CSIM = "round(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * ce.cv[i])) / (n.nrm * ce.cnrm), 6)"
+_CSIM_SEED = "round(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * s.cv[i])) / (n.nrm * s.cnrm), 6)"
 
 
 @query(
     "knn_ivf",
     oracle=f"""
     WITH n AS ({_NORMED}),
-    ce AS ({_CENTS}),
+    seed AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < {_IVF_CELLS}),
+    assign0 AS (
+        SELECT vec_id, cent_id AS cell FROM (
+            SELECT n.vec_id, s.cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                                      ORDER BY {_CSIM_SEED} DESC, s.cent_id ASC) AS rn
+            FROM n JOIN seed s ON TRUE
+        ) WHERE rn = 1
+    ),
+    cellmean AS (
+        SELECT a.cell, i AS dim,
+               CAST(SUM(CAST(floor(n.v[i + 1] * 16777216.0) AS BIGINT)) AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * 16777216.0) AS val
+        FROM assign0 a JOIN n ON n.vec_id = a.vec_id, range(64) t(i)
+        GROUP BY a.cell, i
+    ),
+    ce AS (
+        SELECT cent_id, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm
+        FROM (SELECT cell AS cent_id, list(val ORDER BY dim) AS cv
+              FROM cellmean GROUP BY cell)
+    ),
     assign AS (
         SELECT vec_id, cent_id AS cell FROM (
             SELECT n.vec_id, ce.cent_id,
@@ -150,24 +180,49 @@ _CSIM = "round(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * ce.
     """,
 )
 def knn_ivf(spark, sf_dir):
-    """IVF: assign-to-nearest-centroid (broadcast centroid list, one map
-    pass), probe the query's nearest cells, rank only within probed
-    cells. arg_max tiebreak on (sim, -cent_id) matches the oracle."""
+    """IVF with one-pass k-means training: assign-to-nearest-seed
+    (broadcast seed list, one map pass), refine centroids as quantized
+    per-(cell,dim) means (the label_centroids shape — the exchange
+    carries N_CELLS × 64 cells regardless of corpus size), then assign/
+    probe against the refined centroids. arg_max tiebreak on
+    (sim, -cent_id) matches the oracle."""
     from udacity_dend_capstone_immigration_spark.functions.vectors import cosine_similarity
     from udacity_dend_capstone_immigration_spark.operators.topk import top_k_per_group
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = emb.where(F.col("vec_id") < _IVF_CELLS).select(
+    seed = emb.where(F.col("vec_id") < _IVF_CELLS).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
     )
     sim_to_cent = F.round(cosine_similarity(F.col("embedding"), F.col("cent_emb")), 6)
+    nearest = F.max_by("cent_id", F.struct(sim_to_cent, -F.col("cent_id"))).alias("cell")
 
-    # assignment: nearest centroid per vector (ties → lower cent_id)
-    assign = (
-        emb.crossJoin(F.broadcast(cents))
-        .groupBy("vec_id")
-        .agg(F.max_by("cent_id", F.struct(sim_to_cent, -F.col("cent_id"))).alias("cell"))
+    # Lloyd iteration: seed assignment → quantized per-(cell,dim) mean
+    assign0 = emb.crossJoin(F.broadcast(seed)).groupBy("vec_id").agg(nearest)
+    cellmean = (
+        assign0.join(emb, "vec_id")
+        .select(
+            "cell",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
+        )
+        .groupBy("cell", "dim")
+        .agg(
+            (
+                F.sum(F.floor(F.col("v") * F.lit(16777216.0)).cast("bigint")).cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(16777216.0))
+            ).alias("val")
+        )
     )
+    # reassemble dim-ordered centroid arrays; tiny (N_CELLS rows) and
+    # consumed by two branches → lazy checkpoint cuts the re-train
+    cents = (
+        cellmean.groupBy("cell")
+        .agg(F.sort_array(F.collect_list(F.struct("dim", "val"))).alias("dv"))
+        .select(F.col("cell").alias("cent_id"), F.col("dv.val").alias("cent_emb"))
+        .localCheckpoint(eager=False)
+    )
+
+    # assignment: nearest refined centroid per vector (ties → lower id)
+    assign = emb.crossJoin(F.broadcast(cents)).groupBy("vec_id").agg(nearest)
     # probe list: NPROBE nearest cells per query vector
     probes = top_k_per_group(
         emb.where(F.col("vec_id") < 10)
