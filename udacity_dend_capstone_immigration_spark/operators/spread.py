@@ -10,7 +10,7 @@ of the machine idles — measured 10s vs 2s on winnowing fingerprints at
 sf0.1.
 
 :func:`spread_scan` round-robin repartitions the COMPACT pre-explode
-rows to full parallelism, but only when the plan's scan produced fewer
+rows to full parallelism, but only when the plan's scan produces fewer
 partitions than the cluster has slots — on a real multi-split layout
 (any production table at scale) it is a no-op and adds no exchange.
 """
@@ -18,11 +18,69 @@ partitions than the cluster has slots — on a real multi-split layout
 from __future__ import annotations
 
 import logging
+import math
+import os
+import re
+from urllib.parse import unquote, urlparse
 
 from pyspark.errors import PySparkException
 from pyspark.sql import DataFrame
 
 logger = logging.getLogger(__name__)
+
+_SIZE_SUFFIX = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
+                "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}
+
+
+def _parse_bytes(raw: str) -> int:
+    m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]*)\s*", raw)
+    if not m or m.group(2).lower() not in _SIZE_SUFFIX:
+        return 128 << 20
+    return int(m.group(1)) * _SIZE_SUFFIX[m.group(2).lower()]
+
+
+def probe_scan_partitions(df: DataFrame) -> int | None:
+    """Cheap estimate of the data-bearing partition count of a
+    file-backed plan, from the file listing + parquet footers — no
+    ``df.rdd`` (which costs an extra physical-plan compile per call).
+
+    Spark splits parquet files into byte ranges of at most
+    ``spark.sql.files.maxPartitionBytes`` (bin-packing small files
+    together), but a row group lands wholly in the one range holding
+    its midpoint — so the data-bearing split count is bounded both by
+    ``ceil(total_bytes / maxPartitionBytes)`` and by the total row
+    groups. Returns ``None`` (caller falls back to the RDD probe) for
+    plans that aren't local-parquet-scan-shaped: no input files
+    (in-memory / shuffled / streaming sources), remote storage, or
+    non-parquet formats. Only meaningful for scan + narrow-transform
+    plans — the contract spread_scan documents.
+    """
+    try:
+        files = df.inputFiles()
+    except PySparkException:
+        return None
+    if not files:
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        total_rg = 0
+        total_size = 0
+        for uri in files:
+            parsed = urlparse(uri)
+            if parsed.scheme not in ("file", ""):
+                return None
+            path = unquote(parsed.path)
+            if not path.endswith((".parquet", ".parq")):
+                return None
+            total_size += os.path.getsize(path)
+            total_rg += pq.ParquetFile(path).metadata.num_row_groups
+    except Exception:  # noqa: BLE001 — any probe failure → RDD fallback
+        return None
+    mpb = _parse_bytes(
+        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
+    return max(1, min(total_rg, math.ceil(total_size / mpb)))
 
 
 def spread_scan(df: DataFrame) -> DataFrame:
@@ -30,22 +88,27 @@ def spread_scan(df: DataFrame) -> DataFrame:
     yields fewer partitions; identity otherwise. Call on narrow rows
     (ids + text to be exploded), never on already-fanned-out output.
 
-    The partition probe converts the plan to an RDD, which is undefined
-    for streaming/unsupported plans — those fall through to identity
+    The partition count comes from :func:`probe_scan_partitions` (file
+    listing + footers, no extra plan compile) when the plan is a local
+    parquet scan — the driver-testdata case this helper exists for.
+    Other plans fall back to the ``df.rdd`` probe, which is undefined
+    for streaming/unsupported shapes — those fall through to identity
     (logged), so batch/streaming twins can share operator code. Any
     non-Spark exception is a real bug and propagates.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    try:
-        nparts = df.rdd.getNumPartitions()
-    except PySparkException as exc:
-        # streaming plans (and other non-RDD-convertible shapes) can't be
-        # probed; skipping the spread is correct but worth a trace — a
-        # scan that silently stays at 1 partition is the exact failure
-        # this helper exists to fix.
-        logger.debug("spread_scan skipped (plan not probeable): %s", exc)
-        return df
+    nparts = probe_scan_partitions(df)
+    if nparts is None:
+        try:
+            nparts = df.rdd.getNumPartitions()
+        except PySparkException as exc:
+            # streaming plans (and other non-RDD-convertible shapes) can't
+            # be probed; skipping the spread is correct but worth a trace —
+            # a scan that silently stays at 1 partition is the exact
+            # failure this helper exists to fix.
+            logger.debug("spread_scan skipped (plan not probeable): %s", exc)
+            return df
     if nparts >= target:
         return df
     return df.repartition(target)
