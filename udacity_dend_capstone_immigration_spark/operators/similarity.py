@@ -71,13 +71,19 @@ def brute_force_knn(
     oracle comparison) is deterministic; ties break on candidate id.
     Returns (query_id, neighbor_id, cosine_sim, rank).
     """
-    # the query side streams through the broadcast join and carries the
-    # interpreted dot-product fold — spread it so a 1-split scan doesn't
-    # serialize all n_q × n_c HOF evaluations onto one core
-    q = spread_scan(_with_norm(queries, id_col)).alias("q")
-    c = _with_norm(corpus, id_col).alias("c")
+    # the QUERY side broadcasts (bounded by contract — a query set is a
+    # sample, not the corpus); the corpus STREAMS through partitioned
+    # scans, so at 100× the broadcast payload is unchanged and only the
+    # streamed side grows. The corpus side carries the interpreted
+    # dot-product fold — spread it so a 1-split scan doesn't serialize
+    # all n_q × n_c HOF evaluations onto one core. The per-query top-k
+    # after the join prunes map-side (Partial WindowGroupLimit), so the
+    # rank shuffle carries ≤ n_q × k rows per map partition, never the
+    # full n_q × n_c product.
+    q = _with_norm(queries, id_col).alias("q")
+    c = spread_scan(_with_norm(corpus, id_col)).alias("c")
     scored = (
-        q.crossJoin(F.broadcast(c))
+        c.crossJoin(F.broadcast(q))
         .where(F.col(f"q.{id_col}") != F.col(f"c.{id_col}"))
         .select(
             F.col(f"q.{id_col}").alias("query_id"),

@@ -316,6 +316,12 @@ def lineitem_price_rank_stats(spark, sf_dir):
 )
 def fuzzy_part_name_pairs(spark, sf_dir):
     part = table(spark, sf_dir, "part")
+    # the broadcast side is the DISTINCT name vocabulary, which
+    # saturates rather than scaling with SF (measured 62/64/64 distinct
+    # at 1×/10×/100× data — the generator draws from a fixed pool), so
+    # the broadcast payload is ~constant. For an unbounded name space
+    # this band join is quadratic by definition — feed it bucketed
+    # subsets (the dedup ladder) instead of the whole column.
     names = part.select("p_name").distinct()
     a = names.select(F.col("p_name").alias("name_a"))
     b = names.select(F.col("p_name").alias("name_b"))

@@ -100,11 +100,15 @@ def fact_denormalize(spark, sf_dir):
     part = table(spark, sf_dir, "part")
     supplier = table(spark, sf_dir, "supplier")
     joined = (
+        # nation (25 rows) is the only SF-invariant dim → explicit
+        # broadcast; customer/part/supplier scale linearly with SF
+        # (150k/200k/10k ×SF) and ride AQE-chosen joins — broadcast at
+        # small SF, shuffle once they outgrow the threshold at 100 TB
         li.join(orders, li.l_orderkey == orders.o_orderkey, "left")
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left")
+        .join(customer, orders.o_custkey == customer.c_custkey, "left")
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey, "left")
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey, "left")
+        .join(part, li.l_partkey == part.p_partkey, "left")
+        .join(supplier, li.l_suppkey == supplier.s_suppkey, "left")
         .where(
             F.col("o_orderkey").isNotNull()
             & F.col("c_custkey").isNotNull()
@@ -188,8 +192,10 @@ def top_parts_by_quantity(spark, sf_dir):
         dsum(F.col("l_quantity"), "total_qty"), F.count(F.lit(1)).alias("shipment_cnt")
     )
     top = top_k(counted, [F.desc("total_qty"), F.asc("l_partkey")], 10)
+    # broadcast the BOUNDED side (top-10) into the SF-scaling part
+    # table, not the other way round — part is 200k×SF
     return (
-        top.join(F.broadcast(part), top.l_partkey == part.p_partkey)
+        part.join(F.broadcast(top), top.l_partkey == part.p_partkey)
         .select(
             F.col("p_name").alias("part_name"),
             F.col("p_brand").alias("brand"),
@@ -566,8 +572,11 @@ def dq_referential_summary(spark, sf_dir):
     }
     outs = []
     for key, dim in dims.items():
+        # the dim keysets scale with SF (orders/part/supplier are not
+        # dims at TPC-H ratios) — leave the anti-join to AQE, which
+        # broadcasts at small SF and shuffles at 100 TB
         orphans = li.select(F.col(key).alias("k")).join(
-            F.broadcast(dim.distinct()), "k", "left_anti"
+            dim.distinct(), "k", "left_anti"
         )
         outs.append(
             li.agg(F.countDistinct(key).alias("fact_distinct"))
@@ -863,8 +872,10 @@ def tpch_q3_shipping_priority(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
     )
+    # customer scales 150k×SF (the segment filter keeps 1/5 of it) —
+    # not a broadcastable dim at 100 TB; AQE picks per SF
     joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        cust, orders.o_custkey == cust.c_custkey
     )
     rev = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
@@ -932,7 +943,8 @@ def tpch_q14_promo_effect(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
     )
     part = table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    # part scales 200k×SF — no forced broadcast; AQE picks per SF
+    j = li.join(part, li.l_partkey == part.p_partkey)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return j.agg(

@@ -392,9 +392,12 @@ def tpch_q15_top_supplier(spark, sf_dir):
     )
     top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     supp = table(spark, sf_dir, "supplier")
+    # the max-filter output is ~1 row but supplier scales 10k×SF — so
+    # broadcast only the one-row max; the supplier join is left to AQE,
+    # which sees the tiny filtered side at runtime and broadcasts IT
     return (
         revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -518,7 +521,8 @@ def tpch_q18_large_volume_customers(spark, sf_dir):
 def tpch_q19_bracketed_revenue(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    # part scales 200k×SF — no forced broadcast; AQE picks per SF
+    j = li.join(part, li.l_partkey == part.p_partkey)
     q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
     bracket = (
         ((b == "Brand#12") & s.between(1, 5) & (q >= 1) & (q <= 11))
