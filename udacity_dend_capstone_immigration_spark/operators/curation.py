@@ -96,16 +96,25 @@ def pack_by_token_budget(
     Sequence packing for pre-training: documents are taken in a
     deterministic order within each group and a pack boundary is placed
     every ``budget`` tokens of exclusive running sum (a pack may overrun
-    by at most one document — the standard streaming-chunker semantics,
-    computable in one window pass; a strict no-overrun packer needs
-    sequential state, cf. :mod:`..streaming`'s applyInPandasWithState).
+    by at most one document — the standard streaming-chunker semantics;
+    a strict no-overrun packer needs sequential state, cf.
+    :mod:`..streaming`'s applyInPandasWithState).
 
-    Single shuffle on ``group_col``; only (id, token_count) flow through
-    the window, so at 100 TB this is a metadata-sized exchange.
+    The running sum uses :func:`..cumsum.grouped_running_sum` (range
+    exchange + per-partition windows + a partitions×groups offsets
+    job), NOT ``SUM() OVER (PARTITION BY group)`` — the group key here
+    is per-SOURCE, so a plain window would sort one whole source per
+    task at 100×.
     """
-    w = Window.partitionBy(group_col).orderBy(order_col)
-    cum_excl = (F.sum(tokens_col).over(w) - F.col(tokens_col)).cast("bigint")
-    return df.withColumn("pack_id", F.floor(cum_excl / F.lit(budget)))
+    from udacity_dend_capstone_immigration_spark.operators.cumsum import grouped_running_sum
+
+    summed = grouped_running_sum(
+        df, group_col, [order_col], tokens_col, out_col="_cum_toks"
+    )
+    cum_excl = (F.col("_cum_toks") - F.col(tokens_col)).cast("bigint")
+    return summed.withColumn("pack_id", F.floor(cum_excl / F.lit(budget))).drop(
+        "_cum_toks"
+    )
 
 
 def containment_pairs(

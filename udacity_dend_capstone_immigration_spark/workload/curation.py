@@ -340,8 +340,10 @@ def corpus_curation_pipeline(spark, sf_dir):
 # proportion-based cousin of count-quotas and budget-packing — the
 # data-mixing op for "keep the best docs worth p of each source").
 # Inclusive-of-crossing-doc semantics: the doc that crosses the
-# threshold is kept, so coverage is always >= p. One window pass per
-# source; only (doc_id, tokens) ride the shuffle.
+# threshold is kept, so coverage is always >= p. The cumulative sum is
+# the range-exchange grouped prefix sum (operators/cumsum.py), not a
+# per-source window — source is a low-cardinality key, and a plain
+# window would funnel each source through one task at 100×.
 @query(
     "corpus_nucleus_sample",
     oracle=f"""
@@ -368,20 +370,21 @@ def corpus_nucleus_sample(spark, sf_dir):
 
     from udacity_dend_capstone_immigration_spark.functions.text import token_count
 
+    from udacity_dend_capstone_immigration_spark.operators.cumsum import grouped_running_sum
+
     docs = table(spark, sf_dir, "documents")
     t = docs.select("doc_id", "source", "n_chars", token_count("text").alias("toks"))
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ws = Window.partitionBy("source")
-    cum = t.select(
-        "doc_id",
+    # per-SOURCE running + total token sums via the range-exchange
+    # prefix-sum operator — a plain SUM() OVER (PARTITION BY source)
+    # would sort one whole source in ONE task at 100×; the per-group
+    # grand total falls out of the same offsets job for free
+    cum = grouped_running_sum(
+        t,
         "source",
+        [F.desc("n_chars"), F.asc("doc_id")],
         "toks",
-        F.sum("toks").over(w).alias("cum_toks"),
-        F.sum("toks").over(ws).alias("total_toks"),
+        out_col="cum_toks",
+        total_col="total_toks",
     )
     return cum.where(
         (F.col("cum_toks") - F.col("toks")).cast("double")
