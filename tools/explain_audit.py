@@ -34,7 +34,10 @@ SKIP = {
 
 def audit(plan: str) -> dict[str, int]:
     return {
-        "scans": len(re.findall(r"Scan parquet", plan)),
+        # count numbered node headers only — explain("formatted") prints
+        # every node once in the tree AND once in the detail list, so a
+        # bare "Scan parquet" grep double-counts
+        "scans": len(re.findall(r"\(\d+\) Scan parquet", plan)),
         "exchanges": len(re.findall(r"\(\d+\) Exchange", plan)),
         "broadcasts": len(re.findall(r"\(\d+\) BroadcastExchange", plan)),
         "reused": len(re.findall(r"ReusedExchange", plan)),
