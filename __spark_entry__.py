@@ -24,9 +24,9 @@ FLAGSHIP = "top_nations_by_orders"
 #: ``queries()``. This round-7 window rotates to the longest-unwatched
 #: queries while keeping the closure invariant (every registered query
 #: has a green official row across r2 ∪ r3 ∪ r5 ∪ this window):
-#: (a) the 16 queries absent from r2/r3/r5 — the round-6 TPC-H/text
-#: additions (officially green in r6) plus the 3 TPC-H shapes NEW this
-#: round (Q8/Q12/Q21, no official row yet); among these, Q7/Q17 and
+#: (a) the 17 queries absent from r2/r3/r5 — the round-6 TPC-H/text
+#: additions (officially green in r6) plus the 4 TPC-H shapes NEW this
+#: round (Q8/Q9/Q12/Q21, no official row yet); among these, Q7/Q17 and
 #: doc_tfidf_top_terms also had their PLANS reworked this round
 #: (forced-broadcast and term-window removal) and need re-proving;
 #: (b) knn_ivf / ann_ivf_recall, whose RESULTS change this round
@@ -38,6 +38,7 @@ FLAGSHIP = "top_nations_by_orders"
 SHOWCASE = [
     # new this round — no official row yet
     "tpch_q8_market_share",
+    "tpch_q9_profit_by_nation_year",
     "tpch_q12_priority_by_shipcat",
     "tpch_q21_waiting_suppliers",
     # plans reworked this round (scale fixes) — re-prove officially
@@ -91,7 +92,6 @@ SHOWCASE = [
     "text_quality_scores",
     "events_cep_triples",
     "multimodal_resize",
-    "multimodal_frame_sample",
     # (bench headliners, streaming and ETL tiers rotated out this
     # window — unchanged semantics, green official rows in r5/r6)
 ]

@@ -119,6 +119,7 @@ def test_showcase_window_completes_official_coverage():
 
     changed_in_r7 = {
         "tpch_q8_market_share",
+        "tpch_q9_profit_by_nation_year",
         "tpch_q12_priority_by_shipcat",
         "tpch_q21_waiting_suppliers",
         "tpch_q7_nation_trade_volume",

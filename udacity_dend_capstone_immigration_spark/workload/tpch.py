@@ -5,8 +5,9 @@ noted per query).
 
 Each query exercises a distinct optimizer/execution pattern at scale:
 existential semi-joins (Q4), multi-hop nation-pair joins (Q7),
-conditional-aggregate market-share ratios (Q8), top-k over a quarter
-of returns (Q10), two-way conditional counts over a pushed-down
+conditional-aggregate market-share ratios (Q8), LIKE-filtered 5-table
+profit rollups (Q9), top-k over a quarter of returns (Q10), two-way
+conditional counts over a pushed-down
 disjunction (Q12), outer-join count distributions (Q13), scalar-max
 view selection (Q15), correlated-average filters (Q17), group-HAVING
 IN-subqueries (Q18), disjunctive pushdown brackets (Q19),
@@ -223,6 +224,66 @@ def tpch_q8_market_share(spark, sf_dir):
             F.count(F.lit(1)).alias("n_flows"),
         )
         .orderBy("o_year")
+    )
+
+
+# --- TPC-H Q9 shape (product type profit): profit by supplier nation
+# and order year for parts matching a name token (reference pattern:
+# TPC-H spec Q9). The testdata has no partsupp, so ps_supplycost is
+# proxied by 0.6 × p_retailprice (documented substitution — the join
+# topology and aggregate shape, a 5-table star with a LIKE-filtered
+# part and a two-key rollup, are what the query exercises; partsupp
+# would only add a sixth equi-join on the same keys). Plan shape: the
+# LIKE pushes to the part scan (1/8 selectivity), nation broadcasts,
+# part/supplier ride AQE-chosen joins off the lineitem⋈orders
+# exchange; the amount expression is decimal-summed for bit-portable
+# comparison. Profit amounts can be negative — the decimal sum is
+# sign-safe.
+@query(
+    "tpch_q9_profit_by_nation_year",
+    oracle=f"""
+    WITH profit AS (
+        SELECT n_name AS nation,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+               l_extendedprice * (1 - l_discount)
+                   - 0.6 * p_retailprice * l_quantity AS amount
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%gear%'
+    )
+    SELECT nation, o_year, {sql_dsum("amount", "sum_profit")}
+    FROM profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9_profit_by_nation_year(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+    supp = table(spark, sf_dir, "supplier")
+    orders = table(spark, sf_dir, "orders")
+    nation = table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    profit = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            amount.alias("amount"),
+        )
+    )
+    return (
+        profit.groupBy("nation", "o_year")
+        .agg(dsum(F.col("amount"), "sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
     )
 
 
