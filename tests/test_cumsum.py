@@ -62,3 +62,46 @@ def test_no_single_task_sort(spark):
     for line in plan.splitlines():
         if "Window " in line and "windowspecdefinition" in line:
             assert "_rsum_pid" in line  # every window is PID-prefixed
+
+
+def test_property_matches_plain_window(spark):
+    """Hypothesis: arbitrary (group, key, value) batches — the range-
+    exchange prefix sum must equal the plain window on every draw,
+    including duplicate order keys broken by a tiebreaker, negative
+    values, single-row groups, and one-group inputs."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.function_scoped_fixture,
+            HealthCheck.too_slow,
+        ],
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),      # group
+                st.integers(min_value=0, max_value=9),      # order key (dups ok)
+                st.integers(min_value=-1000, max_value=1000),  # value
+            ),
+            min_size=1,
+            max_size=80,
+        )
+    )
+    def prop(rows):
+        data = [(g, k, i, v) for i, (g, k, v) in enumerate(rows)]
+        df = spark.createDataFrame(data, "g int, k int, tie int, v int").repartition(5)
+        got = sorted(
+            (r["g"], r["k"], r["tie"], r["running_sum"])
+            for r in grouped_running_sum(df, "g", ["k", "tie"], "v").collect()
+        )
+        want = sorted(
+            (r["g"], r["k"], r["tie"], r["running_sum"])
+            for r in _reference(df, "g", [F.col("k"), F.col("tie")], "v").collect()
+        )
+        assert got == want
+
+    prop()
