@@ -539,8 +539,9 @@ def table_row_counts(spark, sf_dir):
 # --- DQ referential-consistency summary: reference etl.py:391-408
 # (SURVEY.md §2.11) as data — per fact key, the reference's
 # distinct-count comparison plus the subset-semantics orphan count the
-# fixed DQCheck uses. One broadcast anti-join per key, no O(n log n)
-# distinct jobs repeated per table.
+# fixed DQCheck uses. One AQE-planned anti-join per key (broadcast at
+# small SF, shuffle at 100 TB — the keysets scale with SF), no
+# O(n log n) distinct jobs repeated per table.
 @query(
     "dq_referential_summary",
     oracle="""
@@ -845,8 +846,10 @@ def orders_column_profile(spark, sf_dir):
 
 # --- TPC-H Q3 shape (shipping priority): segment-filtered 3-table join,
 # revenue per order, top 10. Both date filters push into the scans;
-# customer (after the segment filter) broadcasts; the orders⋈lineitem
-# join is the only wide exchange. TakeOrderedAndProject caps the sort.
+# customer joins AQE-planned (the segment filter keeps 1/5 of a table
+# that scales 150k×SF — broadcast at small SF only); the
+# orders⋈lineitem join is the only wide exchange.
+# TakeOrderedAndProject caps the sort.
 @query(
     "tpch_q3_shipping_priority",
     oracle=f"""

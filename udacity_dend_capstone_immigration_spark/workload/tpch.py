@@ -78,11 +78,12 @@ def tpch_q4_late_order_priority(spark, sf_dir):
 
 
 # --- TPC-H Q7 shape (volume shipping): revenue flows between distinct
-# (supplier nation, customer nation) pairs per ship year. Two broadcast
-# dim chains (supplier→nation, customer→nation) hang off the one wide
-# lineitem⋈orders exchange; the pair inequality prunes same-nation
-# flow. Nation names are re-used from two broadcast copies — no
-# self-join materialization.
+# (supplier nation, customer nation) pairs per ship year. The two
+# nation copies broadcast (SF-invariant) off the one wide
+# lineitem⋈orders exchange; supplier and customer scale with SF and
+# are AQE-planned; the pair inequality prunes same-nation flow. Nation
+# names are re-used from two broadcast copies — no self-join
+# materialization.
 @query(
     "tpch_q7_nation_trade_volume",
     oracle=f"""
