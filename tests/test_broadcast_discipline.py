@@ -1,0 +1,103 @@
+"""Forced-broadcast discipline: every ``F.broadcast(...)`` in the
+workload/plans tier must broadcast something BOUNDED — an SF-invariant
+dim (nation/region, SAS label dims), a one-row/top-k aggregate, or a
+contract-bounded query set. Broadcasting a table that scales with SF
+(customer, supplier, part, orders, lineitem, document/embedding
+corpora) is the 100×-scale-killer class the round-6/7 audits removed;
+this test pins the fix so a future edit can't silently reintroduce one.
+
+The check is intentionally textual (argument expression against an
+allowlist) — plan-level inspection can't distinguish a hint-forced
+broadcast from an AQE-chosen one, and the allowlist doubles as the
+documented inventory of why each remaining broadcast is safe.
+"""
+
+from pathlib import Path
+
+PKG = Path(__file__).resolve().parent.parent / "udacity_dend_capstone_immigration_spark"
+
+#: argument-expression → why it is bounded. Adding a new F.broadcast()
+#: requires adding a row here WITH its boundedness argument.
+ALLOWED = {
+    # SF-invariant dims (25 nations / 5 regions)
+    "nation": "25 rows at any SF",
+    "n1": "aliased nation copy",
+    "n2": "aliased nation copy",
+    "region": "5 rows at any SF",
+    # one-row / top-k / per-small-key aggregates
+    "top": "top-k output, k fixed",
+    "avg_bal": "one-row scalar aggregate",
+    "avg_df": "one-row scalar aggregate",
+    "n_docs": "one-row count",
+    "tot": "one-row total",
+    "ns": "one row per source (bounded key)",
+    "agg": "one row per event_type (bounded key)",
+    "sizes": "one row per cohort week (bounded by time span)",
+    'med.select("event_type", "median")': "one row per event_type",
+    "b": "distinct p_name vocabulary — saturates at 64 (measured)",
+    # bounded-by-contract query/centroid sets
+    "q": "query set, MAX_BROADCAST_QUERY_ROWS contract",
+    "seed": "N_CELLS seed vectors",
+    "cents": "N_CELLS trained centroids",
+    # local-collection dims (SAS label parses / driver literals)
+    "dim": "local-collection dim (SAS labels / literal frame)",
+    "dim.distinct()": "local-collection dim keyset",
+    'dim.select(F.col(dim_key).alias(fact_key)).distinct()': "ETL dim keyset (SAS label dims, bounded)",
+    'countries.alias("sc")': "SAS label dim",
+    'ports.alias("sp")': "SAS label dim",
+    'states.alias("sus")': "SAS label dim",
+    'visa_categories.alias("svc")': "SAS label dim",
+    'travel_modes.alias("stm")': "SAS label dim",
+    "cd": "city-demographics dim (bounded city list)",
+}
+
+def _balanced_arg(text: str, start: int) -> str:
+    """The argument of the call opening at ``start`` (index of '('),
+    matching parentheses."""
+    depth, i = 0, start
+    while i < len(text):
+        if text[i] == "(":
+            depth += 1
+        elif text[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return text[start + 1 : i]
+        i += 1
+    raise AssertionError("unbalanced parens")
+
+
+def _broadcast_args():
+    hits = []
+    marker = "F.broadcast"
+    for sub in ("workload", "plans", "operators"):
+        for path in sorted((PKG / sub).glob("*.py")):
+            text = path.read_text()
+            idx = 0
+            while (idx := text.find(marker, idx)) != -1:
+                open_paren = idx + len(marker)
+                if open_paren < len(text) and text[open_paren] == "(":
+                    arg = " ".join(_balanced_arg(text, open_paren).split())
+                    hits.append((f"{sub}/{path.name}", arg))
+                idx = open_paren
+    return hits
+
+
+def test_every_forced_broadcast_is_bounded():
+    unexplained = [
+        (loc, arg) for loc, arg in _broadcast_args() if arg not in ALLOWED
+    ]
+    assert not unexplained, (
+        "forced broadcast of an expression not on the bounded allowlist "
+        f"(add it WITH a boundedness argument): {unexplained}"
+    )
+
+
+def test_no_scaling_table_is_broadcast():
+    """Belt-and-braces: none of the SF-scaling base-table variable names
+    may appear as a broadcast argument, allowlisted or not."""
+    scaling = {"customer", "cust", "supplier", "supp", "part", "orders",
+               "li", "lineitem", "docs", "emb", "c"}
+    offenders = [
+        (loc, arg) for loc, arg in _broadcast_args() if arg in scaling
+    ]
+    assert not offenders, f"SF-scaling table broadcast: {offenders}"
