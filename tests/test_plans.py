@@ -291,3 +291,53 @@ def test_equi_depth_queries_have_no_single_partition_sort(spark):
         plan = plan_of(spark, name)
         assert "SinglePartition" not in plan, name
         assert "ntile" not in plan, name
+
+
+def test_q21_semi_and_anti_self_joins(spark):
+    """Q21's EXISTS/NOT-EXISTS must compile to semi/anti joins (no
+    fan-out) with the supplier inequality as a join residual, and the
+    orderstatus filter must reach the orders scan."""
+    plan = plan_of(spark, "tpch_q21_waiting_suppliers")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    flat = plan.replace("\n", " ")
+    assert "PushedFilters" in flat and "o_orderstatus" in flat
+
+
+def test_q12_pushes_disjunction_and_range(spark):
+    """The returnflag IN list and the shipdate range both push to the
+    lineitem scan; the two conditional counts stay in one aggregate
+    pair (partial + final), not two passes."""
+    plan = plan_of(spark, "tpch_q12_priority_by_shipcat")
+    flat = plan.replace("\n", " ")
+    assert "PushedFilters" in flat and "l_returnflag" in flat
+    assert "l_shipdate" in flat
+    import re
+
+    # exactly one partial+final aggregate pair (formatted explain lists
+    # each node twice: once in the tree, once in the details)
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2  # lineitem + orders
+
+
+def test_q8_and_q9_push_part_filters(spark):
+    """Q8's p_type equality and Q9's p_name LIKE must reach the part
+    scan so the join input shrinks before the exchange."""
+    for name, col in (
+        ("tpch_q8_market_share", "p_type"),
+        ("tpch_q9_profit_by_nation_year", "p_name"),
+    ):
+        flat = plan_of(spark, name).replace("\n", " ")
+        assert "PushedFilters" in flat and col in flat, name
+
+
+def test_tfidf_has_no_term_window(spark):
+    """The round-7 fix: document frequency must be an aggregate+join,
+    never a Window over the Zipf-distributed term key. The only window
+    allowed is the per-doc top-5 (which WindowGroupLimit prunes)."""
+    plan = plan_of(spark, "doc_tfidf_top_terms")
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "doc_id" in line, f"non-doc window in tfidf plan: {line}"
+    assert "WindowGroupLimit" in plan
