@@ -105,3 +105,34 @@ def test_property_matches_plain_window(spark):
         assert got == want
 
     prop()
+
+
+def test_null_group_keys(spark):
+    """NULL groups must form their own group (concat_ws drops null
+    operands, so a naive key would alias null groups onto the bare-pid
+    key — the sentinel prevents that)."""
+    df = spark.createDataFrame(
+        [("a", 1, 10), (None, 1, 5), (None, 2, 7), ("a", 2, 3)],
+        "g string, k int, v int",
+    )
+    out = {
+        (r["g"], r["k"]): (r["running_sum"], r["total"])
+        for r in grouped_running_sum(df, "g", ["k"], "v", total_col="total").collect()
+    }
+    assert out == {
+        ("a", 1): (10, 13),
+        ("a", 2): (13, 13),
+        (None, 1): (5, 12),
+        (None, 2): (12, 12),
+    }
+
+
+def test_unsupported_group_key_type_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1.5, 1, 1)], "g double, k int, v int")
+    with pytest.raises(TypeError, match="unsupported"):
+        grouped_running_sum(df, "g", ["k"], "v")
+    dfb = spark.createDataFrame([(True, 1, 1)], "g boolean, k int, v int")
+    with pytest.raises(TypeError, match="unsupported"):
+        grouped_running_sum(dfb, "g", ["k"], "v")

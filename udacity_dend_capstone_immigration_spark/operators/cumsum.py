@@ -25,10 +25,15 @@ the sums — the same pin :func:`..quantiles.global_rank` uses).
 Contracts: ``value_col`` must be integral (bigint partial sums are
 order-independent; double partials would not be bit-stable across
 merge orders), ``order_cols`` must be a total order within each group
-(include a unique tiebreaker), and the group-key cardinality must be
+(include a unique tiebreaker), the group-key cardinality must be
 driver-map-sized (the per-source / per-shard use case — thousands,
 not billions; per-user running sums should stay on the plain window,
-whose groups are naturally small).
+whose groups are naturally small), and the group key must be a
+string/integral type: the offsets map is keyed by the key's STRING
+form on both the driver (``str(value)``) and the executor
+(``CAST(key AS STRING)``), and those two renderings agree for
+strings and integers but not for floats (``1e+20`` vs ``1.0E20``) —
+float-keyed groups raise. NULL groups are supported (sentinel key).
 """
 
 from __future__ import annotations
@@ -39,6 +44,8 @@ from pyspark.sql import functions as F
 _PID = "_rsum_pid"
 #: unit-separator: never collides with real key text
 _SEP = "\x1f"
+#: sentinel string form for a NULL group key
+_NULL_KEY = "\x00<null-group>"
 
 
 def _cols(order_cols: list[Column | str]) -> list[Column]:
@@ -60,6 +67,27 @@ def grouped_running_sum(
     per-group grand total is attached too (free: it falls out of the
     same offsets job, saving the usual second window / aggregate+join).
     """
+    from pyspark.sql.types import (
+        ByteType,
+        DateType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    gtype = df.schema[group_col].dataType
+    if not isinstance(
+        gtype, (StringType, ByteType, ShortType, IntegerType, LongType, DateType)
+    ):
+        raise TypeError(
+            f"grouped_running_sum: group key type {gtype.simpleString()} is "
+            "unsupported — the offsets map is keyed by the key's string "
+            "form on driver and executor, and those renderings agree only "
+            "for string/integer/date keys (floats: 1e+20 vs 1.0E20; "
+            "booleans: True vs true; timestamps: .500000 vs .5); cast the "
+            "key to string first"
+        )
     order = _cols(order_cols)
     # no explicit sortWithinPartitions: the offsets aggregate is
     # order-free and the output window inserts its own partition sort,
@@ -78,11 +106,14 @@ def grouped_running_sum(
     offsets: dict[tuple[int, str], int] = {}
     totals: dict[str, int] = {}
     for r in sorted(partials, key=lambda r: r[_PID]):
-        g = str(r[group_col])
+        g = _NULL_KEY if r[group_col] is None else str(r[group_col])
         offsets[(r[_PID], g)] = totals.get(g, 0)
         totals[g] = totals.get(g, 0) + (r["_s"] or 0)
 
-    key = F.concat_ws(_SEP, F.col(_PID).cast("string"), F.col(group_col).cast("string"))
+    # NULL groups get a sentinel key (concat_ws silently DROPS null
+    # operands, which would alias a null group onto the bare-pid key)
+    gkey = F.coalesce(F.col(group_col).cast("string"), F.lit(_NULL_KEY))
+    key = F.concat_ws(_SEP, F.col(_PID).cast("string"), gkey)
     if offsets:
         offset_map = F.create_map(
             *[
@@ -109,7 +140,10 @@ def grouped_running_sum(
                 *[F.lit(x) for g, tot in totals.items() for x in (g, tot)]
             )
             total = F.coalesce(
-                total_map[F.col(group_col).cast("string")], F.lit(0)
+                total_map[
+                    F.coalesce(F.col(group_col).cast("string"), F.lit(_NULL_KEY))
+                ],
+                F.lit(0),
             )
         else:
             total = F.lit(0)
