@@ -6,7 +6,14 @@ order-insensitive canonical value comparison (exact on bits for floats —
 the workload is engineered for bit-identical aggregates, see
 workload/base.py).
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--default-session] [sf_dir] [query ...]
+
+``--default-session`` builds the SparkSession the way the DRIVER does —
+plain ``builder.getOrCreate()`` with Spark 4 defaults (ANSI on, 200
+shuffle partitions, no tz pin) — instead of the repo's tuned factory.
+A query green under the factory but unchecked under a default session
+is unverified: the workload must pin its own semantic confs via
+``pin_session`` at query entry, and this flag proves it.
 """
 
 from __future__ import annotations
@@ -50,10 +57,19 @@ def rows_to_multiset(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    default_session = "--default-session" in args
+    if default_session:
+        args = [a for a in args if a != "--default-session"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
-    spark = get_spark_session(master="local[8]", shuffle_partitions=8)
+    if default_session:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        spark = get_spark_session(master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in STAR_TABLES:
