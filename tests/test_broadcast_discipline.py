@@ -37,6 +37,8 @@ ALLOWED = {
     "b": "distinct p_name vocabulary — saturates at 64 (measured)",
     # bounded-by-contract query/centroid sets
     "q": "query set, MAX_BROADCAST_QUERY_ROWS contract",
+    "off_df": "cumsum offsets — ≤ partitions+groups rows (contiguous runs), "
+    "group cardinality driver-map-bounded by contract",
     "seed": "N_CELLS seed vectors",
     "cents": "N_CELLS trained centroids",
     # local-collection dims (SAS label parses / driver literals)

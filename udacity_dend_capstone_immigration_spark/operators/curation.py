@@ -100,11 +100,11 @@ def pack_by_token_budget(
     a strict no-overrun packer needs sequential state, cf.
     :mod:`..streaming`'s applyInPandasWithState).
 
-    The running sum uses :func:`..cumsum.grouped_running_sum` (range
-    exchange + per-partition windows + a partitions×groups offsets
-    job), NOT ``SUM() OVER (PARTITION BY group)`` — the group key here
-    is per-SOURCE, so a plain window would sort one whole source per
-    task at 100×.
+    The running sum uses :func:`..cumsum.grouped_running_sum` in auto
+    shape: the plain window below the estimated-size threshold (small
+    inputs pay no extra jobs), the range-exchange shape above it — the
+    group key here is per-SOURCE, so at 100× a plain window would sort
+    one whole source per task; auto switches before that bites.
     """
     from udacity_dend_capstone_immigration_spark.operators.cumsum import grouped_running_sum
 

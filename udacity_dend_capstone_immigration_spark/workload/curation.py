@@ -341,9 +341,11 @@ def corpus_curation_pipeline(spark, sf_dir):
 # data-mixing op for "keep the best docs worth p of each source").
 # Inclusive-of-crossing-doc semantics: the doc that crosses the
 # threshold is kept, so coverage is always >= p. The cumulative sum is
-# the range-exchange grouped prefix sum (operators/cumsum.py), not a
-# per-source window — source is a low-cardinality key, and a plain
-# window would funnel each source through one task at 100×.
+# the shape-adaptive grouped prefix sum (operators/cumsum.py): source
+# is a low-cardinality key, so at 100× a per-source window would
+# funnel each source through one task — auto flips to the
+# range-exchange shape there, and stays on the cheap plain window at
+# bench scale.
 @query(
     "corpus_nucleus_sample",
     oracle=f"""
@@ -374,10 +376,10 @@ def corpus_nucleus_sample(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     t = docs.select("doc_id", "source", "n_chars", token_count("text").alias("toks"))
-    # per-SOURCE running + total token sums via the range-exchange
-    # prefix-sum operator — a plain SUM() OVER (PARTITION BY source)
-    # would sort one whole source in ONE task at 100×; the per-group
-    # grand total falls out of the same offsets job for free
+    # per-SOURCE running + total token sums via the shape-adaptive
+    # prefix-sum operator — above the size threshold a plain
+    # SUM() OVER (PARTITION BY source) would sort one whole source in
+    # ONE task, so auto switches to the range-exchange shape there
     cum = grouped_running_sum(
         t,
         "source",
