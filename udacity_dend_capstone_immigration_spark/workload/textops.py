@@ -946,20 +946,22 @@ def doc_chunk_windows(spark, sf_dir):
 # --- TF-IDF top terms per document. Raw inverse document frequency
 # (tf * N / df, one double multiply + one divide — bit-portable across
 # engines, unlike ln-based idf whose libm rounding may differ) with an
-# explicit (score DESC, term ASC) tiebreak. Plan shape: tf aggregate
-# shuffles (doc, term) once; df is an independent map-combinable
-# groupBy(term).count() over per-row array_distinct'd terms (codegen,
-# no lambda HOF) equi-joined back — NOT a Window.partitionBy(term):
-# the term key is Zipf-distributed, and a stopword's window partition
-# would buffer ~every document's row in ONE task at 100×, whereas AQE
-# can skew-split (or broadcast) a hot JOIN key. The df branch re-scans
-# documents, but explodes only DISTINCT terms per doc and partial-
-# aggregates before its shuffle — A/B'd at sf0.1 vs a localCheckpoint
-# of the tf rows (0.77s vs 0.84s min-of-3; the checkpoint's
-# materialization outweighs the second tokenize at this width). The
-# final top-5 window partitions by doc_id (naturally bounded, and
-# WindowGroupLimit prunes to 5 per group before the shuffle). n_docs
-# broadcasts from a column-pruned count scan.
+# explicit (score DESC, term ASC) tiebreak. Plan shape: ONE tokenize —
+# the tf aggregate shuffles (doc, term) once and is pinned with a lazy
+# localCheckpoint; df is a map-combinable groupBy(term).count() over
+# the pinned tf rows (tf rows ARE the distinct doc-term pairs), so the
+# corpus is scanned and tokenized exactly once — at 100× a second
+# tokenize pass re-reads every document, and the r8 A/B shows the
+# checkpoint now costs nothing at bench width (0.93 vs 0.96 min-of-3
+# at sf0.1; exchange reuse never materializes for the two-aggregate
+# shape, so deriving df from un-pinned tf would re-run the final tf
+# aggregate instead). df stays an equi-join, NOT a
+# Window.partitionBy(term): the term key is Zipf-distributed, and a
+# stopword's window partition would buffer ~every document's row in
+# ONE task at 100×, whereas AQE can skew-split (or broadcast) a hot
+# JOIN key. The final top-5 window partitions by doc_id (naturally
+# bounded, and WindowGroupLimit prunes to 5 per group before the
+# shuffle). n_docs broadcasts from a column-pruned count scan.
 @query(
     "doc_tfidf_top_terms",
     oracle=f"""
@@ -988,13 +990,13 @@ def doc_tfidf_top_terms(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    df = (
-        docs.select(F.explode(F.array_distinct(tokenize(F.col("text")))).alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(df, "term").join(
         F.broadcast(n_docs)
     ).withColumn(
