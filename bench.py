@@ -64,7 +64,15 @@ def main() -> None:
         app_name="udacity-dend-capstone-immigration-spark-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # size the single local JVM like a real executor: 32 task
+            # threads sharing the default 1g heap OOM on the r8
+            # sort-merge verify joins (32 concurrent sorts + pinned
+            # checkpoint blocks); any real deployment sizes the JVM to
+            # its core count — ~256m/thread here, box has 128 GiB
+            "spark.driver.memory": "8g",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -41,6 +41,7 @@ ALLOWED = {
     "group cardinality driver-map-bounded by contract",
     "seed": "N_CELLS seed vectors",
     "cents": "N_CELLS trained centroids",
+    "cent_df": "N_CELLS centroid frame (Lloyd-iteration input, bounded)",
     # local-collection dims (SAS label parses / driver literals)
     "dim": "local-collection dim (SAS labels / literal frame)",
     "dim.distinct()": "local-collection dim keyset",

@@ -242,3 +242,47 @@ def test_prefix_filter_cap_drops_hot_prefix_tokens(spark):
         df, "doc_id", "text", n=3, threshold=0.5, max_prefix_df=1
     )
     assert capped.count() == 0
+
+
+def test_jaccard_size_identity_matches_array_union(spark):
+    """jaccard_verified_pairs computes |union| from set sizes
+    (|a|+|b|-|inter|) — valid ONLY for duplicate-free arrays, the
+    documented precondition. Pin equivalence with the materialized
+    array_union form on shingle_sets output (distinct by construction),
+    including partial-overlap pairs either side of the threshold."""
+    df = _docs(
+        spark,
+        [
+            "a b c d e f g h",          # 6 trigram shingles
+            "a b c d e f g x",          # shares 5 of them
+            "a b c d e f g h",          # identical to doc 0
+            "completely different text here now",
+        ],
+    )
+    sh = shingle_sets(df, "doc_id", "text", 3)
+    ids = [r["doc_id"] for r in sh.select("doc_id").collect()]
+    pairs = spark.createDataFrame(
+        [(a, b) for a in ids for b in ids if a < b], "id_a long, id_b long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_verified_pairs(pairs, sh, "doc_id", 0.0).collect()
+    }
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb"))
+    want = {
+        (r["id_a"], r["id_b"]): r["j"]
+        for r in pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sa", "sb")).cast("double")
+                / F.size(F.array_union("sa", "sb"))
+            ).alias("j"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) == len(ids) * (len(ids) - 1) // 2
+    assert got[(0, 2)] == 1.0 and 0.0 < got[(0, 1)] < 1.0

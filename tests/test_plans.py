@@ -341,3 +341,63 @@ def test_tfidf_has_no_term_window(spark):
         if "windowspecdefinition" in line:
             assert "doc_id" in line, f"non-doc window in tfidf plan: {line}"
     assert "WindowGroupLimit" in plan
+
+
+def test_no_static_broadcast_of_estimate_blind_relations(spark):
+    """Catalyst's size estimate does not grow through explode fan-out
+    or checkpoint boundaries (measured: 120 KB estimated vs 260k actual
+    shingle rows at sf0.1), so the STATIC planner will happily broadcast
+    an SF-scaling intermediate at any corpus size — at a 100x corpus the
+    ngram verify join built a 1.2 GiB broadcast (and AQE cannot demote a
+    statically-planned broadcast). The unbounded sites carry merge
+    hints; this gate scans every registered query's plan for a
+    BroadcastExchange whose build subtree contains a Generate (explode)
+    or an ExistingRDD scan (checkpoint) and pins the surviving set to
+    the allowlist of provably BOUNDED builds below.
+    """
+    ALLOWED = {
+        # explicit F.broadcast of bounded sides that happen to sit on
+        # explode/checkpoint subtrees (boundedness argued in
+        # tests/test_broadcast_discipline.py):
+        "source_token_divergence",      # one row per source + one scalar
+        "knn_ivf",                      # N_CELLS trained centroids
+        "ann_ivf_recall",               # same centroids (composed)
+        "centroid_classifier_confusion",  # |labels| x 64 centroid cells
+        "immigration_etl_fact",         # SAS label dims (local collections)
+        "events_cohort_retention",      # one row per cohort week
+        # implicit but bounded: distinct active DAYS (time span, not SF)
+        "events_rolling_wau",
+    }
+
+    def suspects(plan: str) -> list[str]:
+        lines = plan.splitlines()
+        out = []
+        for i, line in enumerate(lines):
+            if "BroadcastExchange" not in line:
+                continue
+            indent = len(line) - len(line.lstrip(" :+-"))
+            sub = []
+            for m in lines[i + 1:]:
+                mind = len(m) - len(m.lstrip(" :+-"))
+                if mind <= indent:
+                    break
+                sub.append(m)
+            body = "\n".join(sub)
+            if "Generate" in body or "ExistingRDD" in body:
+                out.append(sub[0].strip()[:80] if sub else "?")
+        return out
+
+    offenders = {}
+    for name, fn in QUERIES.items():
+        try:
+            df = fn(spark, SF_DIR)
+        except Exception:
+            continue  # streaming-only entries build elsewhere
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        s = suspects(plan)
+        if s and name not in ALLOWED:
+            offenders[name] = s
+    assert not offenders, (
+        "estimate-blind relation statically broadcast (add a merge hint "
+        f"or argue boundedness in ALLOWED): {offenders}"
+    )

@@ -50,13 +50,42 @@ def test_probe_declines_non_file_plans(spark):
     assert probe_scan_partitions(spark.range(100)) is None
 
 
-def test_probe_counts_row_groups_across_files(spark, tmp_path):
-    """Several small files bin-pack: the estimate is bounded by total
-    size / maxPartitionBytes, not the file count."""
-    from udacity_dend_capstone_immigration_spark.operators.spread import probe_scan_partitions
+def test_probe_matches_spark_for_many_small_files(spark, tmp_path):
+    """Several small files do NOT pack into one split: Spark charges
+    openCostInBytes (default 4 MiB) per chunk while packing, so each
+    tiny file lands in its own partition. The probe must agree with the
+    actual scan (the old total/maxPartitionBytes estimate said 1 here,
+    making spread_scan insert a useless exchange on such layouts)."""
+    from udacity_dend_capstone_immigration_spark.operators.spread import (
+        probe_scan_partitions,
+        spread_scan,
+    )
 
     p = str(tmp_path / "many")
     spark.range(1000).repartition(6).write.parquet(p)
     df = spark.read.parquet(p)
-    est = probe_scan_partitions(df)
-    assert est == 1  # 6 tiny files « 128 MB pack into one split
+    actual = df.rdd.getNumPartitions()
+    # exact agreement with the real scan, and definitely not the old
+    # single-split estimate (6 tiny files + 4 MiB open cost per chunk
+    # pack into several partitions, bytesPerCore-sliced by parallelism)
+    assert probe_scan_partitions(df) == actual > 1
+    if actual >= spark.sparkContext.defaultParallelism:
+        assert spread_scan(df) is df  # no-op on already-parallel layouts
+
+
+def test_probe_row_group_bound_caps_byte_slicing(spark, tmp_path):
+    """Byte-range slicing cannot create data-bearing splits beyond the
+    row-group count: a single-row-group file probes as 1 even when a
+    tiny maxPartitionBytes would slice it into many byte ranges (the
+    extra ranges hold no row-group midpoint — they scan nothing)."""
+    from udacity_dend_capstone_immigration_spark.operators.spread import probe_scan_partitions
+
+    p = str(tmp_path / "one")
+    spark.range(200_000).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "65536b")
+        assert probe_scan_partitions(df) == 1
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

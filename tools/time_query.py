@@ -33,7 +33,12 @@ def main() -> None:
         app_name="time-query",
         master="local[32]",
         shuffle_partitions=32,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # mirror bench.py: 32 task threads need more than the 1g
+            # default heap for the sort-merge verify joins
+            "spark.driver.memory": "8g",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).select(F.sum("id")).collect()

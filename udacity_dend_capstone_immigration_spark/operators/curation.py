@@ -138,8 +138,12 @@ def containment_pairs(
     c = corpus_shingles.select(
         F.col("doc_id").alias("corpus_id"), F.col("shingle")
     )
+    # merge hints: both shingle sides and the per-bench-doc sizes are
+    # SF-scaling with explode-blind size estimates — unhinted, the
+    # static planner broadcasts a side at any corpus size (measured
+    # 1.2 GiB broadcast build in the dedup tier at a 100x corpus)
     shared = (
-        b.join(c, "shingle")
+        b.join(c.hint("merge"), "shingle")
         .groupBy("bench_id", "corpus_id")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
@@ -148,7 +152,7 @@ def containment_pairs(
     )
     cont = F.col("shared").cast("double") / F.col("bench_size")
     return (
-        shared.join(sizes, "bench_id")
+        shared.join(sizes.hint("merge"), "bench_id")
         .select("bench_id", "corpus_id", "shared", "bench_size", cont.alias("containment"))
         .where(F.col("containment") >= min_containment)
     )

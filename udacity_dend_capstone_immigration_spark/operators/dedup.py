@@ -236,6 +236,16 @@ def jaccard_verified_pairs(
     """Join candidate pairs back to their shingle sets and keep pairs with
     true Jaccard >= threshold. Returns (id_a, id_b, jaccard).
 
+    **Precondition: ``shingles`` arrays must be duplicate-free** (sets,
+    e.g. from ``collect_set`` / ``array_distinct``). Jaccard is computed
+    from sizes via ``|union| = |a| + |b| - |inter|``, which holds only
+    for sets — passing arrays with duplicates silently deflates the
+    denominator and inflates every Jaccard value. Both in-repo callers
+    feed ``shingle_sets`` output (collect_set, distinct by
+    construction); equivalence with the materialized
+    ``array_union``/``array_intersect`` form is pinned by
+    ``tests/test_dedup.py::test_jaccard_size_identity_matches_array_union``.
+
     ``spread=True`` repartitions the candidate pairs to default
     parallelism first: pair rows are two ids — tiny in bytes — so AQE's
     byte-based coalescing packs a large candidate set into a handful of
@@ -264,9 +274,17 @@ def jaccard_verified_pairs(
     # second-heaviest expression in the verify (measured: prefix-filter
     # verify 2.89 → 2.49s at sf0.1, identical output)
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    # merge hints: every relation here is SF-scaling (pairs O(candidates),
+    # shingle sets O(docs)), but Catalyst's size estimate is blind to the
+    # shingle-explode fan-out behind the checkpoint (measured 120 KB
+    # estimated vs 260k actual rows at sf0.1), so the static planner
+    # broadcasts a side — at a 100x corpus that was a 1.2 GiB broadcast
+    # build (driver-collected in local mode, OOM class on a cluster).
+    # Sort-merge spills instead of collecting; AQE cannot demote the
+    # statically-planned broadcast, so the hint is the only safe pin.
     return (
-        pairs.join(s1, "id_a")
-        .join(s2, "id_b")
+        pairs.join(s1.hint("merge"), "id_a")
+        .join(s2.hint("merge"), "id_b")
         .withColumn("jaccard", inter / (F.col("_na") + F.col("_nb") - inter))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -688,13 +706,17 @@ def prefix_filter_jaccard_pairs(
     # and sort inside each document's window. No corpus-wide rank — a
     # global row_number() here would funnel the whole vocabulary through
     # one task, which is the plan's death at scale.
-    ranked = e.join(freq, "shingle")
+    # merge hints: freq is vocabulary-sized and sizes is O(docs) — both
+    # SF-scaling, both under-estimated behind the checkpointed explode
+    # (see jaccard_verified_pairs); without the hint the static planner
+    # broadcasts them at any corpus size
+    ranked = e.join(freq.hint("merge"), "shingle")
     sizes = e.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     w = Window.partitionBy(id_col).orderBy("_df", "shingle")
     prefix_len = F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
     prefix = (
         ranked.withColumn("_pos", F.row_number().over(w))
-        .join(sizes, id_col)
+        .join(sizes.hint("merge"), id_col)
         .where(F.col("_pos") <= prefix_len)
         .select(F.col(id_col), "shingle", "_n")
     )

@@ -18,7 +18,6 @@ partitions than the cluster has slots — on a real multi-split layout
 from __future__ import annotations
 
 import logging
-import math
 import os
 import re
 from urllib.parse import unquote, urlparse
@@ -44,16 +43,21 @@ def probe_scan_partitions(df: DataFrame) -> int | None:
     file-backed plan, from the file listing + parquet footers — no
     ``df.rdd`` (which costs an extra physical-plan compile per call).
 
-    Spark splits parquet files into byte ranges of at most
-    ``spark.sql.files.maxPartitionBytes`` (bin-packing small files
-    together), but a row group lands wholly in the one range holding
-    its midpoint — so the data-bearing split count is bounded both by
-    ``ceil(total_bytes / maxPartitionBytes)`` and by the total row
-    groups. Returns ``None`` (caller falls back to the RDD probe) for
-    plans that aren't local-parquet-scan-shaped: no input files
-    (in-memory / shuffled / streaming sources), remote storage, or
-    non-parquet formats. Only meaningful for scan + narrow-transform
-    plans — the contract spread_scan documents.
+    Mirrors Spark's ``FilePartition`` split math: ``maxSplitBytes =
+    min(maxPartitionBytes, max(openCostInBytes, totalBytes /
+    minPartitionNum))`` where ``totalBytes`` pads each file with the
+    open cost, then files are chunked to ``maxSplitBytes`` and greedily
+    bin-packed (each chunk again padded with the open cost — so many
+    small files do NOT pack into one split under the default 4 MiB open
+    cost, and a small scan on a many-core session is parallelism-sliced
+    via ``minPartitionNum``). A row group lands wholly in the one chunk
+    holding its midpoint, so the data-bearing count is additionally
+    bounded by the total row-group count. Returns ``None`` (caller
+    falls back to the RDD probe) for plans that aren't
+    local-parquet-scan-shaped: no input files (in-memory / shuffled /
+    streaming sources), remote storage, or non-parquet formats. Only
+    meaningful for scan + narrow-transform plans — the contract
+    spread_scan documents.
     """
     try:
         files = df.inputFiles()
@@ -65,7 +69,7 @@ def probe_scan_partitions(df: DataFrame) -> int | None:
         import pyarrow.parquet as pq
 
         total_rg = 0
-        total_size = 0
+        sizes: list[int] = []
         for uri in files:
             parsed = urlparse(uri)
             if parsed.scheme not in ("file", ""):
@@ -73,14 +77,49 @@ def probe_scan_partitions(df: DataFrame) -> int | None:
             path = unquote(parsed.path)
             if not path.endswith((".parquet", ".parq")):
                 return None
-            total_size += os.path.getsize(path)
+            sizes.append(os.path.getsize(path))
             total_rg += pq.ParquetFile(path).metadata.num_row_groups
     except Exception:  # noqa: BLE001 — any probe failure → RDD fallback
         return None
-    mpb = _parse_bytes(
-        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    spark = df.sparkSession
+    conf = spark.conf
+    mpb = _parse_bytes(conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
+    open_cost = _parse_bytes(conf.get("spark.sql.files.openCostInBytes", "4194304b"))
+
+    def _int_conf(key: str) -> int | None:
+        try:
+            return int(conf.get(key))
+        except Exception:  # noqa: BLE001 — unset/non-int → next fallback
+            return None
+
+    min_pn = (
+        _int_conf("spark.sql.files.minPartitionNum")
+        or _int_conf("spark.sql.leafNodeDefaultParallelism")
+        or spark.sparkContext.defaultParallelism
     )
-    return max(1, min(total_rg, math.ceil(total_size / mpb)))
+    total_bytes = sum(sizes) + len(sizes) * open_cost
+    max_split = min(mpb, max(open_cost, total_bytes // max(1, min_pn)))
+    # chunk each file to maxSplitBytes, then greedy-pack chunks desc
+    # (exactly FilePartition.getFilePartitions: close the partition
+    # when the next chunk would overflow, charge open_cost per chunk)
+    chunks: list[int] = []
+    for sz in sizes:
+        while sz > max_split:
+            chunks.append(max_split)
+            sz -= max_split
+        if sz > 0:
+            chunks.append(sz)
+    chunks.sort(reverse=True)
+    parts = 0
+    cur = 0
+    for c in chunks:
+        if cur + c > max_split and cur > 0:
+            parts += 1
+            cur = 0
+        cur += c + open_cost
+    if cur > 0:
+        parts += 1
+    return max(1, min(total_rg, parts))
 
 
 def spread_scan(df: DataFrame) -> DataFrame:

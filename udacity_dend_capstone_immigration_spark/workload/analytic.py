@@ -464,7 +464,10 @@ def events_cohort_retention(spark, sf_dir):
     cohort = uw.groupBy("user_id").agg(F.min("w").alias("cw"))
     sizes = cohort.groupBy("cw").agg(F.count(F.lit(1)).alias("cohort_users"))
     act = (
-        uw.join(cohort, "user_id")
+        # merge hint: cohort is O(users) — SF-scaling, and size-blind
+        # behind the checkpoint (static planner would broadcast it at
+        # any corpus size); sizes stays broadcast (one row per week)
+        uw.join(cohort.hint("merge"), "user_id")
         .groupBy(
             "cw",
             F.floor(F.datediff(F.col("w"), F.col("cw")) / 7).cast("int").alias("week_offset"),

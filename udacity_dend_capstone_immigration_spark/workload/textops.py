@@ -256,8 +256,12 @@ def dedup_ngram_jaccard(spark, sf_dir):
     zb = z.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
     return (
-        inter.join(za, "id_a")
-        .join(zb, "id_b")
+        # merge hints: za/zb are O(docs) and the pair side O(candidates) —
+        # all SF-scaling, all size-blind behind the checkpointed explode
+        # (the static planner broadcast the PAIR side at a 100x corpus:
+        # 1.2 GiB build; see operators/dedup.py:jaccard_verified_pairs)
+        inter.join(za.hint("merge"), "id_a")
+        .join(zb.hint("merge"), "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= 0.5)
     )
@@ -589,8 +593,11 @@ def doc_repetition_scores(spark, sf_dir):
     )
     return (
         toks.select("doc_id")
-        .join(u, "doc_id", "left")
-        .join(b, "doc_id", "left")
+        # merge hints: u/b are per-doc aggregates (O(docs), SF-scaling)
+        # whose size estimate is explode-blind — unhinted, the static
+        # planner broadcasts them at any corpus size
+        .join(u.hint("merge"), "doc_id", "left")
+        .join(b.hint("merge"), "doc_id", "left")
         .select(
             "doc_id",
             tok_total.cast("int").alias("n_tokens"),
@@ -997,7 +1004,10 @@ def doc_tfidf_top_terms(spark, sf_dir):
     )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(df, "term").join(
+    # merge hint: df is vocabulary-sized (Heaps-law growth with corpus)
+    # and estimate-blind behind the checkpointed tf rows — unhinted, the
+    # static planner broadcasts it at any corpus size
+    scored = tf.join(df.hint("merge"), "term").join(
         F.broadcast(n_docs)
     ).withColumn(
         "tfidf",
@@ -1063,7 +1073,9 @@ def doc_lm_likelihood(spark, sf_dir):
         )
     )
     return (
-        tri.join(p, "shingle")
+        # merge hint: p is trigram-vocabulary-sized (SF-scaling) and
+        # estimate-blind behind the explode — never static-broadcast it
+        tri.join(p.hint("merge"), "shingle")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_trigrams"),
@@ -1122,7 +1134,10 @@ def source_token_divergence(spark, sf_dir):
     od = F.col("o").cast("double")
     e = F.col("n_t").cast("double") * F.col("n_s").cast("double") / F.col("n").cast("double")
     terms = (
-        tf.join(nt, "tok")
+        # merge hint on nt (per-token corpus counts: vocabulary-sized,
+        # SF-scaling, explode-blind estimate); ns/tot stay broadcast —
+        # bounded (one row per source / one scalar)
+        tf.join(nt.hint("merge"), "tok")
         .join(F.broadcast(ns), "source")
         .join(F.broadcast(tot))
         .select("source", "n_s", od.alias("od"), e.alias("e"))
