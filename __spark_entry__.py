@@ -21,79 +21,80 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "top_nations_by_orders"
 
 #: The driver's CORRECTNESS record keeps only the first 50 entries of
-#: ``queries()``. This round-7 window rotates to the longest-unwatched
-#: queries while keeping the closure invariant (every registered query
-#: has a green official row across r2 ∪ r3 ∪ r5 ∪ this window):
-#: (a) the 17 queries absent from r2/r3/r5 — the round-6 TPC-H/text
-#: additions (officially green in r6) plus the 4 TPC-H shapes NEW this
-#: round (Q8/Q9/Q12/Q21, no official row yet); among these, Q7/Q17 and
-#: doc_tfidf_top_terms also had their PLANS reworked this round
-#: (forced-broadcast and term-window removal) and need re-proving;
-#: (b) knn_ivf / ann_ivf_recall, whose RESULTS change this round
-#: (k-means-trained IVF centroids replace the first-8-vectors seed);
-#: (c) the 24 queries last officially recorded in r2 and the stalest
-#: of the r4-recorded tier (multimodal, Q3/Q6, anti-join, CEP).
-#: Nothing is dropped — the remaining queries follow in registration
-#: order and stay green in the full local gate.
+#: ``queries()``. This round-8 window drives the official record
+#: current (round-7 verdict item 2: 56 queries' newest official row
+#: was r4/r5 vintage): (a) the 4 queries whose RESULTS or PLANS change
+#: this round — knn_ivf / ann_ivf_recall (second Lloyd pass + 16/4
+#: cell layout changes neighbor sets), corpus_token_packing (adaptive
+#: cumsum shape) and doc_tfidf_top_terms (single-tokenize df branch;
+#: results identical, re-proven anyway); (b) ALL 15 queries whose
+#: newest official row is r4 (multimodal features/frame_sample,
+#: curation split/weighted/contamination/pipeline, asof, salted
+#: totals, equi-depth histogram, quartiles, cohort retention,
+#: top-terms, SCD2, gap-fill, latest-per-key); (c) 31 of the 41
+#: r5-recorded queries. The 10 left at r5 are all from the
+#: 18-member events tier whose siblings ARE in this window — rotate
+#: them in r9. Nothing is dropped — the remaining queries follow in
+#: registration order and stay green in the full local gate.
 SHOWCASE = [
-    # new this round — no official row yet
-    "tpch_q8_market_share",
-    "tpch_q9_profit_by_nation_year",
-    "tpch_q12_priority_by_shipcat",
-    "tpch_q21_waiting_suppliers",
-    # plans reworked this round (scale fixes) — re-prove officially
-    "tpch_q7_nation_trade_volume",
-    "tpch_q17_small_quantity_revenue",
-    "doc_tfidf_top_terms",
-    # results change this round: trained IVF centroids
+    # results/plans changed this round — re-prove officially
     "knn_ivf",
     "ann_ivf_recall",
-    # closure: remaining round-6 additions absent from r2/r3/r5
-    "tpch_q4_late_order_priority",
-    "tpch_q10_returned_items",
-    "tpch_q13_order_count_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_bracketed_revenue",
-    "tpch_q22_idle_customer_balance",
-    "doc_chunk_windows",
-    "doc_lm_likelihood",
-    "source_token_divergence",
-    # stalest tier — last official row in r2
-    "top_nations_building_segment",
-    "filter_sql_predicate",
-    "regex_clean_types",
-    "sas_date_convert",
-    "port_name_split",
-    "birth_year_validation",
-    "invalid_label_to_na",
-    "distinct_counts_per_segment",
-    "dedup_exact_rows",
-    "table_row_counts",
-    "sql_revenue_by_priority",
-    "approx_distinct_summary",
-    "regional_supplier_revenue",
-    "orders_column_profile",
-    "tpch_q14_promo_effect",
-    "lineitem_price_qty_corr",
-    "token_stats_by_source",
-    "dedup_simhash",
-    "token_counts_bpe_ish",
-    "doc_winnowing_fingerprints",
-    "doc_trigram_lm",
-    "doc_feature_hashing",
-    "events_sliding_2h",
-    "events_json_extract",
-    # stalest of the r4-recorded tier
-    "top_parts_by_quantity",
-    "customers_without_orders",
-    "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue",
-    "text_quality_scores",
-    "events_cep_triples",
-    "multimodal_resize",
-    # (bench headliners, streaming and ETL tiers rotated out this
-    # window — unchanged semantics, green official rows in r5/r6)
+    "corpus_token_packing",
+    "doc_tfidf_top_terms",
+    # stalest tier — newest official row r4
+    "multimodal_frame_sample",
+    "multimodal_features",
+    "corpus_train_test_split",
+    "corpus_weighted_sample",
+    "benchmark_contamination",
+    "corpus_curation_pipeline",
+    "asof_purchase_to_click",
+    "events_salted_type_totals",
+    "events_equi_depth_histogram",
+    "customer_spend_quartiles",
+    "events_cohort_retention",
+    "doc_top_terms",
+    "events_scd2_intervals",
+    "events_hourly_gap_fill",
+    "events_latest_per_key",
+    # r5 tier (31 of 41)
+    "corpus_nucleus_sample",
+    "corpus_quota_sample",
+    "corpus_stratified_sample",
+    "quality_filter_funnel",
+    "knn_lsh_bucketed",
+    "label_centroids",
+    "centroid_classifier_confusion",
+    "order_quantity_vectors",
+    "lineitem_rollup",
+    "value_percentiles_by_type",
+    "set_ops_customer_keys",
+    "set_ops_bag_semantics",
+    "cube_order_summary",
+    "grouping_sets_revenue",
+    "customers_with_orders_semi",
+    "orders_above_avg_price",
+    "orders_above_customer_avg",
+    "orders_metrics_unpivot",
+    "nation_balance_full_outer",
+    "lineitem_price_rank_stats",
+    "region_priority_grid",
+    "approx_quantile_accuracy",
+    "fuzzy_part_name_pairs",
+    "range_join_event_counts",
+    "asof_purchase_to_click_30m",
+    "events_user_running_total",
+    "events_props_redaction",
+    "events_session_bounce_rate",
+    "events_native_session_window",
+    "events_funnel_stages",
+    "events_robust_stats",
+    # left at r5 (rotate in r9): events_daily_pivot, events_props_variant,
+    # events_json_schema, events_lag_gaps, events_rolling_wau,
+    # events_moving_agg_1h, events_transition_matrix,
+    # events_running_drawdown, events_hourly_anomaly_ratio,
+    # events_value_histogram
 ]
 
 

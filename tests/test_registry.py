@@ -96,13 +96,13 @@ def test_no_row_at_a_time_python_in_any_lazy_query(spark):
 
 def test_showcase_window_completes_official_coverage():
     """The driver records only the first 50 queries() entries per round.
-    The round-7 window must (a) be 50 unique registered queries,
+    The round-8 window must (a) be 50 unique registered queries,
     dropping nothing from the registry, (b) contain every query that is
-    NEW or whose RESULT SET / PLAN changed this round (TPC-H Q8/Q12/Q21;
-    the Q7/Q17/tfidf scale fixes; the trained-centroid IVF pair) so the
-    new behavior gets official rows, and (c) keep the closure: every
-    registered query has an official row across r2 ∪ r3 ∪ r5 ∪ this
-    window."""
+    NEW or whose RESULT SET / PLAN changed this round (the 16/4
+    two-pass IVF pair; the adaptive-cumsum token packing; the
+    single-tokenize tfidf) so the new behavior gets official rows, and
+    (c) keep the closure: every registered query has an official row
+    across the prior official records ∪ this window."""
     import json
     from pathlib import Path
 
@@ -117,26 +117,28 @@ def test_showcase_window_completes_official_coverage():
     assert first50 == E.SHOWCASE
     assert list(E.oracle_sql())[:50] == first50
 
-    changed_in_r7 = {
-        "tpch_q8_market_share",
-        "tpch_q9_profit_by_nation_year",
-        "tpch_q12_priority_by_shipcat",
-        "tpch_q21_waiting_suppliers",
-        "tpch_q7_nation_trade_volume",
-        "tpch_q17_small_quantity_revenue",
-        "doc_tfidf_top_terms",
+    changed_in_r8 = {
         "knn_ivf",
         "ann_ivf_recall",
+        "corpus_token_packing",
+        "doc_tfidf_top_terms",
     }
-    assert changed_in_r7 <= set(first50)
+    assert changed_in_r8 <= set(first50)
 
     root = Path(__file__).resolve().parent.parent
     prior = set()
-    for rec in (
-        "CORRECTNESS_r02.json",
-        "CORRECTNESS_r03.json",
-        "CORRECTNESS_r05.json",
-    ):
-        prior |= set(json.loads((root / rec).read_text()))
+    for rec in sorted(root.glob("CORRECTNESS_r0*.json")):
+        prior |= set(json.loads(rec.read_text()))
     uncovered = set(QUERIES) - prior - set(first50)
     assert not uncovered, f"queries with no official row in any round: {uncovered}"
+    # r8 rotation goal: after this window lands, no query's newest
+    # official row may be older than r5
+    latest = {}
+    for rec in sorted(root.glob("CORRECTNESS_r0*.json")):
+        rnd = int(rec.stem.split("_r")[1])
+        for name in json.loads(rec.read_text()):
+            latest[name] = max(latest.get(name, 0), rnd)
+    for name in first50:
+        latest[name] = 8
+    too_stale = {n: r for n, r in latest.items() if n in QUERIES and r < 5}
+    assert not too_stale, f"official rows older than r5 after this window: {too_stale}"
