@@ -86,8 +86,13 @@ def generate(scale: int, rng: np.random.Generator, lengths: np.ndarray) -> str:
         }
     )
     # multi-row-group layout like a production table (NOT the driver's
-    # one-row-group-per-file shape) so the scan splits naturally
-    pq.write_table(tbl, f"{out_dir}/documents.parquet", row_group_size=65_536)
+    # one-row-group-per-file shape) so the scan splits naturally at
+    # EVERY scale — a fixed row-group size left the 10x corpus as one
+    # row group, serializing its shingle explode onto one core and
+    # inverting the x10/x100 timing ratio
+    pq.write_table(
+        tbl, f"{out_dir}/documents.parquet", row_group_size=max(4_096, n_docs // 32)
+    )
     return out_dir
 
 
