@@ -23,20 +23,26 @@ FLAGSHIP = "top_nations_by_orders"
 #: The driver's CORRECTNESS record keeps only the first 50 entries of
 #: ``queries()``. This round-8 window drives the official record
 #: current (round-7 verdict item 2: 56 queries' newest official row
-#: was r4/r5 vintage): (a) the 4 queries whose RESULTS or PLANS change
-#: this round — knn_ivf / ann_ivf_recall (second Lloyd pass + 16/4
-#: cell layout changes neighbor sets), corpus_token_packing (adaptive
-#: cumsum shape) and doc_tfidf_top_terms (single-tokenize df branch;
-#: results identical, re-proven anyway); (b) ALL 15 queries whose
-#: newest official row is r4 (multimodal features/frame_sample,
-#: curation split/weighted/contamination/pipeline, asof, salted
-#: totals, equi-depth histogram, quartiles, cohort retention,
-#: top-terms, SCD2, gap-fill, latest-per-key); (c) 31 of the 41
-#: r5-recorded queries. The 10 left at r5 are all from the
-#: 18-member events tier whose siblings ARE in this window — rotate
-#: them in r9. Nothing is dropped — the remaining queries follow in
-#: registration order and stay green in the full local gate.
+#: was r4/r5 vintage): (a) the 3 queries NEW this round (BM25, BPE
+#: merge candidates, negative sampling — no official row yet); (b) the
+#: 4 queries whose RESULTS or PLANS change this round — knn_ivf /
+#: ann_ivf_recall (second Lloyd pass + 16/4 cell layout changes
+#: neighbor sets), corpus_token_packing (adaptive cumsum shape) and
+#: doc_tfidf_top_terms (single-tokenize df branch; results identical,
+#: re-proven anyway); (c) ALL 15 queries whose newest official row is
+#: r4 (multimodal features/frame_sample, curation split/weighted/
+#: contamination/pipeline, asof, salted totals, equi-depth histogram,
+#: quartiles, cohort retention, top-terms, SCD2, gap-fill,
+#: latest-per-key); (d) 28 of the 41 r5-recorded queries. The 13 left
+#: at r5 are all from the 18-member events tier whose siblings ARE in
+#: this window — rotate them in r9. Nothing is dropped — the remaining
+#: queries follow in registration order and stay green in the full
+#: local gate.
 SHOWCASE = [
+    # NEW this round — no official row yet
+    "bm25_scores",
+    "bpe_merge_candidates",
+    "negative_sampling_pairs",
     # results/plans changed this round — re-prove officially
     "knn_ivf",
     "ann_ivf_recall",
@@ -84,9 +90,6 @@ SHOWCASE = [
     "fuzzy_part_name_pairs",
     "range_join_event_counts",
     "asof_purchase_to_click_30m",
-    "events_user_running_total",
-    "events_props_redaction",
-    "events_session_bounce_rate",
     "events_native_session_window",
     "events_funnel_stages",
     "events_robust_stats",
@@ -94,7 +97,8 @@ SHOWCASE = [
     # events_json_schema, events_lag_gaps, events_rolling_wau,
     # events_moving_agg_1h, events_transition_matrix,
     # events_running_drawdown, events_hourly_anomaly_ratio,
-    # events_value_histogram
+    # events_value_histogram, events_user_running_total,
+    # events_props_redaction, events_session_bounce_rate
 ]
 
 

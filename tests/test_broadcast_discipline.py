@@ -26,6 +26,7 @@ ALLOWED = {
     "region": "5 rows at any SF",
     # one-row / top-k / per-small-key aggregates
     "top": "top-k output, k fixed",
+    "bm_stats": "one-row global BM25 stats aggregate (N, avgdl, per-term df)",
     "avg_bal": "one-row scalar aggregate",
     "avg_df": "one-row scalar aggregate",
     "n_docs": "one-row count",

@@ -367,6 +367,8 @@ def test_no_static_broadcast_of_estimate_blind_relations(spark):
         "events_cohort_retention",      # one row per cohort week
         # implicit but bounded: distinct active DAYS (time span, not SF)
         "events_rolling_wau",
+        # explicit one-row global stats aggregate (N, avgdl, df1..3)
+        "bm25_scores",
     }
 
     def suspects(plan: str) -> list[str]:

@@ -1,0 +1,293 @@
+"""Pre-training data-mining queries over ``documents``: retrieval
+scoring (BM25), tokenizer-vocabulary induction (one BPE merge
+iteration), and contrastive negative sampling.
+
+Beyond-reference tier (no counterpart in the reference's ETL —
+``etl.py`` ends at star-schema queries): these are the operations a
+large-scale LLM-training pipeline runs between raw corpus and batch
+assembly. Every query is engine-portable (md5 ordering, ln-free
+scoring, explicit double expression trees) so the DuckDB oracles
+reproduce results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from udacity_dend_capstone_immigration_spark.functions.text import tokenize
+from udacity_dend_capstone_immigration_spark.workload.base import query, table
+from udacity_dend_capstone_immigration_spark.workload.textops import TOKS
+
+# ---------------------------------------------------------------------------
+# BM25 scoring against a fixed literal query. k1/b are the classic Okapi
+# defaults; idf is the RAW ratio (N - df + 0.5)/(df + 0.5) WITHOUT the
+# log — ln's libm rounding is not bit-portable across engines (the same
+# deviation doc_tfidf_top_terms and doc_lm_likelihood document), and for
+# a fixed query the monotone transform preserves per-term structure.
+_BM25_TERMS = ("spark", "query", "table")
+_K1, _B = 1.2, 0.75
+
+
+def _sql_contrib(i: int) -> str:
+    # every literal carries e0 (DOUBLE): DuckDB parses bare 1.2 as
+    # DECIMAL and BIGINT*DECIMAL stays exact, drifting one ulp from
+    # Spark's all-double tree; tf casts to DOUBLE for the same reason
+    idf = f"((n - df{i} + 0.5e0) / (df{i} + 0.5e0))"
+    denom = (
+        f"(CAST(tf{i} AS DOUBLE) + {_K1}e0 * "
+        f"({1 - _B}e0 + {_B}e0 * (CAST(dl AS DOUBLE) / avgdl)))"
+    )
+    return (
+        f"CASE WHEN tf{i} > 0 THEN {idf} * "
+        f"((CAST(tf{i} AS DOUBLE) * {_K1 + 1}e0) / {denom}) ELSE 0.0e0 END"
+    )
+
+
+@query(
+    "bm25_scores",
+    oracle=f"""
+    WITH per AS (
+        SELECT doc_id, len(t) AS dl,
+               {", ".join(
+                   f"len(list_filter(t, x -> x = '{t}')) AS tf{i}"
+                   for i, t in enumerate(_BM25_TERMS, 1)
+               )}
+        FROM (SELECT doc_id, {TOKS} AS t FROM documents)
+    ),
+    g AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+               {", ".join(
+                   f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+                   for i in (1, 2, 3)
+               )}
+        FROM per
+    )
+    SELECT doc_id,
+           {" + ".join(f"({_sql_contrib(i)})" for i in (1, 2, 3))} AS bm25,
+           CAST(tf1 + tf2 + tf3 AS BIGINT) AS n_hits
+    FROM per, g
+    WHERE tf1 + tf2 + tf3 > 0
+    """,
+)
+def bm25_scores(spark, sf_dir):
+    """Okapi BM25 for one fixed 3-term query over every document.
+
+    Plan shape: ONE tokenize explode feeding a per-doc conditional-count
+    aggregate (dl + one tf per query term — the doc_fingerprints shape:
+    map-side combinable, the exchange carries one compact row per doc);
+    the corpus stats (N, avgdl, per-term df) are a one-row aggregate of
+    those rows, broadcast back. No term-keyed join at all, so there is
+    no Zipf-hot key anywhere; cost is one scan + one doc-keyed exchange
+    at any corpus size. The score is an explicit fixed-order double
+    expression tree (sum of three parenthesized contributions), so
+    Spark and DuckDB produce bit-identical doubles without decimal
+    summing."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode_outer(tokenize(F.col("text"))).alias("term")
+    )
+    per = toks.groupBy("doc_id").agg(
+        F.count("term").alias("dl"),
+        *[
+            F.count(F.when(F.col("term") == t, 1)).alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS, 1)
+        ],
+    )
+    bm_stats = per.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int")).cast("double").alias(f"df{i}")
+            for i in (1, 2, 3)
+        ],
+    )
+
+    def contrib(i: int):
+        idf = (F.col("n") - F.col(f"df{i}") + F.lit(0.5)) / (
+            F.col(f"df{i}") + F.lit(0.5)
+        )
+        denom = F.col(f"tf{i}") + F.lit(_K1) * (
+            F.lit(1 - _B) + F.lit(_B) * (F.col("dl").cast("double") / F.col("avgdl"))
+        )
+        return F.when(
+            F.col(f"tf{i}") > 0, idf * ((F.col(f"tf{i}") * F.lit(_K1 + 1)) / denom)
+        ).otherwise(F.lit(0.0))
+
+    return (
+        per.join(F.broadcast(bm_stats))
+        .where((F.col("tf1") + F.col("tf2") + F.col("tf3")) > 0)
+        .select(
+            "doc_id",
+            ((contrib(1)) + (contrib(2)) + (contrib(3))).alias("bm25"),
+            (F.col("tf1") + F.col("tf2") + F.col("tf3"))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# One BPE merge iteration: the most frequent adjacent character pairs
+# across all token occurrences — the statistic the first round of BPE
+# vocabulary induction merges on.
+@query(
+    "bpe_merge_candidates",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({TOKS}) AS term FROM documents
+    ),
+    pairs AS (
+        SELECT substr(term, i, 2) AS pair
+        FROM (SELECT term FROM tok WHERE len(term) >= 2),
+             UNNEST(generate_series(1, len(term) - 1)) u(i)
+    )
+    SELECT pair, COUNT(*) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair ASC LIMIT 20
+    """,
+)
+def bpe_merge_candidates(spark, sf_dir):
+    """Top-20 adjacent character pairs by corpus occurrence count.
+
+    Plan shape: tokenize explode → per-token position explode →
+    substring pairs → hash aggregate. The pair domain is tiny (alphabet
+    squared), so partial aggregation collapses the fan-out map-side and
+    the exchange carries at most |alphabet|² cells per task at any
+    corpus size; the top-20 compiles to TakeOrderedAndProject (explicit
+    (cnt DESC, pair ASC) tiebreak). Single-char tokens are filtered
+    BEFORE the position explode — F.sequence(1, 0) DESCENDS (CLAUDE.md
+    hard-won rule), so the guard is correctness, not just cost."""
+    docs = table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("term"))
+        .where(F.length("term") >= 2)
+    )
+    pairs = toks.select(
+        F.explode(F.sequence(F.lit(1), F.length("term") - 1)).alias("i"), "term"
+    ).select(F.expr("substring(term, i, 2)").alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash-bucketed negative sampling for contrastive
+# training: each anchor draws K pseudo-random negatives from its hash
+# bucket's capped candidate pool, excluding same-source documents.
+#: Bucket count is a corpus-sizing constant, like shuffle partitions:
+#: set B ≈ corpus / pool-cap so buckets stay ~pool-sized (64 suits the
+#: 500-5000-doc testdata; a 100 TB corpus sets B ~ 1e7 and the plan
+#: shape — window over the bucket key, anchors × pool-cap join — is
+#: unchanged: each pool task sorts ~n/B rows and the join stays linear).
+_NEG_BUCKETS = 64
+_NEG_POOL = 64
+_NEG_K = 5
+_ANCHOR_MOD = 97
+
+_SQL_BUCKET = (
+    "(('0x' || substring(md5('negpool:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT"
+    f" % {_NEG_BUCKETS})"
+)
+
+
+@query(
+    "negative_sampling_pairs",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source, {_SQL_BUCKET} AS bucket FROM documents
+    ),
+    pool AS (
+        SELECT bucket, doc_id, source FROM (
+            SELECT d.*, row_number() OVER (
+                PARTITION BY bucket
+                ORDER BY md5('poolrank:' || CAST(doc_id AS VARCHAR)), doc_id
+            ) AS prn FROM d
+        ) WHERE prn <= {_NEG_POOL}
+    ),
+    a AS (
+        SELECT doc_id AS anchor_id, source AS a_src, bucket
+        FROM d WHERE doc_id % {_ANCHOR_MOD} = 0
+    ),
+    c AS (
+        SELECT a.anchor_id, p.doc_id AS neg_id,
+               md5('pair:' || CAST(a.anchor_id AS VARCHAR) || ':'
+                   || CAST(p.doc_id AS VARCHAR)) AS pk
+        FROM a JOIN pool p USING (bucket)
+        WHERE p.doc_id != a.anchor_id AND p.source != a.a_src
+    )
+    SELECT anchor_id, neg_id, CAST(rk AS INT) AS rank FROM (
+        SELECT anchor_id, neg_id, row_number() OVER (
+            PARTITION BY anchor_id ORDER BY pk, neg_id
+        ) AS rk FROM c
+    ) WHERE rk <= {_NEG_K}
+    """,
+)
+def negative_sampling_pairs(spark, sf_dir):
+    """K=5 deterministic negatives per anchor (doc_id % 97 == 0).
+
+    Never an anchors × corpus ranking (quadratic): candidates come from
+    the anchor's md5 hash bucket only, and each bucket's pool is capped
+    at the 64 md5-rank-lowest docs — so the join fan-out is
+    anchors × 64 (linear in corpus size) and the pool relation is
+    bounded by buckets × cap rows at ANY corpus size. The pool window
+    partitions on the bucket key, whose count is a corpus-sizing
+    constant (see _NEG_BUCKETS) — sized so each task sorts ~pool-cap
+    rows, never one-task-per-group — and the per-anchor top-K ranks at
+    most 64 rows per anchor. All ordering is md5-keyed and portable;
+    an anchor whose bucket pool is exhausted by same-source docs
+    legitimately yields fewer than K negatives (deterministic,
+    oracle-mirrored).
+    """
+    from pyspark.sql import Window
+
+    from udacity_dend_capstone_immigration_spark.operators.curation import hash_bucket
+    from udacity_dend_capstone_immigration_spark.operators.topk import top_k_per_group
+
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", hash_bucket(F.col("doc_id"), "negpool", _NEG_BUCKETS)
+    )
+    wpool = Window.partitionBy("bucket").orderBy(
+        F.md5(F.concat_ws(":", F.lit("poolrank"), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    pool = (
+        d.withColumn("prn", F.row_number().over(wpool))
+        .where(F.col("prn") <= _NEG_POOL)
+        .select(
+            "bucket",
+            F.col("doc_id").alias("neg_id"),
+            F.col("source").alias("n_src"),
+        )
+    )
+    anchors = d.where(F.col("doc_id") % _ANCHOR_MOD == 0).select(
+        F.col("doc_id").alias("anchor_id"), F.col("source").alias("a_src"), "bucket"
+    )
+    cand = (
+        anchors.join(pool, "bucket")
+        .where((F.col("neg_id") != F.col("anchor_id")) & (F.col("n_src") != F.col("a_src")))
+        .select(
+            "anchor_id",
+            "neg_id",
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit("pair"),
+                    F.col("anchor_id").cast("string"),
+                    F.col("neg_id").cast("string"),
+                )
+            ).alias("pk"),
+        )
+    )
+    return top_k_per_group(
+        cand,
+        partition_by=["anchor_id"],
+        order_by=[F.asc("pk"), F.asc("neg_id")],
+        k=_NEG_K,
+    ).select("anchor_id", "neg_id", "rank")
