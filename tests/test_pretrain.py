@@ -1,0 +1,70 @@
+"""Pre-training mining queries: properties the oracle gate can't state.
+
+The DuckDB oracles prove value equality; these pin the semantic
+contracts — determinism, constraint satisfaction, and the bounds the
+scale arguments rest on (pool caps, per-anchor K, pair shapes).
+"""
+
+from pyspark.sql import functions as F
+
+from udacity_dend_capstone_immigration_spark.workload import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_bm25_scores_properties(spark):
+    rows = QUERIES["bm25_scores"](spark, SF_DIR).collect()
+    assert rows, "some documents must hit the fixed query terms"
+    for r in rows:
+        # raw-idf BM25 contributions are strictly positive: df <= N so
+        # (N - df + 0.5) > 0, and tf > 0 for every counted term
+        assert r["bm25"] > 0.0
+        assert r["n_hits"] >= 1
+    # deterministic: identical result set on a second run
+    again = QUERIES["bm25_scores"](spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_bpe_merge_candidates_shape(spark):
+    rows = QUERIES["bpe_merge_candidates"](spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 20
+    assert all(len(r["pair"]) == 2 for r in rows)
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    # the testdata vocabulary is lowercase alphanumeric; so are pairs
+    assert all(r["pair"].islower() or r["pair"].isdigit() or r["pair"].isalnum() for r in rows)
+
+
+def test_negative_sampling_constraints(spark):
+    from udacity_dend_capstone_immigration_spark.workload.pretrain import _ANCHOR_MOD, _NEG_K
+
+    out = QUERIES["negative_sampling_pairs"](spark, SF_DIR)
+    rows = out.collect()
+    assert rows, "the sf0.001 corpus must yield at least one negative pair"
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    src = {r["doc_id"]: r["source"] for r in docs.select("doc_id", "source").collect()}
+    per_anchor = {}
+    for r in rows:
+        assert r["anchor_id"] % _ANCHOR_MOD == 0
+        assert r["neg_id"] != r["anchor_id"]
+        # the defining constraint: negatives never share the anchor's source
+        assert src[r["neg_id"]] != src[r["anchor_id"]]
+        per_anchor.setdefault(r["anchor_id"], []).append(r["rank"])
+    for ranks in per_anchor.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= _NEG_K
+    # deterministic across runs
+    again = QUERIES["negative_sampling_pairs"](spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_negative_sampling_pool_is_bounded(spark):
+    """The scale argument rests on the per-bucket pool cap: candidate
+    rows per anchor never exceed the pool size, whatever the corpus."""
+    from udacity_dend_capstone_immigration_spark.workload.pretrain import _NEG_POOL
+
+    out = QUERIES["negative_sampling_pairs"](spark, "/root/testdata/sf0.01")
+    counts = (
+        out.groupBy("anchor_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert counts and all(r["n"] <= _NEG_POOL for r in counts)
