@@ -87,12 +87,19 @@ def bm25_scores(spark, sf_dir):
     toks = docs.select(
         "doc_id", F.explode_outer(tokenize(F.col("text"))).alias("term")
     )
-    per = toks.groupBy("doc_id").agg(
-        F.count("term").alias("dl"),
-        *[
-            F.count(F.when(F.col("term") == t, 1)).alias(f"tf{i}")
-            for i, t in enumerate(_BM25_TERMS, 1)
-        ],
+    # per feeds TWO consumers (corpus stats + the scored probe side);
+    # the lazy checkpoint tokenizes the corpus once instead of twice
+    # (the doc_tfidf_top_terms pattern)
+    per = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count("term").alias("dl"),
+            *[
+                F.count(F.when(F.col("term") == t, 1)).alias(f"tf{i}")
+                for i, t in enumerate(_BM25_TERMS, 1)
+            ],
+        )
+        .localCheckpoint(eager=False)
     )
     bm_stats = per.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
