@@ -121,7 +121,13 @@ def knn_lsh_bucketed(spark, sf_dir):
 #: the old 8/2 layout but with finer cells — measured recall@5 0.86 →
 #: 0.92 (sf0.01) and 0.80 → 1.00 (sf0.1) together with the second
 #: Lloyd iteration (probe count was the binding constraint: at probe=2
-#: extra iterations moved recall not at all)
+#: extra iterations moved recall not at all). N_CELLS is a
+#: corpus-sizing constant (like shuffle partitions): the probes⋈assign
+#: join keys on the cell id, so its cardinality bounds that shuffle's
+#: parallelism — a 1e9-vector corpus sets N_CELLS ≈ √N (~30k), which
+#: keeps the plan shape unchanged (the training exchange still carries
+#: N_CELLS×64 rows, the probed fraction NPROBE/N_CELLS shrinks, and
+#: AQE skew-split covers residual cell imbalance).
 _IVF_CELLS, _IVF_PROBE = 16, 4
 
 _CSIM = "round(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * ce.cv[i])) / (n.nrm * ce.cnrm), 6)"
