@@ -23,8 +23,9 @@ FLAGSHIP = "top_nations_by_orders"
 #: The driver's CORRECTNESS record keeps only the first 50 entries of
 #: ``queries()``. This round-8 window drives the official record
 #: current (round-7 verdict item 2: 56 queries' newest official row
-#: was r4/r5 vintage): (a) the 3 queries NEW this round (BM25, BPE
-#: merge candidates, negative sampling — no official row yet); (b) the
+#: was r4/r5 vintage): (a) the 5 queries NEW this round (BM25, BPE
+#: merge candidates, negative sampling, SemDeDup-style semantic dedup,
+#: temperature source mixing — no official row yet); (b) the
 #: 4 queries whose RESULTS or PLANS change this round — knn_ivf /
 #: ann_ivf_recall (second Lloyd pass + 16/4 cell layout changes
 #: neighbor sets), corpus_token_packing (adaptive cumsum shape) and
@@ -33,7 +34,7 @@ FLAGSHIP = "top_nations_by_orders"
 #: r4 (multimodal features/frame_sample, curation split/weighted/
 #: contamination/pipeline, asof, salted totals, equi-depth histogram,
 #: quartiles, cohort retention, top-terms, SCD2, gap-fill,
-#: latest-per-key); (d) 28 of the 41 r5-recorded queries. The 13 left
+#: latest-per-key); (d) 26 of the 41 r5-recorded queries. The 15 left
 #: at r5 are all from the 18-member events tier whose siblings ARE in
 #: this window — rotate them in r9. Nothing is dropped — the remaining
 #: queries follow in registration order and stay green in the full
@@ -43,6 +44,8 @@ SHOWCASE = [
     "bm25_scores",
     "bpe_merge_candidates",
     "negative_sampling_pairs",
+    "semantic_dedup_representatives",
+    "source_temperature_mixture",
     # results/plans changed this round — re-prove officially
     "knn_ivf",
     "ann_ivf_recall",
@@ -64,7 +67,7 @@ SHOWCASE = [
     "events_scd2_intervals",
     "events_hourly_gap_fill",
     "events_latest_per_key",
-    # r5 tier (31 of 41)
+    # r5 tier (26 of 41)
     "corpus_nucleus_sample",
     "corpus_quota_sample",
     "corpus_stratified_sample",
@@ -90,15 +93,14 @@ SHOWCASE = [
     "fuzzy_part_name_pairs",
     "range_join_event_counts",
     "asof_purchase_to_click_30m",
-    "events_native_session_window",
-    "events_funnel_stages",
     "events_robust_stats",
     # left at r5 (rotate in r9): events_daily_pivot, events_props_variant,
     # events_json_schema, events_lag_gaps, events_rolling_wau,
     # events_moving_agg_1h, events_transition_matrix,
     # events_running_drawdown, events_hourly_anomaly_ratio,
     # events_value_histogram, events_user_running_total,
-    # events_props_redaction, events_session_bounce_rate
+    # events_props_redaction, events_session_bounce_rate,
+    # events_native_session_window, events_funnel_stages
 ]
 
 

@@ -122,6 +122,12 @@ def test_showcase_window_completes_official_coverage():
         "ann_ivf_recall",
         "corpus_token_packing",
         "doc_tfidf_top_terms",
+        # new in r8 — must get their first official rows
+        "bm25_scores",
+        "bpe_merge_candidates",
+        "negative_sampling_pairs",
+        "semantic_dedup_representatives",
+        "source_temperature_mixture",
     }
     assert changed_in_r8 <= set(first50)
 

@@ -22,7 +22,7 @@ from udacity_dend_capstone_immigration_spark.operators.curation import (
     quota_per_group,
 )
 from udacity_dend_capstone_immigration_spark.operators.dedup import shingle_rows
-from udacity_dend_capstone_immigration_spark.workload.base import query, table
+from udacity_dend_capstone_immigration_spark.workload.base import query, sql_dsum, table
 from udacity_dend_capstone_immigration_spark.workload.textops import NORM, TOKS
 
 #: DuckDB mirror of operators/curation.py:hash_bucket (salt 'split').
@@ -396,4 +396,51 @@ def corpus_nucleus_sample(spark, sf_dir):
         "source",
         F.col("toks").cast("bigint").alias("toks"),
         F.col("cum_toks").cast("bigint").alias("cum_toks"),
+    )
+
+
+# --- temperature-based source mixing (the data-mixing step of
+# multi-source pre-training: upsample small sources, damp big ones).
+# p_i ∝ n_i^α with α = 0.5 — sqrt EXACTLY, not libm pow: sqrt is
+# IEEE-correctly-rounded in both engines where pow(x, 0.5) is not
+# bit-portable, so the mixture probabilities hash-match bit-for-bit.
+# The weight sum is the decimal-sum trick (order-independent); the
+# whole query is two tiny aggregates over per-source rows — the
+# exchange carries one row per source at any corpus size.
+@query(
+    "source_temperature_mixture",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, CAST(SUM(len({TOKS})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source, n_tokens,
+               sqrt(CAST(n_tokens AS DOUBLE)) AS weight
+        FROM t
+    ),
+    g AS (SELECT {{WSUM}} FROM w)
+    SELECT source, n_tokens, weight, weight / wsum AS mix_prob
+    FROM w, g
+    """.replace("{WSUM}", sql_dsum("weight", "wsum")),
+)
+def source_temperature_mixture(spark, sf_dir):
+    from udacity_dend_capstone_immigration_spark.functions.text import token_count
+    from udacity_dend_capstone_immigration_spark.workload.base import dsum
+
+    docs = table(spark, sf_dir, "documents")
+    t = docs.groupBy("source").agg(
+        F.sum(token_count("text")).cast("bigint").alias("n_tokens")
+    )
+    w = t.select(
+        "source",
+        "n_tokens",
+        F.sqrt(F.col("n_tokens").cast("double")).alias("weight"),
+    )
+    tot = w.agg(dsum(F.col("weight"), "wsum"))
+    return w.join(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        "weight",
+        (F.col("weight") / F.col("wsum")).alias("mix_prob"),
     )

@@ -133,11 +133,11 @@ _IVF_CELLS, _IVF_PROBE = 16, 4
 _CSIM = "round(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * ce.cv[i])) / (n.nrm * ce.cnrm), 6)"
 _CSIM_SEED = "round(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * s.cv[i])) / (n.nrm * s.cnrm), 6)"
 
-
-@query(
-    "knn_ivf",
-    oracle=f"""
-    WITH n AS ({_NORMED}),
+#: shared training + assignment CTE chain (seed -> two Lloyd passes ->
+#: refined centroids ce -> final per-vector cell assignment), reused
+#: verbatim by knn_ivf and semantic_dedup_representatives so both
+#: oracles train the exact same index
+_IVF_TRAIN_CTES = f"""
     seed AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < {_IVF_CELLS}),
     assign0 AS (
         SELECT vec_id, cent_id AS cell FROM (
@@ -186,7 +186,72 @@ _CSIM_SEED = "round(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] 
                                       ORDER BY {_CSIM} DESC, ce.cent_id ASC) AS rn
             FROM n JOIN ce ON TRUE
         ) WHERE rn = 1
-    ),
+    )"""
+
+
+
+def _ivf_nearest_agg():
+    """(sim_to_cent, nearest) column pair shared by training/assignment:
+    arg_max tiebreak on (sim, -cent_id) matches the oracles' ROW_NUMBER
+    ordering."""
+    from udacity_dend_capstone_immigration_spark.functions.vectors import cosine_similarity
+
+    sim_to_cent = F.round(cosine_similarity(F.col("embedding"), F.col("cent_emb")), 6)
+    nearest = F.max_by("cent_id", F.struct(sim_to_cent, -F.col("cent_id"))).alias("cell")
+    return sim_to_cent, nearest
+
+
+def _ivf_centroids(emb):
+    """Two Lloyd iterations: assignment → quantized per-(cell,dim) mean,
+    looped — each pass is one broadcast-assign map stage plus a
+    (cell,dim)-keyed aggregate whose exchange carries N_CELLS × 64
+    cells regardless of corpus size, so extra iterations cost scans,
+    never bigger shuffles (see the _IVF_CELLS note for measured recall;
+    iterations only pay off once probe count stops binding). Returns
+    the lazily-checkpointed refined centroid frame (consumed by
+    multiple branches in every caller)."""
+    _, nearest = _ivf_nearest_agg()
+    seed = emb.where(F.col("vec_id") < _IVF_CELLS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+
+    def _refine(cent_df):
+        assigned = emb.crossJoin(F.broadcast(cent_df)).groupBy("vec_id").agg(nearest)
+        cellmean = (
+            assigned.join(emb, "vec_id")
+            .select(
+                "cell",
+                F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
+            )
+            .groupBy("cell", "dim")
+            .agg(
+                (
+                    F.sum(F.floor(F.col("v") * F.lit(16777216.0)).cast("bigint")).cast("double")
+                    / (F.count(F.lit(1)).cast("double") * F.lit(16777216.0))
+                ).alias("val")
+            )
+        )
+        # reassemble dim-ordered centroid arrays (tiny: N_CELLS rows)
+        return (
+            cellmean.groupBy("cell")
+            .agg(F.sort_array(F.collect_list(F.struct("dim", "val"))).alias("dv"))
+            .select(F.col("cell").alias("cent_id"), F.col("dv.val").alias("cent_emb"))
+        )
+
+    return _refine(_refine(seed)).localCheckpoint(eager=False)
+
+
+def _ivf_assign(emb, cents):
+    """Nearest refined centroid per vector (ties → lower id)."""
+    _, nearest = _ivf_nearest_agg()
+    return emb.crossJoin(F.broadcast(cents)).groupBy("vec_id").agg(nearest)
+
+
+@query(
+    "knn_ivf",
+    oracle=f"""
+    WITH n AS ({_NORMED}),
+    {_IVF_TRAIN_CTES},
     probes AS (
         SELECT n.vec_id AS query_id, ce.cent_id AS cell,
                ROW_NUMBER() OVER (PARTITION BY n.vec_id
@@ -222,47 +287,9 @@ def knn_ivf(spark, sf_dir):
     from udacity_dend_capstone_immigration_spark.operators.topk import top_k_per_group
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    seed = emb.where(F.col("vec_id") < _IVF_CELLS).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
-    )
-    sim_to_cent = F.round(cosine_similarity(F.col("embedding"), F.col("cent_emb")), 6)
-    nearest = F.max_by("cent_id", F.struct(sim_to_cent, -F.col("cent_id"))).alias("cell")
-
-    # two Lloyd iterations: assignment → quantized per-(cell,dim) mean,
-    # looped — each pass is one broadcast-assign map stage plus a
-    # (cell,dim)-keyed aggregate whose exchange carries N_CELLS × 64
-    # cells regardless of corpus size, so extra iterations cost scans,
-    # never bigger shuffles (see the _IVF_CELLS note for measured
-    # recall; iterations only pay off once probe count stops binding)
-    def _refine(cent_df):
-        assigned = emb.crossJoin(F.broadcast(cent_df)).groupBy("vec_id").agg(nearest)
-        cellmean = (
-            assigned.join(emb, "vec_id")
-            .select(
-                "cell",
-                F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
-            )
-            .groupBy("cell", "dim")
-            .agg(
-                (
-                    F.sum(F.floor(F.col("v") * F.lit(16777216.0)).cast("bigint")).cast("double")
-                    / (F.count(F.lit(1)).cast("double") * F.lit(16777216.0))
-                ).alias("val")
-            )
-        )
-        # reassemble dim-ordered centroid arrays (tiny: N_CELLS rows)
-        return (
-            cellmean.groupBy("cell")
-            .agg(F.sort_array(F.collect_list(F.struct("dim", "val"))).alias("dv"))
-            .select(F.col("cell").alias("cent_id"), F.col("dv.val").alias("cent_emb"))
-        )
-
-    # final centroids are consumed by two branches (assign + probes)
-    # → lazy checkpoint cuts the re-train
-    cents = _refine(_refine(seed)).localCheckpoint(eager=False)
-
-    # assignment: nearest refined centroid per vector (ties → lower id)
-    assign = emb.crossJoin(F.broadcast(cents)).groupBy("vec_id").agg(nearest)
+    sim_to_cent, _ = _ivf_nearest_agg()
+    cents = _ivf_centroids(emb)
+    assign = _ivf_assign(emb, cents)
     # probe list: NPROBE nearest cells per query vector
     probes = top_k_per_group(
         emb.where(F.col("vec_id") < 10)
@@ -469,3 +496,88 @@ def centroid_classifier_confusion(spark, sf_dir):
     return assigned.groupBy(
         "true_label", F.col("cand").alias("predicted_label")
     ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# --- SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
+# cluster the corpus with the trained IVF index, find near-duplicate
+# pairs WITHIN each cell only, resolve connected components, keep the
+# min-id representative per cluster. The cluster-then-dedup shape is
+# what makes embedding dedup tractable at corpus scale: pair
+# generation is per-cell (corpus²/N_CELLS with corpus-sized N_CELLS —
+# see the _IVF_CELLS note), never the global O(n²) cross product the
+# exact `embedding_near_dup` baseline runs. τ reuses that baseline's
+# 0.4 "near" threshold for this synthetic embedding scale.
+_SEMDEDUP_TAU = 0.4
+
+
+@query(
+    "semantic_dedup_representatives",
+    oracle=f"""
+    WITH RECURSIVE
+    n AS ({_NORMED}),
+    {_IVF_TRAIN_CTES},
+    prs AS (
+        SELECT a1.vec_id AS id_a, a2.vec_id AS id_b
+        FROM assign a1
+            JOIN assign a2 ON a1.cell = a2.cell AND a1.vec_id < a2.vec_id
+            JOIN n q ON q.vec_id = a1.vec_id
+            JOIN n c ON c.vec_id = a2.vec_id
+        WHERE {_COS} >= {_SEMDEDUP_TAU}
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM prs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM prs
+    ),
+    reach AS (
+        SELECT vec_id AS id, vec_id AS lab FROM embeddings
+        UNION
+        SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id)
+    SELECT cluster_id AS rep_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM comp GROUP BY cluster_id
+    """,
+)
+def semantic_dedup_representatives(spark, sf_dir):
+    """Cluster (trained IVF cells) → within-cell cosine pairs →
+    connected components → min-id representative + cluster size.
+
+    Plan shape: the index is the SAME two-pass-trained centroid set
+    knn_ivf probes (shared `_ivf_centroids`/`_ivf_assign`, shared
+    oracle CTEs). The pair join is cell-keyed — with corpus-sized
+    N_CELLS it carries corpus/N_CELLS rows per cell, and AQE
+    skew-splits hot cells — and both join sides carry merge hints: the
+    assignment relation is O(corpus) but sits downstream of the
+    checkpointed centroids, putting it in the estimate-blind class the
+    r8 plan gate bans from static broadcast. Component resolution is
+    the iterative min-label operator the text-dedup ladder uses
+    (`operators/dedup.py:connected_components`)."""
+    from udacity_dend_capstone_immigration_spark.functions.vectors import cosine_similarity
+    from udacity_dend_capstone_immigration_spark.operators.dedup import connected_components
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = _ivf_centroids(emb)
+    assign = _ivf_assign(emb, cents)
+    a = assign.hint("merge").join(emb, "vec_id")
+    left = a.select(
+        "cell", F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a")
+    )
+    right = a.select(
+        "cell", F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b")
+    )
+    pairs = (
+        left.join(right.hint("merge"), "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.round(cosine_similarity(F.col("e_a"), F.col("e_b")), 6)
+            >= F.lit(_SEMDEDUP_TAU)
+        )
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(
+        pairs, emb.select("vec_id"), id_col="vec_id"
+    )
+    return comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    ).select(F.col("cluster_id").alias("rep_id"), "cluster_size")
