@@ -30,7 +30,12 @@ from udacity_dend_capstone_immigration_spark.workload import QUERIES
 #: per-round bench), top_customers_per_nation / dedup_exact_docs /
 #: events_hourly_by_type / dedup_substring_runs out (cheap or
 #: coverage-duplicated by remaining entries; all stay oracle-gated).
-#: Suite totals are NOT comparable across the rotation — BASELINE.md
+#: Rotated r9: events_stream_sessions in (the 9-query streaming tier
+#: was exercised by a single headliner) and
+#: semantic_dedup_representatives in (the heaviest registry query —
+#: checkpointed single assignment + skew-capped Arrow per-cell gram
+#: this round; tracking it per-round keeps the embeddings tier honest).
+#: Suite totals are NOT comparable across rotations — BASELINE.md
 #: records the discontinuity.
 HEADLINE = [
     "top_nations_by_orders",
@@ -48,9 +53,11 @@ HEADLINE = [
     "knn_brute_force",
     "knn_brute_force_arrow",
     "embedding_near_dup",
+    "semantic_dedup_representatives",
     "corpus_token_packing",
     "multimodal_decode",
     "events_stream_hourly",
+    "events_stream_sessions",
 ]
 
 

@@ -41,6 +41,7 @@ ALLOWED = {
     "off_df": "cumsum offsets — ≤ partitions+groups rows (contiguous runs), "
     "group cardinality driver-map-bounded by contract",
     "seed": "N_CELLS seed vectors",
+    "cellcfg": "one row per IVF cell (N_CELLS-bounded cell→nsub config)",
     "cents": "N_CELLS trained centroids",
     "cent_df": "N_CELLS centroid frame (Lloyd-iteration input, bounded)",
     # local-collection dims (SAS label parses / driver literals)

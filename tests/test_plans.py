@@ -369,6 +369,11 @@ def test_no_static_broadcast_of_estimate_blind_relations(spark):
         "events_rolling_wau",
         # explicit one-row global stats aggregate (N, avgdl, df1..3)
         "bm25_scores",
+        # explicit F.broadcast of the one-row total + N_CELLS-row cell
+        # config, both aggregated from the checkpointed (ExistingRDD)
+        # assignment frame — bounded by cell-count at any corpus size
+        "semantic_dedup_representatives",
+        "semantic_dedup_recall",
     }
 
     def suspects(plan: str) -> list[str]:

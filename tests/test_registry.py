@@ -96,13 +96,13 @@ def test_no_row_at_a_time_python_in_any_lazy_query(spark):
 
 def test_showcase_window_completes_official_coverage():
     """The driver records only the first 50 queries() entries per round.
-    The round-8 window must (a) be 50 unique registered queries,
+    The round-9 window must (a) be 50 unique registered queries,
     dropping nothing from the registry, (b) contain every query that is
-    NEW or whose RESULT SET / PLAN changed this round (the 16/4
-    two-pass IVF pair; the adaptive-cumsum token packing; the
-    single-tokenize tfidf) so the new behavior gets official rows, and
-    (c) keep the closure: every registered query has an official row
-    across the prior official records ∪ this window."""
+    NEW or whose RESULT SET / PLAN changed this round (the SemDeDup
+    recall audit; the checkpointed/capped/Arrow-scored SemDeDup pair
+    path) so the new behavior gets official rows, and (c) keep the
+    closure: every registered query has an official row across the
+    prior official records ∪ this window."""
     import json
     from pathlib import Path
 
@@ -117,34 +117,32 @@ def test_showcase_window_completes_official_coverage():
     assert first50 == E.SHOWCASE
     assert list(E.oracle_sql())[:50] == first50
 
-    changed_in_r8 = {
-        "knn_ivf",
-        "ann_ivf_recall",
-        "corpus_token_packing",
-        "doc_tfidf_top_terms",
-        # new in r8 — must get their first official rows
-        "bm25_scores",
-        "bpe_merge_candidates",
-        "negative_sampling_pairs",
+    changed_in_r9 = {
+        # new in r9 — must get its first official row
+        "semantic_dedup_recall",
+        # plan changed in r9 (checkpointed single assignment, skew cap,
+        # Arrow per-cell gram) — results unchanged, re-proven anyway
         "semantic_dedup_representatives",
-        "source_temperature_mixture",
     }
-    assert changed_in_r8 <= set(first50)
+    assert changed_in_r9 <= set(first50)
 
     root = Path(__file__).resolve().parent.parent
+    # r*.json, not r0*.json: from round 10 on, record files have
+    # two-digit round numbers and must still count (r8 advice)
+    records = sorted(root.glob("CORRECTNESS_r*.json"))
     prior = set()
-    for rec in sorted(root.glob("CORRECTNESS_r0*.json")):
+    for rec in records:
         prior |= set(json.loads(rec.read_text()))
     uncovered = set(QUERIES) - prior - set(first50)
     assert not uncovered, f"queries with no official row in any round: {uncovered}"
-    # r8 rotation goal: after this window lands, no query's newest
-    # official row may be older than r5
+    # r9 rotation goal: after this window lands, no query's newest
+    # official row may be older than r6
     latest = {}
-    for rec in sorted(root.glob("CORRECTNESS_r0*.json")):
+    for rec in records:
         rnd = int(rec.stem.split("_r")[1])
         for name in json.loads(rec.read_text()):
             latest[name] = max(latest.get(name, 0), rnd)
     for name in first50:
-        latest[name] = 8
-    too_stale = {n: r for n, r in latest.items() if n in QUERIES and r < 5}
-    assert not too_stale, f"official rows older than r5 after this window: {too_stale}"
+        latest[name] = 9
+    too_stale = {n: r for n, r in latest.items() if n in QUERIES and r < 6}
+    assert not too_stale, f"official rows older than r6 after this window: {too_stale}"

@@ -77,3 +77,72 @@ def test_arrow_knn_rejects_oversized_query_set(spark, monkeypatch):
     monkeypatch.setattr(similarity, "MAX_BROADCAST_QUERY_ROWS", 5)
     with _pytest.raises(ValueError, match="5-row contract"):
         similarity.brute_force_knn_arrow(emb.where(F.col("vec_id") < 10), emb, "vec_id", k=3)
+
+
+def test_grouped_pairs_match_hof_within_groups(spark):
+    """cosine_pairs_above_grouped == the HOF pair join restricted to the
+    same groups (id set equality; the grouped path emits ids only)."""
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        cosine_pairs_above,
+        cosine_pairs_above_grouped,
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .where(F.col("vec_id") < 40)
+        .withColumn("g", F.pmod(F.col("vec_id"), F.lit(3)))
+    )
+    grouped = sorted(
+        map(tuple, cosine_pairs_above_grouped(emb, ["g"], "vec_id", 0.0).collect())
+    )
+    hof_all = cosine_pairs_above(emb.select("vec_id", "embedding"), "vec_id", 0.0)
+    # restrict the global HOF pairs to same-group pairs
+    expected = sorted(
+        (a, b)
+        for a, b, _ in map(tuple, hof_all.collect())
+        if a % 3 == b % 3
+    )
+    assert grouped == expected
+    assert len(grouped) > 0
+
+
+def test_semdedup_cell_cap_is_subquadratic(spark):
+    """Adversarial single-hot-cell corpus: every vector identical (one
+    IVF cell swallows the whole corpus). With the skew cap the
+    candidate-pair count stays ≤ cnt·cap (sub-bucketed), never C(n,2);
+    with the cap effectively off the same helper squares. Assign is
+    fabricated directly — the helper's contract is (vec_id, cell)."""
+    from udacity_dend_capstone_immigration_spark.workload.vectors import (
+        semdedup_candidate_pairs,
+    )
+
+    n = 120
+    emb = spark.createDataFrame(
+        [(i, [1.0] * 8) for i in range(n)], "vec_id long, embedding array<double>"
+    )
+    assign = spark.createDataFrame([(i, 0) for i in range(n)], "vec_id long, cell int")
+
+    uncapped = semdedup_candidate_pairs(
+        emb, assign, tau=0.9, skew=n, n_cells=1
+    ).count()
+    assert uncapped == n * (n - 1) // 2  # the quadratic blow-up, un-guarded
+
+    # skew=2, n_cells=64 → cap = 2·ceil(120/64) = 4 → nsub = 30
+    capped = semdedup_candidate_pairs(emb, assign, tau=0.9, skew=2, n_cells=64).count()
+    cap = 2 * -(-n // 64)
+    assert 0 < capped <= n * cap  # ≤ cnt·cap, far below C(n,2)
+    assert capped < uncapped // 4
+
+
+def test_semdedup_assignment_executes_once(spark):
+    """The O(corpus) IVF assignment is checkpointed before the pair
+    self-join: the final executed plan reads the materialized RDD
+    (ExistingRDD) and contains NO max_by assignment aggregate — the
+    assignment cannot run once per join side (r8 verdict item 2)."""
+    from udacity_dend_capstone_immigration_spark.workload import QUERIES
+
+    df = QUERIES["semantic_dedup_representatives"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "max_by" not in plan
+    assert "ExistingRDD" in plan

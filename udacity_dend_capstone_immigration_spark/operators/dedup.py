@@ -244,7 +244,7 @@ def jaccard_verified_pairs(
     feed ``shingle_sets`` output (collect_set, distinct by
     construction); equivalence with the materialized
     ``array_union``/``array_intersect`` form is pinned by
-    ``tests/test_dedup.py::test_jaccard_size_identity_matches_array_union``.
+    ``tests/test_dedup_operators.py::test_jaccard_size_identity_matches_array_union``.
 
     ``spread=True`` repartitions the candidate pairs to default
     parallelism first: pair rows are two ids — tiny in bytes — so AQE's
@@ -412,6 +412,7 @@ def connected_components(
     in_pairs = edges.select(F.col("src").alias("id")).distinct()
     labels = in_pairs.select("id", F.col("id").alias("label"))
     labels = labels.localCheckpoint()
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.src == labels.id)
@@ -436,6 +437,15 @@ def connected_components(
         if converged:
             break
     edges.unpersist()
+    if not converged:
+        # Returning un-converged labels would silently diverge from the
+        # oracle's full transitive closure on a >max_iterations-diameter
+        # graph — fail loudly instead; the caller raises the bound.
+        raise RuntimeError(
+            "connected_components: min-label propagation did not converge "
+            f"within max_iterations={max_iterations} (component diameter "
+            "exceeds the bound); pass a larger max_iterations"
+        )
     clustered = labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
     return (
         nodes.select(F.col(id_col))

@@ -224,6 +224,57 @@ def cosine_pairs_above_arrow(
     )
 
 
+def cosine_pairs_above_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    chunk_rows: int = 1024,
+) -> DataFrame:
+    """Within-group all-pairs cosine ≥ threshold via the same Arrow/BLAS
+    numeric routine as :func:`cosine_pairs_above_arrow` (float64 gram +
+    ``np.round(…, 6)`` — the contract that matches the DuckDB
+    sequential-fold oracles after rounding). Returns (id_a, id_b) with
+    ``id_a < id_b``; pairs never cross a group boundary.
+
+    The SemDeDup / bucketed-near-dup shape: the caller pre-partitions
+    the corpus into bounded groups (IVF cell × skew sub-bucket, LSH
+    bucket, …) and this scores each group independently — O(|g|²·d)
+    BLAS per group instead of O(|g|²·d) *interpreted lambda dispatches*
+    in a HOF self-join (measured 4.0s → sub-second at sf0.1's 1.5M
+    within-cell pairs). Per-task memory is the group matrix
+    (|g|·d float64 — applyInPandas materializes the group regardless)
+    plus one ``chunk_rows × |g|`` sims block; the caller's group-size
+    cap is the knob that bounds both at any corpus size.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64}
+            )
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(mat, axis=1)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for lo in range(0, len(ids), chunk_rows):
+            hi = min(lo + chunk_rows, len(ids))
+            sims = (mat[lo:hi] @ mat.T) / np.outer(nrm[lo:hi], nrm)
+            np.round(sims, 6, out=sims)
+            keep = (ids[lo:hi, None] < ids[None, :]) & (sims >= threshold)
+            ai, ci = np.nonzero(keep)
+            out_a.append(ids[lo:hi][ai])
+            out_b.append(ids[ci])
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    return df.groupBy(*group_cols).applyInPandas(pairs, "id_a long, id_b long")
+
+
 def signbit_code(embedding: Column, num_bits: int) -> Column:
     """Deterministic LSH bucket code: concatenated sign bits of the first
     ``num_bits`` coordinates."""

@@ -92,11 +92,13 @@ def probe_scan_partitions(df: DataFrame) -> int | None:
         except Exception:  # noqa: BLE001 — unset/non-int → next fallback
             return None
 
-    min_pn = (
-        _int_conf("spark.sql.files.minPartitionNum")
-        or _int_conf("spark.sql.leafNodeDefaultParallelism")
-        or spark.sparkContext.defaultParallelism
-    )
+    # chain on `is None`, not truthiness: an explicitly configured 0 is a
+    # (degenerate) real setting Spark itself would honor, not "unset"
+    min_pn = _int_conf("spark.sql.files.minPartitionNum")
+    if min_pn is None:
+        min_pn = _int_conf("spark.sql.leafNodeDefaultParallelism")
+    if min_pn is None:
+        min_pn = spark.sparkContext.defaultParallelism
     total_bytes = sum(sizes) + len(sizes) * open_cost
     max_split = min(mpb, max(open_cost, total_bytes // max(1, min_pn)))
     # chunk each file to maxSplitBytes, then greedy-pack chunks desc

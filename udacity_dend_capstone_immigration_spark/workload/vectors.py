@@ -509,6 +509,100 @@ def centroid_classifier_confusion(spark, sf_dir):
 # 0.4 "near" threshold for this synthetic embedding scale.
 _SEMDEDUP_TAU = 0.4
 
+#: Skew guardrail for the within-cell pair join: a cell larger than
+#: _SEMDEDUP_SKEW × the mean cell size (cap = skew·⌈corpus/N_CELLS⌉) is
+#: md5-sub-bucketed into ⌈cnt/cap⌉ sub-buckets and pairs are generated
+#: within (cell, sub) only, so a degenerate hot cell (one dominant
+#: near-dup mass) contributes ≤ cnt·cap pairs instead of cnt² — the
+#: same oracle-mirrored frequency-cap discipline every text-tier pair
+#: generator follows (max_bucket_df / max_fp_df / max_prefix_df). On a
+#: non-degenerate corpus no cell crosses 16× the mean and the guardrail
+#: is the identity (nsub=1 ⇒ sub=0 everywhere). Cross-sub-bucket pairs
+#: inside a split cell are the documented loss, measured by
+#: `semantic_dedup_recall` below. 4 md5 hex chars bound the split at
+#: 65536 sub-buckets — cells beyond 65536·cap are off the design scale.
+_SEMDEDUP_SKEW = 16
+
+
+def semdedup_candidate_pairs(emb, assign, tau=_SEMDEDUP_TAU, skew=_SEMDEDUP_SKEW, n_cells=_IVF_CELLS):
+    """Within-cell cosine ≥ τ candidate pairs (id_a < id_b) with the
+    skew guardrail above. ``assign`` is (vec_id, cell); the O(corpus)
+    assignment⋈embedding frame is lazily localCheckpoint'ed so it
+    executes ONCE, not once per self-join side (the round-8 verdict's
+    doubled-linear-stage finding) — the same pin `_ivf_centroids`
+    uses. Pair scoring is one Arrow/BLAS gram per (cell, sub) group
+    (`cosine_pairs_above_grouped`) instead of an interpreted HOF
+    self-join — 4.0s → sub-second on sf0.1's 1.5M within-cell pairs;
+    the cap bounds per-task group size. The only broadcasts are the
+    one-row total and the N_CELLS-row cell config."""
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        cosine_pairs_above_grouped,
+    )
+
+    a = assign.hint("merge").join(emb, "vec_id").localCheckpoint(eager=False)
+    tot = a.agg(F.count(F.lit(1)).alias("n_total"))
+    cap = F.lit(int(skew)).cast("bigint") * F.ceil(
+        F.col("n_total").cast("double") / F.lit(float(n_cells))
+    )
+    cellcfg = (
+        a.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cell",
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.floor((F.col("cnt") + cap - F.lit(1)).cast("double") / cap.cast("double")),
+            ).alias("nsub"),
+        )
+    )
+    sub = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("semsub"), F.col("vec_id").cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % F.col("nsub")
+    ).alias("sub")
+    suba = a.join(F.broadcast(cellcfg), "cell").select("cell", "vec_id", "embedding", sub)
+    return cosine_pairs_above_grouped(
+        suba, ["cell", "sub"], id_col="vec_id", threshold=tau
+    )
+
+
+#: DuckDB mirror of ``semdedup_candidate_pairs`` (expects CTEs ``n`` and
+#: ``assign`` in scope; yields ``prs``). conv(hex,16,10) ≡
+#: ('0x'||hex)::BIGINT per the hash_bucket portability note; the
+#: (cnt+cap-1)/cap arithmetic stays on exact-in-double integers.
+_SEMDEDUP_PAIR_CTES = f"""
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM assign),
+    cellcfg AS (
+        SELECT cell,
+               GREATEST(CAST(1 AS BIGINT),
+                        CAST(floor(CAST(cnt + cap - 1 AS DOUBLE) / CAST(cap AS DOUBLE)) AS BIGINT)) AS nsub
+        FROM (
+            SELECT a.cell, COUNT(*) AS cnt,
+                   {_SEMDEDUP_SKEW} * CAST(ceil(CAST(t.n_total AS DOUBLE) / CAST({_IVF_CELLS} AS DOUBLE)) AS BIGINT) AS cap
+            FROM assign a, tot t
+            GROUP BY a.cell, t.n_total
+        )
+    ),
+    suba AS (
+        SELECT a.vec_id, a.cell,
+               (('0x' || substring(md5('semsub:' || CAST(a.vec_id AS VARCHAR)), 1, 4))::BIGINT % cf.nsub) AS sub
+        FROM assign a JOIN cellcfg cf ON a.cell = cf.cell
+    ),
+    prs AS (
+        SELECT a1.vec_id AS id_a, a2.vec_id AS id_b
+        FROM suba a1
+            JOIN suba a2 ON a1.cell = a2.cell AND a1.sub = a2.sub AND a1.vec_id < a2.vec_id
+            JOIN n q ON q.vec_id = a1.vec_id
+            JOIN n c ON c.vec_id = a2.vec_id
+        WHERE {_COS} >= {_SEMDEDUP_TAU}
+    )"""
+
 
 @query(
     "semantic_dedup_representatives",
@@ -516,14 +610,7 @@ _SEMDEDUP_TAU = 0.4
     WITH RECURSIVE
     n AS ({_NORMED}),
     {_IVF_TRAIN_CTES},
-    prs AS (
-        SELECT a1.vec_id AS id_a, a2.vec_id AS id_b
-        FROM assign a1
-            JOIN assign a2 ON a1.cell = a2.cell AND a1.vec_id < a2.vec_id
-            JOIN n q ON q.vec_id = a1.vec_id
-            JOIN n c ON c.vec_id = a2.vec_id
-        WHERE {_COS} >= {_SEMDEDUP_TAU}
-    ),
+    {_SEMDEDUP_PAIR_CTES},
     edges AS (
         SELECT id_a AS src, id_b AS dst FROM prs
         UNION
@@ -545,39 +632,80 @@ def semantic_dedup_representatives(spark, sf_dir):
 
     Plan shape: the index is the SAME two-pass-trained centroid set
     knn_ivf probes (shared `_ivf_centroids`/`_ivf_assign`, shared
-    oracle CTEs). The pair join is cell-keyed — with corpus-sized
-    N_CELLS it carries corpus/N_CELLS rows per cell, and AQE
-    skew-splits hot cells — and both join sides carry merge hints: the
-    assignment relation is O(corpus) but sits downstream of the
-    checkpointed centroids, putting it in the estimate-blind class the
-    r8 plan gate bans from static broadcast. Component resolution is
-    the iterative min-label operator the text-dedup ladder uses
+    oracle CTEs). Pair generation is `semdedup_candidate_pairs`: the
+    O(corpus) assignment⋈embedding frame is lazily checkpointed so it
+    executes once (not once per self-join side), the pair join keys on
+    (cell, md5-sub-bucket) with the _SEMDEDUP_SKEW cell-size cap, and
+    both join sides carry merge hints (everything downstream of the
+    checkpoint is in the estimate-blind class the r8 plan gate bans
+    from static broadcast). Component resolution is the iterative
+    min-label operator the text-dedup ladder uses
     (`operators/dedup.py:connected_components`)."""
-    from udacity_dend_capstone_immigration_spark.functions.vectors import cosine_similarity
     from udacity_dend_capstone_immigration_spark.operators.dedup import connected_components
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = _ivf_centroids(emb)
     assign = _ivf_assign(emb, cents)
-    a = assign.hint("merge").join(emb, "vec_id")
-    left = a.select(
-        "cell", F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a")
-    )
-    right = a.select(
-        "cell", F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b")
-    )
-    pairs = (
-        left.join(right.hint("merge"), "cell")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(
-            F.round(cosine_similarity(F.col("e_a"), F.col("e_b")), 6)
-            >= F.lit(_SEMDEDUP_TAU)
-        )
-        .select("id_a", "id_b")
-    )
+    pairs = semdedup_candidate_pairs(emb, assign)
     comp = connected_components(
         pairs, emb.select("vec_id"), id_col="vec_id"
     )
     return comp.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("cluster_size")
     ).select(F.col("cluster_id").alias("rep_id"), "cluster_size")
+
+
+# --- SemDeDup quality audit: pair-level recall of the cell-partitioned
+# candidate pass against the exact O(n²) near-dup baseline at the same
+# τ. Cross-cell (and cross-sub-bucket, when the skew cap binds) near
+# duplicates are invisible to SemDeDup BY CONSTRUCTION — that loss is
+# the algorithm's documented trade (Abbas et al. §3), so measure it the
+# way the ANN tier measures index loss (`ann_ivf_recall`): both sides
+# are already oracle-defined queries, and the report composes their
+# SQL. At 100 TB the exact side runs on a sampled id range — recall
+# auditing cost is O(sample × corpus), never O(corpus²).
+@query(
+    "semantic_dedup_recall",
+    oracle=f"""
+    WITH exact AS ({ORACLES["embedding_near_dup"]}),
+    n AS ({_NORMED}),
+    {_IVF_TRAIN_CTES},
+    {_SEMDEDUP_PAIR_CTES},
+    capt AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS captured_pairs
+        FROM prs p JOIN exact e ON p.id_a = e.id_a AND p.id_b = e.id_b
+    ),
+    ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs FROM exact)
+    SELECT ex.exact_pairs, capt.captured_pairs,
+           CASE WHEN ex.exact_pairs = 0 THEN 0.0e0
+                ELSE CAST(capt.captured_pairs AS DOUBLE) / CAST(ex.exact_pairs AS DOUBLE)
+           END AS pair_recall
+    FROM ex, capt
+    """,
+)
+def semantic_dedup_recall(spark, sf_dir):
+    """One-row audit: exact τ=0.4 pair count, SemDeDup-captured pair
+    count, and their ratio. A single IEEE division of two counts is
+    bit-portable (correctly rounded in both engines) — no rounding
+    needed. Both one-row aggregates cross-join at the end; nothing
+    scales past the pair frames themselves."""
+    from udacity_dend_capstone_immigration_spark.workload.base import QUERIES
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = _ivf_centroids(emb)
+    assign = _ivf_assign(emb, cents)
+    prs = semdedup_candidate_pairs(emb, assign)
+    exact = QUERIES["embedding_near_dup"](spark, sf_dir).select("id_a", "id_b")
+    captured = prs.join(exact, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("captured_pairs")
+    )
+    totals = exact.agg(F.count(F.lit(1)).cast("bigint").alias("exact_pairs"))
+    return totals.crossJoin(captured).select(
+        "exact_pairs",
+        "captured_pairs",
+        F.when(F.col("exact_pairs") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("captured_pairs").cast("double") / F.col("exact_pairs").cast("double")
+        )
+        .alias("pair_recall"),
+    )
