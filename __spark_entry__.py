@@ -26,18 +26,24 @@ FLAGSHIP = "top_nations_by_orders"
 #: (`semantic_dedup_recall` — the SemDeDup pair-recall audit) plus
 #: `semantic_dedup_representatives`, whose PLAN changed this round
 #: (checkpointed single assignment, skew-capped md5 sub-buckets,
-#: Arrow per-cell gram scoring — results unchanged at these SFs,
-#: re-proven anyway); (b) ALL 15 queries whose newest official row is
-#: r5 (the events-tier tranche the r8 window deferred); (c) 33 of the
-#: 36 r6-recorded queries. The 3 left at r6 (the write-heavy
-#: `immigration_etl_fact`, `partitioned_write_roundtrip`,
-#: `events_stream_sink_roundtrip`) rotate in r10; nothing afterwards
-#: is older than r6. Nothing is dropped — the remaining queries follow
-#: in registration order and stay green in the full local gate.
+#: Arrow per-cell gram scoring) plus `knn_ivf` / `ann_ivf_recall`
+#: (Arrow codebook training/assignment replaces the crossJoin⋈max_by
+#: shape) — results unchanged at these SFs, re-proven anyway; (b) ALL
+#: 15 queries whose newest official row is r5 (the events-tier tranche
+#: the r8 window deferred); (c) 31 of the 36 r6-recorded queries. The
+#: 5 left at r6 (`immigration_etl_fact`,
+#: `immigration_etl_city_demographics`, `partitioned_write_roundtrip`,
+#: `events_stream_sink_roundtrip`, `events_stream_transitions`) rotate
+#: in r10; nothing afterwards is older than r6. Nothing is dropped —
+#: the remaining queries follow in registration order and stay green
+#: in the full local gate.
 SHOWCASE = [
-    # NEW / plan-changed this round — prove first
+    # NEW / plan-changed this round — prove first (the IVF tier moved
+    # to Arrow codebook training/assignment; results unchanged)
     "semantic_dedup_recall",
     "semantic_dedup_representatives",
+    "knn_ivf",
+    "ann_ivf_recall",
     # r5-stale events tranche (deferred by the r8 window)
     "events_daily_pivot",
     "events_props_variant",
@@ -86,8 +92,6 @@ SHOWCASE = [
     "events_stream_dedup",
     "events_stream_enriched",
     "events_stream_click_attribution",
-    "events_stream_transitions",
-    "immigration_etl_city_demographics",
 ]
 
 

@@ -121,8 +121,11 @@ def test_showcase_window_completes_official_coverage():
         # new in r9 — must get its first official row
         "semantic_dedup_recall",
         # plan changed in r9 (checkpointed single assignment, skew cap,
-        # Arrow per-cell gram) — results unchanged, re-proven anyway
+        # Arrow per-cell gram, Arrow codebook training/assignment) —
+        # results unchanged, re-proven anyway
         "semantic_dedup_representatives",
+        "knn_ivf",
+        "ann_ivf_recall",
     }
     assert changed_in_r9 <= set(first50)
 

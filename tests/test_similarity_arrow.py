@@ -146,3 +146,64 @@ def test_semdedup_assignment_executes_once(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "max_by" not in plan
     assert "ExistingRDD" in plan
+
+
+def test_grouped_components_match_iterative_cc(spark):
+    """cosine_components_grouped == connected_components over the
+    grouped pair graph (real embeddings, 3 artificial groups)."""
+    from udacity_dend_capstone_immigration_spark.operators.dedup import (
+        connected_components,
+    )
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        cosine_components_grouped,
+        cosine_pairs_above_grouped,
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .where(F.col("vec_id") < 60)
+        .withColumn("g", F.pmod(F.col("vec_id"), F.lit(3)))
+    )
+    kernel = sorted(
+        map(tuple, cosine_components_grouped(emb, ["g"], "vec_id", 0.35).collect())
+    )
+    pairs = cosine_pairs_above_grouped(emb, ["g"], "vec_id", 0.35)
+    iterative = sorted(
+        map(
+            tuple,
+            connected_components(
+                pairs, emb.select("vec_id"), id_col="vec_id"
+            ).collect(),
+        )
+    )
+    assert kernel == iterative
+    assert len(kernel) == 60  # every vector labeled, singletons included
+
+
+def test_grouped_components_long_chain_converges(spark):
+    """Adversarial τ-chain: vectors v_i = unit vectors rotated in small
+    steps so only consecutive ones pass the threshold — a diameter-n
+    path graph. The pointer-jumping min-label kernel must collapse the
+    whole chain to cluster 0 (the iterative operator would need ~n
+    rounds and raises past max_iterations)."""
+    import math
+
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        cosine_components_grouped,
+    )
+
+    n = 48
+    step = math.pi / 2 / n * 1.6  # consecutive cos ~0.9987, two-apart below
+    rows = [
+        (i, [math.cos(i * step), math.sin(i * step)] + [0.0] * 6) for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>").withColumn(
+        "g", F.lit(0)
+    )
+    thr = math.cos(step) - (math.cos(step) - math.cos(2 * step)) / 2
+    out = dict(
+        map(tuple, cosine_components_grouped(emb, ["g"], "vec_id", thr).collect())
+    )
+    assert set(out.values()) == {0}  # one component, min-id label
+    assert len(out) == n

@@ -275,6 +275,154 @@ def cosine_pairs_above_grouped(
     return df.groupBy(*group_cols).applyInPandas(pairs, "id_a long, id_b long")
 
 
+def cosine_components_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    chunk_rows: int = 1024,
+) -> DataFrame:
+    """Connected components of the within-group cosine ≥ threshold
+    graph, computed INSIDE the gram kernel: emits one
+    (id, cluster_id = min id in component) row per input row,
+    singletons labeling themselves.
+
+    Why this exists: when edges are confined to groups by construction
+    (SemDeDup cells, LSH buckets), the global transitive closure equals
+    the per-group closure — so component resolution needs NO iterative
+    Spark join stage at all. The r9 embeddings extrapolation measured
+    the difference: at a 100× corpus with 11.5M within-cell pairs the
+    iterative min-label operator (O(edges) shuffle × diameter rounds +
+    per-round checkpoints) took ~90s of a 96s query; folding CC into
+    the per-group kernel removes the edge materialization and every
+    iteration. Labels propagate by vectorized min-label rounds with
+    pointer jumping (converges in O(log |g|) rounds; ids are sorted
+    ascending so the min label IS the min id). Numeric contract and
+    memory model are exactly :func:`cosine_pairs_above_grouped`'s.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def comps(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        m = len(ids)
+        if m == 1:
+            return pd.DataFrame({id_col: ids, "cluster_id": ids})
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(mat, axis=1)
+        ea: list[np.ndarray] = []
+        eb: list[np.ndarray] = []
+        for lo in range(0, m, chunk_rows):
+            hi = min(lo + chunk_rows, m)
+            sims = (mat[lo:hi] @ mat.T) / np.outer(nrm[lo:hi], nrm)
+            np.round(sims, 6, out=sims)
+            # upper triangle in index space (ids ascending ⇒ i<j ⇔ id_i<id_j)
+            keep = (np.arange(lo, hi)[:, None] < np.arange(m)[None, :]) & (
+                sims >= threshold
+            )
+            ai, ci = np.nonzero(keep)
+            ea.append(ai + lo)
+            eb.append(ci)
+        src = np.concatenate(ea)
+        dst = np.concatenate(eb)
+        lab = np.arange(m)
+        while True:
+            new = lab.copy()
+            if len(src):
+                np.minimum.at(new, src, lab[dst])
+                np.minimum.at(new, dst, lab[src])
+            new = new[new]  # pointer jumping halves the remaining depth
+            if np.array_equal(new, lab):
+                break
+            lab = new
+        return pd.DataFrame({id_col: ids, "cluster_id": ids[lab]})
+
+    return df.groupBy(*group_cols).applyInPandas(comps, f"{id_col} long, cluster_id long")
+
+
+#: Driver-collect bound for ANN codebooks (trained centroid sets). A
+#: codebook is DATA, not a relation — every ANN deployment materializes
+#: it (faiss trains then ships the quantizer) — and its row count is
+#: the corpus-sizing constant N_CELLS ≈ √N (~30k × 64 dims ≈ 15 MB at
+#: a 1e9-vector corpus). Enforced, not assumed, like
+#: MAX_BROADCAST_QUERY_ROWS above.
+MAX_CODEBOOK_ROWS = 65_536
+
+
+class Codebook:
+    """Sorted-by-id numpy view of a (cent_id, cent_emb) centroid set:
+    ``ids`` int64 ascending, ``mat`` float64 (cells × d), ``nrm`` the
+    row norms. Ascending id order makes ``np.argmax``'s first-max
+    tiebreak equal the oracles' ``ORDER BY sim DESC, cent_id ASC``."""
+
+    def __init__(self, rows):
+        import numpy as np
+
+        if len(rows) > MAX_CODEBOOK_ROWS:
+            raise ValueError(
+                f"codebook has {len(rows)} rows, over the "
+                f"{MAX_CODEBOOK_ROWS}-row contract — N_CELLS is a "
+                "corpus-sizing constant (~sqrt(N)); retune it, don't "
+                "collect a corpus-scaled relation"
+            )
+        rows = sorted(rows, key=lambda r: r[0])
+        self.ids = np.array([r[0] for r in rows], dtype=np.int64)
+        self.mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+        self.nrm = np.linalg.norm(self.mat, axis=1)
+
+
+def assign_nearest_arrow(
+    df: DataFrame,
+    codebook: Codebook,
+    id_col: str = "vec_id",
+    keep_embedding: bool = False,
+    chunk_rows: int = 4096,
+) -> DataFrame:
+    """Nearest-centroid assignment as ONE Arrow map stage: each batch
+    computes a BLAS (chunk × cells) cosine block against the in-closure
+    codebook and emits (id, cell[, embedding]). Ties break to the
+    lowest cent_id (argmax first-max over ascending ids), matching the
+    oracles' ROW_NUMBER ordering; sims are ``np.round(…, 6)`` — the
+    same matches-after-rounding contract as the gram paths above.
+
+    The scale shape for IVF training/assignment: the HOF alternative
+    (crossJoin every vector with every centroid, max_by per vector)
+    shuffles n×N_CELLS rows through an interpreted lambda — O(n·√n·d)
+    dispatches at the design scale — where this is a shuffle-free scan
+    with O(chunk·cells) peak memory per task. ``keep_embedding`` passes
+    the vector through (original dtype) so downstream per-cell work
+    avoids re-joining the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    emb_type = df.schema["embedding"].dataType.simpleString()
+    out_schema = f"{id_col} long, cell long" + (
+        f", embedding {emb_type}" if keep_embedding else ""
+    )
+    cb = codebook
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(mat, axis=1)
+            cells = np.empty(len(ids), dtype=np.int64)
+            for lo in range(0, len(ids), chunk_rows):
+                hi = min(lo + chunk_rows, len(ids))
+                sims = (mat[lo:hi] @ cb.mat.T) / np.outer(nrm[lo:hi], cb.nrm)
+                np.round(sims, 6, out=sims)
+                cells[lo:hi] = cb.ids[np.argmax(sims, axis=1)]
+            out = {id_col: ids, "cell": cells}
+            if keep_embedding:
+                out["embedding"] = pdf["embedding"]
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(assign, out_schema)
+
+
 def signbit_code(embedding: Column, num_bits: int) -> Column:
     """Deterministic LSH bucket code: concatenated sign bits of the first
     ``num_bits`` coordinates."""

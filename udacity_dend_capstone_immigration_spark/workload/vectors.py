@@ -190,36 +190,49 @@ _IVF_TRAIN_CTES = f"""
 
 
 
-def _ivf_nearest_agg():
-    """(sim_to_cent, nearest) column pair shared by training/assignment:
-    arg_max tiebreak on (sim, -cent_id) matches the oracles' ROW_NUMBER
-    ordering."""
+def _probe_sim():
+    """Rounded query→centroid cosine for the probe ranking (queries ×
+    N_CELLS rows — tiny, stays a declarative HOF join)."""
     from udacity_dend_capstone_immigration_spark.functions.vectors import cosine_similarity
 
-    sim_to_cent = F.round(cosine_similarity(F.col("embedding"), F.col("cent_emb")), 6)
-    nearest = F.max_by("cent_id", F.struct(sim_to_cent, -F.col("cent_id"))).alias("cell")
-    return sim_to_cent, nearest
+    return F.round(cosine_similarity(F.col("embedding"), F.col("cent_emb")), 6)
 
 
-def _ivf_centroids(emb):
-    """Two Lloyd iterations: assignment → quantized per-(cell,dim) mean,
-    looped — each pass is one broadcast-assign map stage plus a
-    (cell,dim)-keyed aggregate whose exchange carries N_CELLS × 64
-    cells regardless of corpus size, so extra iterations cost scans,
-    never bigger shuffles (see the _IVF_CELLS note for measured recall;
-    iterations only pay off once probe count stops binding). Returns
-    the lazily-checkpointed refined centroid frame (consumed by
-    multiple branches in every caller)."""
-    _, nearest = _ivf_nearest_agg()
-    seed = emb.where(F.col("vec_id") < _IVF_CELLS).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+def _ivf_train(emb, n_cells=None):
+    """Two Lloyd iterations: Arrow nearest-centroid assignment →
+    quantized per-(cell,dim) mean, looped. Each pass is one BLAS map
+    stage over the corpus (`assign_nearest_arrow` — the in-closure
+    codebook replaces the old crossJoin⋈max_by shape, whose n×N_CELLS
+    interpreted lambda dispatches were the 100×-corpus bottleneck the
+    r9 embeddings extrapolation exposed) plus a (cell,dim)-keyed
+    aggregate whose exchange carries N_CELLS × 64 cells regardless of
+    corpus size, so extra iterations cost scans, never bigger shuffles
+    (see the _IVF_CELLS note for measured recall).
+
+    EAGER: training collects N_CELLS-bounded centroid rows per pass
+    (`MAX_CODEBOOK_ROWS` contract — an ANN index build materializes its
+    codebook by definition). Returns (cents_df, codebook): the tiny
+    local-collection centroid frame for declarative probe joins, and
+    the numpy codebook for Arrow assignment."""
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        Codebook,
+        assign_nearest_arrow,
     )
 
-    def _refine(cent_df):
-        assigned = emb.crossJoin(F.broadcast(cent_df)).groupBy("vec_id").agg(nearest)
-        cellmean = (
-            assigned.join(emb, "vec_id")
-            .select(
+    if n_cells is None:
+        n_cells = _IVF_CELLS
+    spark = emb.sparkSession
+    seed_rows = (
+        emb.where(F.col("vec_id") < n_cells)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb"))
+        .collect()
+    )
+    cb = Codebook(seed_rows)
+    rows = seed_rows
+    for _ in range(2):
+        assigned = assign_nearest_arrow(emb, cb, "vec_id", keep_embedding=True)
+        rows = (
+            assigned.select(
                 "cell",
                 F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
             )
@@ -230,21 +243,18 @@ def _ivf_centroids(emb):
                     / (F.count(F.lit(1)).cast("double") * F.lit(16777216.0))
                 ).alias("val")
             )
-        )
-        # reassemble dim-ordered centroid arrays (tiny: N_CELLS rows)
-        return (
-            cellmean.groupBy("cell")
+            # reassemble dim-ordered centroid arrays (tiny: N_CELLS rows)
+            .groupBy("cell")
             .agg(F.sort_array(F.collect_list(F.struct("dim", "val"))).alias("dv"))
             .select(F.col("cell").alias("cent_id"), F.col("dv.val").alias("cent_emb"))
+            .collect()
         )
-
-    return _refine(_refine(seed)).localCheckpoint(eager=False)
-
-
-def _ivf_assign(emb, cents):
-    """Nearest refined centroid per vector (ties → lower id)."""
-    _, nearest = _ivf_nearest_agg()
-    return emb.crossJoin(F.broadcast(cents)).groupBy("vec_id").agg(nearest)
+        cb = Codebook(rows)
+    cents_df = spark.createDataFrame(
+        [(int(r[0]), [float(x) for x in r[1]]) for r in rows],
+        "cent_id long, cent_emb array<double>",
+    )
+    return cents_df, cb
 
 
 @query(
@@ -277,19 +287,22 @@ def _ivf_assign(emb, cents):
     """,
 )
 def knn_ivf(spark, sf_dir):
-    """IVF with two-pass k-means training: assign-to-nearest (broadcast
-    centroid list, one map pass), refine centroids as quantized
-    per-(cell,dim) means (the label_centroids shape — the exchange
-    carries N_CELLS × 64 cells regardless of corpus size), looped
-    twice, then assign/probe against the refined centroids. arg_max
-    tiebreak on (sim, -cent_id) matches the oracle."""
+    """IVF with two-pass k-means training (`_ivf_train`: Arrow/BLAS
+    assign-to-nearest, quantized per-(cell,dim) means — the exchange
+    carries N_CELLS × 64 cells regardless of corpus size), then Arrow
+    assignment + declarative probing against the refined codebook.
+    argmax-over-ascending-ids tiebreak matches the oracle's
+    ROW_NUMBER (sim DESC, cent_id ASC)."""
     from udacity_dend_capstone_immigration_spark.functions.vectors import cosine_similarity
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        assign_nearest_arrow,
+    )
     from udacity_dend_capstone_immigration_spark.operators.topk import top_k_per_group
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    sim_to_cent, _ = _ivf_nearest_agg()
-    cents = _ivf_centroids(emb)
-    assign = _ivf_assign(emb, cents)
+    sim_to_cent = _probe_sim()
+    cents, cb = _ivf_train(emb)
+    assign = assign_nearest_arrow(emb, cb, "vec_id")
     # probe list: NPROBE nearest cells per query vector
     probes = top_k_per_group(
         emb.where(F.col("vec_id") < 10)
@@ -524,22 +537,21 @@ _SEMDEDUP_TAU = 0.4
 _SEMDEDUP_SKEW = 16
 
 
-def semdedup_candidate_pairs(emb, assign, tau=_SEMDEDUP_TAU, skew=_SEMDEDUP_SKEW, n_cells=_IVF_CELLS):
-    """Within-cell cosine ≥ τ candidate pairs (id_a < id_b) with the
-    skew guardrail above. ``assign`` is (vec_id, cell); the O(corpus)
+def _semdedup_grouped(emb, assign, skew, n_cells):
+    """(cell, vec_id, embedding, sub) frame behind the skew guardrail
+    above. ``assign`` is (vec_id, cell[, embedding]); the O(corpus)
     assignment⋈embedding frame is lazily localCheckpoint'ed so it
-    executes ONCE, not once per self-join side (the round-8 verdict's
-    doubled-linear-stage finding) — the same pin `_ivf_centroids`
-    uses. Pair scoring is one Arrow/BLAS gram per (cell, sub) group
-    (`cosine_pairs_above_grouped`) instead of an interpreted HOF
-    self-join — 4.0s → sub-second on sf0.1's 1.5M within-cell pairs;
-    the cap bounds per-task group size. The only broadcasts are the
-    one-row total and the N_CELLS-row cell config."""
-    from udacity_dend_capstone_immigration_spark.operators.similarity import (
-        cosine_pairs_above_grouped,
-    )
-
-    a = assign.hint("merge").join(emb, "vec_id").localCheckpoint(eager=False)
+    executes ONCE, not once per consumer (the round-8 verdict's
+    doubled-linear-stage finding). The only broadcasts are the one-row
+    total and the N_CELLS-row cell config."""
+    if n_cells is None:
+        n_cells = _IVF_CELLS  # resolved at call so scaled runs can retune
+    if "embedding" in assign.columns:
+        # Arrow assignment already carries the vector through — no
+        # corpus re-join needed (assign_nearest_arrow keep_embedding)
+        a = assign.select("vec_id", "cell", "embedding").localCheckpoint(eager=False)
+    else:
+        a = assign.hint("merge").join(emb, "vec_id").localCheckpoint(eager=False)
     tot = a.agg(F.count(F.lit(1)).alias("n_total"))
     cap = F.lit(int(skew)).cast("bigint") * F.ceil(
         F.col("n_total").cast("double") / F.lit(float(n_cells))
@@ -566,9 +578,45 @@ def semdedup_candidate_pairs(emb, assign, tau=_SEMDEDUP_TAU, skew=_SEMDEDUP_SKEW
         ).cast("bigint")
         % F.col("nsub")
     ).alias("sub")
-    suba = a.join(F.broadcast(cellcfg), "cell").select("cell", "vec_id", "embedding", sub)
+    return a.join(F.broadcast(cellcfg), "cell").select("cell", "vec_id", "embedding", sub)
+
+
+def semdedup_candidate_pairs(emb, assign, tau=_SEMDEDUP_TAU, skew=_SEMDEDUP_SKEW, n_cells=None):
+    """Within-cell cosine ≥ τ candidate pairs (id_a < id_b): one
+    Arrow/BLAS gram per (cell, sub) group (`cosine_pairs_above_grouped`)
+    instead of an interpreted HOF self-join — 4.0s → sub-second on
+    sf0.1's 1.5M within-cell pairs; the skew cap bounds per-task group
+    size."""
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        cosine_pairs_above_grouped,
+    )
+
     return cosine_pairs_above_grouped(
-        suba, ["cell", "sub"], id_col="vec_id", threshold=tau
+        _semdedup_grouped(emb, assign, skew, n_cells),
+        ["cell", "sub"],
+        id_col="vec_id",
+        threshold=tau,
+    )
+
+
+def semdedup_clusters(emb, assign, tau=_SEMDEDUP_TAU, skew=_SEMDEDUP_SKEW, n_cells=None):
+    """(vec_id, cluster_id) over the whole corpus — SemDeDup edges never
+    cross a (cell, sub) group, so the global transitive closure equals
+    the per-group closure and components resolve INSIDE the gram kernel
+    (`cosine_components_grouped`): no edge materialization, no
+    iterative join rounds. The r9 embeddings extrapolation measured the
+    iterative min-label stage at ~90s of a 96s query on a 100× corpus
+    with 11.5M within-cell pairs; this shape is two shuffles end-to-end
+    (assignment exchange, per-group kernel) at any corpus size."""
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        cosine_components_grouped,
+    )
+
+    return cosine_components_grouped(
+        _semdedup_grouped(emb, assign, skew, n_cells),
+        ["cell", "sub"],
+        id_col="vec_id",
+        threshold=tau,
     )
 
 
@@ -630,26 +678,26 @@ def semantic_dedup_representatives(spark, sf_dir):
     """Cluster (trained IVF cells) → within-cell cosine pairs →
     connected components → min-id representative + cluster size.
 
-    Plan shape: the index is the SAME two-pass-trained centroid set
-    knn_ivf probes (shared `_ivf_centroids`/`_ivf_assign`, shared
-    oracle CTEs). Pair generation is `semdedup_candidate_pairs`: the
-    O(corpus) assignment⋈embedding frame is lazily checkpointed so it
-    executes once (not once per self-join side), the pair join keys on
-    (cell, md5-sub-bucket) with the _SEMDEDUP_SKEW cell-size cap, and
-    both join sides carry merge hints (everything downstream of the
-    checkpoint is in the estimate-blind class the r8 plan gate bans
-    from static broadcast). Component resolution is the iterative
-    min-label operator the text-dedup ladder uses
-    (`operators/dedup.py:connected_components`)."""
-    from udacity_dend_capstone_immigration_spark.operators.dedup import connected_components
+    Plan shape: the index is the SAME two-pass-trained codebook
+    knn_ivf probes (shared `_ivf_train`, shared oracle CTEs); the
+    Arrow assignment carries the vector through, so the corpus is
+    never re-joined. The O(corpus) assignment frame is lazily
+    checkpointed (executes once), groups key on (cell,
+    md5-sub-bucket) with the _SEMDEDUP_SKEW cell-size cap, and
+    `semdedup_clusters` resolves scoring AND connected components
+    inside one BLAS kernel per group — edges never cross a group, so
+    the per-group closure IS the oracle's global transitive closure
+    and no iterative join stage exists (the r9 extrapolation's
+    100×-corpus finding: iterative min-label rounds were ~90s of a
+    96s query; this shape is two shuffles end-to-end)."""
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        assign_nearest_arrow,
+    )
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = _ivf_centroids(emb)
-    assign = _ivf_assign(emb, cents)
-    pairs = semdedup_candidate_pairs(emb, assign)
-    comp = connected_components(
-        pairs, emb.select("vec_id"), id_col="vec_id"
-    )
+    _, cb = _ivf_train(emb)
+    assign = assign_nearest_arrow(emb, cb, "vec_id", keep_embedding=True)
+    comp = semdedup_clusters(emb, assign)
     return comp.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("cluster_size")
     ).select(F.col("cluster_id").alias("rep_id"), "cluster_size")
@@ -689,11 +737,14 @@ def semantic_dedup_recall(spark, sf_dir):
     bit-portable (correctly rounded in both engines) — no rounding
     needed. Both one-row aggregates cross-join at the end; nothing
     scales past the pair frames themselves."""
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        assign_nearest_arrow,
+    )
     from udacity_dend_capstone_immigration_spark.workload.base import QUERIES
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = _ivf_centroids(emb)
-    assign = _ivf_assign(emb, cents)
+    _, cb = _ivf_train(emb)
+    assign = assign_nearest_arrow(emb, cb, "vec_id", keep_embedding=True)
     prs = semdedup_candidate_pairs(emb, assign)
     exact = QUERIES["embedding_near_dup"](spark, sf_dir).select("id_a", "id_b")
     captured = prs.join(exact, ["id_a", "id_b"]).agg(
