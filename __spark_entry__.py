@@ -22,25 +22,30 @@ FLAGSHIP = "top_nations_by_orders"
 
 #: The driver's CORRECTNESS record keeps only the first 50 entries of
 #: ``queries()``. This round-9 window finishes the record rotation the
-#: r7/r8 verdicts scheduled: (a) the query NEW this round
-#: (`semantic_dedup_recall` — the SemDeDup pair-recall audit) plus
+#: r7/r8 verdicts scheduled: (a) the queries NEW this round
+#: (`semantic_dedup_recall` — the SemDeDup pair-recall audit — and
+#: `semantic_dedup_cell_profile` — the cap-machinery audit) plus
 #: `semantic_dedup_representatives`, whose PLAN changed this round
 #: (checkpointed single assignment, skew-capped md5 sub-buckets,
-#: Arrow per-cell gram scoring) plus `knn_ivf` / `ann_ivf_recall`
-#: (Arrow codebook training/assignment replaces the crossJoin⋈max_by
-#: shape) — results unchanged at these SFs, re-proven anyway; (b) ALL
-#: 15 queries whose newest official row is r5 (the events-tier tranche
-#: the r8 window deferred); (c) 31 of the 36 r6-recorded queries. The
-#: 5 left at r6 (`immigration_etl_fact`,
-#: `immigration_etl_city_demographics`, `partitioned_write_roundtrip`,
-#: `events_stream_sink_roundtrip`, `events_stream_transitions`) rotate
-#: in r10; nothing afterwards is older than r6. Nothing is dropped —
-#: the remaining queries follow in registration order and stay green
-#: in the full local gate.
+#: Arrow per-cell gram scoring with in-kernel connected components)
+#: plus `knn_ivf` / `ann_ivf_recall` (Arrow codebook
+#: training/assignment replaces the crossJoin⋈max_by shape) — results
+#: unchanged at these SFs, re-proven anyway; (b) ALL 15 queries whose
+#: newest official row is r5 (the events-tier tranche the r8 window
+#: deferred); (c) 29 of the 36 r6-recorded queries (plus
+#: `dedup_edit_distance`, new this round). The 7 left at r6
+#: (`immigration_etl_fact`, `immigration_etl_city_demographics`,
+#: `partitioned_write_roundtrip`, `events_stream_sink_roundtrip`,
+#: `events_stream_transitions`, `events_stream_click_attribution`,
+#: `events_stream_enriched`) rotate in r10; nothing afterwards is
+#: older than r6. Nothing is dropped — the remaining queries follow in
+#: registration order and stay green in the full local gate.
 SHOWCASE = [
     # NEW / plan-changed this round — prove first (the IVF tier moved
     # to Arrow codebook training/assignment; results unchanged)
     "semantic_dedup_recall",
+    "semantic_dedup_cell_profile",
+    "dedup_edit_distance",
     "semantic_dedup_representatives",
     "knn_ivf",
     "ann_ivf_recall",
@@ -90,8 +95,6 @@ SHOWCASE = [
     "events_stream_sliding",
     "events_stream_stateful_totals",
     "events_stream_dedup",
-    "events_stream_enriched",
-    "events_stream_click_attribution",
 ]
 
 

@@ -374,6 +374,7 @@ def test_no_static_broadcast_of_estimate_blind_relations(spark):
         # assignment frame — bounded by cell-count at any corpus size
         "semantic_dedup_representatives",
         "semantic_dedup_recall",
+        "semantic_dedup_cell_profile",
     }
 
     def suspects(plan: str) -> list[str]:

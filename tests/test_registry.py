@@ -118,8 +118,10 @@ def test_showcase_window_completes_official_coverage():
     assert list(E.oracle_sql())[:50] == first50
 
     changed_in_r9 = {
-        # new in r9 — must get its first official row
+        # new in r9 — must get their first official rows
         "semantic_dedup_recall",
+        "semantic_dedup_cell_profile",
+        "dedup_edit_distance",
         # plan changed in r9 (checkpointed single assignment, skew cap,
         # Arrow per-cell gram, Arrow codebook training/assignment) —
         # results unchanged, re-proven anyway

@@ -267,6 +267,90 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+# --- bounded edit-distance near-dup: the typo/near-verbatim detector
+# (character-level, where Jaccard's bag-of-shingles misses transposed
+# or lightly-edited boilerplate). Candidates come from the SAME capped
+# rare-shingle groups as the Jaccard path — never an all-pairs join —
+# and the verify is Levenshtein with Spark's threshold-banded kernel
+# (O(k·len) per pair instead of O(len²); pairs beyond the band return
+# -1 and drop). A pair is a near-dup when distance ≤ min(20% of the
+# longer doc, _EDIT_ABS): the relative bound is the semantic knob, the
+# absolute bound keeps the DP band narrow at any document length.
+# Candidates must share ≥ _EDIT_MIN_SHARED rare shingles (a ≤20%-edit
+# pair shares most of its trigrams, so this drops single-collision
+# noise pairs before their text bodies ever shuffle — measured 3.73 →
+# 2.54 min-of-3 at sf0.1, verified output identical).
+_EDIT_REL, _EDIT_ABS, _EDIT_MIN_SHARED = 0.2, 64, 3
+
+
+@query(
+    "dedup_edit_distance",
+    oracle=f"""
+    WITH sh AS ({SHINGLES}),
+    e AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+    keep AS (SELECT g FROM e GROUP BY g
+             HAVING COUNT(*) BETWEEN 2 AND {_NGRAM_SHINGLE_CAP}),
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        JOIN keep k ON k.g = a.g
+        GROUP BY a.doc_id, b.doc_id
+        HAVING COUNT(*) >= {_EDIT_MIN_SHARED}
+    )
+    SELECT id_a, id_b,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance
+    FROM cand
+        JOIN documents da ON da.doc_id = id_a
+        JOIN documents db ON db.doc_id = id_b
+    WHERE levenshtein(da.text, db.text) <=
+          LEAST(CAST(floor({_EDIT_REL}e0 * GREATEST(length(da.text), length(db.text))) AS BIGINT),
+                {_EDIT_ABS})
+    """,
+)
+def dedup_edit_distance(spark, sf_dir):
+    """Capped rare-shingle candidates (one groupBy, df ∈ [2, cap],
+    in-group explode — the dedup_ngram_jaccard shape) → distinct pairs
+    → threshold-banded Levenshtein verify on the raw text. The text
+    joins are merge-hinted: both sides are SF-scaling and the candidate
+    side is estimate-blind behind the explode (the r8 broadcast-gate
+    class). Distances compare exactly against the oracle because the
+    band only truncates ABOVE the absolute bound, where both engines
+    discard the pair anyway."""
+    from udacity_dend_capstone_immigration_spark.operators.dedup import shingle_rows
+
+    docs = table(spark, sf_dir, "documents")
+    e = shingle_rows(docs, "doc_id", "text", 3).withColumnRenamed("shingle", "g")
+    grp = (
+        e.groupBy("g")
+        .agg(F.collect_set("doc_id").alias("ids"))
+        .select("ids", F.size("ids").alias("_df"))
+        .where((F.col("_df") >= 2) & (F.col("_df") <= _NGRAM_SHINGLE_CAP))
+    )
+    cand = (
+        grp.select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .where(F.col("_shared") >= _EDIT_MIN_SHARED)
+        .select("id_a", "id_b")
+    )
+    ta = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta"))
+    tb = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb"))
+    d = F.levenshtein(F.col("_ta"), F.col("_tb"), _EDIT_ABS)
+    bound = F.least(
+        F.floor(F.lit(_EDIT_REL) * F.greatest(F.length("_ta"), F.length("_tb"))),
+        F.lit(_EDIT_ABS).cast("bigint"),
+    )
+    return (
+        cand.join(ta.hint("merge"), "id_a")
+        .join(tb.hint("merge"), "id_b")
+        .select("id_a", "id_b", d.alias("edit_distance"), bound.alias("_b"))
+        .where((F.col("edit_distance") >= 0) & (F.col("edit_distance") <= F.col("_b")))
+        .select("id_a", "id_b", F.col("edit_distance").cast("bigint").alias("edit_distance"))
+    )
+
+
 # --- MinHash + LSH near-dup: the 100 TB-scale dedup path.
 # Hash family mirrors operators/dedup.py: one md5 per shingle, member i
 # = (h1 + i*h2) mod MINHASH_P with h1/h2 the md5's 32-bit halves.

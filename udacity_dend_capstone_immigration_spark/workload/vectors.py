@@ -537,6 +537,39 @@ _SEMDEDUP_TAU = 0.4
 _SEMDEDUP_SKEW = 16
 
 
+#: DuckDB mirror of ``semdedup_candidate_pairs`` (expects CTEs ``n`` and
+#: ``assign`` in scope; yields ``prs``). conv(hex,16,10) ≡
+#: ('0x'||hex)::BIGINT per the hash_bucket portability note; the
+#: (cnt+cap-1)/cap arithmetic stays on exact-in-double integers.
+_SEMDEDUP_PAIR_CTES = f"""
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM assign),
+    cellcfg AS (
+        SELECT cell,
+               GREATEST(CAST(1 AS BIGINT),
+                        CAST(floor(CAST(cnt + cap - 1 AS DOUBLE) / CAST(cap AS DOUBLE)) AS BIGINT)) AS nsub
+        FROM (
+            SELECT a.cell, COUNT(*) AS cnt,
+                   {_SEMDEDUP_SKEW} * CAST(ceil(CAST(t.n_total AS DOUBLE) / CAST({_IVF_CELLS} AS DOUBLE)) AS BIGINT) AS cap
+            FROM assign a, tot t
+            GROUP BY a.cell, t.n_total
+        )
+    ),
+    suba AS (
+        SELECT a.vec_id, a.cell,
+               (('0x' || substring(md5('semsub:' || CAST(a.vec_id AS VARCHAR)), 1, 4))::BIGINT % cf.nsub) AS sub
+        FROM assign a JOIN cellcfg cf ON a.cell = cf.cell
+    ),
+    prs AS (
+        SELECT a1.vec_id AS id_a, a2.vec_id AS id_b
+        FROM suba a1
+            JOIN suba a2 ON a1.cell = a2.cell AND a1.sub = a2.sub AND a1.vec_id < a2.vec_id
+            JOIN n q ON q.vec_id = a1.vec_id
+            JOIN n c ON c.vec_id = a2.vec_id
+        WHERE {_COS} >= {_SEMDEDUP_TAU}
+    )"""
+
+
+
 def _semdedup_grouped(emb, assign, skew, n_cells):
     """(cell, vec_id, embedding, sub) frame behind the skew guardrail
     above. ``assign`` is (vec_id, cell[, embedding]); the O(corpus)
@@ -578,7 +611,9 @@ def _semdedup_grouped(emb, assign, skew, n_cells):
         ).cast("bigint")
         % F.col("nsub")
     ).alias("sub")
-    return a.join(F.broadcast(cellcfg), "cell").select("cell", "vec_id", "embedding", sub)
+    return a.join(F.broadcast(cellcfg), "cell").select(
+        "cell", "vec_id", "embedding", sub, "nsub"
+    )
 
 
 def semdedup_candidate_pairs(emb, assign, tau=_SEMDEDUP_TAU, skew=_SEMDEDUP_SKEW, n_cells=None):
@@ -596,6 +631,54 @@ def semdedup_candidate_pairs(emb, assign, tau=_SEMDEDUP_TAU, skew=_SEMDEDUP_SKEW
         ["cell", "sub"],
         id_col="vec_id",
         threshold=tau,
+    )
+
+
+# --- operational audit of the cap machinery: per-cell row count, the
+# sub-bucket split the skew guardrail chose, occupancy, and the pair
+# budget actually incurred (Σ C(s,2) over sub-buckets) — the number the
+# corpus²/N_CELLS cost model predicts and capacity planning reads. On a
+# skewed corpus this is the query that shows WHERE the cap bound and
+# what it cost (cross-sub recall loss is measured by
+# `semantic_dedup_recall`).
+@query(
+    "semantic_dedup_cell_profile",
+    oracle=f"""
+    WITH n AS ({_NORMED}),
+    {_IVF_TRAIN_CTES},
+    {_SEMDEDUP_PAIR_CTES},
+    subcnt AS (SELECT cell, sub, COUNT(*) AS s FROM suba GROUP BY cell, sub)
+    SELECT sc.cell,
+           CAST(SUM(sc.s) AS BIGINT) AS cell_rows,
+           CAST(MAX(cf.nsub) AS BIGINT) AS nsub,
+           CAST(COUNT(*) AS BIGINT) AS occupied_subs,
+           CAST(MAX(sc.s) AS BIGINT) AS max_sub_rows,
+           CAST(SUM(sc.s * (sc.s - 1) / 2) AS BIGINT) AS pair_budget
+    FROM subcnt sc JOIN cellcfg cf ON sc.cell = cf.cell
+    GROUP BY sc.cell
+    """,
+)
+def semantic_dedup_cell_profile(spark, sf_dir):
+    """One row per occupied IVF cell. pair_budget sums exact-integer
+    doubles (s(s-1) is even and < 2^52) so the BIGINT cast is
+    deterministic in both engines."""
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        assign_nearest_arrow,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    _, cb = _ivf_train(emb)
+    assign = assign_nearest_arrow(emb, cb, "vec_id", keep_embedding=True)
+    suba = _semdedup_grouped(emb, assign, _SEMDEDUP_SKEW, None)
+    subcnt = suba.groupBy("cell", "sub").agg(
+        F.count(F.lit(1)).alias("s"), F.max("nsub").alias("nsub")
+    )
+    return subcnt.groupBy("cell").agg(
+        F.sum("s").cast("bigint").alias("cell_rows"),
+        F.max("nsub").cast("bigint").alias("nsub"),
+        F.count(F.lit(1)).cast("bigint").alias("occupied_subs"),
+        F.max("s").cast("bigint").alias("max_sub_rows"),
+        F.sum(F.col("s") * (F.col("s") - 1) / F.lit(2)).cast("bigint").alias("pair_budget"),
     )
 
 
@@ -618,38 +701,6 @@ def semdedup_clusters(emb, assign, tau=_SEMDEDUP_TAU, skew=_SEMDEDUP_SKEW, n_cel
         id_col="vec_id",
         threshold=tau,
     )
-
-
-#: DuckDB mirror of ``semdedup_candidate_pairs`` (expects CTEs ``n`` and
-#: ``assign`` in scope; yields ``prs``). conv(hex,16,10) ≡
-#: ('0x'||hex)::BIGINT per the hash_bucket portability note; the
-#: (cnt+cap-1)/cap arithmetic stays on exact-in-double integers.
-_SEMDEDUP_PAIR_CTES = f"""
-    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM assign),
-    cellcfg AS (
-        SELECT cell,
-               GREATEST(CAST(1 AS BIGINT),
-                        CAST(floor(CAST(cnt + cap - 1 AS DOUBLE) / CAST(cap AS DOUBLE)) AS BIGINT)) AS nsub
-        FROM (
-            SELECT a.cell, COUNT(*) AS cnt,
-                   {_SEMDEDUP_SKEW} * CAST(ceil(CAST(t.n_total AS DOUBLE) / CAST({_IVF_CELLS} AS DOUBLE)) AS BIGINT) AS cap
-            FROM assign a, tot t
-            GROUP BY a.cell, t.n_total
-        )
-    ),
-    suba AS (
-        SELECT a.vec_id, a.cell,
-               (('0x' || substring(md5('semsub:' || CAST(a.vec_id AS VARCHAR)), 1, 4))::BIGINT % cf.nsub) AS sub
-        FROM assign a JOIN cellcfg cf ON a.cell = cf.cell
-    ),
-    prs AS (
-        SELECT a1.vec_id AS id_a, a2.vec_id AS id_b
-        FROM suba a1
-            JOIN suba a2 ON a1.cell = a2.cell AND a1.sub = a2.sub AND a1.vec_id < a2.vec_id
-            JOIN n q ON q.vec_id = a1.vec_id
-            JOIN n c ON c.vec_id = a2.vec_id
-        WHERE {_COS} >= {_SEMDEDUP_TAU}
-    )"""
 
 
 @query(
