@@ -105,7 +105,14 @@ def main() -> None:
         action="store_true",
         help="reuse existing /tmp/dedup_extrap/x{N} corpora (re-timing runs)",
     )
+    ap.add_argument(
+        "--queries",
+        nargs="+",
+        default=None,
+        help="override the default query list (e.g. dedup_edit_distance)",
+    )
     args = ap.parse_args()
+    queries_to_time = args.queries or QUERIES_TO_TIME
 
     from pyspark.sql import functions as F
 
@@ -133,7 +140,7 @@ def main() -> None:
     spark.range(1_000_000).select(F.sum("id")).collect()
 
     report: dict[str, dict] = {}
-    for name in QUERIES_TO_TIME:
+    for name in queries_to_time:
         base_reps = []
         rows = None
         for _ in range(args.reps):
@@ -153,7 +160,7 @@ def main() -> None:
             out_dir = generate(scale, rng, lengths)
             gen_s = round(time.time() - t0, 1)
             print(f"generated x{scale} ({BASE_DOCS * scale} docs) in {gen_s}s", flush=True)
-        for name in QUERIES_TO_TIME:
+        for name in queries_to_time:
             reps = []
             rows = None
             for _ in range(args.reps):
