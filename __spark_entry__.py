@@ -32,12 +32,13 @@ FLAGSHIP = "top_nations_by_orders"
 #: training/assignment replaces the crossJoin⋈max_by shape) — results
 #: unchanged at these SFs, re-proven anyway; (b) ALL 15 queries whose
 #: newest official row is r5 (the events-tier tranche the r8 window
-#: deferred); (c) 29 of the 36 r6-recorded queries (plus
-#: `dedup_edit_distance`, new this round). The 7 left at r6
-#: (`immigration_etl_fact`, `immigration_etl_city_demographics`,
-#: `partitioned_write_roundtrip`, `events_stream_sink_roundtrip`,
-#: `events_stream_transitions`, `events_stream_click_attribution`,
-#: `events_stream_enriched`) rotate in r10; nothing afterwards is
+#: deferred); (c) 28 of the 36 r6-recorded queries (plus
+#: `dedup_edit_distance` and `dedup_incremental_status`, new this
+#: round). The 8 left at r6 (`immigration_etl_fact`,
+#: `immigration_etl_city_demographics`, `partitioned_write_roundtrip`,
+#: `events_stream_sink_roundtrip`, `events_stream_transitions`,
+#: `events_stream_click_attribution`, `events_stream_enriched`,
+#: `events_stream_dedup`) rotate in r10; nothing afterwards is
 #: older than r6. Nothing is dropped — the remaining queries follow in
 #: registration order and stay green in the full local gate.
 SHOWCASE = [
@@ -46,6 +47,7 @@ SHOWCASE = [
     "semantic_dedup_recall",
     "semantic_dedup_cell_profile",
     "dedup_edit_distance",
+    "dedup_incremental_status",
     "semantic_dedup_representatives",
     "knn_ivf",
     "ann_ivf_recall",
@@ -65,7 +67,7 @@ SHOWCASE = [
     "events_session_bounce_rate",
     "events_native_session_window",
     "events_funnel_stages",
-    # r6 tier (33 of 36)
+    # r6 tier (28 of 36)
     "top_nations_by_orders",
     "fact_denormalize",
     "pricing_summary",
@@ -94,7 +96,6 @@ SHOWCASE = [
     "events_stream_sessions",
     "events_stream_sliding",
     "events_stream_stateful_totals",
-    "events_stream_dedup",
 ]
 
 

@@ -267,6 +267,121 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+# --- incremental ingestion dedup: classify a NEW batch of documents
+# against the EXISTING corpus — the op every production pipeline runs
+# on ingest (new data must dedup against everything already ingested,
+# never the other way round). Batch membership is deterministic here
+# (doc_id % _INC_MOD == 0 plays the incoming batch); statuses:
+#   exact_dup — content fingerprint already in the corpus
+#   near_dup  — shares a capped rare shingle with a corpus doc at
+#               Jaccard ≥ 0.5 (the dedup_ngram_jaccard convention:
+#               kept-shingle intersections over FULL set sizes)
+#   unique    — neither
+# Scale shape: fingerprints dedup via one (fingerprint,id) exchange —
+# bodies never move; near-dup pairs come from the grouped rare-shingle
+# pass restricted to new × corpus pairs (the in-group split means
+# batch-internal and corpus-internal pairs are never generated at all,
+# so a small batch against a huge corpus fans out per-shingle to
+# |new∩g| × |corpus∩g| ≤ cap²). Exact-dup precedence over near-dup.
+_INC_MOD = 7
+
+
+@query(
+    "dedup_incremental_status",
+    oracle=f"""
+    WITH sh AS ({SHINGLES}),
+    e AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+    keep AS (SELECT g FROM e GROUP BY g
+             HAVING COUNT(*) BETWEEN 2 AND {_NGRAM_SHINGLE_CAP}),
+    ke AS (SELECT e.doc_id, e.g FROM e JOIN keep USING (g)),
+    inter AS (
+        SELECT a.doc_id AS nid, b.doc_id AS cid, COUNT(*) AS i
+        FROM ke a JOIN ke b ON a.g = b.g
+        WHERE a.doc_id % {_INC_MOD} = 0 AND b.doc_id % {_INC_MOD} != 0
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    z AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    near AS (
+        SELECT DISTINCT nid FROM inter
+            JOIN z za ON za.doc_id = nid
+            JOIN z zb ON zb.doc_id = cid
+        WHERE CAST(i AS DOUBLE) / (za.n + zb.n - i) >= 0.5
+    ),
+    fpc AS (SELECT DISTINCT md5({NORM}) AS fp FROM documents
+            WHERE doc_id % {_INC_MOD} != 0)
+    SELECT doc_id,
+           CASE WHEN md5({NORM}) IN (SELECT fp FROM fpc) THEN 'exact_dup'
+                WHEN doc_id IN (SELECT nid FROM near) THEN 'near_dup'
+                ELSE 'unique' END AS status
+    FROM documents WHERE doc_id % {_INC_MOD} = 0
+    """,
+)
+def dedup_incremental_status(spark, sf_dir):
+    """One shingle scan feeds both classes: the rare-shingle groups
+    split in-group into new/corpus id arrays (array `filter` lambdas —
+    interpreted, but over ≤cap-element arrays, not corpus rows), so
+    only cross-class pairs are ever exploded. The fingerprint check is
+    a broadcast-free left join on the 32-char md5. Status joins are
+    merge-hinted: every side is SF-scaling and the near set sits
+    behind the explode (estimate-blind class)."""
+    from udacity_dend_capstone_immigration_spark.functions.text import doc_fingerprint
+    from udacity_dend_capstone_immigration_spark.operators.dedup import shingle_rows
+
+    docs = table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % _INC_MOD == 0
+    e = (
+        shingle_rows(docs, "doc_id", "text", 3)
+        .withColumnRenamed("shingle", "g")
+        .localCheckpoint(eager=False)
+    )
+    grp = (
+        e.groupBy("g")
+        .agg(F.collect_set("doc_id").alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= _NGRAM_SHINGLE_CAP))
+        .select(
+            F.expr(f"filter(ids, x -> x % {_INC_MOD} = 0)").alias("nids"),
+            F.expr(f"filter(ids, x -> x % {_INC_MOD} != 0)").alias("cids"),
+        )
+        .where((F.size("nids") >= 1) & (F.size("cids") >= 1))
+    )
+    inter = (
+        grp.select(F.explode("nids").alias("nid"), "cids")
+        .select("nid", F.explode("cids").alias("cid"))
+        .groupBy("nid", "cid")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    z = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    za = z.select(F.col("doc_id").alias("nid"), F.col("n").alias("na"))
+    zb = z.select(F.col("doc_id").alias("cid"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    near = (
+        inter.join(za.hint("merge"), "nid")
+        .join(zb.hint("merge"), "cid")
+        .where(jac >= 0.5)
+        .select(F.col("nid").alias("doc_id"))
+        .distinct()
+        .withColumn("_near", F.lit(1))
+    )
+    corp_fp = (
+        docs.where(~is_new)
+        .select(doc_fingerprint("text").alias("fp"))
+        .distinct()
+        .withColumn("_exact", F.lit(1))
+    )
+    base = docs.where(is_new).select("doc_id", doc_fingerprint("text").alias("fp"))
+    return (
+        base.join(corp_fp.hint("merge"), "fp", "left")
+        .join(near.hint("merge"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_exact") == 1, F.lit("exact_dup"))
+            .when(F.col("_near") == 1, F.lit("near_dup"))
+            .otherwise(F.lit("unique"))
+            .alias("status"),
+        )
+    )
+
+
 # --- bounded edit-distance near-dup: the typo/near-verbatim detector
 # (character-level, where Jaccard's bag-of-shingles misses transposed
 # or lightly-edited boilerplate). Candidates come from the SAME capped
