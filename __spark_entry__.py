@@ -32,14 +32,15 @@ FLAGSHIP = "top_nations_by_orders"
 #: training/assignment replaces the crossJoin⋈max_by shape) — results
 #: unchanged at these SFs, re-proven anyway; (b) ALL 15 queries whose
 #: newest official row is r5 (the events-tier tranche the r8 window
-#: deferred); (c) 28 of the 36 r6-recorded queries (plus
-#: `dedup_edit_distance` and `dedup_incremental_status`, new this
-#: round). The 8 left at r6 (`immigration_etl_fact`,
-#: `immigration_etl_city_demographics`, `partitioned_write_roundtrip`,
-#: `events_stream_sink_roundtrip`, `events_stream_transitions`,
-#: `events_stream_click_attribution`, `events_stream_enriched`,
-#: `events_stream_dedup`) rotate in r10; nothing afterwards is
-#: older than r6. Nothing is dropped — the remaining queries follow in
+#: deferred); (c) 27 of the 36 r6-recorded queries (plus
+#: `dedup_edit_distance`, `dedup_incremental_status` and
+#: `semantic_dedup_diverse_reps`, new this round). The 9 left at r6
+#: (`immigration_etl_fact`, `immigration_etl_city_demographics`,
+#: `partitioned_write_roundtrip`, `events_stream_sink_roundtrip`,
+#: `events_stream_transitions`, `events_stream_click_attribution`,
+#: `events_stream_enriched`, `events_stream_dedup`,
+#: `events_stream_stateful_totals`) rotate in r10; nothing afterwards
+#: is older than r6. Nothing is dropped — the remaining queries follow in
 #: registration order and stay green in the full local gate.
 SHOWCASE = [
     # NEW / plan-changed this round — prove first (the IVF tier moved
@@ -48,6 +49,7 @@ SHOWCASE = [
     "semantic_dedup_cell_profile",
     "dedup_edit_distance",
     "dedup_incremental_status",
+    "semantic_dedup_diverse_reps",
     "semantic_dedup_representatives",
     "knn_ivf",
     "ann_ivf_recall",
@@ -67,7 +69,7 @@ SHOWCASE = [
     "events_session_bounce_rate",
     "events_native_session_window",
     "events_funnel_stages",
-    # r6 tier (28 of 36)
+    # r6 tier (27 of 36)
     "top_nations_by_orders",
     "fact_denormalize",
     "pricing_summary",
@@ -95,7 +97,6 @@ SHOWCASE = [
     "events_stream_hourly",
     "events_stream_sessions",
     "events_stream_sliding",
-    "events_stream_stateful_totals",
 ]
 
 

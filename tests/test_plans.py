@@ -375,6 +375,7 @@ def test_no_static_broadcast_of_estimate_blind_relations(spark):
         "semantic_dedup_representatives",
         "semantic_dedup_recall",
         "semantic_dedup_cell_profile",
+        "semantic_dedup_diverse_reps",
     }
 
     def suspects(plan: str) -> list[str]:

@@ -123,6 +123,7 @@ def test_showcase_window_completes_official_coverage():
         "semantic_dedup_cell_profile",
         "dedup_edit_distance",
         "dedup_incremental_status",
+        "semantic_dedup_diverse_reps",
         # plan changed in r9 (checkpointed single assignment, skew cap,
         # Arrow per-cell gram, Arrow codebook training/assignment) —
         # results unchanged, re-proven anyway

@@ -377,6 +377,7 @@ def assign_nearest_arrow(
     codebook: Codebook,
     id_col: str = "vec_id",
     keep_embedding: bool = False,
+    emit_sim: bool = False,
     chunk_rows: int = 4096,
 ) -> DataFrame:
     """Nearest-centroid assignment as ONE Arrow map stage: each batch
@@ -397,8 +398,10 @@ def assign_nearest_arrow(
     import pandas as pd
 
     emb_type = df.schema["embedding"].dataType.simpleString()
-    out_schema = f"{id_col} long, cell long" + (
-        f", embedding {emb_type}" if keep_embedding else ""
+    out_schema = (
+        f"{id_col} long, cell long"
+        + (f", embedding {emb_type}" if keep_embedding else "")
+        + (", cent_sim double" if emit_sim else "")
     )
     cb = codebook
 
@@ -410,14 +413,19 @@ def assign_nearest_arrow(
             mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             nrm = np.linalg.norm(mat, axis=1)
             cells = np.empty(len(ids), dtype=np.int64)
+            best = np.empty(len(ids), dtype=np.float64)
             for lo in range(0, len(ids), chunk_rows):
                 hi = min(lo + chunk_rows, len(ids))
                 sims = (mat[lo:hi] @ cb.mat.T) / np.outer(nrm[lo:hi], cb.nrm)
                 np.round(sims, 6, out=sims)
-                cells[lo:hi] = cb.ids[np.argmax(sims, axis=1)]
+                arg = np.argmax(sims, axis=1)
+                cells[lo:hi] = cb.ids[arg]
+                best[lo:hi] = sims[np.arange(hi - lo), arg]
             out = {id_col: ids, "cell": cells}
             if keep_embedding:
                 out["embedding"] = pdf["embedding"]
+            if emit_sim:
+                out["cent_sim"] = best
             yield pd.DataFrame(out)
 
     return df.mapInPandas(assign, out_schema)

@@ -754,6 +754,74 @@ def semantic_dedup_representatives(spark, sf_dir):
     ).select(F.col("cluster_id").alias("rep_id"), "cluster_size")
 
 
+# --- the paper's actual keep policy: within each duplicate cluster,
+# KEEP the member with the LOWEST cosine to its cell centroid (Abbas et
+# al. §3.2 — keeping the outlier maximizes post-dedup diversity; the
+# min-id representative above is the neutral bookkeeping choice).
+# cent_sim comes straight out of the Arrow assignment kernel
+# (emit_sim), so the policy costs one extra double per row through the
+# existing scan — no new corpus pass.
+@query(
+    "semantic_dedup_diverse_reps",
+    oracle=f"""
+    WITH RECURSIVE
+    n AS ({_NORMED}),
+    {_IVF_TRAIN_CTES},
+    {_SEMDEDUP_PAIR_CTES},
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM prs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM prs
+    ),
+    reach AS (
+        SELECT vec_id AS id, vec_id AS lab FROM embeddings
+        UNION
+        SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+    asim AS (
+        SELECT vec_id, csim FROM (
+            SELECT n.vec_id, {_CSIM} AS csim,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                                      ORDER BY {_CSIM} DESC, ce.cent_id ASC) AS rn
+            FROM n JOIN ce ON TRUE
+        ) WHERE rn = 1
+    )
+    SELECT cluster_id, kept_id, cent_sim FROM (
+        SELECT c.cluster_id, a.vec_id AS kept_id, a.csim AS cent_sim,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY a.csim ASC, a.vec_id ASC) AS rn
+        FROM comp c JOIN asim a ON a.vec_id = c.id
+    ) WHERE rn = 1
+    """,
+)
+def semantic_dedup_diverse_reps(spark, sf_dir):
+    """One Arrow assignment (checkpointed, emit_sim) feeds BOTH the
+    cluster resolution and the keep policy; the final pick is a
+    per-cluster top-1 window (asc cent_sim, asc id tiebreak — the
+    oracle's ROW_NUMBER ordering)."""
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        assign_nearest_arrow,
+    )
+    from udacity_dend_capstone_immigration_spark.operators.topk import top_k_per_group
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    _, cb = _ivf_train(emb)
+    assign = assign_nearest_arrow(
+        emb, cb, "vec_id", keep_embedding=True, emit_sim=True
+    ).localCheckpoint(eager=False)
+    comp = semdedup_clusters(emb, assign)
+    picked = top_k_per_group(
+        comp.join(assign.select("vec_id", "cent_sim"), "vec_id"),
+        partition_by=["cluster_id"],
+        order_by=[F.asc("cent_sim"), F.asc("vec_id")],
+        k=1,
+    )
+    return picked.select(
+        "cluster_id", F.col("vec_id").alias("kept_id"), "cent_sim"
+    )
+
+
 # --- SemDeDup quality audit: pair-level recall of the cell-partitioned
 # candidate pass against the exact O(n²) near-dup baseline at the same
 # τ. Cross-cell (and cross-sub-bucket, when the skew cap binds) near
