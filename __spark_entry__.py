@@ -32,15 +32,16 @@ FLAGSHIP = "top_nations_by_orders"
 #: training/assignment replaces the crossJoin⋈max_by shape) — results
 #: unchanged at these SFs, re-proven anyway; (b) ALL 15 queries whose
 #: newest official row is r5 (the events-tier tranche the r8 window
-#: deferred); (c) 27 of the 36 r6-recorded queries (plus
-#: `dedup_edit_distance`, `dedup_incremental_status` and
-#: `semantic_dedup_diverse_reps`, new this round). The 9 left at r6
+#: deferred); (c) 26 of the 36 r6-recorded queries (plus the four
+#: queries NEW this round: `dedup_edit_distance`,
+#: `dedup_incremental_status`, `semantic_dedup_diverse_reps`,
+#: `embeddings_stream_cell_counts`). The 10 left at r6
 #: (`immigration_etl_fact`, `immigration_etl_city_demographics`,
 #: `partitioned_write_roundtrip`, `events_stream_sink_roundtrip`,
 #: `events_stream_transitions`, `events_stream_click_attribution`,
 #: `events_stream_enriched`, `events_stream_dedup`,
-#: `events_stream_stateful_totals`) rotate in r10; nothing afterwards
-#: is older than r6. Nothing is dropped — the remaining queries follow in
+#: `events_stream_stateful_totals`, `events_stream_sliding`) rotate in
+#: r10; nothing afterwards is older than r6. Nothing is dropped — the remaining queries follow in
 #: registration order and stay green in the full local gate.
 SHOWCASE = [
     # NEW / plan-changed this round — prove first (the IVF tier moved
@@ -50,6 +51,7 @@ SHOWCASE = [
     "dedup_edit_distance",
     "dedup_incremental_status",
     "semantic_dedup_diverse_reps",
+    "embeddings_stream_cell_counts",
     "semantic_dedup_representatives",
     "knn_ivf",
     "ann_ivf_recall",
@@ -69,7 +71,7 @@ SHOWCASE = [
     "events_session_bounce_rate",
     "events_native_session_window",
     "events_funnel_stages",
-    # r6 tier (27 of 36)
+    # r6 tier (26 of 36)
     "top_nations_by_orders",
     "fact_denormalize",
     "pricing_summary",
@@ -96,7 +98,6 @@ SHOWCASE = [
     "multimodal_decode",
     "events_stream_hourly",
     "events_stream_sessions",
-    "events_stream_sliding",
 ]
 
 

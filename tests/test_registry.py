@@ -31,6 +31,7 @@ _EXECUTING = frozenset(
     if name.startswith("events_stream_")
     or name
     in {
+        "embeddings_stream_cell_counts",
         "partitioned_write_roundtrip",
         "dedup_clusters",
         "dedup_keep_best",
@@ -124,6 +125,7 @@ def test_showcase_window_completes_official_coverage():
         "dedup_edit_distance",
         "dedup_incremental_status",
         "semantic_dedup_diverse_reps",
+        "embeddings_stream_cell_counts",
         # plan changed in r9 (checkpointed single assignment, skew cap,
         # Arrow per-cell gram, Arrow codebook training/assignment) —
         # results unchanged, re-proven anyway

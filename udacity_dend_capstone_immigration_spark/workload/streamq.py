@@ -357,3 +357,52 @@ def events_stream_transitions(spark, sf_dir):
     return drained.groupBy("prev_type", "next_type").agg(
         F.sum("pair_cnt").alias("cnt")
     )
+
+
+from udacity_dend_capstone_immigration_spark.workload.vectors import (  # noqa: E402
+    _IVF_TRAIN_CTES,
+    _NORMED,
+)
+
+
+@query(
+    "embeddings_stream_cell_counts",
+    oracle=f"""
+    WITH n AS ({_NORMED}),
+    {_IVF_TRAIN_CTES}
+    SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM assign GROUP BY cell
+    """,
+)
+def embeddings_stream_cell_counts(spark, sf_dir):
+    """Index serving at ingestion: the IVF codebook is trained on the
+    BATCH corpus (`_ivf_train` — at production scale, the index
+    trained on yesterday's corpus), then a STREAM of embeddings is
+    assigned to cells by the same Arrow kernel (stateless mapInPandas
+    works unchanged on a streaming frame) and the per-cell occupancy
+    histogram aggregates in complete mode. availableNow over the
+    finite backlog == the batch assignment histogram the oracle
+    states, so the streaming path is value-verified, not rows-only.
+    File streams need a directory + pathGlobFilter (hard-won rule);
+    the schema is declared, matching the embeddings testdata."""
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        assign_nearest_arrow,
+    )
+    from udacity_dend_capstone_immigration_spark.workload.base import table
+    from udacity_dend_capstone_immigration_spark.workload.vectors import _ivf_train
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    _, cb = _ivf_train(emb)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .select("vec_id", "embedding")
+    )
+    assigned = assign_nearest_arrow(stream, cb, "vec_id")
+    counts = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
+    )
+    name = f"embeddings_stream_cells_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix="ck_emb_stream_")
+    return run_available_now(counts, name, checkpoint_dir=ck)
