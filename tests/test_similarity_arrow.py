@@ -207,3 +207,45 @@ def test_grouped_components_long_chain_converges(spark):
     )
     assert set(out.values()) == {0}  # one component, min-id label
     assert len(out) == n
+
+
+def test_assign_nearest_arrow_tiebreak_and_sim(spark):
+    """Duplicate centroids (exact cosine ties) must assign to the LOWEST
+    cent_id — the oracles' ROW_NUMBER (sim DESC, cent_id ASC) order —
+    and emit_sim must carry the rounded best similarity through."""
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        Codebook,
+        assign_nearest_arrow,
+    )
+
+    # centroids 3 and 7 are identical; 9 points elsewhere
+    cb = Codebook(
+        [
+            (7, [1.0, 0.0, 0.0, 0.0]),
+            (3, [1.0, 0.0, 0.0, 0.0]),
+            (9, [0.0, 1.0, 0.0, 0.0]),
+        ]
+    )
+    emb = spark.createDataFrame(
+        [(0, [2.0, 0.0, 0.0, 0.0]), (1, [0.0, 5.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in assign_nearest_arrow(emb, cb, "vec_id", emit_sim=True).collect()
+    }
+    assert rows[0]["cell"] == 3  # tie between 3 and 7 → lowest id
+    assert rows[0]["cent_sim"] == 1.0
+    assert rows[1]["cell"] == 9
+    assert rows[1]["cent_sim"] == 1.0
+
+
+def test_codebook_rejects_oversized_collect(spark):
+    """The MAX_CODEBOOK_ROWS contract is enforced, not assumed."""
+    import pytest as _pytest
+
+    from udacity_dend_capstone_immigration_spark.operators import similarity
+
+    rows = [(i, [1.0, 0.0]) for i in range(similarity.MAX_CODEBOOK_ROWS + 1)]
+    with _pytest.raises(ValueError, match="contract"):
+        similarity.Codebook(rows)
