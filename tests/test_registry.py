@@ -126,6 +126,7 @@ def test_showcase_window_completes_official_coverage():
         "dedup_incremental_status",
         "semantic_dedup_diverse_reps",
         "embeddings_stream_cell_counts",
+        "ann_lsh_recall",
         # plan changed in r9 (checkpointed single assignment, skew cap,
         # Arrow per-cell gram, Arrow codebook training/assignment) —
         # results unchanged, re-proven anyway

@@ -443,6 +443,66 @@ def ann_ivf_recall(spark, sf_dir):
     )
 
 
+# --- the same audit for the sign-bit LSH index: both ANN layouts now
+# report recall the same way, so an operator choosing between them
+# reads two comparable numbers (bucket-local candidate sets lose
+# different neighbors than cell-probe sets; measuring both is the
+# audit symmetry the r9 window closes).
+@query(
+    "ann_lsh_recall",
+    oracle=f"""
+    WITH lsh AS ({ORACLES["knn_lsh_bucketed"]}),
+    exact AS ({ORACLES["knn_brute_force"]}),
+    exact5 AS (SELECT query_id, neighbor_id FROM exact
+               WHERE rank <= 5 AND query_id < 10),
+    lsh5 AS (SELECT query_id, neighbor_id FROM lsh WHERE query_id < 10),
+    hits AS (
+        SELECT l.query_id, COUNT(*) AS hits
+        FROM lsh5 l JOIN exact5 e
+            ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+        GROUP BY l.query_id
+    )
+    SELECT q.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+           CAST(coalesce(h.hits, 0) AS DOUBLE) / 5.0 AS recall_at_5
+    FROM (SELECT DISTINCT query_id FROM exact5) q
+    LEFT JOIN hits h ON q.query_id = h.query_id
+    """,
+)
+def ann_lsh_recall(spark, sf_dir):
+    """recall@5 of the sign-bit LSH kNN vs the exact top-5 on the same
+    10-query audit set `ann_ivf_recall` uses (the LSH query ranks the
+    whole corpus, so the audit restricts both sides to query_id < 10)."""
+    from udacity_dend_capstone_immigration_spark.workload.base import QUERIES
+
+    lsh5 = (
+        QUERIES["knn_lsh_bucketed"](spark, sf_dir)
+        .where(F.col("query_id") < 10)
+        .select("query_id", "neighbor_id")
+    )
+    exact5 = (
+        QUERIES["knn_brute_force"](spark, sf_dir)
+        .where((F.col("rank") <= 5) & (F.col("query_id") < 10))
+        .select("query_id", "neighbor_id")
+    )
+    hits = (
+        lsh5.join(exact5, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        exact5.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+            (F.coalesce(F.col("hits"), F.lit(0)).cast("double") / F.lit(5.0)).alias(
+                "recall_at_5"
+            ),
+        )
+    )
+
+
 # --- nearest-centroid classification eval: assign each vector to the
 # closest label centroid (dot product — centroids share the corpus
 # scale, so argmax of dot tracks cosine up to per-label norm) and roll
@@ -627,7 +687,8 @@ def semdedup_candidate_pairs(emb, assign, tau=_SEMDEDUP_TAU, skew=_SEMDEDUP_SKEW
     )
 
     return cosine_pairs_above_grouped(
-        _semdedup_grouped(emb, assign, skew, n_cells),
+        # nsub is profile-only metadata — keep it out of the kernel shuffle
+        _semdedup_grouped(emb, assign, skew, n_cells).drop("nsub"),
         ["cell", "sub"],
         id_col="vec_id",
         threshold=tau,
@@ -696,7 +757,8 @@ def semdedup_clusters(emb, assign, tau=_SEMDEDUP_TAU, skew=_SEMDEDUP_SKEW, n_cel
     )
 
     return cosine_components_grouped(
-        _semdedup_grouped(emb, assign, skew, n_cells),
+        # nsub is profile-only metadata — keep it out of the kernel shuffle
+        _semdedup_grouped(emb, assign, skew, n_cells).drop("nsub"),
         ["cell", "sub"],
         id_col="vec_id",
         threshold=tau,
