@@ -127,6 +127,8 @@ def test_showcase_window_completes_official_coverage():
         "semantic_dedup_diverse_reps",
         "embeddings_stream_cell_counts",
         "ann_lsh_recall",
+        "knn_lsh_multitable",
+        "ann_lsh_multitable_recall",
         # plan changed in r9 (checkpointed single assignment, skew cap,
         # Arrow per-cell gram, Arrow codebook training/assignment) —
         # results unchanged, re-proven anyway

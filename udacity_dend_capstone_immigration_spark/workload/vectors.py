@@ -101,6 +101,92 @@ def knn_lsh_bucketed(spark, sf_dir):
     return signbit_lsh_knn(emb, "vec_id", k=5, num_bits=8)
 
 
+# --- multi-table sign-bit LSH: the standard recall lever the
+# single-table audit motivates (ann_lsh_recall measured 0.02 — one
+# 8-bit bucket keeps 1/256 of an isotropic corpus and loses nearly
+# every true neighbor). L=4 tables bucket on DISJOINT 6-coordinate
+# sign slices; the candidate set is the union of same-bucket pairs
+# over the tables (~L/2^bits ≈ 6% corpus fraction — comparable to
+# IVF's probed fraction), scored exactly and ranked top-5. (bits,
+# tables) are corpus-sizing constants like N_CELLS: more isotropic or
+# bigger corpora want more tables / fewer bits per table. Spark builds
+# the union as L equi-joins (an OR join would plan a cartesian); the
+# oracle's single OR join is the same candidate set.
+_LSH_MT_BITS, _LSH_MT_TABLES = 6, 4
+
+
+@query(
+    "knn_lsh_multitable",
+    oracle=f"""
+    WITH n AS ({_NORMED}),
+    coded AS (
+        SELECT vec_id, v, nrm,
+               {", ".join(
+                   "array_to_string(list_transform(list_slice(v, %d, %d), x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS b%d"
+                   % (j * 6 + 1, j * 6 + 6, j) for j in range(4)
+               )}
+        FROM n
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_COS} AS cosine_sim
+        FROM coded q JOIN coded c
+            ON q.vec_id != c.vec_id
+           AND (q.b0 = c.b0 OR q.b1 = c.b1 OR q.b2 = c.b2 OR q.b3 = c.b3)
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine_sim DESC, neighbor_id ASC) AS INT) AS rank
+        FROM cand
+    ) WHERE rank <= 5
+    """,
+)
+def knn_lsh_multitable(spark, sf_dir):
+    from udacity_dend_capstone_immigration_spark.functions.vectors import cosine_similarity
+    from udacity_dend_capstone_immigration_spark.operators.similarity import signbit_code
+    from udacity_dend_capstone_immigration_spark.operators.topk import top_k_per_group
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    coded = emb.select(
+        "vec_id",
+        "embedding",
+        *[
+            signbit_code(
+                F.slice(F.col("embedding"), j * _LSH_MT_BITS + 1, _LSH_MT_BITS),
+                _LSH_MT_BITS,
+            ).alias(f"b{j}")
+            for j in range(_LSH_MT_TABLES)
+        ],
+    )
+    pairs = None
+    for j in range(_LSH_MT_TABLES):
+        q = coded.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col(f"b{j}").alias("bkt"),
+        )
+        c = coded.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col(f"b{j}").alias("bkt"),
+        )
+        p = q.join(c, "bkt").where(F.col("query_id") != F.col("neighbor_id")).select(
+            "query_id", "neighbor_id", "q_emb", "c_emb"
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    scored = pairs.dropDuplicates(["query_id", "neighbor_id"]).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity(F.col("q_emb"), F.col("c_emb")), 6).alias("cosine_sim"),
+    )
+    return top_k_per_group(
+        scored,
+        partition_by=["query_id"],
+        order_by=[F.desc("cosine_sim"), F.asc("neighbor_id")],
+        k=5,
+    )
+
+
 # --- IVF (inverted-file) kNN: the other classic ANN layout. Coarse
 # centroids are k-means-TRAINED: seeded deterministically with the
 # first N_CELLS corpus vectors, then refined with two distributed
@@ -476,6 +562,61 @@ def ann_lsh_recall(spark, sf_dir):
 
     lsh5 = (
         QUERIES["knn_lsh_bucketed"](spark, sf_dir)
+        .where(F.col("query_id") < 10)
+        .select("query_id", "neighbor_id")
+    )
+    exact5 = (
+        QUERIES["knn_brute_force"](spark, sf_dir)
+        .where((F.col("rank") <= 5) & (F.col("query_id") < 10))
+        .select("query_id", "neighbor_id")
+    )
+    hits = (
+        lsh5.join(exact5, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        exact5.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+            (F.coalesce(F.col("hits"), F.lit(0)).cast("double") / F.lit(5.0)).alias(
+                "recall_at_5"
+            ),
+        )
+    )
+
+
+# --- and the audit for the multi-table index: together the three
+# recall rows (IVF 0.92/1.00, single-table LSH 0.02, multi-table LSH)
+# measure the candidate-fraction ↔ recall trade across layouts.
+@query(
+    "ann_lsh_multitable_recall",
+    oracle=f"""
+    WITH lsh AS ({ORACLES["knn_lsh_multitable"]}),
+    exact AS ({ORACLES["knn_brute_force"]}),
+    exact5 AS (SELECT query_id, neighbor_id FROM exact
+               WHERE rank <= 5 AND query_id < 10),
+    lsh5 AS (SELECT query_id, neighbor_id FROM lsh WHERE query_id < 10),
+    hits AS (
+        SELECT l.query_id, COUNT(*) AS hits
+        FROM lsh5 l JOIN exact5 e
+            ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+        GROUP BY l.query_id
+    )
+    SELECT q.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+           CAST(coalesce(h.hits, 0) AS DOUBLE) / 5.0 AS recall_at_5
+    FROM (SELECT DISTINCT query_id FROM exact5) q
+    LEFT JOIN hits h ON q.query_id = h.query_id
+    """,
+)
+def ann_lsh_multitable_recall(spark, sf_dir):
+    from udacity_dend_capstone_immigration_spark.workload.base import QUERIES
+
+    lsh5 = (
+        QUERIES["knn_lsh_multitable"](spark, sf_dir)
         .where(F.col("query_id") < 10)
         .select("query_id", "neighbor_id")
     )
