@@ -42,6 +42,7 @@ ALLOWED = {
     "group cardinality driver-map-bounded by contract",
     "seed": "N_CELLS seed vectors",
     "cellcfg": "one row per IVF cell (N_CELLS-bounded cell→nsub config)",
+    "stats": "one row per embedding dim (64, schema-fixed) — per-dim min/max",
     "cents": "N_CELLS trained centroids",
     "cent_df": "N_CELLS centroid frame (Lloyd-iteration input, bounded)",
     # local-collection dims (SAS label parses / driver literals)

@@ -376,6 +376,10 @@ def test_no_static_broadcast_of_estimate_blind_relations(spark):
         "semantic_dedup_recall",
         "semantic_dedup_cell_profile",
         "semantic_dedup_diverse_reps",
+        # explicit F.broadcast of the 64-row per-dim min/max aggregate
+        # (dim count is schema-fixed, not SF-scaling); it sits on the
+        # posexplode subtree, hence the Generate in its build
+        "embedding_int8_distortion",
     }
 
     def suspects(plan: str) -> list[str]:

@@ -644,6 +644,77 @@ def ann_lsh_multitable_recall(spark, sf_dir):
     )
 
 
+# --- int8 scalar quantization distortion audit: per-dim affine
+# [min,max] → 0..255 codes, reconstruct, report per-vector MSE and
+# cosine preservation. The storage-side compression every 100 TB
+# embedding corpus runs before indexing (4× smaller than float32, 8×
+# than the float64 compute form); the audit is what decides whether
+# int8 is safe for a given corpus/τ. Arithmetic is a fixed chain of
+# IEEE ops written IDENTICALLY in both engines (half-up via
+# floor(x+0.5), never round()), and every per-vector sum is a
+# decimal-cast sum (order-independent, engine-portable).
+@query(
+    "embedding_int8_distortion",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, i AS dim, CAST(embedding[i + 1] AS DOUBLE) AS v
+        FROM embeddings, range(64) t(i)
+    ),
+    stats AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM e GROUP BY dim),
+    coded AS (
+        SELECT e.vec_id, e.v,
+               CASE WHEN s.mx > s.mn
+                    THEN s.mn + floor((e.v - s.mn) * 255.0e0 / (s.mx - s.mn) + 0.5e0)
+                         * (s.mx - s.mn) / 255.0e0
+                    ELSE s.mn END AS r
+        FROM e JOIN stats s ON e.dim = s.dim
+    )
+    SELECT vec_id,
+           CAST(CAST(SUM(CAST((v - r) * (v - r) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+               / 64.0e0 AS mse,
+           CAST(CAST(SUM(CAST(v * r AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+               / (sqrt(CAST(CAST(SUM(CAST(v * v AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE))
+                  * sqrt(CAST(CAST(SUM(CAST(r * r AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)))
+               AS cosine_keep
+    FROM coded GROUP BY vec_id
+    """,
+)
+def embedding_int8_distortion(spark, sf_dir):
+    """Two exchanges at any corpus size: the 64-row per-dim min/max
+    aggregate (broadcast back) and the per-vector distortion
+    aggregate. The (v-mn)·255/(mx-mn) chain and the decimal-cast sums
+    are written with the exact association the oracle states, so every
+    double is bit-identical cross-engine."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
+    )
+    stats = emb.groupBy("dim").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    j = emb.join(F.broadcast(stats), "dim")
+    mn, mx, v = F.col("mn"), F.col("mx"), F.col("v")
+    r = F.when(
+        mx > mn,
+        mn
+        + F.floor((v - mn) * F.lit(255.0) / (mx - mn) + F.lit(0.5))
+        * (mx - mn)
+        / F.lit(255.0),
+    ).otherwise(mn)
+    per = j.select("vec_id", "v", r.alias("r"))
+
+    def _d(col):
+        return F.sum(col.cast("decimal(28,10)")).cast("double")
+
+    return per.groupBy("vec_id").agg(
+        (_d((F.col("v") - F.col("r")) * (F.col("v") - F.col("r"))) / F.lit(64.0)).alias(
+            "mse"
+        ),
+        (
+            _d(F.col("v") * F.col("r"))
+            / (F.sqrt(_d(F.col("v") * F.col("v"))) * F.sqrt(_d(F.col("r") * F.col("r"))))
+        ).alias("cosine_keep"),
+    )
+
+
 # --- nearest-centroid classification eval: assign each vector to the
 # closest label centroid (dot product — centroids share the corpus
 # scale, so argmax of dot tracks cosine up to per-label norm) and roll
