@@ -130,6 +130,7 @@ def test_showcase_window_completes_official_coverage():
         "knn_lsh_multitable",
         "ann_lsh_multitable_recall",
         "embedding_int8_distortion",
+        "embedding_pq_distortion",
         # plan changed in r9 (checkpointed single assignment, skew cap,
         # Arrow per-cell gram, Arrow codebook training/assignment) —
         # results unchanged, re-proven anyway

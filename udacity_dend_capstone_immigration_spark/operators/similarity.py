@@ -379,6 +379,7 @@ def assign_nearest_arrow(
     keep_embedding: bool = False,
     emit_sim: bool = False,
     chunk_rows: int = 4096,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Nearest-centroid assignment as ONE Arrow map stage: each batch
     computes a BLAS (chunk × cells) cosine block against the in-closure
@@ -386,6 +387,10 @@ def assign_nearest_arrow(
     lowest cent_id (argmax first-max over ascending ids), matching the
     oracles' ROW_NUMBER ordering; sims are ``np.round(…, 6)`` — the
     same matches-after-rounding contract as the gram paths above.
+    ``metric="l2"`` assigns by squared Euclidean distance instead
+    (direct squared-diff sums — no expanded-form cancellation — rounded
+    to 6 and argmin'd; ties again to the lowest cent_id), the PQ /
+    k-means metric; ``emit_sim`` then carries the rounded distance.
 
     The scale shape for IVF training/assignment: the HOF alternative
     (crossJoin every vector with every centroid, max_by per vector)
@@ -416,9 +421,15 @@ def assign_nearest_arrow(
             best = np.empty(len(ids), dtype=np.float64)
             for lo in range(0, len(ids), chunk_rows):
                 hi = min(lo + chunk_rows, len(ids))
-                sims = (mat[lo:hi] @ cb.mat.T) / np.outer(nrm[lo:hi], cb.nrm)
-                np.round(sims, 6, out=sims)
-                arg = np.argmax(sims, axis=1)
+                if metric == "l2":
+                    diffs = mat[lo:hi, None, :] - cb.mat[None, :, :]
+                    sims = np.einsum("ijk,ijk->ij", diffs, diffs)
+                    np.round(sims, 6, out=sims)
+                    arg = np.argmin(sims, axis=1)
+                else:
+                    sims = (mat[lo:hi] @ cb.mat.T) / np.outer(nrm[lo:hi], cb.nrm)
+                    np.round(sims, 6, out=sims)
+                    arg = np.argmax(sims, axis=1)
                 cells[lo:hi] = cb.ids[arg]
                 best[lo:hi] = sims[np.arange(hi - lo), arg]
             out = {id_col: ids, "cell": cells}
@@ -429,6 +440,44 @@ def assign_nearest_arrow(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(assign, out_schema)
+
+
+def pq_reconstruct(
+    df: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization round trip in ONE Arrow map stage: for each
+    contiguous sub-vector block, assign to the nearest code of that
+    block's :class:`Codebook` (squared-L2, rounded to 6, lowest-id
+    ties — the `assign_nearest_arrow` l2 contract) and emit the
+    original vector alongside its reconstruction (the concatenated
+    assigned codewords). Output (id, v array<double>, r array<double>)
+    feeds a distortion report with no join — both arrays ride the same
+    row. Per-task memory is batch × codes × block_dim distances; the
+    codebooks (blocks × codes × block_dim) live in the closure like an
+    ANN codebook — bytes, not relations."""
+    import numpy as np
+    import pandas as pd
+
+    bd = codebooks[0].mat.shape[1]
+
+    def recon(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            r = np.empty_like(mat)
+            for j, cb in enumerate(codebooks):
+                sub = mat[:, j * bd : (j + 1) * bd]
+                diffs = sub[:, None, :] - cb.mat[None, :, :]
+                d = np.einsum("ijk,ijk->ij", diffs, diffs)
+                np.round(d, 6, out=d)
+                r[:, j * bd : (j + 1) * bd] = cb.mat[np.argmin(d, axis=1)]
+            yield pd.DataFrame({id_col: ids, "v": list(mat), "r": list(r)})
+
+    return df.mapInPandas(recon, f"{id_col} long, v array<double>, r array<double>")
 
 
 def signbit_code(embedding: Column, num_bits: int) -> Column:

@@ -715,6 +715,154 @@ def embedding_int8_distortion(spark, sf_dir):
     )
 
 
+# --- product quantization distortion audit: the faiss-IVFPQ codebook
+# structure — split each vector into _PQ_BLOCKS contiguous sub-vectors,
+# k-means each block to _PQ_CODES codes (squared-L2, one Lloyd pass,
+# the same bit-portable 2^24-quantized means as IVF training), encode
+# every vector as (code_0..code_3) = 4 BYTES (vs 64 for int8, 256 for
+# float32), reconstruct, and report the same per-vector MSE / cosine
+# audit as `embedding_int8_distortion` so the two compression tiers
+# read side by side. Training is per-block: one Arrow assign scan +
+# one (code,dim)-keyed aggregate whose exchange carries
+# _PQ_CODES×_PQ_DIM rows at any corpus size; encoding+reconstruction
+# is ONE joint Arrow map stage (`pq_reconstruct`) with all block
+# codebooks in the closure.
+_PQ_BLOCKS, _PQ_DIM, _PQ_CODES = 4, 16, 16
+
+
+def _pq_codebooks(emb):
+    """One trained :class:`Codebook` per block (seeds = the first
+    _PQ_CODES vectors' sub-vectors; one L2 Lloyd pass). Eager, like
+    every index/codebook build — each collect is _PQ_CODES rows."""
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        Codebook,
+        assign_nearest_arrow,
+    )
+
+    cbs = []
+    for j in range(_PQ_BLOCKS):
+        sub = emb.select(
+            "vec_id",
+            F.slice(F.col("embedding"), j * _PQ_DIM + 1, _PQ_DIM)
+            .cast("array<double>")
+            .alias("embedding"),
+        )
+        seeds = (
+            sub.where(F.col("vec_id") < _PQ_CODES)
+            .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb"))
+            .collect()
+        )
+        assigned = assign_nearest_arrow(
+            sub, Codebook(seeds), "vec_id", keep_embedding=True, metric="l2"
+        )
+        rows = (
+            assigned.select("cell", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(
+                (
+                    F.sum(F.floor(F.col("v") * F.lit(16777216.0)).cast("bigint")).cast("double")
+                    / (F.count(F.lit(1)).cast("double") * F.lit(16777216.0))
+                ).alias("val")
+            )
+            .groupBy("cell")
+            .agg(F.sort_array(F.collect_list(F.struct("dim", "val"))).alias("dv"))
+            .select(F.col("cell").alias("cent_id"), F.col("dv.val").alias("cent_emb"))
+            .collect()
+        )
+        cbs.append(Codebook(rows))
+    return cbs
+
+
+def _pq_block_ctes(j: int) -> str:
+    """Oracle CTE chain for block ``j`` (mirrors `_pq_codebooks` +
+    the `pq_reconstruct` assignment for that block)."""
+    lo = j * _PQ_DIM
+    d0 = (
+        f"round(list_sum(list_transform(generate_series(1, {_PQ_DIM}),"
+        " i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))), 6)"
+    )
+    return f"""
+    sub{j} AS (
+        SELECT vec_id, list_transform(list_slice(embedding, {lo + 1}, {lo + _PQ_DIM}),
+                                      x -> CAST(x AS DOUBLE)) AS sv
+        FROM embeddings
+    ),
+    seed{j} AS (SELECT vec_id AS cent_id, sv AS cv FROM sub{j} WHERE vec_id < {_PQ_CODES}),
+    a0{j} AS (
+        SELECT vec_id, cell, sv FROM (
+            SELECT s.vec_id, c.cent_id AS cell, s.sv,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                      ORDER BY {d0} ASC, c.cent_id ASC) AS rn
+            FROM sub{j} s JOIN seed{j} c ON TRUE
+        ) WHERE rn = 1
+    ),
+    cm{j} AS (
+        SELECT cell, i AS dim,
+               CAST(SUM(CAST(floor(sv[i + 1] * 16777216.0) AS BIGINT)) AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * 16777216.0) AS val
+        FROM a0{j}, range({_PQ_DIM}) t(i)
+        GROUP BY cell, i
+    ),
+    ce{j} AS (SELECT cell AS cent_id, list(val ORDER BY dim) AS cv FROM cm{j} GROUP BY cell),
+    a1{j} AS (
+        SELECT vec_id, cell FROM (
+            SELECT s.vec_id, c.cent_id AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                      ORDER BY {d0} ASC, c.cent_id ASC) AS rn
+            FROM sub{j} s JOIN ce{j} c ON TRUE
+        ) WHERE rn = 1
+    ),
+    rb{j} AS (
+        SELECT a.vec_id, i + {lo} AS dim, c.cv[i + 1] AS r
+        FROM a1{j} a JOIN ce{j} c ON a.cell = c.cent_id, range({_PQ_DIM}) t(i)
+    )"""
+
+
+@query(
+    "embedding_pq_distortion",
+    oracle=f"""
+    WITH {",".join(_pq_block_ctes(j) for j in range(_PQ_BLOCKS))},
+    rall AS ({" UNION ALL ".join(f"SELECT * FROM rb{j}" for j in range(_PQ_BLOCKS))}),
+    e AS (
+        SELECT vec_id, i AS dim, CAST(embedding[i + 1] AS DOUBLE) AS v
+        FROM embeddings, range(64) t(i)
+    )
+    SELECT e.vec_id,
+           CAST(CAST(SUM(CAST((v - r) * (v - r) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+               / 64.0e0 AS mse,
+           CAST(CAST(SUM(CAST(v * r AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+               / (sqrt(CAST(CAST(SUM(CAST(v * v AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE))
+                  * sqrt(CAST(CAST(SUM(CAST(r * r AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)))
+               AS cosine_keep
+    FROM e JOIN rall ra ON e.vec_id = ra.vec_id AND e.dim = ra.dim
+    GROUP BY e.vec_id
+    """,
+)
+def embedding_pq_distortion(spark, sf_dir):
+    """4-byte PQ codes vs the original vectors: same report columns as
+    the int8 audit (vec_id, mse, cosine_keep)."""
+    from udacity_dend_capstone_immigration_spark.operators.similarity import pq_reconstruct
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vr = pq_reconstruct(emb, _pq_codebooks(emb))
+    pair = vr.select(
+        "vec_id", F.posexplode(F.arrays_zip("v", "r")).alias("dim", "p")
+    ).select("vec_id", F.col("p.v").alias("v"), F.col("p.r").alias("r"))
+
+    def _d(col):
+        return F.sum(col.cast("decimal(28,10)")).cast("double")
+
+    return pair.groupBy("vec_id").agg(
+        (_d((F.col("v") - F.col("r")) * (F.col("v") - F.col("r"))) / F.lit(64.0)).alias(
+            "mse"
+        ),
+        (
+            _d(F.col("v") * F.col("r"))
+            / (F.sqrt(_d(F.col("v") * F.col("v"))) * F.sqrt(_d(F.col("r") * F.col("r"))))
+        ).alias("cosine_keep"),
+    )
+
+
 # --- nearest-centroid classification eval: assign each vector to the
 # closest label centroid (dot product — centroids share the corpus
 # scale, so argmax of dot tracks cosine up to per-label norm) and roll
