@@ -32,21 +32,22 @@ FLAGSHIP = "top_nations_by_orders"
 #: training/assignment replaces the crossJoin⋈max_by shape) — results
 #: unchanged at these SFs, re-proven anyway; (b) ALL 15 queries whose
 #: newest official row is r5 (the events-tier tranche the r8 window
-#: deferred); (c) 21 of the 36 r6-recorded queries (plus the nine
+#: deferred); (c) 20 of the 36 r6-recorded queries (plus the ten
 #: queries NEW this round: `dedup_edit_distance`,
 #: `dedup_incremental_status`, `semantic_dedup_diverse_reps`,
 #: `embeddings_stream_cell_counts`, `ann_lsh_recall`,
 #: `knn_lsh_multitable`, `ann_lsh_multitable_recall`,
-#: `embedding_int8_distortion`, `embedding_pq_distortion`). The 15
-#: left at r6 (`immigration_etl_fact`,
-#: `immigration_etl_city_demographics`, `partitioned_write_roundtrip`,
-#: `events_stream_sink_roundtrip`, `events_stream_transitions`,
-#: `events_stream_click_attribution`, `events_stream_enriched`,
-#: `events_stream_dedup`, `events_stream_stateful_totals`,
-#: `events_stream_sliding`, `events_stream_hourly`,
-#: `events_stream_sessions`, `multimodal_decode`,
-#: `knn_brute_force_arrow`, `knn_brute_force`) rotate in r10; nothing
-#: afterwards is older than r6. Nothing is dropped — the remaining queries follow in
+#: `embedding_int8_distortion`, `embedding_pq_distortion`,
+#: `dedup_shingle_containment`). The 16 left at r6
+#: (`immigration_etl_fact`, `immigration_etl_city_demographics`,
+#: `partitioned_write_roundtrip`, `events_stream_sink_roundtrip`,
+#: `events_stream_transitions`, `events_stream_click_attribution`,
+#: `events_stream_enriched`, `events_stream_dedup`,
+#: `events_stream_stateful_totals`, `events_stream_sliding`,
+#: `events_stream_hourly`, `events_stream_sessions`,
+#: `multimodal_decode`, `knn_brute_force_arrow`, `knn_brute_force`,
+#: `embedding_near_dup`) rotate in r10; nothing afterwards is older
+#: than r6. Nothing is dropped — the remaining queries follow in
 #: registration order and stay green in the full local gate.
 SHOWCASE = [
     # NEW / plan-changed this round — prove first (the IVF tier moved
@@ -65,6 +66,7 @@ SHOWCASE = [
     "ann_lsh_multitable_recall",
     "embedding_int8_distortion",
     "embedding_pq_distortion",
+    "dedup_shingle_containment",
     # r5-stale events tranche (deferred by the r8 window)
     "events_daily_pivot",
     "events_props_variant",
@@ -81,7 +83,7 @@ SHOWCASE = [
     "events_session_bounce_rate",
     "events_native_session_window",
     "events_funnel_stages",
-    # r6 tier (21 of 36)
+    # r6 tier (20 of 36)
     "top_nations_by_orders",
     "fact_denormalize",
     "pricing_summary",
@@ -102,7 +104,6 @@ SHOWCASE = [
     "dedup_prefix_filter_jaccard",
     "events_hourly_by_type",
     "events_sessionize",
-    "embedding_near_dup",
 ]
 
 

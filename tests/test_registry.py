@@ -131,6 +131,7 @@ def test_showcase_window_completes_official_coverage():
         "ann_lsh_multitable_recall",
         "embedding_int8_distortion",
         "embedding_pq_distortion",
+        "dedup_shingle_containment",
         # plan changed in r9 (checkpointed single assignment, skew cap,
         # Arrow per-cell gram, Arrow codebook training/assignment) —
         # results unchanged, re-proven anyway

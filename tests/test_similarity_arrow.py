@@ -249,3 +249,29 @@ def test_codebook_rejects_oversized_collect(spark):
     rows = [(i, [1.0, 0.0]) for i in range(similarity.MAX_CODEBOOK_ROWS + 1)]
     with _pytest.raises(ValueError, match="contract"):
         similarity.Codebook(rows)
+
+
+def test_l2_assignment_and_pq_roundtrip(spark):
+    """metric='l2' picks the squared-distance argmin (lowest-id ties)
+    and pq_reconstruct emits each vector's nearest codeword per block."""
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        Codebook,
+        assign_nearest_arrow,
+        pq_reconstruct,
+    )
+
+    cb0 = Codebook([(0, [0.0, 0.0]), (1, [10.0, 0.0])])
+    cb1 = Codebook([(0, [5.0, 5.0]), (1, [-5.0, -5.0])])
+    emb = spark.createDataFrame(
+        [(7, [1.0, 0.0, 4.0, 6.0]), (8, [9.0, 1.0, -6.0, -4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    sub0 = emb.select(
+        "vec_id", F.slice("embedding", 1, 2).alias("embedding")
+    )
+    a = {r["vec_id"]: r["cell"] for r in assign_nearest_arrow(sub0, cb0, "vec_id", metric="l2").collect()}
+    assert a == {7: 0, 8: 1}
+    out = {r["vec_id"]: r for r in pq_reconstruct(emb, [cb0, cb1]).collect()}
+    assert out[7]["r"] == [0.0, 0.0, 5.0, 5.0]
+    assert out[8]["r"] == [10.0, 0.0, -5.0, -5.0]
+    assert out[7]["v"] == [1.0, 0.0, 4.0, 6.0]

@@ -267,6 +267,86 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+# --- directed containment near-dup: C(A→B) = |shingles(A) ∩
+# shingles(B)| / |shingles(A)|. Symmetric Jaccard misses the
+# excerpt/quote case (a short doc wholly inside a long one scores low
+# Jaccard but containment ≈ 1) — the dedup direction a pre-training
+# corpus needs for boilerplate inclusions and quoted passages
+# (Broder's containment, the original resemblance paper's second
+# measure). Same capped rare-shingle intersection evidence as the
+# Jaccard path (oracle-mirrored); each unordered candidate pair yields
+# both directions, filtered at 0.8.
+_CONTAIN_TAU = 0.8
+
+
+@query(
+    "dedup_shingle_containment",
+    oracle=f"""
+    WITH sh AS ({SHINGLES}),
+    e AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+    keep AS (SELECT g FROM e GROUP BY g
+             HAVING COUNT(*) BETWEEN 2 AND {_NGRAM_SHINGLE_CAP}),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        JOIN keep k ON k.g = a.g
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    z AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    directed AS (
+        SELECT id_a AS contained_id, id_b AS container_id,
+               CAST(i AS DOUBLE) / za.n AS containment
+        FROM inter JOIN z za ON id_a = za.doc_id
+        UNION ALL
+        SELECT id_b, id_a, CAST(i AS DOUBLE) / zb.n
+        FROM inter JOIN z zb ON id_b = zb.doc_id
+    )
+    SELECT contained_id, container_id, containment
+    FROM directed WHERE containment >= {_CONTAIN_TAU}
+    """,
+)
+def dedup_shingle_containment(spark, sf_dir):
+    """One shared intersection count feeds both directions (the grouped
+    rare-shingle pass — never a shingle self-equi-join); sizes join
+    merge-hinted like the Jaccard path. A single IEEE division per
+    direction keeps the doubles bit-portable without decimal sums."""
+    from udacity_dend_capstone_immigration_spark.operators.dedup import shingle_rows
+
+    docs = table(spark, sf_dir, "documents")
+    e = (
+        shingle_rows(docs, "doc_id", "text", 3)
+        .withColumnRenamed("shingle", "g")
+        .localCheckpoint(eager=False)
+    )
+    grp = (
+        e.groupBy("g")
+        .agg(F.collect_set("doc_id").alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= _NGRAM_SHINGLE_CAP))
+    )
+    inter = (
+        grp.select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    z = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    za = z.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    zb = z.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    both = inter.join(za.hint("merge"), "id_a").join(zb.hint("merge"), "id_b")
+    fwd = both.select(
+        F.col("id_a").alias("contained_id"),
+        F.col("id_b").alias("container_id"),
+        (F.col("i").cast("double") / F.col("na")).alias("containment"),
+    )
+    rev = both.select(
+        F.col("id_b").alias("contained_id"),
+        F.col("id_a").alias("container_id"),
+        (F.col("i").cast("double") / F.col("nb")).alias("containment"),
+    )
+    return fwd.unionByName(rev).where(F.col("containment") >= _CONTAIN_TAU)
+
+
 # --- incremental ingestion dedup: classify a NEW batch of documents
 # against the EXISTING corpus — the op every production pipeline runs
 # on ingest (new data must dedup against everything already ingested,
