@@ -117,7 +117,7 @@ def main() -> None:
     spark.range(1_000_000).select(F.sum("id")).collect()
     spark.range(64).repartition(8).mapInPandas(lambda it: it, "id long").count()
 
-    to_time = ["knn_ivf", "semantic_dedup_representatives"]
+    to_time = ["knn_ivf", "semantic_dedup_representatives", "semantic_dedup_diverse_reps"]
     report: dict[str, dict] = {q: {} for q in to_time}
     report["semdedup_candidate_pairs"] = {}
 
