@@ -275,3 +275,72 @@ def test_l2_assignment_and_pq_roundtrip(spark):
     assert out[7]["r"] == [0.0, 0.0, 5.0, 5.0]
     assert out[8]["r"] == [10.0, 0.0, -5.0, -5.0]
     assert out[7]["v"] == [1.0, 0.0, 4.0, 6.0]
+
+
+def test_l2_subchunking_matches_unbounded(spark, monkeypatch):
+    """The l2 diffs-tensor budget must not change assignments: force a
+    tiny budget (step=1 sub-chunks) and compare against the default."""
+    import numpy as np
+
+    from udacity_dend_capstone_immigration_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    cb = similarity.Codebook(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(50)]
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    base = sorted(
+        map(tuple, similarity.assign_nearest_arrow(emb, cb, "vec_id", metric="l2").collect())
+    )
+    monkeypatch.setattr(similarity, "_L2_TENSOR_BUDGET", 1)
+    tiny = sorted(
+        map(tuple, similarity.assign_nearest_arrow(emb, cb, "vec_id", metric="l2").collect())
+    )
+    assert base == tiny
+    assert len(base) == 300
+
+
+def test_grouped_diverse_reps_match_components_pick(spark):
+    """cosine_diverse_reps_grouped == per-cluster argmin(cent_sim)
+    (asc-id ties) over cosine_components_grouped's clusters — the
+    composition the in-kernel pick replaces (r9 perf-weak fix)."""
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        cosine_components_grouped,
+        cosine_diverse_reps_grouped,
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .where(F.col("vec_id") < 60)
+        .withColumn("g", F.pmod(F.col("vec_id"), F.lit(3)))
+        # deterministic sim with deliberate ties (mod 7) to exercise the
+        # asc-id tiebreak
+        .withColumn(
+            "cent_sim", (F.pmod(F.col("vec_id") * 37, F.lit(7)) / F.lit(10.0))
+        )
+    )
+    comp = dict(
+        map(
+            tuple,
+            cosine_components_grouped(
+                emb.select("g", "vec_id", "embedding"), ["g"], "vec_id", 0.35
+            ).collect(),
+        )
+    )
+    sims = {r["vec_id"]: r["cent_sim"] for r in emb.select("vec_id", "cent_sim").collect()}
+    expected = {}
+    for vid, cl in comp.items():
+        cur = expected.get(cl)
+        cand = (sims[vid], vid)
+        if cur is None or cand < cur:
+            expected[cl] = cand
+    got = {
+        r["cluster_id"]: (r["cent_sim"], r["kept_id"])
+        for r in cosine_diverse_reps_grouped(emb, ["g"], "vec_id", "cent_sim", 0.35).collect()
+    }
+    assert got == expected
+    assert len(got) == len(set(comp.values()))

@@ -306,39 +306,104 @@ def cosine_components_grouped(
     def comps(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(id_col, kind="mergesort")
         ids = pdf[id_col].to_numpy(dtype=np.int64)
-        m = len(ids)
-        if m == 1:
+        if len(ids) == 1:
             return pd.DataFrame({id_col: ids, "cluster_id": ids})
         mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        nrm = np.linalg.norm(mat, axis=1)
-        ea: list[np.ndarray] = []
-        eb: list[np.ndarray] = []
-        for lo in range(0, m, chunk_rows):
-            hi = min(lo + chunk_rows, m)
-            sims = (mat[lo:hi] @ mat.T) / np.outer(nrm[lo:hi], nrm)
-            np.round(sims, 6, out=sims)
-            # upper triangle in index space (ids ascending ⇒ i<j ⇔ id_i<id_j)
-            keep = (np.arange(lo, hi)[:, None] < np.arange(m)[None, :]) & (
-                sims >= threshold
-            )
-            ai, ci = np.nonzero(keep)
-            ea.append(ai + lo)
-            eb.append(ci)
-        src = np.concatenate(ea)
-        dst = np.concatenate(eb)
-        lab = np.arange(m)
-        while True:
-            new = lab.copy()
-            if len(src):
-                np.minimum.at(new, src, lab[dst])
-                np.minimum.at(new, dst, lab[src])
-            new = new[new]  # pointer jumping halves the remaining depth
-            if np.array_equal(new, lab):
-                break
-            lab = new
+        lab = _component_labels(mat, threshold, chunk_rows)
         return pd.DataFrame({id_col: ids, "cluster_id": ids[lab]})
 
     return df.groupBy(*group_cols).applyInPandas(comps, f"{id_col} long, cluster_id long")
+
+
+def _component_labels(mat, threshold: float, chunk_rows: int):
+    """Index-space min-label components of the cosine ≥ threshold graph
+    over ``mat``'s rows (callers pass rows in ascending-id order, so
+    index-space minima ARE id-space minima). Same numeric contract as
+    the gram kernels: float64 gram, ``np.round(…, 6)``; labels resolve
+    by vectorized min-label rounds with pointer jumping (O(log n))."""
+    import numpy as np
+
+    m = len(mat)
+    nrm = np.linalg.norm(mat, axis=1)
+    ea: list[np.ndarray] = []
+    eb: list[np.ndarray] = []
+    for lo in range(0, m, chunk_rows):
+        hi = min(lo + chunk_rows, m)
+        sims = (mat[lo:hi] @ mat.T) / np.outer(nrm[lo:hi], nrm)
+        np.round(sims, 6, out=sims)
+        # upper triangle in index space (ids ascending ⇒ i<j ⇔ id_i<id_j)
+        keep = (np.arange(lo, hi)[:, None] < np.arange(m)[None, :]) & (
+            sims >= threshold
+        )
+        ai, ci = np.nonzero(keep)
+        ea.append(ai + lo)
+        eb.append(ci)
+    src = np.concatenate(ea)
+    dst = np.concatenate(eb)
+    lab = np.arange(m)
+    while True:
+        new = lab.copy()
+        if len(src):
+            np.minimum.at(new, src, lab[dst])
+            np.minimum.at(new, dst, lab[src])
+        new = new[new]  # pointer jumping halves the remaining depth
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    return lab
+
+
+def cosine_diverse_reps_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str = "vec_id",
+    sim_col: str = "cent_sim",
+    threshold: float = 0.9,
+    chunk_rows: int = 1024,
+) -> DataFrame:
+    """SemDeDup keep policy resolved INSIDE the CC kernel: per connected
+    component of the within-group cosine ≥ threshold graph, emit ONE row
+    (cluster_id = min id, kept_id = member with the LOWEST ``sim_col``,
+    ties to the lowest id — Abbas et al. §3.2: keeping the
+    farthest-from-centroid member maximizes post-dedup diversity).
+
+    Why not components + join + window: the keep policy needs one value
+    (``cent_sim``) that the Arrow assignment already computed, and the
+    pick is per-component — but ~98% of components are singletons, so a
+    corpus-wide ``comp ⋈ assign`` join followed by a corpus-wide top-1
+    window re-shuffles the whole corpus to pick rows that pick
+    themselves (the r9 verdict's perf-weak finding: 3.1× growth at the
+    10×→100× step vs 1.9× for the plain representatives query). Riding
+    ``sim_col`` through the group kernel makes the pick a vectorized
+    per-group argmin — the query becomes the SAME two-shuffle shape as
+    `cosine_components_grouped` with zero extra stages, and the output
+    is already one row per cluster."""
+    import numpy as np
+    import pandas as pd
+
+    def reps(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        sims = pdf[sim_col].to_numpy(dtype=np.float64)
+        if len(ids) == 1:
+            return pd.DataFrame(
+                {"cluster_id": ids, "kept_id": ids, sim_col: sims}
+            )
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        lab = _component_labels(mat, threshold, chunk_rows)
+        # (sim asc, id asc) order; the first occurrence of each label in
+        # that order is the component's pick. np.unique returns first
+        # occurrences, and lab values are indices of component-min ids.
+        order = np.lexsort((ids, sims))
+        uniq, first = np.unique(lab[order], return_index=True)
+        pick = order[first]
+        return pd.DataFrame(
+            {"cluster_id": ids[uniq], "kept_id": ids[pick], sim_col: sims[pick]}
+        )
+
+    return df.groupBy(*group_cols).applyInPandas(
+        reps, f"cluster_id long, kept_id long, {sim_col} double"
+    )
 
 
 #: Driver-collect bound for ANN codebooks (trained centroid sets). A
@@ -348,6 +413,11 @@ def cosine_components_grouped(
 #: a 1e9-vector corpus). Enforced, not assumed, like
 #: MAX_BROADCAST_QUERY_ROWS above.
 MAX_CODEBOOK_ROWS = 65_536
+
+#: Element budget (float64) for the l2 branch's (rows × cells × dim)
+#: diffs tensor in :func:`assign_nearest_arrow` — ~32 MB. The cosine
+#: branch needs no such cap (its per-chunk block is rows × cells).
+_L2_TENSOR_BUDGET = 4_194_304
 
 
 class Codebook:
@@ -422,8 +492,20 @@ def assign_nearest_arrow(
             for lo in range(0, len(ids), chunk_rows):
                 hi = min(lo + chunk_rows, len(ids))
                 if metric == "l2":
-                    diffs = mat[lo:hi, None, :] - cb.mat[None, :, :]
-                    sims = np.einsum("ijk,ijk->ij", diffs, diffs)
+                    # the (rows × cells × dim) diffs tensor must stay
+                    # bounded for ANY codebook up to MAX_CODEBOOK_ROWS
+                    # (chunk_rows × 65536 × 64 float64 would be ~137 GB):
+                    # sub-chunk the rows so the tensor caps at ~32 MB,
+                    # keeping the direct squared-diff form (no
+                    # expanded-form cancellation) for bit-portability.
+                    step = max(
+                        1, _L2_TENSOR_BUDGET // max(1, cb.mat.shape[0] * cb.mat.shape[1])
+                    )
+                    sims = np.empty((hi - lo, len(cb.ids)))
+                    for s in range(lo, hi, step):
+                        e = min(s + step, hi)
+                        diffs = mat[s:e, None, :] - cb.mat[None, :, :]
+                        sims[s - lo : e - lo] = np.einsum("ijk,ijk->ij", diffs, diffs)
                     np.round(sims, 6, out=sims)
                     arg = np.argmin(sims, axis=1)
                 else:
