@@ -184,6 +184,182 @@ def bpe_merge_candidates(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# The fixed-point BPE trainer: N bounded merge rounds over the
+# word-count table (Sennrich et al. vocabulary induction), not just the
+# single round `bpe_merge_candidates` computes. Per round: weighted
+# adjacent-pair counts -> argmax pair (cnt DESC, pair ASC — ASCII
+# corpus, so string order is engine-portable) -> greedy left-to-right
+# merge of that pair in every word -> re-pair. Greedy-with-consumption
+# is the subtle part: overlapping matches only occur for self-pairs
+# (lft = rgt runs, e.g. 'aaaa' + pair 'aa' -> 'aa','aa' not 'aa','a','a'),
+# resolved by keeping odd-ranked positions within each maximal run of
+# consecutive match positions (gaps-and-islands), identically in both
+# engines. The oracle unrolls the rounds as a CTE chain — the
+# `pagerank` fixed-iteration template.
+#
+# Scale shape: the corpus is tokenized ONCE into a (term, cnt) vocab
+# table and every round operates on vocab rows (|V| × word-length
+# positions — millions of rows at web scale, never corpus-sized); the
+# per-round pair aggregate collapses map-side into a bounded pair
+# domain, and the argmax collect is ONE row per round (the bounded
+# eager-decision contract index training uses). Lineage is truncated
+# per round with a lazy localCheckpoint so the plan never grows with
+# the round count.
+_BPE_ROUNDS = 6
+
+
+def _bpe_round_ctes(r: int) -> str:
+    """Oracle CTE chain for merge round ``r`` (0-based): expects w{r},
+    yields best{r} (the round's merge row) and w{r+1}."""
+    return f"""
+    e{r} AS (
+        SELECT term, cnt, i AS pos, syms[i] AS sym
+        FROM w{r}, UNNEST(generate_series(1, len(syms))) u(i)
+    ),
+    pc{r} AS (
+        SELECT lft, rgt, SUM(cnt) AS c FROM (
+            SELECT sym AS lft,
+                   lead(sym) OVER (PARTITION BY term ORDER BY pos) AS rgt,
+                   cnt
+            FROM e{r}
+        ) WHERE rgt IS NOT NULL GROUP BY lft, rgt
+    ),
+    best{r} AS (SELECT {r + 1} AS merge_round, lft, rgt, c FROM pc{r}
+                ORDER BY c DESC, lft ASC, rgt ASC LIMIT 1),
+    mk{r} AS (
+        SELECT e.term, e.cnt, e.pos, e.sym, b.lft, b.rgt,
+               CASE WHEN e.sym = b.lft
+                         AND lead(e.sym) OVER (PARTITION BY e.term ORDER BY e.pos) = b.rgt
+                    THEN 1 ELSE 0 END AS m
+        FROM e{r} e CROSS JOIN best{r} b
+    ),
+    kp{r} AS (
+        SELECT *, CASE WHEN m = 1 AND (ROW_NUMBER() OVER (
+                            PARTITION BY term, m, isl ORDER BY pos) % 2) = 1
+                       THEN 1 ELSE 0 END AS kept
+        FROM (SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY term, m ORDER BY pos) AS isl
+              FROM mk{r})
+    ),
+    w{r + 1} AS (
+        SELECT term, cnt,
+               list(ns ORDER BY pos) FILTER (WHERE ns IS NOT NULL) AS syms
+        FROM (
+            SELECT term, cnt, pos,
+                   CASE WHEN kept = 1 THEN lft || rgt
+                        WHEN lag(kept) OVER (PARTITION BY term ORDER BY pos) = 1 THEN NULL
+                        ELSE sym END AS ns
+            FROM kp{r}
+        ) GROUP BY term, cnt
+    )"""
+
+
+@query(
+    "bpe_train_merges",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({TOKS}) AS term FROM documents),
+    w0 AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt,
+               list_transform(generate_series(1, len(term)),
+                              i -> substring(term, i, 1)) AS syms
+        FROM tok GROUP BY term
+    ),
+    {",".join(_bpe_round_ctes(r) for r in range(_BPE_ROUNDS))}
+    SELECT merge_round, lft, rgt, lft || rgt AS merged, CAST(c AS BIGINT) AS cnt
+    FROM ({" UNION ALL ".join(f"SELECT * FROM best{r}" for r in range(_BPE_ROUNDS))})
+    """,
+)
+def bpe_train_merges(spark, sf_dir):
+    """The learned merge table: one row per round
+    (merge_round, lft, rgt, merged, cnt).
+
+    Each round collects exactly ONE row (the argmax pair — the bounded
+    eager-decision the training loop is built around, like `_ivf_train`
+    codebook collects), applies the merge declaratively with vocab-keyed
+    windows, and lazily checkpoints the new vocab so round r+1's plan
+    starts from materialized rows instead of r stacked window stages.
+    If the vocabulary degenerates to single symbols before the round
+    budget (impossible on real corpora), remaining rounds emit nothing
+    — exactly as the oracle's empty best{{r}} CTEs do."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            "term",
+            "cnt",
+            F.expr(
+                "transform(sequence(1, length(term)), i -> substring(term, i, 1))"
+            ).alias("syms"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wt = Window.partitionBy("term").orderBy("pos")
+    merges = []
+    for r in range(_BPE_ROUNDS):
+        e = words.select("term", "cnt", F.posexplode("syms").alias("pos", "sym"))
+        pc = (
+            e.select(
+                "cnt",
+                F.col("sym").alias("lft"),
+                F.lead("sym").over(wt).alias("rgt"),
+            )
+            .where(F.col("rgt").isNotNull())
+            .groupBy("lft", "rgt")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        top = pc.orderBy(F.desc("c"), F.asc("lft"), F.asc("rgt")).limit(1).collect()
+        if not top:
+            break
+        a, b, c = top[0]["lft"], top[0]["rgt"], int(top[0]["c"])
+        merges.append((r + 1, a, b, a + b, c))
+        m = (F.col("sym") == F.lit(a)) & (F.lead("sym").over(wt) == F.lit(b))
+        d = (
+            e.withColumn("m", F.coalesce(m.cast("int"), F.lit(0)))
+            .withColumn(
+                "isl",
+                F.col("pos")
+                - F.row_number().over(Window.partitionBy("term", "m").orderBy("pos")),
+            )
+            .withColumn(
+                "kept",
+                (
+                    (F.col("m") == 1)
+                    & (
+                        F.row_number().over(
+                            Window.partitionBy("term", "m", "isl").orderBy("pos")
+                        )
+                        % 2
+                        == 1
+                    )
+                ).cast("int"),
+            )
+        )
+        ns = (
+            F.when(F.col("kept") == 1, F.lit(a + b))
+            .when(F.lag("kept").over(wt) == 1, F.lit(None).cast("string"))
+            .otherwise(F.col("sym"))
+        )
+        words = (
+            d.withColumn("ns", ns)
+            .where(F.col("ns").isNotNull())
+            .groupBy("term", "cnt")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "ns"))),
+                    lambda x: x["ns"],
+                ).alias("syms")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return spark.createDataFrame(
+        merges, "merge_round int, lft string, rgt string, merged string, cnt bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic hash-bucketed negative sampling for contrastive
 # training: each anchor draws K pseudo-random negatives from its hash
 # bucket's capped candidate pool, excluding same-source documents.
