@@ -122,9 +122,7 @@ def main() -> None:
     report["semdedup_candidate_pairs"] = {}
 
     def measure(sf_dir: str, tag: str, n_cells: int) -> None:
-        orig = V._IVF_CELLS
-        V._IVF_CELLS = n_cells
-        try:
+        with V.ivf_cells_override(n_cells):
             for name in to_time:
                 reps, rows = [], None
                 for _ in range(args.reps):
@@ -145,8 +143,6 @@ def main() -> None:
                 "n_cells": n_cells,
             }
             print(f"  semdedup_candidate_pairs {tag}: {pairs} pairs", flush=True)
-        finally:
-            V._IVF_CELLS = orig
 
     measure(BASE_SF_DIR, "x1 (sf0.1)", V._IVF_CELLS)
     for scale in args.scales:

@@ -149,31 +149,35 @@ def read_events_stream(
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def dsum_expr(col: Column) -> Column:
+    """Unaliased order-independent double sum — the composable form for
+    queries that arithmetic over several decimal sums (ratios, cosine
+    numerator/denominator) before aliasing."""
+    return F.sum(col.cast("decimal(28,10)")).cast("double")
+
+
 def dsum(col: Column, alias: str) -> Column:
     """Order-independent, engine-portable double sum (see module doc)."""
-    return F.sum(col.cast("decimal(28,10)")).cast("double").alias(alias)
+    return dsum_expr(col).alias(alias)
 
 
 def davg(col: Column, alias: str) -> Column:
     """Portable average: exact decimal sum / count, divided in double."""
-    return (
-        F.sum(col.cast("decimal(28,10)")).cast("double")
-        / F.count(col).cast("double")
-    ).alias(alias)
+    return (dsum_expr(col) / F.count(col).cast("double")).alias(alias)
 
 
 #: SQL fragments mirroring dsum/davg for the DuckDB side. DuckDB's direct
 #: decimal→double cast is not correctly rounded once the scaled int128
 #: mantissa exceeds 2^53; routing through VARCHAR (exact digits → parsed
 #: with correct rounding) matches Spark's BigDecimal.doubleValue.
+def sql_dsum_expr(expr: str) -> str:
+    """Unaliased mirror of :func:`dsum_expr` for oracle SQL."""
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)"
+
+
 def sql_dsum(expr: str, alias: str) -> str:
-    return (
-        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS {alias}"
-    )
+    return f"{sql_dsum_expr(expr)} AS {alias}"
 
 
 def sql_davg(expr: str, alias: str) -> str:
-    return (
-        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)"
-        f" / CAST(COUNT({expr}) AS DOUBLE) AS {alias}"
-    )
+    return f"{sql_dsum_expr(expr)} / CAST(COUNT({expr}) AS DOUBLE) AS {alias}"

@@ -16,7 +16,13 @@ from udacity_dend_capstone_immigration_spark.operators.similarity import (
     cosine_pairs_above_arrow,
     signbit_lsh_knn,
 )
-from udacity_dend_capstone_immigration_spark.workload.base import ORACLES, query, table
+from udacity_dend_capstone_immigration_spark.workload.base import (
+    ORACLES,
+    dsum_expr,
+    query,
+    sql_dsum_expr,
+    table,
+)
 
 #: DuckDB fragment: normalized double vectors + norms.
 _NORMED = """
@@ -274,6 +280,32 @@ _IVF_TRAIN_CTES = f"""
         ) WHERE rn = 1
     )"""
 
+
+
+def ivf_cells_override(n_cells: int):
+    """Context manager retuning N_CELLS for scaled-corpus measurement
+    runs (N_CELLS ≈ √N is a corpus-sizing constant; the registered
+    queries and their oracles are tuned together for the testdata
+    scale, so an override is a TOOL-ONLY concern — extrapolation runs
+    time the Spark side against bigger corpora without oracle
+    comparison). Centralizes the try/finally module-state swap the r9
+    advice flagged as fragile when hand-rolled per tool; within the
+    block, `_ivf_train` and `_semdedup_grouped` default to ``n_cells``.
+    Not safe under concurrent in-process query runs at different
+    scales (no tool does that)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        global _IVF_CELLS
+        old = _IVF_CELLS
+        _IVF_CELLS = n_cells
+        try:
+            yield
+        finally:
+            _IVF_CELLS = old
+
+    return _cm()
 
 
 def _probe_sim():
@@ -576,10 +608,32 @@ ann_lsh_multitable_recall = _register_knn_recall(
 # int8 is safe for a given corpus/τ. Arithmetic is a fixed chain of
 # IEEE ops written IDENTICALLY in both engines (half-up via
 # floor(x+0.5), never round()), and every per-vector sum is a
-# decimal-cast sum (order-independent, engine-portable).
+# decimal-cast sum (order-independent, engine-portable) via the shared
+# distortion-report helpers below.
+_SQL_DISTORTION = (
+    f"{sql_dsum_expr('(v - r) * (v - r)')} / 64.0e0 AS mse, "
+    f"{sql_dsum_expr('v * r')} / (sqrt({sql_dsum_expr('v * v')})"
+    f" * sqrt({sql_dsum_expr('r * r')})) AS cosine_keep"
+)
+
+
+def _distortion_report(per):
+    """(vec_id, mse, cosine_keep) from per-(vec_id, v, r) rows — the
+    Spark mirror of ``_SQL_DISTORTION``. ONE definition so the int8 and
+    PQ audits stay column-identical and the decimal-sum portability
+    discipline lives in workload.base alone (r9 advice)."""
+    v, r = F.col("v"), F.col("r")
+    return per.groupBy("vec_id").agg(
+        (dsum_expr((v - r) * (v - r)) / F.lit(64.0)).alias("mse"),
+        (dsum_expr(v * r) / (F.sqrt(dsum_expr(v * v)) * F.sqrt(dsum_expr(r * r)))).alias(
+            "cosine_keep"
+        ),
+    )
+
+
 @query(
     "embedding_int8_distortion",
-    oracle="""
+    oracle=f"""
     WITH e AS (
         SELECT vec_id, i AS dim, CAST(embedding[i + 1] AS DOUBLE) AS v
         FROM embeddings, range(64) t(i)
@@ -593,13 +647,7 @@ ann_lsh_multitable_recall = _register_knn_recall(
                     ELSE s.mn END AS r
         FROM e JOIN stats s ON e.dim = s.dim
     )
-    SELECT vec_id,
-           CAST(CAST(SUM(CAST((v - r) * (v - r) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
-               / 64.0e0 AS mse,
-           CAST(CAST(SUM(CAST(v * r AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
-               / (sqrt(CAST(CAST(SUM(CAST(v * v AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE))
-                  * sqrt(CAST(CAST(SUM(CAST(r * r AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)))
-               AS cosine_keep
+    SELECT vec_id, {_SQL_DISTORTION}
     FROM coded GROUP BY vec_id
     """,
 )
@@ -623,20 +671,7 @@ def embedding_int8_distortion(spark, sf_dir):
         * (mx - mn)
         / F.lit(255.0),
     ).otherwise(mn)
-    per = j.select("vec_id", "v", r.alias("r"))
-
-    def _d(col):
-        return F.sum(col.cast("decimal(28,10)")).cast("double")
-
-    return per.groupBy("vec_id").agg(
-        (_d((F.col("v") - F.col("r")) * (F.col("v") - F.col("r"))) / F.lit(64.0)).alias(
-            "mse"
-        ),
-        (
-            _d(F.col("v") * F.col("r"))
-            / (F.sqrt(_d(F.col("v") * F.col("v"))) * F.sqrt(_d(F.col("r") * F.col("r"))))
-        ).alias("cosine_keep"),
-    )
+    return _distortion_report(j.select("vec_id", "v", r.alias("r")))
 
 
 # --- product quantization distortion audit: the faiss-IVFPQ codebook
@@ -751,13 +786,7 @@ def _pq_block_ctes(j: int) -> str:
         SELECT vec_id, i AS dim, CAST(embedding[i + 1] AS DOUBLE) AS v
         FROM embeddings, range(64) t(i)
     )
-    SELECT e.vec_id,
-           CAST(CAST(SUM(CAST((v - r) * (v - r) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
-               / 64.0e0 AS mse,
-           CAST(CAST(SUM(CAST(v * r AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
-               / (sqrt(CAST(CAST(SUM(CAST(v * v AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE))
-                  * sqrt(CAST(CAST(SUM(CAST(r * r AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)))
-               AS cosine_keep
+    SELECT e.vec_id, {_SQL_DISTORTION}
     FROM e JOIN rall ra ON e.vec_id = ra.vec_id AND e.dim = ra.dim
     GROUP BY e.vec_id
     """,
@@ -772,19 +801,7 @@ def embedding_pq_distortion(spark, sf_dir):
     pair = vr.select(
         "vec_id", F.posexplode(F.arrays_zip("v", "r")).alias("dim", "p")
     ).select("vec_id", F.col("p.v").alias("v"), F.col("p.r").alias("r"))
-
-    def _d(col):
-        return F.sum(col.cast("decimal(28,10)")).cast("double")
-
-    return pair.groupBy("vec_id").agg(
-        (_d((F.col("v") - F.col("r")) * (F.col("v") - F.col("r"))) / F.lit(64.0)).alias(
-            "mse"
-        ),
-        (
-            _d(F.col("v") * F.col("r"))
-            / (F.sqrt(_d(F.col("v") * F.col("v"))) * F.sqrt(_d(F.col("r") * F.col("r"))))
-        ).alias("cosine_keep"),
-    )
+    return _distortion_report(pair)
 
 
 # --- IVF-PQ serving: the compressed-index query path a 100 TB
