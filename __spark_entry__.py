@@ -21,89 +21,79 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "top_nations_by_orders"
 
 #: The driver's CORRECTNESS record keeps only the first 50 entries of
-#: ``queries()``. This round-9 window finishes the record rotation the
-#: r7/r8 verdicts scheduled: (a) the queries NEW this round
-#: (`semantic_dedup_recall` — the SemDeDup pair-recall audit — and
-#: `semantic_dedup_cell_profile` — the cap-machinery audit) plus
-#: `semantic_dedup_representatives`, whose PLAN changed this round
-#: (checkpointed single assignment, skew-capped md5 sub-buckets,
-#: Arrow per-cell gram scoring with in-kernel connected components)
-#: plus `knn_ivf` / `ann_ivf_recall` (Arrow codebook
-#: training/assignment replaces the crossJoin⋈max_by shape) — results
-#: unchanged at these SFs, re-proven anyway; (b) ALL 15 queries whose
-#: newest official row is r5 (the events-tier tranche the r8 window
-#: deferred); (c) 20 of the 36 r6-recorded queries (plus the ten
-#: queries NEW this round: `dedup_edit_distance`,
-#: `dedup_incremental_status`, `semantic_dedup_diverse_reps`,
-#: `embeddings_stream_cell_counts`, `ann_lsh_recall`,
-#: `knn_lsh_multitable`, `ann_lsh_multitable_recall`,
-#: `embedding_int8_distortion`, `embedding_pq_distortion`,
-#: `dedup_shingle_containment`). The 16 left at r6
-#: (`immigration_etl_fact`, `immigration_etl_city_demographics`,
-#: `partitioned_write_roundtrip`, `events_stream_sink_roundtrip`,
-#: `events_stream_transitions`, `events_stream_click_attribution`,
-#: `events_stream_enriched`, `events_stream_dedup`,
-#: `events_stream_stateful_totals`, `events_stream_sliding`,
-#: `events_stream_hourly`, `events_stream_sessions`,
-#: `multimodal_decode`, `knn_brute_force_arrow`, `knn_brute_force`,
-#: `embedding_near_dup`) rotate in r10; nothing afterwards is older
-#: than r6. Nothing is dropped — the remaining queries follow in
-#: registration order and stay green in the full local gate.
+#: ``queries()``. This round-10 window completes the rotation the r9
+#: verdict scheduled: (a) the five queries NEW this round
+#: (`dedup_minhash_recall` — the MinHash-banding pair-recall audit —
+#: `knn_ivfpq` / `ann_ivfpq_recall` — the compressed IVF-PQ serving
+#: path and its recall audit — `bpe_train_merges` — the fixed-point
+#: BPE trainer — and `events_moving_agg_1h_expiry` — the hot-key
+#: arrival/expiry rewrite of the trailing RANGE frame) plus the six
+#: whose PLAN changed this round (`semantic_dedup_diverse_reps`:
+#: keep policy now emitted from the CC kernel;
+#: `embedding_int8_distortion` / `embedding_pq_distortion`: shared
+#: `_distortion_report` on dsum_expr primitives; `ann_ivf_recall` /
+#: `ann_lsh_recall` / `ann_lsh_multitable_recall`: re-registered via
+#: the factored `_register_knn_recall` helper) — results unchanged,
+#: re-proven anyway; (b) ALL 16 queries whose newest official row is
+#: r6 (the final stale tranche the r9 verdict listed); (c) 23 of the
+#: r7-recorded tier as fill. After this window lands no query's newest
+#: official row is older than r7. Nothing is dropped — the remaining
+#: queries follow in registration order and stay green in the full
+#: local gate.
 SHOWCASE = [
-    # NEW / plan-changed this round — prove first (the IVF tier moved
-    # to Arrow codebook training/assignment; results unchanged)
-    "semantic_dedup_recall",
-    "semantic_dedup_cell_profile",
-    "dedup_edit_distance",
-    "dedup_incremental_status",
+    # NEW / plan-changed this round — prove first
+    "dedup_minhash_recall",
+    "knn_ivfpq",
+    "ann_ivfpq_recall",
+    "bpe_train_merges",
+    "events_moving_agg_1h_expiry",
     "semantic_dedup_diverse_reps",
-    "embeddings_stream_cell_counts",
-    "semantic_dedup_representatives",
-    "knn_ivf",
-    "ann_ivf_recall",
-    "ann_lsh_recall",
-    "knn_lsh_multitable",
-    "ann_lsh_multitable_recall",
     "embedding_int8_distortion",
     "embedding_pq_distortion",
-    "dedup_shingle_containment",
-    # r5-stale events tranche (deferred by the r8 window)
-    "events_daily_pivot",
-    "events_props_variant",
-    "events_json_schema",
-    "events_lag_gaps",
-    "events_rolling_wau",
-    "events_moving_agg_1h",
-    "events_transition_matrix",
-    "events_running_drawdown",
-    "events_hourly_anomaly_ratio",
-    "events_value_histogram",
-    "events_user_running_total",
-    "events_props_redaction",
-    "events_session_bounce_rate",
-    "events_native_session_window",
-    "events_funnel_stages",
-    # r6 tier (20 of 36)
-    "top_nations_by_orders",
-    "fact_denormalize",
-    "pricing_summary",
-    "case_insensitive_join",
-    "cross_type_join",
-    "top_customers_per_nation",
-    "dq_referential_summary",
-    "doc_fingerprints",
-    "dedup_exact_docs",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_winnowing_overlap",
-    "doc_repetition_scores",
-    "dedup_substring_runs",
-    "dedup_keep_best",
-    "doc_pagerank_near_dup",
-    "dedup_prefix_filter_jaccard",
-    "events_hourly_by_type",
-    "events_sessionize",
+    "ann_ivf_recall",
+    "ann_lsh_recall",
+    "ann_lsh_multitable_recall",
+    # final r6-stale tranche (r9 verdict item 2)
+    "immigration_etl_fact",
+    "immigration_etl_city_demographics",
+    "partitioned_write_roundtrip",
+    "events_stream_sink_roundtrip",
+    "events_stream_transitions",
+    "events_stream_click_attribution",
+    "events_stream_enriched",
+    "events_stream_dedup",
+    "events_stream_stateful_totals",
+    "events_stream_sliding",
+    "events_stream_hourly",
+    "events_stream_sessions",
+    "multimodal_decode",
+    "knn_brute_force_arrow",
+    "knn_brute_force",
+    "embedding_near_dup",
+    # r7 tier fill (oldest-first)
+    "top_parts_by_quantity",
+    "top_nations_building_segment",
+    "customers_without_orders",
+    "filter_sql_predicate",
+    "regex_clean_types",
+    "sas_date_convert",
+    "port_name_split",
+    "birth_year_validation",
+    "invalid_label_to_na",
+    "distinct_counts_per_segment",
+    "dedup_exact_rows",
+    "table_row_counts",
+    "sql_revenue_by_priority",
+    "approx_distinct_summary",
+    "regional_supplier_revenue",
+    "orders_column_profile",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_effect",
+    "lineitem_price_qty_corr",
+    "text_quality_scores",
+    "token_stats_by_source",
+    "dedup_simhash",
 ]
 
 

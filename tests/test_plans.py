@@ -362,6 +362,11 @@ def test_no_static_broadcast_of_estimate_blind_relations(spark):
         "source_token_divergence",      # one row per source + one scalar
         "knn_ivf",                      # N_CELLS trained centroids
         "ann_ivf_recall",               # same centroids (composed)
+        "knn_ivfpq",                    # same N_CELLS centroids + 10-row query side
+        "ann_ivfpq_recall",             # same centroids (composed)
+        # one-row captured-pairs aggregate crossJoined onto the one-row
+        # totals (the pair⋈pair join itself is merge-hinted)
+        "dedup_minhash_recall",
         "centroid_classifier_confusion",  # |labels| x 64 centroid cells
         "immigration_etl_fact",         # SAS label dims (local collections)
         "events_cohort_retention",      # one row per cohort week

@@ -97,13 +97,14 @@ def test_no_row_at_a_time_python_in_any_lazy_query(spark):
 
 def test_showcase_window_completes_official_coverage():
     """The driver records only the first 50 queries() entries per round.
-    The round-9 window must (a) be 50 unique registered queries,
+    The round-10 window must (a) be 50 unique registered queries,
     dropping nothing from the registry, (b) contain every query that is
-    NEW or whose RESULT SET / PLAN changed this round (the SemDeDup
-    recall audit; the checkpointed/capped/Arrow-scored SemDeDup pair
-    path) so the new behavior gets official rows, and (c) keep the
-    closure: every registered query has an official row across the
-    prior official records ∪ this window."""
+    NEW or whose RESULT SET / PLAN changed this round (the MinHash
+    recall audit, the IVF-PQ serving path, the BPE trainer, the
+    trailing-frame rewrite; the in-kernel diverse keep policy) so the
+    new behavior gets official rows, and (c) keep the closure: every
+    registered query has an official row across the prior official
+    records ∪ this window."""
     import json
     from pathlib import Path
 
@@ -118,28 +119,24 @@ def test_showcase_window_completes_official_coverage():
     assert first50 == E.SHOWCASE
     assert list(E.oracle_sql())[:50] == first50
 
-    changed_in_r9 = {
-        # new in r9 — must get their first official rows
-        "semantic_dedup_recall",
-        "semantic_dedup_cell_profile",
-        "dedup_edit_distance",
-        "dedup_incremental_status",
+    changed_in_r10 = {
+        # new in r10 — must get their first official rows
+        "dedup_minhash_recall",
+        "knn_ivfpq",
+        "ann_ivfpq_recall",
+        "bpe_train_merges",
+        "events_moving_agg_1h_expiry",
+        # plan changed in r10 (in-kernel diverse keep policy, shared
+        # _distortion_report, factored _register_knn_recall) —
+        # results unchanged, re-proven anyway
         "semantic_dedup_diverse_reps",
-        "embeddings_stream_cell_counts",
-        "ann_lsh_recall",
-        "knn_lsh_multitable",
-        "ann_lsh_multitable_recall",
         "embedding_int8_distortion",
         "embedding_pq_distortion",
-        "dedup_shingle_containment",
-        # plan changed in r9 (checkpointed single assignment, skew cap,
-        # Arrow per-cell gram, Arrow codebook training/assignment) —
-        # results unchanged, re-proven anyway
-        "semantic_dedup_representatives",
-        "knn_ivf",
         "ann_ivf_recall",
+        "ann_lsh_recall",
+        "ann_lsh_multitable_recall",
     }
-    assert changed_in_r9 <= set(first50)
+    assert changed_in_r10 <= set(first50)
 
     root = Path(__file__).resolve().parent.parent
     # r*.json, not r0*.json: from round 10 on, record files have
@@ -150,14 +147,14 @@ def test_showcase_window_completes_official_coverage():
         prior |= set(json.loads(rec.read_text()))
     uncovered = set(QUERIES) - prior - set(first50)
     assert not uncovered, f"queries with no official row in any round: {uncovered}"
-    # r9 rotation goal: after this window lands, no query's newest
-    # official row may be older than r6
+    # r10 rotation goal: after this window lands, no query's newest
+    # official row may be older than r7
     latest = {}
     for rec in records:
         rnd = int(rec.stem.split("_r")[1])
         for name in json.loads(rec.read_text()):
             latest[name] = max(latest.get(name, 0), rnd)
     for name in first50:
-        latest[name] = 9
-    too_stale = {n: r for n, r in latest.items() if n in QUERIES and r < 6}
-    assert not too_stale, f"official rows older than r6 after this window: {too_stale}"
+        latest[name] = 10
+    too_stale = {n: r for n, r in latest.items() if n in QUERIES and r < 7}
+    assert not too_stale, f"official rows older than r7 after this window: {too_stale}"

@@ -38,6 +38,7 @@ QUERIES_TO_TIME = [
     "events_sessionize",
     "events_user_running_total",
     "events_moving_agg_1h",
+    "events_moving_agg_1h_expiry",
     "events_hourly_by_type",
 ]
 BASE_SF_DIR = "/root/testdata/sf0.1"
@@ -82,7 +83,16 @@ def main() -> None:
     ap.add_argument("--scales", type=int, nargs="+", default=[10, 100])
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--hot-frac", type=float, default=0.1)
+    ap.add_argument(
+        "--queries", nargs="+", default=QUERIES_TO_TIME, help="subset of queries to time"
+    )
+    ap.add_argument(
+        "--reuse",
+        action="store_true",
+        help="reuse /tmp/events_extrap tables from a prior run (same seed) instead of regenerating",
+    )
     args = ap.parse_args()
+    queries_to_time = args.queries
 
     from pyspark.sql import functions as F
 
@@ -103,10 +113,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).select(F.sum("id")).collect()
 
-    report: dict[str, dict] = {q: {} for q in QUERIES_TO_TIME}
+    report: dict[str, dict] = {q: {} for q in queries_to_time}
 
     def measure(sf_dir: str, tag: str) -> None:
-        for name in QUERIES_TO_TIME:
+        for name in queries_to_time:
             # noop sink like bench.py — a count() would let Catalyst
             # PRUNE the window expressions entirely (a count never
             # reads them and Window preserves cardinality), timing an
@@ -124,14 +134,19 @@ def main() -> None:
     measure(BASE_SF_DIR, "x1 (sf0.1)")
     for scale in args.scales:
         for hf in (0.0, args.hot_frac):
-            t0 = time.time()
-            out_dir = generate(scale, hf, rng)
-            print(
-                f"generated x{scale} hot={hf} ({BASE_ROWS * scale} rows) "
-                f"in {round(time.time() - t0, 1)}s",
-                flush=True,
-            )
-            measure(out_dir, f"x{scale}_hot{int(hf * 100)}")
+            tag = f"x{scale}_hot{int(hf * 100)}"
+            out_dir = f"/tmp/events_extrap/{tag}"
+            if args.reuse and os.path.exists(f"{out_dir}/events.parquet"):
+                print(f"reusing {out_dir}", flush=True)
+            else:
+                t0 = time.time()
+                out_dir = generate(scale, hf, rng)
+                print(
+                    f"generated x{scale} hot={hf} ({BASE_ROWS * scale} rows) "
+                    f"in {round(time.time() - t0, 1)}s",
+                    flush=True,
+                )
+            measure(out_dir, tag)
 
     spark.stop()
     print(json.dumps(report))

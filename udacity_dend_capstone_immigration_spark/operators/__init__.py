@@ -30,6 +30,7 @@ from udacity_dend_capstone_immigration_spark.operators.windows import (
     tumbling_window_agg,
     sliding_window_agg,
     sessionize,
+    trailing_range_agg,
 )
 
 __all__ = [
@@ -58,4 +59,5 @@ __all__ = [
     "tumbling_window_agg",
     "sliding_window_agg",
     "sessionize",
+    "trailing_range_agg",
 ]

@@ -49,6 +49,77 @@ def sliding_window_agg(
     )
 
 
+def trailing_range_agg(
+    df: DataFrame,
+    ts_col: str,
+    partition_col: str,
+    value_col: str,
+    span_us: int,
+    count_alias: str = "cnt",
+    sum_alias: str = "sum",
+) -> DataFrame:
+    """COUNT(*) and decimal-exact SUM(value) over the event-time frame
+    ``[ts - span, ts]`` (both bounds inclusive — DuckDB's
+    ``RANGE BETWEEN INTERVAL span PRECEDING AND CURRENT ROW``) per
+    ``partition_col``, via the arrival/expiry rewrite.
+
+    Why not ``Window.rangeBetween(-span_us, 0)`` directly: Spark's
+    BOUNDED sliding frame (SlidingWindowFunctionFrame) re-evaluates the
+    aggregate over the buffered frame rows for EVERY output row —
+    O(rows × frame_size) per partition. The r10 events extrapolation
+    measured the consequence: a user owning 10% of a 10M-row table
+    (1M-row partition, ~1.4k-row 1h frames) took **222s in one task**,
+    vs 3.4s for the same table with uniform users. Unbounded-preceding
+    frames are incremental (O(rows)), so rewrite the sliding sum as two
+    cumulative ones: each row contributes (+1, +value) at key ``2·t``
+    and (−1, −value) at key ``2·(t+span)+1``; the running total over
+    (key ASC, RANGE UNBOUNDED PRECEDING) at an arrival key equals
+    exactly the frame aggregate — expiries sort strictly after the
+    arrivals they must not affect (odd keys), and same-``ts`` arrivals
+    share a key so the RANGE frame includes all of them (inclusive
+    bounds). Measured (min-of-2, same tables): hot partition 222.58s →
+    14.11s (16×, the residual being the single-partition 2M-row sort +
+    linear scan a per-key ordered sum inherently serializes), uniform
+    100× 3.36 → 3.88s, base sf0.1 0.79 → 1.01s — the 2×-rows union and
+    one sort cost ~25% when no key is hot, so the direct frame stays
+    the default and this is the shape to pick when keys can be hot.
+
+    Bit-portability: contributions are cast to DECIMAL(28,10) before
+    the signed cumulative sum; decimal addition/subtraction is exact,
+    so the result equals the direct decimal frame sum to the last bit
+    and the final double cast matches DuckDB.
+    """
+    t = F.unix_micros(F.col(ts_col))
+    arr = df.select(
+        *df.columns,
+        (t * 2).alias("_k"),
+        F.lit(1).cast("bigint").alias("_dc"),
+        F.col(value_col).cast("decimal(28,10)").alias("_dv"),
+    )
+    exp = df.select(
+        *df.columns,
+        ((t + F.lit(span_us)) * 2 + 1).alias("_k"),
+        F.lit(-1).cast("bigint").alias("_dc"),
+        (-F.col(value_col).cast("decimal(28,10)")).alias("_dv"),
+    )
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy("_k")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        arr.unionByName(exp)
+        .select(
+            *df.columns,
+            "_dc",
+            F.sum("_dc").over(w).alias(count_alias),
+            F.sum("_dv").over(w).cast("double").alias(sum_alias),
+        )
+        .where(F.col("_dc") == 1)
+        .drop("_dc")
+    )
+
+
 def sessionize(
     df: DataFrame,
     ts_col: str,

@@ -751,7 +751,9 @@ def dedup_minhash_recall(spark, sf_dir):
         "id_a", "id_b", "jaccard"
     )
     approx = QUERIES["dedup_minhash_lsh"](spark, sf_dir).select("id_a", "id_b")
-    captured = exact.join(approx, ["id_a", "id_b"]).agg(
+    # both pair sets are SF-scaling explode descendants Catalyst
+    # under-estimates (the estimate-blind broadcast class) — force SMJ
+    captured = exact.hint("merge").join(approx.hint("merge"), ["id_a", "id_b"]).agg(
         F.count(F.lit(1)).cast("bigint").alias("captured_pairs")
     )
     j = F.col("jaccard")

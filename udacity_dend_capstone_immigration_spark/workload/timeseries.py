@@ -56,6 +56,34 @@ def events_moving_agg_1h(spark, sf_dir):
     )
 
 
+# --- the same trailing frame via the arrival/expiry rewrite (same
+# oracle — identical results): Spark's BOUNDED sliding frame
+# re-evaluates the buffered frame per output row, so a hot user owning
+# 10% of a 10M-row table costs 222s in ONE task (r10 extrapolation);
+# the rewrite's two cumulative unbounded-preceding sums are
+# incremental and take the same partition to 14.1s (16×). This is the
+# shape to ship when keys can be hot; the direct-frame query above
+# stays the default (fastest when no key is hot — A/B'd per the
+# CLAUDE.md discipline: base sf0.1 0.79 vs 1.01s, uniform 100×
+# 3.36 vs 3.88s).
+from udacity_dend_capstone_immigration_spark.operators.windows import trailing_range_agg  # noqa: E402
+from udacity_dend_capstone_immigration_spark.workload.base import ORACLES  # noqa: E402
+
+
+@query("events_moving_agg_1h_expiry", oracle=ORACLES["events_moving_agg_1h"])
+def events_moving_agg_1h_expiry(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return trailing_range_agg(
+        ev.select("event_id", "user_id", "ts", "value"),
+        "ts",
+        "user_id",
+        "value",
+        _HOUR_US,
+        count_alias="cnt_1h",
+        sum_alias="sum_1h",
+    ).select("event_id", "user_id", "ts", "cnt_1h", "sum_1h")
+
+
 # --- gap fill / resample: dense hourly series per user, zero-filled
 # where the user had no events (hypertable-rollup shape).
 @query(
