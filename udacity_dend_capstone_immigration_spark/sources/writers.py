@@ -99,6 +99,44 @@ def write_orc(
     _write_guarded(df, path, "orc", partition_by, mode, max_partitions, compact)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_by: Sequence[str],
+    num_buckets: int,
+    sort_by: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed external table write — the layout that makes a
+    fact⋈fact join SHUFFLE-FREE on read.
+
+    At 100 TB neither side of a fact⋈fact join is broadcast-able, so
+    every query pays a full shuffle of both tables on the join key —
+    unless the layout already agrees with the key. ``bucketBy(n, key)``
+    persists that agreement in the catalog: two tables bucketed on
+    their join key with the SAME bucket count sort-merge-join with ZERO
+    Exchange on either side (each scan task reads exactly one bucket;
+    only post-join aggregation exchanges). `tests/test_bucketed.py`
+    pins that plan shape.
+
+    The input is repartitioned to exactly ``num_buckets`` partitions on
+    the bucket columns first, so each bucket is written by one task →
+    one file per bucket (the small-files guardrail: the default writer
+    emits ``tasks × buckets`` files, and a 1000-executor write would
+    leave ~32k files per bucket for the scan to reconcat).
+
+    ``path`` makes the table EXTERNAL — data lands under the caller's
+    directory, only metadata enters the session catalog, and
+    ``mode="overwrite"`` keeps re-runs idempotent.
+    """
+    writer = df.repartition(num_buckets, *[F.col(c) for c in bucket_by]).write
+    writer = writer.mode(mode).option("path", path).bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.format("parquet").saveAsTable(table_name)
+
+
 #: Reference output layout (etl.py:71-79) with the port-level fact
 #: partitioning made opt-in.
 FACT_PARTITIONING = ("entry_year", "entry_month")

@@ -654,6 +654,68 @@ def partitioned_write_roundtrip(spark, sf_dir):
     return back.select("l_returnflag", "l_linestatus", "row_cnt", "total_price")
 
 
+# --- bucketed co-located join (S6 extension): write BOTH fact tables
+# hash-bucketed on the join key, then sort-merge-join them from the
+# catalog with ZERO Exchange on either side — the layout a recurring
+# 100 TB fact⋈fact join needs (neither side broadcast-able; without
+# bucketing every run re-shuffles both tables). The oracle states the
+# join aggregate over the ORIGINAL parquet, so the driver's hash
+# compare proves the bucketed write/read/join cycle is lossless;
+# tests/test_bucketed.py pins the shuffle-free plan shape (one
+# Exchange total — the post-join aggregation — and both scans
+# `Bucketed: true`). The merge hints force the 100 TB plan at test SFs
+# too, where Catalyst would otherwise broadcast the small side.
+@query(
+    "bucketed_join_roundtrip",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS line_cnt,
+           {sql_dsum("l_extendedprice", "total_price")}
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def bucketed_join_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from udacity_dend_capstone_immigration_spark.sources.writers import write_bucketed
+
+    n_buckets = 8
+    root = tempfile.mkdtemp(prefix="bucketed_join_")
+    write_bucketed(
+        table(spark, sf_dir, "orders"),
+        "bt_orders",
+        f"{root}/bt_orders",
+        bucket_by=("o_orderkey",),
+        num_buckets=n_buckets,
+        sort_by=("o_orderkey",),
+    )
+    write_bucketed(
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+        "bt_lineitem",
+        f"{root}/bt_lineitem",
+        bucket_by=("l_orderkey",),
+        num_buckets=n_buckets,
+        sort_by=("l_orderkey",),
+    )
+    o = spark.table("bt_orders")
+    li = spark.table("bt_lineitem")
+    return (
+        o.hint("merge")
+        .join(li.hint("merge"), o["o_orderkey"] == li["l_orderkey"])
+        .where(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("line_cnt"),
+            dsum(F.col("l_extendedprice"), "total_price"),
+        )
+    )
+
+
 # --- sketch path for 100 TB distinct counts: HLL approx_count_distinct.
 # Sketch VALUES are engine-specific (DuckDB can't reproduce Spark's HLL),
 # so the query is made self-validating instead of rows-only: it emits the
