@@ -127,6 +127,7 @@ def test_showcase_window_completes_official_coverage():
         "bpe_train_merges",
         "events_moving_agg_1h_expiry",
         "bucketed_join_roundtrip",
+        "documents_stream_dedup_status",
         # plan changed in r10 (in-kernel diverse keep policy, shared
         # _distortion_report, factored _register_knn_recall) —
         # results unchanged, re-proven anyway

@@ -406,3 +406,163 @@ def embeddings_stream_cell_counts(spark, sf_dir):
     name = f"embeddings_stream_cells_{uuid.uuid4().hex[:8]}"
     ck = tempfile.mkdtemp(prefix="ck_emb_stream_")
     return run_available_now(counts, name, checkpoint_dir=ck)
+
+
+from udacity_dend_capstone_immigration_spark.workload.textops import (  # noqa: E402
+    _INC_MOD,
+    _NGRAM_SHINGLE_CAP,
+    NORM,
+    SHINGLES,
+)
+
+
+@query(
+    "documents_stream_dedup_status",
+    oracle=f"""
+    WITH sh AS ({SHINGLES}),
+    e AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+    ce AS (SELECT doc_id, g FROM e WHERE doc_id % {_INC_MOD} != 0),
+    keep AS (SELECT g FROM ce GROUP BY g HAVING COUNT(*) <= {_NGRAM_SHINGLE_CAP}),
+    cke AS (SELECT ce.doc_id, ce.g FROM ce JOIN keep USING (g)),
+    ne AS (SELECT doc_id, g FROM e WHERE doc_id % {_INC_MOD} = 0),
+    inter AS (
+        SELECT n.doc_id AS nid, c.doc_id AS cid, COUNT(*) AS i
+        FROM ne n JOIN cke c ON n.g = c.g
+        GROUP BY n.doc_id, c.doc_id
+    ),
+    z AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    near AS (
+        SELECT DISTINCT nid FROM inter
+            JOIN z za ON za.doc_id = nid
+            JOIN z zb ON zb.doc_id = cid
+        WHERE CAST(i AS DOUBLE) / (za.n + zb.n - i) >= 0.5
+    ),
+    fpc AS (SELECT DISTINCT md5({NORM}) AS fp FROM documents
+            WHERE doc_id % {_INC_MOD} != 0)
+    SELECT doc_id,
+           CASE WHEN md5({NORM}) IN (SELECT fp FROM fpc) THEN 'exact_dup'
+                WHEN doc_id IN (SELECT nid FROM near) THEN 'near_dup'
+                ELSE 'unique' END AS status
+    FROM documents WHERE doc_id % {_INC_MOD} = 0
+    """,
+)
+def documents_stream_dedup_status(spark, sf_dir):
+    """Incremental text dedup AT INGESTION TIME: the new batch arrives
+    as a STREAM and is classified exact_dup / near_dup / unique against
+    a static corpus index via stream-static joins — the shape a 100 TB
+    ingestion pipeline actually runs (`dedup_incremental_status` is the
+    same classification as one batch job; here only bounded per-doc
+    state ever exists on the stream side).
+
+    Index build (batch — "yesterday's index job"): the corpus side's
+    (shingle, doc) rows filtered to shingles with corpus df ≤ cap —
+    unlike the batch query's global-df [2, cap] bucket filter, the df
+    statistic here uses CORPUS-ONLY counts, because at ingestion time
+    the index cannot know the incoming batch's shingles (the oracle
+    states the same corpus-df semantics). Streaming side, two
+    availableNow drains, both stateless-or-one-agg:
+
+    1. exact: stream fp = md5(norm) left-semi stream-static joined
+       against the distinct corpus fingerprint set (append mode);
+    2. near evidence: stream shingle explode ⋈ static capped index
+       (each new shingle meets ≤ cap corpus docs — the fan-out bound),
+       then ONE groupBy(nid, cid) intersection count (complete mode —
+       streaming allows a single aggregation; the Jaccard threshold +
+       per-doc reduction finish in batch on the drained pair table,
+       the `events_stream_transitions` post-drain pattern).
+
+    Status assembly joins are merge-hinted: every side is SF-scaling
+    and the drained/near sets are estimate-blind to Catalyst. Exact-dup
+    takes precedence over near-dup, matching the batch query."""
+    from udacity_dend_capstone_immigration_spark.functions.text import doc_fingerprint
+    from udacity_dend_capstone_immigration_spark.operators.dedup import shingle_rows
+    from udacity_dend_capstone_immigration_spark.workload.base import table
+
+    docs = table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % _INC_MOD == 0
+
+    # --- batch index build on the corpus partition
+    ce = shingle_rows(docs.where(~is_new), "doc_id", "text", 3).withColumnRenamed(
+        "shingle", "g"
+    )
+    cke = (
+        ce.groupBy("g")
+        .agg(F.collect_list("doc_id").alias("cids"))
+        .where(F.size("cids") <= _NGRAM_SHINGLE_CAP)
+        .select("g", F.explode("cids").alias("cid"))
+        .localCheckpoint(eager=True)  # executed once, not per micro-batch
+    )
+    corp_fp = (
+        docs.where(~is_new)
+        .select(doc_fingerprint("text").alias("fp"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    # --- the new batch as a stream
+    sdocs = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .where(is_new)
+    )
+
+    exact_stream = (
+        sdocs.select("doc_id", doc_fingerprint("text").alias("fp"))
+        .join(corp_fp.hint("merge"), "fp", "leftsemi")
+        .select("doc_id")
+    )
+    uid = uuid.uuid4().hex[:8]
+    exact = run_available_now(
+        exact_stream,
+        f"docs_stream_exact_{uid}",
+        output_mode="append",
+        checkpoint_dir=tempfile.mkdtemp(prefix="ck_docs_exact_"),
+    ).withColumn("_exact", F.lit(1))
+
+    ne = shingle_rows(sdocs, "doc_id", "text", 3).withColumnRenamed("shingle", "g")
+    inter_stream = (
+        ne.select(F.col("doc_id").alias("nid"), "g")
+        .join(cke.hint("merge"), "g")
+        .groupBy("nid", "cid")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    inter = run_available_now(
+        inter_stream,
+        f"docs_stream_inter_{uid}",
+        output_mode="complete",
+        checkpoint_dir=tempfile.mkdtemp(prefix="ck_docs_inter_"),
+    )
+
+    # --- batch finish: Jaccard threshold + per-doc reduction + status
+    z = (
+        shingle_rows(docs, "doc_id", "text", 3)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    za = z.select(F.col("doc_id").alias("nid"), F.col("n").alias("na"))
+    zb = z.select(F.col("doc_id").alias("cid"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    near = (
+        inter.join(za.hint("merge"), "nid")
+        .join(zb.hint("merge"), "cid")
+        .where(jac >= 0.5)
+        .select(F.col("nid").alias("doc_id"))
+        .distinct()
+        .withColumn("_near", F.lit(1))
+    )
+    return (
+        docs.where(is_new)
+        .select("doc_id")
+        .join(exact.hint("merge"), "doc_id", "left")
+        .join(near.hint("merge"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_exact") == 1, F.lit("exact_dup"))
+            .when(F.col("_near") == 1, F.lit("near_dup"))
+            .otherwise(F.lit("unique"))
+            .alias("status"),
+        )
+    )
