@@ -22,15 +22,17 @@ FLAGSHIP = "top_nations_by_orders"
 
 #: The driver's CORRECTNESS record keeps only the first 50 entries of
 #: ``queries()``. This round-10 window completes the rotation the r9
-#: verdict scheduled: (a) the seven queries NEW this round
+#: verdict scheduled: (a) the ten queries NEW this round
 #: (`dedup_minhash_recall` — the MinHash-banding pair-recall audit —
 #: `knn_ivfpq` / `ann_ivfpq_recall` — the compressed IVF-PQ serving
 #: path and its recall audit — `bpe_train_merges` — the fixed-point
 #: BPE trainer — `events_moving_agg_1h_expiry` — the hot-key
 #: arrival/expiry rewrite of the trailing RANGE frame —
 #: `bucketed_join_roundtrip` — the shuffle-free bucketed fact⋈fact
-#: layout — and `documents_stream_dedup_status` — incremental text
-#: dedup at ingestion via stream-static joins) plus the six
+#: layout — `documents_stream_dedup_status` — incremental text
+#: dedup at ingestion via stream-static joins — and the IVFADC
+#: residual-encoding tier `embedding_pq_residual_distortion` /
+#: `knn_ivfpq_residual` / `ann_ivfpq_residual_recall`) plus the six
 #: whose PLAN changed this round (`semantic_dedup_diverse_reps`:
 #: keep policy now emitted from the CC kernel;
 #: `embedding_int8_distortion` / `embedding_pq_distortion`: shared
@@ -38,7 +40,7 @@ FLAGSHIP = "top_nations_by_orders"
 #: `ann_lsh_recall` / `ann_lsh_multitable_recall`: re-registered via
 #: the factored `_register_knn_recall` helper) — results unchanged,
 #: re-proven anyway; (b) ALL 16 queries whose newest official row is
-#: r6 (the final stale tranche the r9 verdict listed); (c) 21 of the
+#: r6 (the final stale tranche the r9 verdict listed); (c) 18 of the
 #: r7-recorded tier as fill. After this window lands no query's newest
 #: official row is older than r7. Nothing is dropped — the remaining
 #: queries follow in registration order and stay green in the full
@@ -52,6 +54,9 @@ SHOWCASE = [
     "events_moving_agg_1h_expiry",
     "bucketed_join_roundtrip",
     "documents_stream_dedup_status",
+    "embedding_pq_residual_distortion",
+    "knn_ivfpq_residual",
+    "ann_ivfpq_residual_recall",
     "semantic_dedup_diverse_reps",
     "embedding_int8_distortion",
     "embedding_pq_distortion",
@@ -94,9 +99,6 @@ SHOWCASE = [
     "orders_column_profile",
     "tpch_q3_shipping_priority",
     "tpch_q6_forecast_revenue",
-    "tpch_q14_promo_effect",
-    "lineitem_price_qty_corr",
-    "text_quality_scores",
 ]
 
 

@@ -35,6 +35,10 @@ from udacity_dend_capstone_immigration_spark.workload import QUERIES
 #: semantic_dedup_representatives in (the heaviest registry query —
 #: checkpointed single assignment + skew-capped Arrow per-cell gram
 #: this round; tracking it per-round keeps the embeddings tier honest).
+#: Rotated r10: knn_ivfpq in (the compressed IVF-PQ serving path —
+#: asymmetric scoring over 4-byte codes is the 100 TB store shape) and
+#: documents_stream_dedup_status in (streaming incremental text dedup —
+#: the ingestion-time classification pipeline); nothing out.
 #: Suite totals are NOT comparable across rotations — BASELINE.md
 #: records the discontinuity.
 HEADLINE = [
@@ -58,6 +62,8 @@ HEADLINE = [
     "multimodal_decode",
     "events_stream_hourly",
     "events_stream_sessions",
+    "knn_ivfpq",
+    "documents_stream_dedup_status",
 ]
 
 

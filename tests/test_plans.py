@@ -364,6 +364,9 @@ def test_no_static_broadcast_of_estimate_blind_relations(spark):
         "ann_ivf_recall",               # same centroids (composed)
         "knn_ivfpq",                    # same N_CELLS centroids + 10-row query side
         "ann_ivfpq_recall",             # same centroids (composed)
+        "embedding_pq_residual_distortion",  # same centroids (residual join)
+        "knn_ivfpq_residual",           # same centroids + 10-row query side
+        "ann_ivfpq_residual_recall",    # same centroids (composed)
         # one-row captured-pairs aggregate crossJoined onto the one-row
         # totals (the pair⋈pair join itself is merge-hinted)
         "dedup_minhash_recall",

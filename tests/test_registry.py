@@ -128,6 +128,9 @@ def test_showcase_window_completes_official_coverage():
         "events_moving_agg_1h_expiry",
         "bucketed_join_roundtrip",
         "documents_stream_dedup_status",
+        "embedding_pq_residual_distortion",
+        "knn_ivfpq_residual",
+        "ann_ivfpq_residual_recall",
         # plan changed in r10 (in-kernel diverse keep policy, shared
         # _distortion_report, factored _register_knn_recall) —
         # results unchanged, re-proven anyway

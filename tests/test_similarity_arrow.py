@@ -277,6 +277,50 @@ def test_l2_assignment_and_pq_roundtrip(spark):
     assert out[7]["v"] == [1.0, 0.0, 4.0, 6.0]
 
 
+def test_emit_residual_and_centered_reconstruct(spark):
+    """emit_residual must equal v − centroid(assigned cell) exactly
+    (one IEEE subtract per element), and pq_reconstruct with
+    center_col must emit center + codeword with passthrough columns
+    copied verbatim — the IVFADC encode/decode contract."""
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        Codebook,
+        assign_nearest_arrow,
+        pq_reconstruct,
+    )
+
+    cb = Codebook([(0, [0.0, 0.0, 0.0, 0.0]), (1, [10.0, 10.0, 10.0, 10.0])])
+    emb = spark.createDataFrame(
+        [(7, [1.0, 2.0, 0.5, 0.25]), (8, [9.0, 11.0, 10.5, 9.75])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in assign_nearest_arrow(emb, cb, "vec_id", emit_residual=True).collect()
+    }
+    assert out[7]["cell"] == 1 or out[7]["cell"] == 0  # cosine picks by direction
+    got7 = out[7]["residual"]
+    cent7 = [0.0, 0.0, 0.0, 0.0] if out[7]["cell"] == 0 else [10.0] * 4
+    assert got7 == [a - b for a, b in zip([1.0, 2.0, 0.5, 0.25], cent7)]
+    cent8 = [0.0, 0.0, 0.0, 0.0] if out[8]["cell"] == 0 else [10.0] * 4
+    assert out[8]["residual"] == [
+        a - b for a, b in zip([9.0, 11.0, 10.5, 9.75], cent8)
+    ]
+
+    # centered decode: r = center + nearest codeword of the residual
+    rcb0 = Codebook([(0, [0.0, 0.0]), (1, [1.0, 2.0])])
+    rcb1 = Codebook([(0, [0.5, 0.0]), (1, [0.0, -0.5])])
+    frame = spark.createDataFrame(
+        [(7, [1.0, 2.0, 0.5, 0.25], [10.0, 10.0, 10.0, 10.0], "keepme")],
+        "vec_id long, embedding array<double>, c array<double>, tag string",
+    )
+    row = pq_reconstruct(
+        frame, [rcb0, rcb1], center_col="c", passthrough=("tag",)
+    ).collect()[0]
+    assert row["r"] == [11.0, 12.0, 10.5, 10.0]
+    assert row["v"] == [1.0, 2.0, 0.5, 0.25]
+    assert row["tag"] == "keepme"
+
+
 def test_l2_subchunking_matches_unbounded(spark, monkeypatch):
     """The l2 diffs-tensor budget must not change assignments: force a
     tiny budget (step=1 sub-chunks) and compare against the default."""

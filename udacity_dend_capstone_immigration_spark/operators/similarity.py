@@ -450,6 +450,7 @@ def assign_nearest_arrow(
     emit_sim: bool = False,
     chunk_rows: int = 4096,
     metric: str = "cosine",
+    emit_residual: bool = False,
 ) -> DataFrame:
     """Nearest-centroid assignment as ONE Arrow map stage: each batch
     computes a BLAS (chunk × cells) cosine block against the in-closure
@@ -468,7 +469,11 @@ def assign_nearest_arrow(
     dispatches at the design scale — where this is a shuffle-free scan
     with O(chunk·cells) peak memory per task. ``keep_embedding`` passes
     the vector through (original dtype) so downstream per-cell work
-    avoids re-joining the corpus."""
+    avoids re-joining the corpus. ``emit_residual`` adds the float64
+    ``residual`` column v − centroid(cell) — the IVFADC encoding input —
+    for free inside the same scan (the assigned centroid row is already
+    in hand); the subtraction is a single IEEE op per element, matching
+    an oracle's ``n.v[i] - ce.cv[i]`` bit-for-bit."""
     import numpy as np
     import pandas as pd
 
@@ -477,6 +482,7 @@ def assign_nearest_arrow(
         f"{id_col} long, cell long"
         + (f", embedding {emb_type}" if keep_embedding else "")
         + (", cent_sim double" if emit_sim else "")
+        + (", residual array<double>" if emit_residual else "")
     )
     cb = codebook
 
@@ -489,6 +495,7 @@ def assign_nearest_arrow(
             nrm = np.linalg.norm(mat, axis=1)
             cells = np.empty(len(ids), dtype=np.int64)
             best = np.empty(len(ids), dtype=np.float64)
+            args = np.empty(len(ids), dtype=np.int64)
             for lo in range(0, len(ids), chunk_rows):
                 hi = min(lo + chunk_rows, len(ids))
                 if metric == "l2":
@@ -514,11 +521,14 @@ def assign_nearest_arrow(
                     arg = np.argmax(sims, axis=1)
                 cells[lo:hi] = cb.ids[arg]
                 best[lo:hi] = sims[np.arange(hi - lo), arg]
+                args[lo:hi] = arg
             out = {id_col: ids, "cell": cells}
             if keep_embedding:
                 out["embedding"] = pdf["embedding"]
             if emit_sim:
                 out["cent_sim"] = best
+            if emit_residual:
+                out["residual"] = list(mat - cb.mat[args])
             yield pd.DataFrame(out)
 
     return df.mapInPandas(assign, out_schema)
@@ -528,6 +538,8 @@ def pq_reconstruct(
     df: DataFrame,
     codebooks: list,
     id_col: str = "vec_id",
+    center_col: str | None = None,
+    passthrough: tuple = (),
 ) -> DataFrame:
     """Product-quantization round trip in ONE Arrow map stage: for each
     contiguous sub-vector block, assign to the nearest code of that
@@ -538,11 +550,23 @@ def pq_reconstruct(
     feeds a distortion report with no join — both arrays ride the same
     row. Per-task memory is batch × codes × block_dim distances; the
     codebooks (blocks × codes × block_dim) live in the closure like an
-    ANN codebook — bytes, not relations."""
+    ANN codebook — bytes, not relations.
+
+    ``center_col`` names an array column to ADD to the quantized
+    reconstruction element-wise (r = center + codeword) — the IVFADC
+    residual decode, where ``embedding`` holds the residual and
+    ``center_col`` the assigned coarse centroid; a single IEEE add per
+    element, matching an oracle's ``cv + r``. ``passthrough`` columns
+    are copied verbatim to the output (schema inherited from the
+    input), so downstream joins (cell routing, the original vector for
+    a distortion report) need no corpus re-join."""
     import numpy as np
     import pandas as pd
 
     bd = codebooks[0].mat.shape[1]
+    pass_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in passthrough
+    )
 
     def recon(batches):
         for pdf in batches:
@@ -557,9 +581,16 @@ def pq_reconstruct(
                 d = np.einsum("ijk,ijk->ij", diffs, diffs)
                 np.round(d, 6, out=d)
                 r[:, j * bd : (j + 1) * bd] = cb.mat[np.argmin(d, axis=1)]
-            yield pd.DataFrame({id_col: ids, "v": list(mat), "r": list(r)})
+            if center_col is not None:
+                r = np.stack(pdf[center_col].to_numpy()).astype(np.float64) + r
+            out = {id_col: ids, "v": list(mat), "r": list(r)}
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return df.mapInPandas(recon, f"{id_col} long, v array<double>, r array<double>")
+    return df.mapInPandas(
+        recon, f"{id_col} long, v array<double>, r array<double>{pass_schema}"
+    )
 
 
 def signbit_code(embedding: Column, num_bits: int) -> Column:

@@ -732,9 +732,12 @@ def _pq_codebooks(emb):
     return cbs
 
 
-def _pq_block_ctes(j: int) -> str:
+def _pq_block_ctes(j: int, src: str = "embeddings") -> str:
     """Oracle CTE chain for block ``j`` (mirrors `_pq_codebooks` +
-    the `pq_reconstruct` assignment for that block)."""
+    the `pq_reconstruct` assignment for that block). ``src`` is the
+    (vec_id, embedding) relation to quantize — ``embeddings`` for the
+    plain audit, the ``resid`` CTE for the IVFADC residual variants
+    (the CAST is a no-op on the residual's doubles)."""
     lo = j * _PQ_DIM
     d0 = (
         f"round(list_sum(list_transform(generate_series(1, {_PQ_DIM}),"
@@ -744,7 +747,7 @@ def _pq_block_ctes(j: int) -> str:
     sub{j} AS (
         SELECT vec_id, list_transform(list_slice(embedding, {lo + 1}, {lo + _PQ_DIM}),
                                       x -> CAST(x AS DOUBLE)) AS sv
-        FROM embeddings
+        FROM {src}
     ),
     seed{j} AS (SELECT vec_id AS cent_id, sv AS cv FROM sub{j} WHERE vec_id < {_PQ_CODES}),
     a0{j} AS (
@@ -917,6 +920,204 @@ ann_ivfpq_recall = _register_knn_recall(
     "— the go/no-go for serving 4-byte codes in place of floats. Reads "
     "against ann_ivf_recall as the loss ATTRIBUTABLE to PQ compression "
     "(same coarse index, same probes).",
+)
+
+
+# --- IVFADC residual encoding: quantize v − centroid(cell) instead of
+# v (faiss IndexIVFPQ's actual encoding; Jégou et al. 2011 §IV). The
+# residual has the coarse cell's mean removed, so the 4-byte budget
+# spends on local structure instead of re-describing cell position —
+# on THIS isotropic corpus the numpy pre-study measured cosine keep
+# 0.45 → ~0.51 and full-corpus-scored recall@5 0.18 → 0.28; the two
+# queries below make both deltas oracle-checked engine numbers. The
+# encode adds nothing to the scan count: the residual falls out of the
+# SAME Arrow assignment pass (`emit_residual` — the assigned centroid
+# row is already in hand), and the decode adds one IEEE add per
+# element inside the reconstruction kernel (`center_col`).
+_RESID_CTE = """
+    resid AS (
+        SELECT n.vec_id,
+               list_transform(generate_series(1, 64),
+                              i -> n.v[i] - c.cv[i]) AS embedding
+        FROM n JOIN assign a ON a.vec_id = n.vec_id
+               JOIN ce c ON c.cent_id = a.cell
+    )"""
+
+_CFULL_CTE = """
+    cfull AS (
+        SELECT a.vec_id, i AS dim, c.cv[i + 1] AS cvv
+        FROM assign a JOIN ce c ON c.cent_id = a.cell, range(64) t(i)
+    )"""
+
+
+def _residual_frame(spark, sf_dir, keep_orig: bool):
+    """(vec_id, embedding=residual, cell, cent_emb[, orig]) — ONE Arrow
+    assignment scan over the corpus (residual emitted in-pass), one
+    bounded-centroid broadcast join, eagerly checkpointed because PQ
+    training re-reads it 2× per block (`_pq_codebooks`). Returns
+    (frame, cents)."""
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        assign_nearest_arrow,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents, cb = _ivf_train(emb)
+    assigned = assign_nearest_arrow(
+        emb, cb, "vec_id", keep_embedding=keep_orig, emit_residual=True
+    )
+    cols = [
+        "vec_id",
+        F.col("residual").alias("embedding"),
+        "cell",
+        "cent_emb",
+    ]
+    if keep_orig:
+        cols.append(F.col("embedding").alias("orig"))
+    frame = (
+        assigned.join(F.broadcast(cents), F.col("cell") == F.col("cent_id"))
+        .select(*cols)
+        .localCheckpoint(eager=True)
+    )
+    return frame, cents
+
+
+@query(
+    "embedding_pq_residual_distortion",
+    oracle=f"""
+    WITH n AS ({_NORMED}),
+    {_IVF_TRAIN_CTES},
+    {_RESID_CTE},
+    {",".join(_pq_block_ctes(j, src="resid") for j in range(_PQ_BLOCKS))},
+    rall AS ({" UNION ALL ".join(f"SELECT * FROM rb{j}" for j in range(_PQ_BLOCKS))}),
+    {_CFULL_CTE},
+    e AS (
+        SELECT vec_id, i AS dim, CAST(embedding[i + 1] AS DOUBLE) AS v
+        FROM embeddings, range(64) t(i)
+    ),
+    coded AS (
+        SELECT e.vec_id, e.v, cf.cvv + ra.r AS r
+        FROM e JOIN rall ra ON e.vec_id = ra.vec_id AND e.dim = ra.dim
+               JOIN cfull cf ON e.vec_id = cf.vec_id AND e.dim = cf.dim
+    )
+    SELECT vec_id, {_SQL_DISTORTION} FROM coded GROUP BY vec_id
+    """,
+)
+def embedding_pq_residual_distortion(spark, sf_dir):
+    """Residual-PQ distortion at the same 4-byte budget as
+    `embedding_pq_distortion` — the delta between the two reports is
+    the value of residual encoding on this corpus. Same report columns
+    (vec_id, mse, cosine_keep); v comes from the ORIGINAL embeddings
+    (centroid + residual is NOT bit-identical to v in IEEE, so neither
+    engine reconstitutes it)."""
+    from udacity_dend_capstone_immigration_spark.operators.similarity import pq_reconstruct
+
+    frame, _ = _residual_frame(spark, sf_dir, keep_orig=True)
+    rcbs = _pq_codebooks(frame.select("vec_id", "embedding"))
+    vr = pq_reconstruct(
+        frame, rcbs, center_col="cent_emb", passthrough=("orig",)
+    ).select("vec_id", F.col("orig").cast("array<double>").alias("vo"), "r")
+    pair = vr.select(
+        "vec_id", F.posexplode(F.arrays_zip("vo", "r")).alias("dim", "p")
+    ).select("vec_id", F.col("p.vo").alias("v"), F.col("p.r").alias("r"))
+    return _distortion_report(pair)
+
+
+@query(
+    "knn_ivfpq_residual",
+    oracle=f"""
+    WITH n AS ({_NORMED}),
+    {_IVF_TRAIN_CTES},
+    {_RESID_CTE},
+    {",".join(_pq_block_ctes(j, src="resid") for j in range(_PQ_BLOCKS))},
+    rall AS ({" UNION ALL ".join(f"SELECT * FROM rb{j}" for j in range(_PQ_BLOCKS))}),
+    {_CFULL_CTE},
+    rvec AS (
+        SELECT ra.vec_id, list(cf.cvv + ra.r ORDER BY ra.dim) AS r
+        FROM rall ra JOIN cfull cf ON cf.vec_id = ra.vec_id AND cf.dim = ra.dim
+        GROUP BY ra.vec_id
+    ),
+    rn AS (SELECT vec_id, r, sqrt(list_sum(list_transform(r, x -> x * x))) AS rnrm
+           FROM rvec),
+    probes AS (
+        SELECT n.vec_id AS query_id, ce.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                                  ORDER BY {_CSIM} DESC, ce.cent_id ASC) AS pr
+        FROM n JOIN ce ON TRUE
+        WHERE n.vec_id < 10
+    ),
+    scored AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               round(list_sum(list_transform(generate_series(1, 64),
+                     i -> q.v[i] * c.r[i])) / (q.nrm * c.rnrm), 6) AS cosine_sim
+        FROM probes p
+            JOIN assign a ON a.cell = p.cell
+            JOIN rn c ON c.vec_id = a.vec_id
+            JOIN n q ON q.vec_id = p.query_id
+        WHERE p.pr <= {_IVF_PROBE} AND c.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine_sim DESC, neighbor_id ASC) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def knn_ivfpq_residual(spark, sf_dir):
+    """knn_ivfpq with IVFADC residual decode: asymmetric scoring of the
+    full-precision query against centroid(cell) + residual-codeword —
+    same probes, same 4 bytes/vector served, reconstruction now one
+    extra IEEE add per element inside the same Arrow decode stage."""
+    from udacity_dend_capstone_immigration_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        pq_reconstruct,
+    )
+    from udacity_dend_capstone_immigration_spark.operators.topk import top_k_per_group
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sim_to_cent = _probe_sim()
+    frame, cents = _residual_frame(spark, sf_dir, keep_orig=False)
+    rcbs = _pq_codebooks(frame.select("vec_id", "embedding"))
+    recon = pq_reconstruct(
+        frame, rcbs, center_col="cent_emb", passthrough=("cell",)
+    ).select(F.col("vec_id").alias("neighbor_id"), "r", "cell")
+    probes = top_k_per_group(
+        emb.where(F.col("vec_id") < 10)
+        .crossJoin(F.broadcast(cents))
+        .select(F.col("vec_id").alias("query_id"), "cent_id", sim_to_cent.alias("csim")),
+        partition_by=["query_id"],
+        order_by=[F.desc("csim"), F.asc("cent_id")],
+        k=_IVF_PROBE,
+    ).select("query_id", F.col("cent_id").alias("cell"))
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        probes.join(recon, "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("q_emb"), F.col("r")), 6).alias("cosine_sim"),
+        )
+    )
+    return top_k_per_group(
+        scored,
+        partition_by=["query_id"],
+        order_by=[F.desc("cosine_sim"), F.asc("neighbor_id")],
+        k=5,
+    )
+
+
+ann_ivfpq_residual_recall = _register_knn_recall(
+    "ann_ivfpq_residual_recall",
+    "knn_ivfpq_residual",
+    "recall@5 of the IVFADC residual-encoded serving path vs the exact "
+    "top-5. Reads against ann_ivfpq_recall as the recall RECOVERED by "
+    "residual encoding at the identical 4-byte budget (same coarse "
+    "index, same probes, same code count).",
 )
 
 
