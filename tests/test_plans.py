@@ -367,6 +367,9 @@ def test_no_static_broadcast_of_estimate_blind_relations(spark):
         "embedding_pq_residual_distortion",  # same centroids (residual join)
         "knn_ivfpq_residual",           # same centroids + 10-row query side
         "ann_ivfpq_residual_recall",    # same centroids (composed)
+        # N_CELLS centroids + 10-row query side + one-row query-count
+        # aggregate (the hits/exact joins are merge-hinted)
+        "ann_ivf_nprobe_curve",
         # one-row captured-pairs aggregate crossJoined onto the one-row
         # totals (the pair⋈pair join itself is merge-hinted)
         "dedup_minhash_recall",

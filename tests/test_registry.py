@@ -131,6 +131,8 @@ def test_showcase_window_completes_official_coverage():
         "embedding_pq_residual_distortion",
         "knn_ivfpq_residual",
         "ann_ivfpq_residual_recall",
+        "ann_ivf_nprobe_curve",
+        "langid_confusion",
         # plan changed in r10 (in-kernel diverse keep policy, shared
         # _distortion_report, factored _register_knn_recall) —
         # results unchanged, re-proven anyway

@@ -125,6 +125,36 @@ def doc_fingerprints(spark, sf_dir):
     )
 
 
+# --- language-ID eval: the n-gram-marker guesser vs the generator's
+# lang label — the confusion matrix a curation pipeline reads before
+# trusting the guesser to route/filter a corpus by language. Reuses
+# the registered doc_fingerprints prediction (single tokenize +
+# conditional counts) so the guesser evaluated IS the guesser served.
+@query(
+    "langid_confusion",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, lang, {LANG_GUESS} AS lang_guess FROM documents)
+    SELECT lang AS true_lang, lang_guess AS predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM p GROUP BY lang, lang_guess
+    """,
+)
+def langid_confusion(spark, sf_dir):
+    from udacity_dend_capstone_immigration_spark.workload.base import QUERIES
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("true_lang")
+    )
+    pred = QUERIES["doc_fingerprints"](spark, sf_dir).select(
+        "doc_id", F.col("lang_guess").alias("predicted_lang")
+    )
+    return (
+        docs.join(pred, "doc_id")
+        .groupBy("true_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
 # --- quality scoring: length/punct/stopword signals, all double per-row.
 @query(
     "text_quality_scores",

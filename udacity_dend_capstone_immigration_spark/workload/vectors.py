@@ -1111,6 +1111,157 @@ def knn_ivfpq_residual(spark, sf_dir):
     )
 
 
+# --- nprobe tuning curve: recall@5 AND candidate count per probe
+# depth (1/2/4/8 of the 16 cells) in one report — the knob a serving
+# deployment actually turns (more probes = linearly more candidates
+# scanned per query for diminishing recall). Candidates are scored
+# ONCE at the max depth and each depth's top-5 is re-ranked from the
+# pr-filtered subset, so the audit costs one probe pass, not four.
+_NPROBE_STEPS = (1, 2, 4, 8)
+
+
+@query(
+    "ann_ivf_nprobe_curve",
+    oracle=f"""
+    WITH n AS ({_NORMED}),
+    {_IVF_TRAIN_CTES},
+    exact AS ({ORACLES["knn_brute_force"]}),
+    exact5 AS (SELECT query_id, neighbor_id FROM exact
+               WHERE rank <= 5 AND query_id < 10),
+    probes AS (
+        SELECT n.vec_id AS query_id, ce.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                                  ORDER BY {_CSIM} DESC, ce.cent_id ASC) AS pr
+        FROM n JOIN ce ON TRUE
+        WHERE n.vec_id < 10
+    ),
+    cand AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id, p.pr,
+               round(list_sum(list_transform(generate_series(1, 64),
+                     i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cosine_sim
+        FROM probes p
+            JOIN assign a ON a.cell = p.cell
+            JOIN n c ON c.vec_id = a.vec_id
+            JOIN n q ON q.vec_id = p.query_id
+        WHERE p.pr <= {max(_NPROBE_STEPS)} AND c.vec_id != p.query_id
+    ),
+    np AS (SELECT unnest([{", ".join(str(p) for p in _NPROBE_STEPS)}]) AS nprobe),
+    curve AS (
+        SELECT np.nprobe, c.query_id, c.neighbor_id, c.cosine_sim
+        FROM np JOIN cand c ON c.pr <= np.nprobe
+    ),
+    top5 AS (
+        SELECT nprobe, query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+                         ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+            FROM curve
+        ) WHERE rn <= 5
+    ),
+    hits AS (
+        SELECT t.nprobe, COUNT(*) AS h
+        FROM top5 t JOIN exact5 e
+            ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
+        GROUP BY t.nprobe
+    ),
+    ncand AS (SELECT nprobe, COUNT(*) AS n_candidates FROM curve GROUP BY nprobe),
+    qc AS (SELECT COUNT(DISTINCT query_id) AS nq FROM exact5)
+    SELECT CAST(nc.nprobe AS INT) AS nprobe,
+           CAST(nc.n_candidates AS BIGINT) AS n_candidates,
+           CAST(coalesce(h.h, 0) AS DOUBLE)
+               / (CAST(qc.nq AS DOUBLE) * 5.0e0) AS recall_at_5
+    FROM ncand nc LEFT JOIN hits h ON h.nprobe = nc.nprobe, qc
+    """,
+)
+def ann_ivf_nprobe_curve(spark, sf_dir):
+    """(nprobe, n_candidates, recall_at_5) — the IVF speed/recall
+    trade measured per corpus. recall is an exact integer-sum divided
+    once in IEEE (engine-portable without decimal machinery)."""
+    from udacity_dend_capstone_immigration_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from pyspark.sql import Window
+
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        assign_nearest_arrow,
+    )
+    from udacity_dend_capstone_immigration_spark.workload.base import QUERIES
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sim_to_cent = _probe_sim()
+    cents, cb = _ivf_train(emb)
+    assign = assign_nearest_arrow(emb, cb, "vec_id")
+    w = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+    probes = (
+        emb.where(F.col("vec_id") < 10)
+        .crossJoin(F.broadcast(cents))
+        .select(F.col("vec_id").alias("query_id"), "cent_id", sim_to_cent.alias("csim"))
+        .withColumn("pr", F.row_number().over(w))
+        .where(F.col("pr") <= max(_NPROBE_STEPS))
+        .select("query_id", F.col("cent_id").alias("cell"), "pr")
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    cand = (
+        probes.join(assign, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "pr")
+        .join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "pr",
+            F.round(cosine_similarity(F.col("q_emb"), F.col("c_emb")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    # curve feeds BOTH the top-5 re-rank and the candidate count, and
+    # exact5 feeds both hits and the query-count scalar — lazy
+    # checkpoints so each shared subtree (IVF train + score; the
+    # brute-force top-5) executes once, not per consumer
+    curve = (
+        cand.withColumn(
+            "nprobe", F.explode(F.array(*[F.lit(p) for p in _NPROBE_STEPS]))
+        )
+        .where(F.col("pr") <= F.col("nprobe"))
+        .localCheckpoint(eager=False)
+    )
+    w5 = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    top5 = (
+        curve.withColumn("rn", F.row_number().over(w5))
+        .where(F.col("rn") <= 5)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    exact5 = (
+        QUERIES["knn_brute_force"](spark, sf_dir)
+        .where((F.col("rank") <= 5) & (F.col("query_id") < 10))
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    hits = top5.join(exact5.hint("merge"), ["query_id", "neighbor_id"]).groupBy(
+        "nprobe"
+    ).agg(F.count(F.lit(1)).alias("h"))
+    ncand = curve.groupBy("nprobe").agg(F.count(F.lit(1)).alias("n_candidates"))
+    qc = exact5.agg(F.countDistinct("query_id").alias("nq"))
+    return (
+        ncand.join(hits.hint("merge"), "nprobe", "left")
+        .crossJoin(qc)
+        .select(
+            F.col("nprobe").cast("int").alias("nprobe"),
+            F.col("n_candidates").cast("bigint").alias("n_candidates"),
+            (
+                F.coalesce(F.col("h"), F.lit(0)).cast("double")
+                / (F.col("nq").cast("double") * F.lit(5.0))
+            ).alias("recall_at_5"),
+        )
+    )
+
+
 ann_ivfpq_residual_recall = _register_knn_recall(
     "ann_ivfpq_residual_recall",
     "knn_ivfpq_residual",
