@@ -22,7 +22,7 @@ FLAGSHIP = "top_nations_by_orders"
 
 #: The driver's CORRECTNESS record keeps only the first 50 entries of
 #: ``queries()``. This round-10 window completes the rotation the r9
-#: verdict scheduled: (a) the twelve queries NEW this round
+#: verdict scheduled: (a) the thirteen queries NEW this round
 #: (`dedup_minhash_recall` — the MinHash-banding pair-recall audit —
 #: `knn_ivfpq` / `ann_ivfpq_recall` — the compressed IVF-PQ serving
 #: path and its recall audit — `bpe_train_merges` — the fixed-point
@@ -33,8 +33,9 @@ FLAGSHIP = "top_nations_by_orders"
 #: dedup at ingestion via stream-static joins — and the IVFADC
 #: residual-encoding tier `embedding_pq_residual_distortion` /
 #: `knn_ivfpq_residual` / `ann_ivfpq_residual_recall` — plus the
-#: `ann_ivf_nprobe_curve` speed/recall audit and the
-#: `langid_confusion` eval) plus the six
+#: `ann_ivf_nprobe_curve` speed/recall audit, the
+#: `langid_confusion` eval, and the self-validating
+#: `approx_quantile_summary` sketch audit) plus the six
 #: whose PLAN changed this round (`semantic_dedup_diverse_reps`:
 #: keep policy now emitted from the CC kernel;
 #: `embedding_int8_distortion` / `embedding_pq_distortion`: shared
@@ -42,7 +43,7 @@ FLAGSHIP = "top_nations_by_orders"
 #: `ann_lsh_recall` / `ann_lsh_multitable_recall`: re-registered via
 #: the factored `_register_knn_recall` helper) — results unchanged,
 #: re-proven anyway; (b) ALL 16 queries whose newest official row is
-#: r6 (the final stale tranche the r9 verdict listed); (c) 16 of the
+#: r6 (the final stale tranche the r9 verdict listed); (c) 15 of the
 #: r7-recorded tier as fill. After this window lands no query's newest
 #: official row is older than r7. Nothing is dropped — the remaining
 #: queries follow in registration order and stay green in the full
@@ -61,6 +62,7 @@ SHOWCASE = [
     "ann_ivfpq_residual_recall",
     "ann_ivf_nprobe_curve",
     "langid_confusion",
+    "approx_quantile_summary",
     "semantic_dedup_diverse_reps",
     "embedding_int8_distortion",
     "embedding_pq_distortion",
@@ -100,7 +102,6 @@ SHOWCASE = [
     "sql_revenue_by_priority",
     "approx_distinct_summary",
     "regional_supplier_revenue",
-    "orders_column_profile",
 ]
 
 

@@ -102,6 +102,60 @@ def value_percentiles_by_type(spark, sf_dir):
     )
 
 
+# --- quantile-sketch audit: percentile_approx (Spark's GK sketch — the
+# mergeable one-pass summary a 100 TB profiling job ships instead of a
+# full sort) next to the exact order statistics. Sketch VALUES are
+# engine-specific (DuckDB cannot reproduce Spark's sketch), so like
+# `approx_distinct_summary` the query is self-validating: it emits the
+# exact discrete percentiles (oracle-verifiable) plus a within_bound
+# flag asserting each sketch value lands inside the ±1-percentile RANK
+# bracket of its target — orders of magnitude looser than the 1e-4
+# rank error accuracy=10000 guarantees, and a drifting sketch flips
+# the flag and fails the value hash.
+@query(
+    "approx_quantile_summary",
+    oracle="""
+    SELECT quantile_disc(l_extendedprice, 0.5) AS exact_p50,
+           quantile_disc(l_extendedprice, 0.9) AS exact_p90,
+           quantile_disc(l_extendedprice, 0.99) AS exact_p99,
+           CAST(TRUE AS BOOLEAN) AS within_bound
+    FROM lineitem
+    """,
+)
+def approx_quantile_summary(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    pd_ = lambda p, a: F.expr(  # noqa: E731
+        f"percentile_disc({p}) WITHIN GROUP (ORDER BY l_extendedprice)"
+    ).alias(a)
+    agg = li.agg(
+        pd_(0.5, "exact_p50"),
+        pd_(0.9, "exact_p90"),
+        pd_(0.99, "exact_p99"),
+        pd_(0.49, "lo50"),
+        pd_(0.51, "hi50"),
+        pd_(0.89, "lo90"),
+        pd_(0.91, "hi90"),
+        pd_(0.98, "lo99"),
+        pd_(0.995, "hi99"),
+        F.percentile_approx(
+            "l_extendedprice",
+            F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+            F.lit(10000),
+        ).alias("ap"),
+    )
+    wb = (
+        (F.col("ap")[0] >= F.col("lo50"))
+        & (F.col("ap")[0] <= F.col("hi50"))
+        & (F.col("ap")[1] >= F.col("lo90"))
+        & (F.col("ap")[1] <= F.col("hi90"))
+        & (F.col("ap")[2] >= F.col("lo99"))
+        & (F.col("ap")[2] <= F.col("hi99"))
+    )
+    return agg.select(
+        "exact_p50", "exact_p90", "exact_p99", wb.alias("within_bound")
+    )
+
+
 # --- set operations (SURVEY.md §2.7 lists them absent in the reference;
 # unionByName/intersect/exceptAll come free from the DataFrame algebra).
 @query(
