@@ -22,7 +22,7 @@ FLAGSHIP = "top_nations_by_orders"
 
 #: The driver's CORRECTNESS record keeps only the first 50 entries of
 #: ``queries()``. This round-10 window completes the rotation the r9
-#: verdict scheduled: (a) the thirteen queries NEW this round
+#: verdict scheduled: (a) the fourteen queries NEW this round
 #: (`dedup_minhash_recall` — the MinHash-banding pair-recall audit —
 #: `knn_ivfpq` / `ann_ivfpq_recall` — the compressed IVF-PQ serving
 #: path and its recall audit — `bpe_train_merges` — the fixed-point
@@ -30,7 +30,8 @@ FLAGSHIP = "top_nations_by_orders"
 #: arrival/expiry rewrite of the trailing RANGE frame —
 #: `bucketed_join_roundtrip` — the shuffle-free bucketed fact⋈fact
 #: layout — `documents_stream_dedup_status` — incremental text
-#: dedup at ingestion via stream-static joins — and the IVFADC
+#: dedup at ingestion via stream-static joins —
+#: `embeddings_stream_dedup_status` — its embedding-tier twin — and the IVFADC
 #: residual-encoding tier `embedding_pq_residual_distortion` /
 #: `knn_ivfpq_residual` / `ann_ivfpq_residual_recall` — plus the
 #: `ann_ivf_nprobe_curve` speed/recall audit, the
@@ -43,7 +44,7 @@ FLAGSHIP = "top_nations_by_orders"
 #: `ann_lsh_recall` / `ann_lsh_multitable_recall`: re-registered via
 #: the factored `_register_knn_recall` helper) — results unchanged,
 #: re-proven anyway; (b) ALL 16 queries whose newest official row is
-#: r6 (the final stale tranche the r9 verdict listed); (c) 15 of the
+#: r6 (the final stale tranche the r9 verdict listed); (c) 14 of the
 #: r7-recorded tier as fill. After this window lands no query's newest
 #: official row is older than r7. Nothing is dropped — the remaining
 #: queries follow in registration order and stay green in the full
@@ -57,6 +58,7 @@ SHOWCASE = [
     "events_moving_agg_1h_expiry",
     "bucketed_join_roundtrip",
     "documents_stream_dedup_status",
+    "embeddings_stream_dedup_status",
     "embedding_pq_residual_distortion",
     "knn_ivfpq_residual",
     "ann_ivfpq_residual_recall",
@@ -101,7 +103,6 @@ SHOWCASE = [
     "table_row_counts",
     "sql_revenue_by_priority",
     "approx_distinct_summary",
-    "regional_supplier_revenue",
 ]
 
 

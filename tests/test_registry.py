@@ -128,6 +128,7 @@ def test_showcase_window_completes_official_coverage():
         "events_moving_agg_1h_expiry",
         "bucketed_join_roundtrip",
         "documents_stream_dedup_status",
+        "embeddings_stream_dedup_status",
         "embedding_pq_residual_distortion",
         "knn_ivfpq_residual",
         "ann_ivfpq_residual_recall",

@@ -566,3 +566,169 @@ def documents_stream_dedup_status(spark, sf_dir):
             .alias("status"),
         )
     )
+
+
+from udacity_dend_capstone_immigration_spark.workload.vectors import _IVF_CELLS  # noqa: E402
+
+
+@query(
+    "embeddings_stream_dedup_status",
+    oracle=f"""
+    WITH allv AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM allv WHERE vec_id % 7 != 0),
+    seed AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
+             WHERE vec_id < {_IVF_CELLS}),
+    assign0 AS (
+        SELECT vec_id, cent_id AS cell FROM (
+            SELECT n.vec_id, s.cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                       ORDER BY round(list_sum(list_transform(generate_series(1, 64),
+                                 i -> n.v[i] * s.cv[i])) / (n.nrm * s.cnrm), 6) DESC,
+                                s.cent_id ASC) AS rn
+            FROM n JOIN seed s ON TRUE
+        ) WHERE rn = 1
+    ),
+    cellmean1 AS (
+        SELECT a.cell, i AS dim,
+               CAST(SUM(CAST(floor(n.v[i + 1] * 16777216.0) AS BIGINT)) AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * 16777216.0) AS val
+        FROM assign0 a JOIN n ON n.vec_id = a.vec_id, range(64) t(i)
+        GROUP BY a.cell, i
+    ),
+    ce1 AS (
+        SELECT cent_id, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm
+        FROM (SELECT cell AS cent_id, list(val ORDER BY dim) AS cv
+              FROM cellmean1 GROUP BY cell)
+    ),
+    assign1 AS (
+        SELECT vec_id, cent_id AS cell FROM (
+            SELECT n.vec_id, ce.cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                       ORDER BY round(list_sum(list_transform(generate_series(1, 64),
+                                 i -> n.v[i] * ce.cv[i])) / (n.nrm * ce.cnrm), 6) DESC,
+                                ce.cent_id ASC) AS rn
+            FROM n JOIN ce1 ce ON TRUE
+        ) WHERE rn = 1
+    ),
+    cellmean2 AS (
+        SELECT a.cell, i AS dim,
+               CAST(SUM(CAST(floor(n.v[i + 1] * 16777216.0) AS BIGINT)) AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * 16777216.0) AS val
+        FROM assign1 a JOIN n ON n.vec_id = a.vec_id, range(64) t(i)
+        GROUP BY a.cell, i
+    ),
+    ce AS (
+        SELECT cent_id, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm
+        FROM (SELECT cell AS cent_id, list(val ORDER BY dim) AS cv
+              FROM cellmean2 GROUP BY cell)
+    ),
+    cassign AS (
+        SELECT vec_id, cent_id AS cell FROM (
+            SELECT n.vec_id, ce.cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                       ORDER BY round(list_sum(list_transform(generate_series(1, 64),
+                                 i -> n.v[i] * ce.cv[i])) / (n.nrm * ce.cnrm), 6) DESC,
+                                ce.cent_id ASC) AS rn
+            FROM n JOIN ce ON TRUE
+        ) WHERE rn = 1
+    ),
+    nn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+           FROM allv WHERE vec_id % 7 = 0),
+    nassign AS (
+        SELECT vec_id, cent_id AS cell FROM (
+            SELECT nn.vec_id, ce.cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY nn.vec_id
+                       ORDER BY round(list_sum(list_transform(generate_series(1, 64),
+                                 i -> nn.v[i] * ce.cv[i])) / (nn.nrm * ce.cnrm), 6) DESC,
+                                ce.cent_id ASC) AS rn
+            FROM nn JOIN ce ON TRUE
+        ) WHERE rn = 1
+    ),
+    dup AS (
+        SELECT DISTINCT na.vec_id
+        FROM nassign na
+            JOIN cassign ca ON ca.cell = na.cell
+            JOIN nn q ON q.vec_id = na.vec_id
+            JOIN n c ON c.vec_id = ca.vec_id
+        WHERE round(list_sum(list_transform(generate_series(1, 64),
+                    i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) >= 0.4
+    )
+    SELECT vec_id,
+           CASE WHEN vec_id IN (SELECT vec_id FROM dup)
+                THEN 'near_dup' ELSE 'unique' END AS status
+    FROM embeddings WHERE vec_id % 7 = 0
+    """,
+)
+def embeddings_stream_dedup_status(spark, sf_dir):
+    """SemDeDup at INGESTION: the new embedding batch (vec_id % 7 = 0,
+    the text tier's incremental convention) arrives as a STREAM, is
+    routed by the corpus-trained IVF codebook (the same stateless
+    Arrow assignment as `embeddings_stream_cell_counts` — at
+    production scale, yesterday's index), and each new vector is
+    classified near_dup/unique by cosine ≥ τ=0.4 against the CORPUS
+    members of its cell via a stream-static join — the embedding twin
+    of `documents_stream_dedup_status`. Training sees corpus vectors
+    only (the only statistic an ingestion pipeline can know); the
+    oracle unrolls the same two Lloyd passes over the corpus-filtered
+    relation.
+
+    Scale shape: candidates per new vector = one IVF cell (~√N corpus
+    rows), and the scored side is the SMALL arriving batch — the
+    per-pair declarative cosine here prices batch×√N rows, not the
+    corpus² the batch tier's grouped BLAS gram kernels exist for
+    (`_semdedup_grouped` remains the bulk path). One streaming
+    aggregation (per-vector dup evidence) drains in complete mode;
+    the status join finishes in batch post-drain."""
+    from udacity_dend_capstone_immigration_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        assign_nearest_arrow,
+    )
+    from udacity_dend_capstone_immigration_spark.workload.base import table
+    from udacity_dend_capstone_immigration_spark.workload.vectors import _ivf_train
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    is_new = F.col("vec_id") % 7 == 0
+    corpus = emb.where(~is_new)
+    _, cb = _ivf_train(corpus)
+    corpus_by_cell = (
+        assign_nearest_arrow(corpus, cb, "vec_id", keep_embedding=True)
+        .select("cell", F.col("embedding").alias("c_emb"))
+        .localCheckpoint(eager=True)  # executed once, not per micro-batch
+    )
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .where(is_new)
+        .select("vec_id", "embedding")
+    )
+    sassign = assign_nearest_arrow(stream, cb, "vec_id", keep_embedding=True)
+    dup_counts = (
+        sassign.join(corpus_by_cell.hint("merge"), "cell")
+        .where(
+            F.round(cosine_similarity(F.col("embedding"), F.col("c_emb")), 6)
+            >= F.lit(0.4)
+        )
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    name = f"emb_stream_dedup_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix="ck_emb_dedup_")
+    dups = run_available_now(dup_counts, name, checkpoint_dir=ck)
+    return (
+        emb.where(is_new)
+        .select("vec_id")
+        .join(dups.hint("merge"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(F.col("n_dup") >= 1, F.lit("near_dup"))
+            .otherwise(F.lit("unique"))
+            .alias("status"),
+        )
+    )
