@@ -109,3 +109,43 @@ def test_batch_iteration_handles_many_small_batches(spark):
         assert sorted(r["media_id"] for r in out.collect()) == list(range(100))
     finally:
         spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
+def test_payload_fingerprint_is_dims_invariant(spark):
+    """Same payload packed at different dims → same fingerprint; the
+    digest covers only content, and equals hashlib md5 of the payload."""
+    import hashlib
+
+    from udacity_dend_capstone_immigration_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        pack_fake_media,
+        payload_fingerprints,
+    )
+
+    rows = [
+        (1, "image", "fake", pack_fake_media(640, 480, 3, b"same-bytes")),
+        (2, "image", "fake", pack_fake_media(32, 32, 1, b"same-bytes")),
+        (3, "image", "fake", pack_fake_media(640, 480, 3, b"other")),
+    ]
+    m = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r.fingerprint for r in payload_fingerprints(m).collect()}
+    assert out[1] == out[2] == hashlib.md5(b"same-bytes").hexdigest()
+    assert out[3] == hashlib.md5(b"other").hexdigest()
+    assert out[3] != out[1]
+
+
+def test_real_codec_content_digest_raises(media):
+    from udacity_dend_capstone_immigration_spark.operators.multimodal import (
+        CodecUnavailableError,
+        RealCodec,
+        payload_fingerprints,
+        set_codec,
+    )
+
+    set_codec(RealCodec())
+    try:
+        with pytest.raises(Exception) as e:
+            payload_fingerprints(media).collect()
+        assert "CodecUnavailable" in str(e.value) or "no image/audio" in str(e.value)
+    finally:
+        set_codec(FakeCodec())

@@ -135,6 +135,7 @@ def test_showcase_window_completes_official_coverage():
         "ann_ivf_nprobe_curve",
         "langid_confusion",
         "approx_quantile_summary",
+        "multimodal_payload_dedup",
         # plan changed in r10 (in-kernel diverse keep policy, shared
         # _distortion_report, factored _register_knn_recall) —
         # results unchanged, re-proven anyway

@@ -130,6 +130,13 @@ class FakeCodec:
     def frame(self, data: bytes, idx: int) -> bytes:
         return hashlib.md5(data + struct.pack("<I", idx)).digest()
 
+    def content_digest(self, data: bytes) -> str:
+        """md5 of the CONTENT (payload after the 16-byte header) — the
+        exact-dup fingerprint, invariant to repacks that change only
+        dims. A real codec would hash decoded samples the same way."""
+        self.decode(data)  # validates the container
+        return hashlib.md5(data[16:]).hexdigest()
+
 
 class RealCodec:
     """Placeholder for a Pillow/av-backed codec. Every method raises
@@ -144,7 +151,7 @@ class RealCodec:
             "register a codec via set_codec()"
         )
 
-    decode = feature = resize = frame = _unavailable
+    decode = feature = resize = frame = content_digest = _unavailable
 
 
 _CODEC = FakeCodec()
@@ -182,6 +189,26 @@ def decode_metadata(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "data").mapInPandas(run, DECODED_IMAGE_SCHEMA)
+
+
+def payload_fingerprints(media: DataFrame) -> DataFrame:
+    """binary → (media_id, fingerprint): the codec's content digest in
+    one Arrow stage. Downstream dedup shuffles 32-char hashes, never
+    media bytes — the binary-column twin of text exact-dedup."""
+    codec = _CODEC
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "fingerprint": [codec.content_digest(bytes(b)) for b in pdf["data"]],
+                }
+            )
+
+    return media.select("media_id", "data").mapInPandas(
+        run, "media_id long, fingerprint string"
+    )
 
 
 def extract_features(media: DataFrame, dim: int = 64) -> DataFrame:

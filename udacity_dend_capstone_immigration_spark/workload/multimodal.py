@@ -201,3 +201,51 @@ def multimodal_features(spark, sf_dir):
         F.size("feature").cast("int").alias("feature_dim"),
         (F.col("feature") == F.col("native_feature")).alias("matches_native"),
     )
+
+
+# --- binary-column exact dedup: content-digest the payload (header
+# stripped — a repack that only changes dims is the SAME content) and
+# hash-groupBy the 32-char digests; media bytes never shuffle. The
+# corpus has no naturally-identical texts, so duplicate groups are
+# constructed BY DESIGN: every doc_id % 10 == 0 document is re-packed
+# a second time at different dims (new media_id, same payload) —
+# proving both the dedup and the dims-invariance of the fingerprint.
+@query(
+    "multimodal_payload_dedup",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT md5(text) AS fingerprint,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           MIN(media_id) AS keep_media_id
+    FROM m GROUP BY md5(text) HAVING COUNT(*) >= 2
+    """,
+)
+def multimodal_payload_dedup(spark, sf_dir):
+    """The oracle hashes the source text (the payload IS the utf-8
+    text); the Spark side digests the packed BYTES through the codec
+    boundary, so a match proves pack → content_digest produces exactly
+    the payload hash regardless of header dims."""
+    from udacity_dend_capstone_immigration_spark.operators.multimodal import (
+        payload_fingerprints,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    copies = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "text",
+        F.lit(223).alias("n_chars"),  # width = 224 after the %1000+1 derive
+    )
+    media = documents_as_media(docs).unionByName(documents_as_media(copies))
+    return (
+        payload_fingerprints(media)
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.min("media_id").alias("keep_media_id"),
+        )
+        .where(F.col("n_copies") >= 2)
+    )
