@@ -654,6 +654,39 @@ def partitioned_write_roundtrip(spark, sf_dir):
     return back.select("l_returnflag", "l_linestatus", "row_cnt", "total_price")
 
 
+# --- schema-evolution round trip (S6 extension): a table written by
+# two producer generations (v1 has n_chars_v1, v2 replaced it with
+# source_v2) must read back as ONE relation with the union schema and
+# nulls where a generation lacked the column — Spark's mergeSchema
+# footer union, the mechanism that lets a 100 TB lake table evolve
+# without rewriting history. The oracle derives the same
+# union-with-nulls from the source columns, so the driver's hash
+# compare proves the two-generation write/merge-read cycle is lossless
+# AND null-exact.
+@query(
+    "schema_evolution_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(n_chars AS BIGINT) END AS n_chars_v1,
+           CASE WHEN doc_id % 2 = 1 THEN source END AS source_v2
+    FROM documents
+    """,
+)
+def schema_evolution_roundtrip(spark, sf_dir):
+    import tempfile
+
+    docs = table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="schema_evo_")
+    docs.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.col("n_chars").alias("n_chars_v1")
+    ).write.mode("overwrite").parquet(out)
+    docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.col("source").alias("source_v2")
+    ).write.mode("append").parquet(out)
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return back.select("doc_id", "n_chars_v1", "source_v2")
+
+
 # --- bucketed co-located join (S6 extension): write BOTH fact tables
 # hash-bucketed on the join key, then sort-merge-join them from the
 # catalog with ZERO Exchange on either side — the layout a recurring
