@@ -137,6 +137,7 @@ def test_showcase_window_completes_official_coverage():
         "approx_quantile_summary",
         "multimodal_payload_dedup",
         "schema_evolution_roundtrip",
+        "events_json_corrupt_audit",
         # plan changed in r10 (in-kernel diverse keep policy, shared
         # _distortion_report, factored _register_knn_recall) —
         # results unchanged, re-proven anyway

@@ -82,6 +82,49 @@ def events_json_extract(spark, sf_dir):
     )
 
 
+# --- malformed-record audit: PERMISSIVE from_json with a corrupt-record
+# column — the quarantine pattern a production ingest runs so one bad
+# producer can't fail the pipeline OR silently vanish. Corrupt rows are
+# constructed BY DESIGN (every event_id % 10 == 0 props gets a leading
+# byte that breaks the JSON — trailing garbage would NOT: Spark's
+# parser accepts a complete value with trailing bytes, measured), so
+# the oracle knows exactly which rows quarantine without parsing them.
+@query(
+    "events_json_corrupt_audit",
+    oracle="""
+    SELECT CAST(COUNT(*) FILTER (WHERE event_id % 10 != 0) AS BIGINT) AS n_valid,
+           CAST(COUNT(*) FILTER (WHERE event_id % 10 = 0) AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN event_id % 10 != 0
+                    THEN CAST(json_extract_string(props, '$.k') AS INT) END)
+                AS BIGINT) AS sum_k_valid
+    FROM events
+    """,
+)
+def events_json_corrupt_audit(spark, sf_dir):
+    """One pass: parse-or-quarantine via columnNameOfCorruptRecord
+    (valid rows land typed, corrupt rows keep their raw string), then a
+    single aggregate counts both classes and sums k over the valid
+    side only — proving corrupt rows are excluded from metrics, not
+    nulled into them."""
+    ev = table(spark, sf_dir, "events")
+    corrupted = F.when(
+        F.col("event_id") % 10 == 0, F.concat(F.lit("x"), F.col("props"))
+    ).otherwise(F.col("props"))
+    parsed = ev.select(
+        F.from_json(
+            corrupted,
+            "k INT, _corrupt_record STRING",
+            {"columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("p")
+    )
+    bad = F.col("p._corrupt_record").isNotNull()
+    return parsed.agg(
+        F.count(F.when(~bad, 1)).cast("bigint").alias("n_valid"),
+        F.count(F.when(bad, 1)).cast("bigint").alias("n_corrupt"),
+        F.sum(F.when(~bad, F.col("p.k"))).cast("bigint").alias("sum_k_valid"),
+    )
+
+
 # --- gap-based sessionization (30-min inactivity gap per user), batch
 # twin of F.session_window; per-session rollup.
 @query(

@@ -522,7 +522,9 @@ def documents_stream_dedup_status(spark, sf_dir):
         checkpoint_dir=tempfile.mkdtemp(prefix="ck_docs_exact_"),
     ).withColumn("_exact", F.lit(1))
 
-    ne = shingle_rows(sdocs, "doc_id", "text", 3).withColumnRenamed("shingle", "g")
+    ne = shingle_rows(sdocs.repartition(32), "doc_id", "text", 3).withColumnRenamed(
+        "shingle", "g"
+    )
     inter_stream = (
         ne.select(F.col("doc_id").alias("nid"), "g")
         .join(cke.hint("merge"), "g")
