@@ -117,7 +117,14 @@ def main() -> None:
     spark.range(1_000_000).select(F.sum("id")).collect()
     spark.range(64).repartition(8).mapInPandas(lambda it: it, "id long").count()
 
-    to_time = ["knn_ivf", "semantic_dedup_representatives", "semantic_dedup_diverse_reps"]
+    to_time = [
+        "knn_ivf",
+        "semantic_dedup_representatives",
+        "semantic_dedup_diverse_reps",
+        # r10: ingestion-time dedup (stream assign + stream-static
+        # within-cell cosine) — measured 4.0/4.3/15.3s x1/x10/x100
+        "embeddings_stream_dedup_status",
+    ]
     report: dict[str, dict] = {q: {} for q in to_time}
     report["semdedup_candidate_pairs"] = {}
 

@@ -856,30 +856,41 @@ def knn_ivfpq(spark, sf_dir):
     """IVF-probe + asymmetric PQ scoring, top-5 per query.
 
     Plan shape: `pq_reconstruct` decodes the candidate side in ONE
-    Arrow map stage with the block codebooks in closure (no join to
-    any codebook relation); the probe list and the 10-row float query
-    side broadcast; the candidate⋈reconstruction join keys on vec_id
-    within the probed cells only. Scoring of (query × reconstruction)
-    uses the same rounded sequential-fold cosine as knn_ivf so ranks
-    tie-break identically cross-engine. Recall vs the uncompressed
-    index is measured by `ann_ivfpq_recall` — the go/no-go number for
-    serving 4-byte codes instead of floats."""
-    from udacity_dend_capstone_immigration_spark.functions.vectors import (
-        cosine_similarity,
-    )
+    Arrow map stage chained onto the assignment scan (block codebooks
+    in closure — no join to any codebook relation, and `cell` rides
+    through so candidate routing needs no separate assign join); the
+    probe list and the 10-row float query side broadcast. Scoring of
+    (query × reconstruction) uses the same rounded sequential-fold
+    cosine as knn_ivf so ranks tie-break identically cross-engine
+    (`_ivfpq_topk`, shared with the residual variant). Recall vs the
+    uncompressed index is measured by `ann_ivfpq_recall` — the
+    go/no-go number for serving 4-byte codes instead of floats."""
     from udacity_dend_capstone_immigration_spark.operators.similarity import (
         assign_nearest_arrow,
         pq_reconstruct,
     )
-    from udacity_dend_capstone_immigration_spark.operators.topk import top_k_per_group
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    sim_to_cent = _probe_sim()
     cents, cb = _ivf_train(emb)
-    assign = assign_nearest_arrow(emb, cb, "vec_id")
-    recon = pq_reconstruct(emb, _pq_codebooks(emb)).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("r")
+    assign = assign_nearest_arrow(emb, cb, "vec_id", keep_embedding=True)
+    recon = pq_reconstruct(assign, _pq_codebooks(emb), passthrough=("cell",)).select(
+        F.col("vec_id").alias("neighbor_id"), "r", "cell"
     )
+    return _ivfpq_topk(emb, cents, recon)
+
+
+def _ivfpq_topk(emb, cents, recon):
+    """Shared IVF-PQ serving tail: NPROBE nearest cells per query
+    (vec_id < 10) → candidates = ``recon`` rows in the probed cells →
+    rounded asymmetric cosine (full-precision query × reconstruction)
+    → top-5 with the registry tiebreak. ``recon`` must carry
+    (neighbor_id, r, cell)."""
+    from udacity_dend_capstone_immigration_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from udacity_dend_capstone_immigration_spark.operators.topk import top_k_per_group
+
+    sim_to_cent = _probe_sim()
     probes = top_k_per_group(
         emb.where(F.col("vec_id") < 10)
         .crossJoin(F.broadcast(cents))
@@ -888,17 +899,13 @@ def knn_ivfpq(spark, sf_dir):
         order_by=[F.desc("csim"), F.asc("cent_id")],
         k=_IVF_PROBE,
     ).select("query_id", F.col("cent_id").alias("cell"))
-    cand = (
-        probes.join(assign, "cell")
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-    )
     q = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     scored = (
-        cand.join(F.broadcast(q), "query_id")
-        .join(recon, "neighbor_id")
+        probes.join(recon, "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(q), "query_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -1065,50 +1072,20 @@ def embedding_pq_residual_distortion(spark, sf_dir):
 def knn_ivfpq_residual(spark, sf_dir):
     """knn_ivfpq with IVFADC residual decode: asymmetric scoring of the
     full-precision query against centroid(cell) + residual-codeword —
-    same probes, same 4 bytes/vector served, reconstruction now one
-    extra IEEE add per element inside the same Arrow decode stage."""
-    from udacity_dend_capstone_immigration_spark.functions.vectors import (
-        cosine_similarity,
-    )
+    same probes (shared `_ivfpq_topk` tail), same 4 bytes/vector
+    served, reconstruction now one extra IEEE add per element inside
+    the same Arrow decode stage."""
     from udacity_dend_capstone_immigration_spark.operators.similarity import (
         pq_reconstruct,
     )
-    from udacity_dend_capstone_immigration_spark.operators.topk import top_k_per_group
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    sim_to_cent = _probe_sim()
     frame, cents = _residual_frame(spark, sf_dir, keep_orig=False)
     rcbs = _pq_codebooks(frame.select("vec_id", "embedding"))
     recon = pq_reconstruct(
         frame, rcbs, center_col="cent_emb", passthrough=("cell",)
     ).select(F.col("vec_id").alias("neighbor_id"), "r", "cell")
-    probes = top_k_per_group(
-        emb.where(F.col("vec_id") < 10)
-        .crossJoin(F.broadcast(cents))
-        .select(F.col("vec_id").alias("query_id"), "cent_id", sim_to_cent.alias("csim")),
-        partition_by=["query_id"],
-        order_by=[F.desc("csim"), F.asc("cent_id")],
-        k=_IVF_PROBE,
-    ).select("query_id", F.col("cent_id").alias("cell"))
-    q = emb.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    scored = (
-        probes.join(recon, "cell")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .join(F.broadcast(q), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_similarity(F.col("q_emb"), F.col("r")), 6).alias("cosine_sim"),
-        )
-    )
-    return top_k_per_group(
-        scored,
-        partition_by=["query_id"],
-        order_by=[F.desc("cosine_sim"), F.asc("neighbor_id")],
-        k=5,
-    )
+    return _ivfpq_topk(emb, cents, recon)
 
 
 # --- nprobe tuning curve: recall@5 AND candidate count per probe
