@@ -749,6 +749,38 @@ def bucketed_join_roundtrip(spark, sf_dir):
     )
 
 
+# --- ORC sink round trip: the partitioned-parquet roundtrip's twin on
+# the OTHER bundled columnar format (the interchange format for
+# Hive/Trino-resident consumers — sources/writers.py:write_orc shares
+# the guardrail+compaction path). Same oracle discipline: the oracle
+# states the aggregate, so the hash compare proves the ORC write/read
+# cycle lossless including the partition-column round trip.
+@query(
+    "orc_write_roundtrip",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS order_cnt,
+           {sql_dsum("o_totalprice", "total_price")}
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+    """,
+)
+def orc_write_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from udacity_dend_capstone_immigration_spark.sources.writers import write_orc
+
+    orders = table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("order_cnt"),
+        dsum(F.col("o_totalprice"), "total_price"),
+    )
+    out = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    write_orc(agg, out, partition_by=("o_orderstatus",))
+    back = spark.read.orc(out)
+    return back.select("o_orderpriority", "o_orderstatus", "order_cnt", "total_price")
+
+
 # --- sketch path for 100 TB distinct counts: HLL approx_count_distinct.
 # Sketch VALUES are engine-specific (DuckDB can't reproduce Spark's HLL),
 # so the query is made self-validating instead of rows-only: it emits the
