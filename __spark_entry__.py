@@ -22,7 +22,7 @@ FLAGSHIP = "top_nations_by_orders"
 
 #: The driver's CORRECTNESS record keeps only the first 50 entries of
 #: ``queries()``. This round-10 window completes the rotation the r9
-#: verdict scheduled: (a) the eighteen queries NEW this round
+#: verdict scheduled: (a) the nineteen queries NEW this round
 #: (`dedup_minhash_recall` — the MinHash-banding pair-recall audit —
 #: `knn_ivfpq` / `ann_ivfpq_recall` — the compressed IVF-PQ serving
 #: path and its recall audit — `bpe_train_merges` — the fixed-point
@@ -40,7 +40,8 @@ FLAGSHIP = "top_nations_by_orders"
 #: `multimodal_payload_dedup` binary-column dedup and the
 #: `schema_evolution_roundtrip` mergeSchema read and the
 #: `events_json_corrupt_audit` quarantine pattern and the
-#: `orc_write_roundtrip` second-format sink check) plus the six
+#: `orc_write_roundtrip` second-format sink check and the
+#: `events_salted_dim_join` skew guardrail) plus the six
 #: whose PLAN changed this round (`semantic_dedup_diverse_reps`:
 #: keep policy now emitted from the CC kernel;
 #: `embedding_int8_distortion` / `embedding_pq_distortion`: shared
@@ -48,7 +49,7 @@ FLAGSHIP = "top_nations_by_orders"
 #: `ann_lsh_recall` / `ann_lsh_multitable_recall`: re-registered via
 #: the factored `_register_knn_recall` helper) — results unchanged,
 #: re-proven anyway; (b) ALL 16 queries whose newest official row is
-#: r6 (the final stale tranche the r9 verdict listed); (c) 10 of the
+#: r6 (the final stale tranche the r9 verdict listed); (c) 9 of the
 #: r7-recorded tier as fill. After this window lands no query's newest
 #: official row is older than r7. Nothing is dropped — the remaining
 #: queries follow in registration order and stay green in the full
@@ -73,6 +74,7 @@ SHOWCASE = [
     "schema_evolution_roundtrip",
     "events_json_corrupt_audit",
     "orc_write_roundtrip",
+    "events_salted_dim_join",
     "semantic_dedup_diverse_reps",
     "embedding_int8_distortion",
     "embedding_pq_distortion",
@@ -106,7 +108,6 @@ SHOWCASE = [
     "port_name_split",
     "birth_year_validation",
     "invalid_label_to_na",
-    "distinct_counts_per_segment",
 ]
 
 

@@ -139,6 +139,7 @@ def test_showcase_window_completes_official_coverage():
         "schema_evolution_roundtrip",
         "events_json_corrupt_audit",
         "orc_write_roundtrip",
+        "events_salted_dim_join",
         # plan changed in r10 (in-kernel diverse keep policy, shared
         # _distortion_report, factored _register_knn_recall) —
         # results unchanged, re-proven anyway

@@ -432,3 +432,45 @@ def events_props_variant(spark, sf_dir):
             F.max("k").alias("k_max"),
         )
     )
+
+
+# --- salted dimension join: the deterministic skew guardrail as a
+# driver-checked query (the operator had only unit coverage). AQE's
+# skew-join splits oversized sort-merge partitions at runtime, but a
+# KNOWN hot key in a statically-planned or hash-partitioned join still
+# serializes; `salted_join` pre-spreads the large side by a full-row
+# xxhash64 salt and explodes the small side salt_buckets× — results
+# provably equal the plain join (the oracle IS the plain join). The
+# events extrapolation's hot-user corpus is the motivating shape; the
+# base testdata is uniform, so the query here proves equivalence and
+# the 10×/100× hot-key table in BASELINE.md proves the need.
+@query(
+    "events_salted_dim_join",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS event_cnt,
+           {sql_dsum("e.value", "total_value")}
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def events_salted_dim_join(spark, sf_dir):
+    from udacity_dend_capstone_immigration_spark.operators.skew import salted_join
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    # merge hint: salting only matters for SHUFFLE joins (a broadcast
+    # join never shuffles the large side, so it has no skew problem —
+    # and customer is SF-scaling, estimate-blind after the salt
+    # explode, so the static planner would happily broadcast it at any
+    # corpus size). Forcing SMJ exercises the shape the operator
+    # exists for.
+    dim = (
+        table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+        .hint("merge")
+    )
+    j = salted_join(ev, dim, "user_id", salt_buckets=8, row_id_col="event_id")
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("event_cnt"),
+        dsum(F.col("value"), "total_value"),
+    )
