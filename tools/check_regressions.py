@@ -1,0 +1,84 @@
+"""Regression check: a BENCH_r{N}.json against BASELINE.md's
+Current-records table.
+
+The r9 verdict's "What's wrong #3": every round re-derived bench
+comparability by hand from 600+ lines of append-only history. The
+Current-records table fixed where the data lives; this tool closes the
+loop — one command answers "did anything regress this round?" under
+the repo's protocol: a query regresses only if the new reading exceeds
+its recorded best by >25% (and single suite readings are themselves
+noisy — first-execution plan cost routinely reads 1.5-3x the min-of-3,
+so a flagged query means "run tools/time_query.py --reps 3 and
+disposition", not "it regressed").
+
+Usage: python tools/check_regressions.py BENCH_r10.json [more.json...]
+Exit 0 = nothing over threshold; 1 = at least one flag.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+from pathlib import Path
+
+THRESHOLD = 1.25
+BASELINE = Path(__file__).resolve().parent.parent / "BASELINE.md"
+
+
+def current_records() -> dict[str, tuple[float, str]]:
+    """query -> (record_sec, protocol) from the Current-records table."""
+    text = BASELINE.read_text()
+    m = re.search(r"## Current records.*?\n(\|.*?)(?:\n##|\n\Z)", text, re.S)
+    if not m:
+        raise SystemExit("no 'Current records' table in BASELINE.md")
+    out: dict[str, tuple[float, str]] = {}
+    for line in m.group(1).splitlines():
+        cells = [c.strip() for c in line.strip().strip("|").split("|")]
+        if len(cells) < 3 or cells[0] in ("headliner", "---"):
+            continue
+        try:
+            out[cells[0]] = (float(cells[1]), cells[2])
+        except ValueError:
+            continue
+    return out
+
+
+def main() -> None:
+    if len(sys.argv) < 2:
+        raise SystemExit(__doc__)
+    records = current_records()
+    flagged = 0
+    for path in sys.argv[1:]:
+        bench = json.loads(Path(path).read_text())
+        # driver BENCH_r{N}.json wraps bench.py's line under "parsed";
+        # a raw bench.py line has "queries" at top level
+        if "parsed" in bench:
+            bench = bench["parsed"]
+        queries = bench.get("queries", bench)
+        if not all(isinstance(v, (int, float)) for v in queries.values()):
+            raise SystemExit(f"{path}: could not locate the queries timing map")
+        print(f"== {path} vs Current records (threshold {THRESHOLD}x)")
+        for name, sec in queries.items():
+            rec = records.get(name)
+            if rec is None:
+                print(f"  NEW   {name:35s} {sec:7.2f}  (no record yet — add one)")
+                continue
+            ratio = sec / rec[0]
+            tag = "FLAG" if ratio > THRESHOLD else "ok"
+            if tag == "FLAG":
+                flagged += 1
+            print(
+                f"  {tag:5s} {name:35s} {sec:7.2f}  record {rec[0]:6.2f}"
+                f"  ({ratio:4.2f}x, {rec[1]})"
+            )
+    if flagged:
+        print(
+            f"\n{flagged} over threshold — min-of-3 each "
+            "(tools/time_query.py) and disposition in BASELINE.md"
+        )
+    sys.exit(1 if flagged else 0)
+
+
+if __name__ == "__main__":
+    main()
