@@ -1,11 +1,15 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
 Runs each headline query end-to-end (noop sink — full computation, no
-driver-side materialization) and prints ONE JSON line:
-``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+driver-side materialization), ``SPARK_GRAFT_BENCH_REPS`` (default 2)
+times each, and prints ONE JSON line with the per-query MIN:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ..., "reps": N, "wall_sec": ...}`` — min-of-reps makes the
+per-query numbers protocol-comparable with BASELINE.md's min-of-3
+records instead of noisy first-execution readings.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-SPARK_GRAFT_CPUS (default 32).
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_REPS (default 2).
 """
 
 from __future__ import annotations
@@ -177,12 +181,26 @@ def main() -> None:
     # warmup emits no swallowed ERROR stack
     read_events(spark, sf_dir).limit(1).count()
 
+    # Min-of-REPS per headliner (r10 verdict "What's wrong #3"): a
+    # single reading is 1.25-1.55x the min-of-3 protocol the records
+    # table uses (first-execution planning/codegen + suite JIT/GC
+    # state), so single-run BENCH numbers generated a recurring
+    # flag-triage tax every round. Two back-to-back executions of the
+    # same plan make the reported number protocol-comparable with the
+    # records at 2x suite wall-clock; wall_sec keeps the all-reps total.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
+    wall0 = time.time()
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+    wall = round(time.time() - wall0, 3)
 
     total = round(sum(timings.values()), 3)
     # Drain streaming machinery BEFORE spark.stop(): availableNow queries
@@ -211,6 +229,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": reps,
+                "wall_sec": wall,
             }
         ),
         flush=True,

@@ -6,10 +6,10 @@ comparability by hand from 600+ lines of append-only history. The
 Current-records table fixed where the data lives; this tool closes the
 loop — one command answers "did anything regress this round?" under
 the repo's protocol: a query regresses only if the new reading exceeds
-its recorded best by >25% (and single suite readings are themselves
-noisy — first-execution plan cost routinely reads 1.5-3x the min-of-3,
-so a flagged query means "run tools/time_query.py --reps 3 and
-disposition", not "it regressed").
+its recorded best by >25%. Since r11 bench.py reports min-of-2 per
+headliner (SPARK_GRAFT_BENCH_REPS), so a FLAG is a real signal worth a
+standalone min-of-3 (tools/time_query.py) — not the old single-reading
+noise, where first-execution plan cost routinely read 1.5-3x the min.
 
 Usage: python tools/check_regressions.py BENCH_r10.json [more.json...]
 Exit 0 = nothing over threshold; 1 = at least one flag.

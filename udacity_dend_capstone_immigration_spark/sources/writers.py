@@ -117,7 +117,7 @@ def write_bucketed(
     persists that agreement in the catalog: two tables bucketed on
     their join key with the SAME bucket count sort-merge-join with ZERO
     Exchange on either side (each scan task reads exactly one bucket;
-    only post-join aggregation exchanges). `tests/test_bucketed.py`
+    only post-join aggregation exchanges). `tests/test_bucketing.py`
     pins that plan shape.
 
     The input is repartitioned to exactly ``num_buckets`` partitions on

@@ -92,9 +92,9 @@ def events_json_extract(spark, sf_dir):
 @query(
     "events_json_corrupt_audit",
     oracle="""
-    SELECT CAST(COUNT(*) FILTER (WHERE event_id % 10 != 0) AS BIGINT) AS n_valid,
-           CAST(COUNT(*) FILTER (WHERE event_id % 10 = 0) AS BIGINT) AS n_corrupt,
-           CAST(SUM(CASE WHEN event_id % 10 != 0
+    SELECT CAST(COUNT(*) FILTER (WHERE event_id % 10 != 0 AND props IS NOT NULL) AS BIGINT) AS n_valid,
+           CAST(COUNT(*) FILTER (WHERE event_id % 10 = 0 OR props IS NULL) AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN event_id % 10 != 0 AND props IS NOT NULL
                     THEN CAST(json_extract_string(props, '$.k') AS INT) END)
                 AS BIGINT) AS sum_k_valid
     FROM events
@@ -105,7 +105,11 @@ def events_json_corrupt_audit(spark, sf_dir):
     (valid rows land typed, corrupt rows keep their raw string), then a
     single aggregate counts both classes and sums k over the valid
     side only — proving corrupt rows are excluded from metrics, not
-    nulled into them."""
+    nulled into them. A NULL payload parses to a NULL struct (no
+    _corrupt_record to inspect), so missing-payload rows are classified
+    corrupt too — otherwise a NULL props on a %10==0 row would count
+    valid here while the construction-based oracle counts it corrupt
+    (r10 ADVICE)."""
     ev = table(spark, sf_dir, "events")
     corrupted = F.when(
         F.col("event_id") % 10 == 0, F.concat(F.lit("x"), F.col("props"))
@@ -117,7 +121,7 @@ def events_json_corrupt_audit(spark, sf_dir):
             {"columnNameOfCorruptRecord": "_corrupt_record"},
         ).alias("p")
     )
-    bad = F.col("p._corrupt_record").isNotNull()
+    bad = F.col("p._corrupt_record").isNotNull() | F.col("p").isNull()
     return parsed.agg(
         F.count(F.when(~bad, 1)).cast("bigint").alias("n_valid"),
         F.count(F.when(bad, 1)).cast("bigint").alias("n_corrupt"),

@@ -216,7 +216,7 @@ def multimodal_features(spark, sf_dir):
     WITH m AS (
         SELECT doc_id AS media_id, text FROM documents
         UNION ALL
-        SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        SELECT doc_id + 100001, text FROM documents WHERE doc_id % 10 = 0
     )
     SELECT md5(text) AS fingerprint,
            CAST(COUNT(*) AS BIGINT) AS n_copies,
@@ -234,8 +234,12 @@ def multimodal_payload_dedup(spark, sf_dir):
     )
 
     docs = table(spark, sf_dir, "documents")
+    # +100001, not +100000: (100000*7)%500 == 0, so a +100000 offset
+    # would leave the copy's derived height EQUAL to the original's and
+    # dims-invariance would ride on width alone (r10 ADVICE); the odd
+    # offset perturbs height by 7 mod 500 for every copy
     copies = docs.where(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (F.col("doc_id") + 100001).alias("doc_id"),
         "text",
         F.lit(223).alias("n_chars"),  # width = 224 after the %1000+1 derive
     )

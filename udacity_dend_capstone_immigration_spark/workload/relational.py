@@ -694,7 +694,7 @@ def schema_evolution_roundtrip(spark, sf_dir):
 # bucketing every run re-shuffles both tables). The oracle states the
 # join aggregate over the ORIGINAL parquet, so the driver's hash
 # compare proves the bucketed write/read/join cycle is lossless;
-# tests/test_bucketed.py pins the shuffle-free plan shape (one
+# tests/test_bucketing.py pins the shuffle-free plan shape (one
 # Exchange total — the post-join aggregation — and both scans
 # `Bucketed: true`). The merge hints force the 100 TB plan at test SFs
 # too, where Catalyst would otherwise broadcast the small side.
@@ -711,29 +711,36 @@ def schema_evolution_roundtrip(spark, sf_dir):
 )
 def bucketed_join_roundtrip(spark, sf_dir):
     import tempfile
+    import uuid
 
     from udacity_dend_capstone_immigration_spark.sources.writers import write_bucketed
 
     n_buckets = 8
     root = tempfile.mkdtemp(prefix="bucketed_join_")
+    # per-run table names (like the streaming queries' query names):
+    # fixed names with a fresh mkdtemp path per invocation would orphan
+    # the previous external location on every re-run and race two
+    # concurrent sessions sharing a warehouse on the catalog entries
+    uid = uuid.uuid4().hex[:8]
+    ot, lt = f"bt_orders_{uid}", f"bt_lineitem_{uid}"
     write_bucketed(
         table(spark, sf_dir, "orders"),
-        "bt_orders",
-        f"{root}/bt_orders",
+        ot,
+        f"{root}/{ot}",
         bucket_by=("o_orderkey",),
         num_buckets=n_buckets,
         sort_by=("o_orderkey",),
     )
     write_bucketed(
         table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice"),
-        "bt_lineitem",
-        f"{root}/bt_lineitem",
+        lt,
+        f"{root}/{lt}",
         bucket_by=("l_orderkey",),
         num_buckets=n_buckets,
         sort_by=("l_orderkey",),
     )
-    o = spark.table("bt_orders")
-    li = spark.table("bt_lineitem")
+    o = spark.table(ot)
+    li = spark.table(lt)
     return (
         o.hint("merge")
         .join(li.hint("merge"), o["o_orderkey"] == li["l_orderkey"])
