@@ -1,0 +1,140 @@
+"""Persist-and-serve ANN index: the faiss train-once/serve-many
+contract (r10 verdict "What's missing #1"). The build writes the
+trained IVF centroids, PQ codebooks and per-vector codes as tables;
+serving reads ONLY those plus the query vectors — these tests pin the
+no-training serving plan and the encode→decode == reconstruct
+equivalence the shared oracle relies on.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from udacity_dend_capstone_immigration_spark.operators.similarity import (
+    Codebook,
+    pq_decode_codes,
+    pq_encode,
+    pq_reconstruct,
+)
+from udacity_dend_capstone_immigration_spark.workload import vectors as V
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark):
+    return V.served_index_dir(spark, SF_DIR)
+
+
+def test_build_writes_all_three_relations(spark, index_dir):
+    cents = spark.read.parquet(f"{index_dir}/ivf_centroids")
+    books = spark.read.parquet(f"{index_dir}/pq_codebooks")
+    codes = spark.read.parquet(f"{index_dir}/pq_codes")
+    assert set(cents.columns) == {"cent_id", "cent_emb"}
+    assert set(books.columns) == {"block", "code", "codeword"}
+    assert {"vec_id", "codes", "cell", "cell_pt"} <= set(codes.columns)
+    n_emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert codes.count() == n_emb
+    # cell-partitioned layout on disk: one directory per coarse cell
+    cells = [r["cell_pt"] for r in codes.select("cell_pt").distinct().collect()]
+    assert len(cells) >= 2
+    # data column survives with its exact type (partition inference
+    # would have re-typed a partition-only cell column)
+    assert dict(codes.dtypes)["cell"] == "bigint"
+
+
+def test_served_index_dir_caches_per_sf(spark, index_dir):
+    assert V.served_index_dir(spark, SF_DIR) == index_dir
+
+
+def test_encode_decode_equals_reconstruct(spark):
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(50)
+    )
+    cbs = V._pq_codebooks(emb)
+    direct = {
+        r["vec_id"]: r["r"] for r in pq_reconstruct(emb, cbs).collect()
+    }
+    decoded = {
+        r["vec_id"]: r["r"]
+        for r in pq_decode_codes(pq_encode(emb, cbs), cbs).collect()
+    }
+    assert direct == decoded  # bit-exact, not approximate
+
+
+def test_decode_handles_noncontiguous_code_ids():
+    # a training pass that empties a cell drops its id — decode must
+    # gather by ID, not by position
+    cb = Codebook([(0, [1.0, 0.0]), (5, [0.0, 1.0]), (9, [1.0, 1.0])])
+    import numpy as np
+
+    rows = np.searchsorted(cb.ids, np.array([9, 0, 5]))
+    assert list(cb.ids[rows]) == [9, 0, 5]
+
+
+def test_serving_plan_reads_only_index_and_queries(spark, index_dir):
+    from udacity_dend_capstone_immigration_spark.workload import QUERIES
+
+    df = QUERIES["knn_ivfpq_served"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the only corpus-sized work is the codes scan + one Arrow decode
+    assert plan.count("MapInPandas") == 1
+    # no training/encoding shapes: training collects eagerly (never in
+    # a plan), and an in-plan corpus encode would show as a second
+    # MapInPandas over an embeddings scan; no explode-based centroid
+    # aggregation either
+    assert "Generate" not in plan
+    assert "ExistingRDD" not in plan
+    # every embeddings.parquet scan is the bounded query side with the
+    # vec_id < 10 predicate pushed to the reader — the float corpus is
+    # never scanned at serve time
+    for line in plan.splitlines():
+        if "FileScan" in line and "embeddings.parquet" in line:
+            assert "vec_id" in line and "10" in line, line
+    # and the persisted index is what the plan reads
+    assert "pq_codes" in plan and "ivf_centroids" in plan
+
+
+def test_served_equals_inline_ivfpq(spark):
+    from udacity_dend_capstone_immigration_spark.workload import QUERIES
+
+    served = {
+        tuple(r)
+        for r in QUERIES["knn_ivfpq_served"](spark, SF_DIR)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+        .collect()
+    }
+    inline = {
+        tuple(r)
+        for r in QUERIES["knn_ivfpq"](spark, SF_DIR)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+        .collect()
+    }
+    assert served == inline
+
+
+def test_build_roundtrip_counts_match_assignment(spark, index_dir):
+    codes = spark.read.parquet(f"{index_dir}/pq_codes")
+    per_cell = {
+        r["cell"]: r["n"]
+        for r in codes.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    _, cb = V._ivf_train(emb)
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        assign_nearest_arrow,
+    )
+
+    fresh = {
+        r["cell"]: r["n"]
+        for r in assign_nearest_arrow(emb, cb, "vec_id")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_cell == fresh

@@ -593,6 +593,100 @@ def pq_reconstruct(
     )
 
 
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    passthrough: tuple = (),
+) -> DataFrame:
+    """Product-quantization ENCODE as one Arrow map stage: per block,
+    assign the sub-vector to its nearest codeword (identical
+    squared-L2/round-6/lowest-id contract as :func:`pq_reconstruct`,
+    so encode→decode reproduces its reconstruction bit-for-bit) and
+    emit the CODE ids — ``codes`` is an array<long> of per-block
+    codeword ids (the ``Codebook.ids`` values, i.e. the same cell ids
+    the training oracle derives), NOT positional indices, so persisted
+    codes stay meaningful if a training pass drops an empty cell.
+
+    This is the persist half of the faiss train-once/serve-many
+    contract: at 100 TB the corpus is stored as blocks×1-byte-scale
+    codes (here long for schema simplicity; the information content is
+    log2(codes) bits per block), and the float vectors never ship to
+    the serving path."""
+    import numpy as np
+    import pandas as pd
+
+    bd = codebooks[0].mat.shape[1]
+    pass_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in passthrough
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            codes = np.empty((len(ids), len(codebooks)), dtype=np.int64)
+            for j, cb in enumerate(codebooks):
+                sub = mat[:, j * bd : (j + 1) * bd]
+                diffs = sub[:, None, :] - cb.mat[None, :, :]
+                d = np.einsum("ijk,ijk->ij", diffs, diffs)
+                np.round(d, 6, out=d)
+                codes[:, j] = cb.ids[np.argmin(d, axis=1)]
+            out = {id_col: ids, "codes": list(codes)}
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(encode, f"{id_col} long, codes array<long>{pass_schema}")
+
+
+def pq_decode_codes(
+    df: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    center_col: str | None = None,
+    passthrough: tuple = (),
+) -> DataFrame:
+    """Decode persisted PQ ``codes`` (from :func:`pq_encode`) back to
+    reconstructions in one Arrow map stage — the SERVE half of the
+    train-once/serve-many contract: no distance computation, just a
+    per-block id→codeword gather against the in-closure codebooks
+    (bytes, not relations), so a serving plan contains zero training
+    or encoding work. ``center_col`` adds the coarse centroid for
+    IVFADC residual decode, exactly as in :func:`pq_reconstruct`.
+    Emits (id, r array<double>[, passthrough])."""
+    import numpy as np
+    import pandas as pd
+
+    bd = codebooks[0].mat.shape[1]
+    pass_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in passthrough
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            r = np.empty((len(ids), bd * len(codebooks)), dtype=np.float64)
+            for j, cb in enumerate(codebooks):
+                # codes store Codebook ids (sorted ascending in cb.ids);
+                # searchsorted maps id -> row exactly
+                rows = np.searchsorted(cb.ids, codes[:, j])
+                r[:, j * bd : (j + 1) * bd] = cb.mat[rows]
+            if center_col is not None:
+                r = np.stack(pdf[center_col].to_numpy()).astype(np.float64) + r
+            out = {id_col: ids, "r": list(r)}
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(decode, f"{id_col} long, r array<double>{pass_schema}")
+
+
 def signbit_code(embedding: Column, num_bits: int) -> Column:
     """Deterministic LSH bucket code: concatenated sign bits of the first
     ``num_bits`` coordinates."""

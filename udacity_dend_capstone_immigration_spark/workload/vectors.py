@@ -930,6 +930,155 @@ ann_ivfpq_recall = _register_knn_recall(
 )
 
 
+# --- Persist-and-serve: the faiss train-once/serve-many contract the
+# r10 verdict named the most-hit production gap — every prior ANN query
+# re-trained the IVF (and PQ) codebooks inside the serving execution,
+# but a 100 TB store is queried far more often than it is built. The
+# index build writes THREE relations once:
+#   ivf_centroids  (cent_id, cent_emb)          — N_CELLS rows
+#   pq_codebooks   (block, code, codeword)      — blocks × codes rows
+#   pq_codes       (vec_id, codes, cell)        — one row per vector,
+#                  partitioned by cell (cell_pt) so a probe-routed scan
+#                  prunes to NPROBE/N_CELLS of the corpus on disk
+# and serving reads ONLY those plus the query vectors: no Lloyd pass,
+# no PQ training, no corpus-embedding scan anywhere in the serving
+# plan (tests/test_ann_index.py pins that). Codes are per-block
+# codeword IDS (not positions), so the persisted table stays decodable
+# if training drops an empty cell.
+def build_ivfpq_index(spark, sf_dir, out_dir: str) -> str:
+    """Train-and-persist an IVF-PQ index for the ``embeddings`` table:
+    same `_ivf_train` / `_pq_codebooks` training as `knn_ivfpq`, then
+    assignment + PQ encode chained into ONE Arrow corpus scan and three
+    `write_table` sinks. Returns ``out_dir``."""
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        assign_nearest_arrow,
+        pq_encode,
+    )
+    from udacity_dend_capstone_immigration_spark.sources.writers import write_table
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents, cb = _ivf_train(emb)
+    pq_cbs = _pq_codebooks(emb)
+    assigned = assign_nearest_arrow(emb, cb, "vec_id", keep_embedding=True)
+    codes = pq_encode(assigned, pq_cbs, passthrough=("cell",))
+    write_table(cents, f"{out_dir}/ivf_centroids")
+    books = spark.createDataFrame(
+        [
+            (j, int(cid), [float(x) for x in row])
+            for j, bcb in enumerate(pq_cbs)
+            for cid, row in zip(bcb.ids, bcb.mat)
+        ],
+        "block long, code long, codeword array<double>",
+    )
+    write_table(books, f"{out_dir}/pq_codebooks")
+    # cell_pt mirrors cell as the partition column so the data column
+    # keeps its exact long type on read-back (partition-value inference
+    # would re-type it) while the layout still prunes by cell
+    write_table(
+        codes.withColumn("cell_pt", F.col("cell")),
+        f"{out_dir}/pq_codes",
+        partition_by=["cell_pt"],
+    )
+    return out_dir
+
+
+def load_pq_codebooks(spark, path: str) -> list:
+    """Read a persisted ``pq_codebooks`` relation back into the
+    in-closure :class:`Codebook` list serving decodes against — a
+    blocks × _PQ_CODES bounded collect (the `MAX_CODEBOOK_ROWS`
+    contract raises if a caller points this at a corpus-scaled
+    relation)."""
+    from udacity_dend_capstone_immigration_spark.operators.similarity import Codebook
+
+    by_block: dict[int, list] = {}
+    for r in spark.read.parquet(path).collect():
+        by_block.setdefault(r["block"], []).append((r["code"], r["codeword"]))
+    return [Codebook(by_block[j]) for j in sorted(by_block)]
+
+
+#: per-process index cache (sf_dir -> built index dir): the driver runs
+#: each query in its own process (cold build there — measured as the
+#: build half of the BASELINE row), while bench/tests build once and
+#: serve many, the contract this tier exists to prove.
+_SERVED_INDEX: dict[str, str] = {}
+
+
+def served_index_dir(spark, sf_dir: str) -> str:
+    """Return a built index dir for ``sf_dir``, building on first use."""
+    import os
+    import tempfile
+
+    d = _SERVED_INDEX.get(sf_dir)
+    if d is None or not os.path.isdir(f"{d}/pq_codes"):
+        d = build_ivfpq_index(spark, sf_dir, tempfile.mkdtemp(prefix="ivfpq_index_"))
+        _SERVED_INDEX[sf_dir] = d
+    return d
+
+
+@query("knn_ivfpq_served", oracle=ORACLES["knn_ivfpq"])
+def knn_ivfpq_served(spark, sf_dir):
+    """IVF-PQ top-5 served FROM the persisted index: probes against the
+    read-back centroid relation, candidates from the cell-partitioned
+    codes table, reconstruction via `pq_decode_codes` (pure id→codeword
+    gather against the read-back codebooks — no distances, no
+    training). Results are bit-identical to `knn_ivfpq` (same oracle):
+    codes→codeword gather reproduces `pq_reconstruct`'s argmin choice
+    by construction, and float64 round-trips parquet exactly. The plan
+    never scans the corpus embeddings — the only embeddings.parquet
+    reads are the vec_id < 10 query side."""
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        pq_decode_codes,
+    )
+
+    idx = served_index_dir(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = spark.read.parquet(f"{idx}/ivf_centroids")
+    books = load_pq_codebooks(spark, f"{idx}/pq_codebooks")
+    codes = spark.read.parquet(f"{idx}/pq_codes").select("vec_id", "codes", "cell")
+    recon = pq_decode_codes(codes, books, passthrough=("cell",)).select(
+        F.col("vec_id").alias("neighbor_id"), "r", "cell"
+    )
+    return _ivfpq_topk(emb, cents, recon)
+
+
+@query(
+    "ann_index_build_roundtrip",
+    oracle=f"""
+    WITH n AS ({_NORMED}),
+    {_IVF_TRAIN_CTES},
+    {",".join(_pq_block_ctes(j) for j in range(_PQ_BLOCKS))},
+    allcodes AS ({" UNION ALL ".join(f"SELECT vec_id, cell AS code FROM a1{j}" for j in range(_PQ_BLOCKS))}),
+    csum AS (SELECT vec_id, SUM(code) AS code_sum FROM allcodes GROUP BY vec_id)
+    SELECT a.cell, CAST(COUNT(*) AS BIGINT) AS n_vec,
+           CAST(SUM(c.code_sum) AS BIGINT) AS code_checksum
+    FROM assign a JOIN csum c ON a.vec_id = c.vec_id
+    GROUP BY a.cell
+    """,
+)
+def ann_index_build_roundtrip(spark, sf_dir):
+    """Build the IVF-PQ index into a FRESH directory (exercising the
+    full train→encode→write path every invocation) and aggregate the
+    read-back codes table per cell; the oracle re-derives the same
+    per-cell counts and code checksums from the training CTEs, so the
+    driver's hash compare proves the persisted assignment AND codes
+    are exactly the trained ones — the build half of the
+    train-once/serve-many contract (`knn_ivfpq_served` proves the
+    serve half)."""
+    import tempfile
+
+    out = build_ivfpq_index(spark, sf_dir, tempfile.mkdtemp(prefix="ivfpq_build_"))
+    codes = spark.read.parquet(f"{out}/pq_codes")
+    code_sum = F.aggregate("codes", F.lit(0).cast("long"), lambda a, x: a + x)
+    return (
+        codes.select("cell", code_sum.alias("code_sum"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vec"),
+            F.sum("code_sum").cast("bigint").alias("code_checksum"),
+        )
+    )
+
+
 # --- IVFADC residual encoding: quantize v − centroid(cell) instead of
 # v (faiss IndexIVFPQ's actual encoding; Jégou et al. 2011 §IV). The
 # residual has the coarse cell's mean removed, so the 4-byte budget
