@@ -46,7 +46,9 @@ from udacity_dend_capstone_immigration_spark.workload import QUERIES
 #: Rotated r11: knn_ivfpq_served in (top-k from the PERSISTED IVF-PQ
 #: index — the warmup pre-builds it once, so this row is pure serve
 #: latency, the number a train-once/serve-many store actually pays
-#: per query); nothing out.
+#: per query) and bpe_encode_corpus in (the tokenizer train→encode
+#: loop closed — corpus token histogram under the trained merges);
+#: nothing out.
 #: Suite totals are NOT comparable across rotations — BASELINE.md
 #: records the discontinuity.
 HEADLINE = [
@@ -73,6 +75,7 @@ HEADLINE = [
     "knn_ivfpq",
     "documents_stream_dedup_status",
     "knn_ivfpq_served",
+    "bpe_encode_corpus",
 ]
 
 

@@ -68,3 +68,47 @@ def test_negative_sampling_pool_is_bounded(spark):
         out.groupBy("anchor_id").agg(F.count(F.lit(1)).alias("n")).collect()
     )
     assert counts and all(r["n"] <= _NEG_POOL for r in counts)
+
+
+def test_bpe_apply_merge_greedy_self_pair_run(spark):
+    # 'aaaa' + merge ('a','a') must consume greedily: 'aa','aa' — never
+    # 'aa','a','a' (odd-ranked island positions keep)
+    from udacity_dend_capstone_immigration_spark.workload.pretrain import bpe_apply_merge
+
+    words = spark.createDataFrame(
+        [("aaaa", 2, list("aaaa")), ("aaa", 1, list("aaa")), ("ba", 1, list("ba"))],
+        "term string, cnt bigint, syms array<string>",
+    )
+    out = {
+        r["term"]: r["syms"] for r in bpe_apply_merge(words, "a", "a").collect()
+    }
+    assert out["aaaa"] == ["aa", "aa"]
+    assert out["aaa"] == ["aa", "a"]
+    assert out["ba"] == ["b", "a"]
+
+
+def test_bpe_encode_applies_learned_merges(spark):
+    # every trained merged symbol must appear in the encoded histogram,
+    # and the total corpus character mass must be conserved
+    from udacity_dend_capstone_immigration_spark.workload.pretrain import (
+        _bpe_train,
+        tokenize,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    merges, words = _bpe_train(spark, docs)
+    enc = QUERIES["bpe_encode_corpus"](spark, SF_DIR)
+    toks = {r["token"] for r in enc.select("token").collect()}
+    merged_syms = {m[3] for m in merges}
+    # at least one learned merge survives as a whole token in the final
+    # vocab (later merges can consume earlier ones, so not necessarily all)
+    assert merged_syms & toks
+    char_mass = enc.select(
+        F.sum(F.length("token") * F.col("total_cnt")).alias("m")
+    ).first()["m"]
+    raw_mass = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("t"))
+        .select(F.sum(F.length("t")).alias("m"))
+        .first()["m"]
+    )
+    assert char_mass == raw_mass
