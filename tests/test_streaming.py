@@ -379,3 +379,26 @@ def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
     # hour-0 window closed with exactly the 2 on-time events; the late
     # event (id 3) was dropped, not re-emitted
     assert counts.get(0) == 2
+
+
+def test_stream_dedup_batch_finish_scan_count(spark):
+    # Pin the CHOSEN batch-finish shape (r11 A/B of r10's "What's wrong
+    # #2"): ONE documents.parquet scan in the final plan — the
+    # new-batch status base. The set-size table z is checkpointed (its
+    # za/zb consumers are different subtrees, so un-materialized it
+    # tokenized the full corpus TWICE — measured, 3 scans). The zero-
+    # rescan alternative (derive corpus sizes from a checkpointed
+    # UNCAPPED shingle index) measured 11% slower at the 100x corpus
+    # (159.6s vs 144.2s): materializing and re-exploding the
+    # mega-bucket lists costs more than one map-side-aggregating
+    # tokenize scan.
+    from udacity_dend_capstone_immigration_spark.workload import QUERIES
+
+    df = QUERIES["documents_stream_dedup_status"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan" in ln and "documents.parquet" in ln
+    ]
+    assert len(scans) == 1, plan

@@ -123,13 +123,21 @@ def run_available_now(
     query_name: str,
     output_mode: str = "complete",
     checkpoint_dir: str | None = None,
-    timeout_sec: int = 120,
+    timeout_sec: int | None = None,
 ) -> DataFrame:
     """Drain all available input into an in-memory table and return it.
 
     ``availableNow`` processes the backlog in (possibly many) micro-batches
     then stops — the batch-parity execution mode for finite inputs.
+
+    ``timeout_sec`` defaults to $SPARK_GRAFT_STREAM_DRAIN_TIMEOUT (else
+    120s) — the scaled-corpus extrapolation runs legitimately need
+    multi-minute drains that would be a hang at test SFs.
     """
+    import os
+
+    if timeout_sec is None:
+        timeout_sec = int(os.environ.get("SPARK_GRAFT_STREAM_DRAIN_TIMEOUT", "120"))
     writer = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)

@@ -481,7 +481,15 @@ def documents_stream_dedup_status(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % _INC_MOD == 0
 
-    # --- batch index build on the corpus partition
+    # --- batch index build on the corpus partition. NOTE (r11 A/B,
+    # closing r10 "What's wrong #2"): deriving the corpus set sizes
+    # from a checkpointed UNCAPPED (shingle, doc-list) frame — to avoid
+    # the second corpus tokenize in `z` below — measured 11% SLOWER at
+    # the 100x corpus (159.6s vs 144.2s, same session, same corpus):
+    # materializing the mega-bucket lists and re-exploding ~112M
+    # materialized pairs costs more than one tokenize+explode scan
+    # whose per-doc count aggregates map-side into |corpus| rows. The
+    # re-scan stays (CLAUDE.md: A/B before keeping).
     ce = shingle_rows(docs.where(~is_new), "doc_id", "text", 3).withColumnRenamed(
         "shingle", "g"
     )
@@ -538,11 +546,16 @@ def documents_stream_dedup_status(spark, sf_dir):
         checkpoint_dir=tempfile.mkdtemp(prefix="ck_docs_inter_"),
     )
 
-    # --- batch finish: Jaccard threshold + per-doc reduction + status
+    # --- batch finish: Jaccard threshold + per-doc reduction + status.
+    # z is eagerly checkpointed: za and zb are DIFFERENT downstream
+    # subtrees, so without it the full-corpus tokenize+explode executed
+    # twice (no exchange reuse across them — measured, 3 scans in the
+    # final plan); the materialization is |docs| tiny (doc_id, n) rows.
     z = (
         shingle_rows(docs, "doc_id", "text", 3)
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
     za = z.select(F.col("doc_id").alias("nid"), F.col("n").alias("na"))
     zb = z.select(F.col("doc_id").alias("cid"), F.col("n").alias("nb"))
