@@ -21,93 +21,87 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "top_nations_by_orders"
 
 #: The driver's CORRECTNESS record keeps only the first 50 entries of
-#: ``queries()``. This round-10 window completes the rotation the r9
-#: verdict scheduled: (a) the nineteen queries NEW this round
-#: (`dedup_minhash_recall` — the MinHash-banding pair-recall audit —
-#: `knn_ivfpq` / `ann_ivfpq_recall` — the compressed IVF-PQ serving
-#: path and its recall audit — `bpe_train_merges` — the fixed-point
-#: BPE trainer — `events_moving_agg_1h_expiry` — the hot-key
-#: arrival/expiry rewrite of the trailing RANGE frame —
-#: `bucketed_join_roundtrip` — the shuffle-free bucketed fact⋈fact
-#: layout — `documents_stream_dedup_status` — incremental text
-#: dedup at ingestion via stream-static joins —
-#: `embeddings_stream_dedup_status` — its embedding-tier twin — and the IVFADC
-#: residual-encoding tier `embedding_pq_residual_distortion` /
-#: `knn_ivfpq_residual` / `ann_ivfpq_residual_recall` — plus the
-#: `ann_ivf_nprobe_curve` speed/recall audit, the
-#: `langid_confusion` eval, and the self-validating
-#: `approx_quantile_summary` sketch audit and the
-#: `multimodal_payload_dedup` binary-column dedup and the
-#: `schema_evolution_roundtrip` mergeSchema read and the
-#: `events_json_corrupt_audit` quarantine pattern and the
-#: `orc_write_roundtrip` second-format sink check and the
-#: `events_salted_dim_join` skew guardrail) plus the six
-#: whose PLAN changed this round (`semantic_dedup_diverse_reps`:
-#: keep policy now emitted from the CC kernel;
-#: `embedding_int8_distortion` / `embedding_pq_distortion`: shared
-#: `_distortion_report` on dsum_expr primitives; `ann_ivf_recall` /
-#: `ann_lsh_recall` / `ann_lsh_multitable_recall`: re-registered via
-#: the factored `_register_knn_recall` helper) — results unchanged,
-#: re-proven anyway; (b) ALL 16 queries whose newest official row is
-#: r6 (the final stale tranche the r9 verdict listed); (c) 9 of the
-#: r7-recorded tier as fill. After this window lands no query's newest
-#: official row is older than r7. Nothing is dropped — the remaining
-#: queries follow in registration order and stay green in the full
-#: local gate.
+#: ``queries()``. Round-11 window, built by the ROLLING rotation rule
+#: (tests/test_registry.py): (a) the three queries NEW this round —
+#: `knn_ivfpq_served` / `ann_index_build_roundtrip` (the persisted
+#: train-once/serve-many IVF-PQ index: serve and build halves) and
+#: `bpe_encode_corpus` (the tokenizer train→encode loop closed);
+#: (b) PLAN_CHANGED — the five whose plan, oracle, or constructed
+#: result changed this round (NULL-payload quarantine semantics,
+#: height-perturbing payload-dedup copies, per-run bucketed table
+#: names, the z-checkpoint batch finish, the factored trainer) —
+#: results re-proven; (c) the ENTIRE r7 tranche (the oldest official
+#: rows); (d) four oldest-r8 fill. After this window lands no query's
+#: newest official row is older than r8 (pinned by the rolling
+#: staleness bound in tests/test_registry.py — current round minus 3).
 SHOWCASE = [
-    # NEW / plan-changed this round — prove first
-    "dedup_minhash_recall",
-    "knn_ivfpq",
-    "ann_ivfpq_recall",
-    "bpe_train_merges",
-    "events_moving_agg_1h_expiry",
+    # (a) new this round
+    "knn_ivfpq_served",
+    "ann_index_build_roundtrip",
+    "bpe_encode_corpus",
+    # (b) plan / oracle / constructed-result changed this round
+    "events_json_corrupt_audit",
+    "multimodal_payload_dedup",
     "bucketed_join_roundtrip",
     "documents_stream_dedup_status",
-    "embeddings_stream_dedup_status",
-    "embedding_pq_residual_distortion",
-    "knn_ivfpq_residual",
-    "ann_ivfpq_residual_recall",
-    "ann_ivf_nprobe_curve",
-    "langid_confusion",
-    "approx_quantile_summary",
-    "multimodal_payload_dedup",
-    "schema_evolution_roundtrip",
+    "bpe_train_merges",
+    # (c) the full r7 tranche (oldest official rows)
+    "distinct_counts_per_segment",
+    "dedup_exact_rows",
+    "table_row_counts",
+    "sql_revenue_by_priority",
+    "approx_distinct_summary",
+    "regional_supplier_revenue",
+    "orders_column_profile",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_effect",
+    "lineitem_price_qty_corr",
+    "text_quality_scores",
+    "token_stats_by_source",
+    "dedup_simhash",
+    "token_counts_bpe_ish",
+    "doc_winnowing_fingerprints",
+    "doc_trigram_lm",
+    "doc_feature_hashing",
+    "doc_chunk_windows",
+    "doc_lm_likelihood",
+    "source_token_divergence",
+    "events_sliding_2h",
+    "events_json_extract",
+    "events_cep_triples",
+    "multimodal_resize",
+    "tpch_q4_late_order_priority",
+    "tpch_q7_nation_trade_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_profit_by_nation_year",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_by_shipcat",
+    "tpch_q13_order_count_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_bracketed_revenue",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_idle_customer_balance",
+    # (d) oldest-r8 fill
+    "doc_tfidf_top_terms",
+    "knn_lsh_bucketed",
+    "label_centroids",
+    "centroid_classifier_confusion",
+]
+
+#: Queries whose plan, oracle, or constructed result changed THIS round
+#: (beyond brand-new ones, which tests/test_registry.py derives as
+#: "registered but no official row yet"). The rolling rotation test
+#: asserts these sit inside the window so changed behavior always gets
+#: an official row the round it ships. Update per round.
+PLAN_CHANGED = [
     "events_json_corrupt_audit",
-    "orc_write_roundtrip",
-    "events_salted_dim_join",
-    "semantic_dedup_diverse_reps",
-    "embedding_int8_distortion",
-    "embedding_pq_distortion",
-    "ann_ivf_recall",
-    "ann_lsh_recall",
-    "ann_lsh_multitable_recall",
-    # final r6-stale tranche (r9 verdict item 2)
-    "immigration_etl_fact",
-    "immigration_etl_city_demographics",
-    "partitioned_write_roundtrip",
-    "events_stream_sink_roundtrip",
-    "events_stream_transitions",
-    "events_stream_click_attribution",
-    "events_stream_enriched",
-    "events_stream_dedup",
-    "events_stream_stateful_totals",
-    "events_stream_sliding",
-    "events_stream_hourly",
-    "events_stream_sessions",
-    "multimodal_decode",
-    "knn_brute_force_arrow",
-    "knn_brute_force",
-    "embedding_near_dup",
-    # r7 tier fill (oldest-first)
-    "top_parts_by_quantity",
-    "top_nations_building_segment",
-    "customers_without_orders",
-    "filter_sql_predicate",
-    "regex_clean_types",
-    "sas_date_convert",
-    "port_name_split",
-    "birth_year_validation",
-    "invalid_label_to_na",
+    "multimodal_payload_dedup",
+    "bucketed_join_roundtrip",
+    "documents_stream_dedup_status",
+    "bpe_train_merges",
 ]
 
 
