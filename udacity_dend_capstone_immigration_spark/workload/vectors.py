@@ -945,18 +945,21 @@ ann_ivfpq_recall = _register_knn_recall(
 # plan (tests/test_ann_index.py pins that). Codes are per-block
 # codeword IDS (not positions), so the persisted table stays decodable
 # if training drops an empty cell.
-def build_ivfpq_index(spark, sf_dir, out_dir: str) -> str:
-    """Train-and-persist an IVF-PQ index for the ``embeddings`` table:
-    same `_ivf_train` / `_pq_codebooks` training as `knn_ivfpq`, then
-    assignment + PQ encode chained into ONE Arrow corpus scan and three
-    `write_table` sinks. Returns ``out_dir``."""
+def build_ivfpq_index(spark, sf_dir, out_dir: str, emb=None) -> str:
+    """Train-and-persist an IVF-PQ index for the ``embeddings`` table
+    (or an explicit ``emb`` (vec_id, embedding) frame — the append
+    roundtrip builds on a corpus partition): same `_ivf_train` /
+    `_pq_codebooks` training as `knn_ivfpq`, then assignment + PQ
+    encode chained into ONE Arrow corpus scan and three `write_table`
+    sinks. Returns ``out_dir``."""
     from udacity_dend_capstone_immigration_spark.operators.similarity import (
         assign_nearest_arrow,
         pq_encode,
     )
     from udacity_dend_capstone_immigration_spark.sources.writers import write_table
 
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if emb is None:
+        emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents, cb = _ivf_train(emb)
     pq_cbs = _pq_codebooks(emb)
     assigned = assign_nearest_arrow(emb, cb, "vec_id", keep_embedding=True)
@@ -980,6 +983,35 @@ def build_ivfpq_index(spark, sf_dir, out_dir: str) -> str:
         partition_by=["cell_pt"],
     )
     return out_dir
+
+
+def append_to_ivfpq_index(spark, new_emb, index_dir: str) -> None:
+    """Ingest NEW vectors into a persisted index WITHOUT retraining:
+    assign cells against the read-back (frozen) coarse centroids, PQ-
+    encode against the read-back block codebooks — both one chained
+    Arrow scan over the batch only — and APPEND the codes rows to the
+    cell-partitioned table. This is the vector-store ingestion shape:
+    codebooks are immutable index artifacts (drift is an offline
+    rebuild decision), so per-batch cost is O(batch), never O(corpus),
+    and serving picks the new rows up with zero plan changes."""
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        Codebook,
+        assign_nearest_arrow,
+        pq_encode,
+    )
+    from udacity_dend_capstone_immigration_spark.sources.writers import write_table
+
+    cents_rows = spark.read.parquet(f"{index_dir}/ivf_centroids").collect()
+    cb = Codebook([(r["cent_id"], r["cent_emb"]) for r in cents_rows])
+    books = load_pq_codebooks(spark, f"{index_dir}/pq_codebooks")
+    assigned = assign_nearest_arrow(new_emb, cb, "vec_id", keep_embedding=True)
+    codes = pq_encode(assigned, books, passthrough=("cell",))
+    write_table(
+        codes.withColumn("cell_pt", F.col("cell")),
+        f"{index_dir}/pq_codes",
+        partition_by=["cell_pt"],
+        mode="append",
+    )
 
 
 def load_pq_codebooks(spark, path: str) -> list:
@@ -1074,6 +1106,117 @@ def ann_index_build_roundtrip(spark, sf_dir):
         .groupBy("cell")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_vec"),
+            F.sum("code_sum").cast("bigint").alias("code_checksum"),
+        )
+    )
+
+
+def _pq_encode_cte(j: int, src: str) -> str:
+    """Oracle CTE pair encoding ``src`` (vec_id, embedding) rows against
+    the ALREADY-TRAINED block-``j`` codebook ``pqce{j}`` (from
+    `_pq_block_ctes`) — the append path's frozen-codebook encode."""
+    lo = j * _PQ_DIM
+    d0 = (
+        f"round(list_sum(list_transform(generate_series(1, {_PQ_DIM}),"
+        " i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))), 6)"
+    )
+    return f"""
+    nsub{j} AS (
+        SELECT vec_id, list_transform(list_slice(embedding, {lo + 1}, {lo + _PQ_DIM}),
+                                      x -> CAST(x AS DOUBLE)) AS sv
+        FROM {src}
+    ),
+    nenc{j} AS (
+        SELECT vec_id, cell FROM (
+            SELECT s.vec_id, c.cent_id AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                      ORDER BY {d0} ASC, c.cent_id ASC) AS rn
+            FROM nsub{j} s JOIN pqce{j} c ON TRUE
+        ) WHERE rn = 1
+    )"""
+
+
+# --- index APPEND: ingest a new batch into the persisted index with
+# the codebooks FROZEN (faiss `add` semantics): assign + encode the
+# batch against the read-back centroids/codebooks — O(batch) Arrow
+# work, no retraining, no corpus scan — and append the codes rows to
+# the cell-partitioned table. The corpus/new split mirrors
+# `embeddings_stream_dedup_status` (vec_id % 7), and the oracle trains
+# on the corpus partition ONLY, then encodes the new batch against
+# those trained codebooks — so the hash compare proves the appended
+# codes are exactly what the frozen index assigns them.
+_APPEND_NCSIM = (
+    "round(list_sum(list_transform(generate_series(1, 64),"
+    " i -> nn.v[i] * ce.cv[i])) / (nn.nrm * ce.cnrm), 6)"
+)
+
+
+@query(
+    "ann_index_append_roundtrip",
+    oracle=f"""
+    WITH allv AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM allv WHERE vec_id % 7 != 0),
+    {_IVF_TRAIN_CTES},
+    nn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+           FROM allv WHERE vec_id % 7 = 0),
+    nassign AS (
+        SELECT vec_id, cent_id AS cell FROM (
+            SELECT nn.vec_id, ce.cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY nn.vec_id
+                                      ORDER BY {_APPEND_NCSIM} DESC, ce.cent_id ASC) AS rn
+            FROM nn JOIN ce ON TRUE
+        ) WHERE rn = 1
+    ),
+    corp AS (SELECT vec_id, v AS embedding FROM n),
+    newv AS (SELECT vec_id, v AS embedding FROM nn),
+    {",".join(_pq_block_ctes(j, src="corp") for j in range(_PQ_BLOCKS))},
+    {",".join(_pq_encode_cte(j, "newv") for j in range(_PQ_BLOCKS))},
+    allcodes AS (
+        {" UNION ALL ".join(f"SELECT vec_id, cell AS code FROM a1{j}" for j in range(_PQ_BLOCKS))}
+        UNION ALL
+        {" UNION ALL ".join(f"SELECT vec_id, cell AS code FROM nenc{j}" for j in range(_PQ_BLOCKS))}
+    ),
+    csum AS (SELECT vec_id, SUM(code) AS code_sum FROM allcodes GROUP BY vec_id),
+    aall AS (SELECT vec_id, cell, 0 AS is_new FROM assign
+             UNION ALL
+             SELECT vec_id, cell, 1 AS is_new FROM nassign)
+    SELECT a.cell,
+           CAST(COUNT(*) FILTER (WHERE a.is_new = 0) AS BIGINT) AS n_corpus,
+           CAST(COUNT(*) FILTER (WHERE a.is_new = 1) AS BIGINT) AS n_new,
+           CAST(SUM(c.code_sum) AS BIGINT) AS code_checksum
+    FROM aall a JOIN csum c ON a.vec_id = c.vec_id
+    GROUP BY a.cell
+    """,
+)
+def ann_index_append_roundtrip(spark, sf_dir):
+    """Build the index on the CORPUS partition (vec_id % 7 != 0),
+    append the new batch (vec_id % 7 = 0) with `append_to_ivfpq_index`
+    (frozen codebooks, O(batch) encode), read the codes table back and
+    aggregate per cell split by partition — proving appended rows land
+    in exactly the cells/codes the frozen index assigns, alongside the
+    untouched corpus rows."""
+    import tempfile
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.where(F.col("vec_id") % 7 != 0)
+    new = emb.where(F.col("vec_id") % 7 == 0)
+    out = build_ivfpq_index(
+        spark, sf_dir, tempfile.mkdtemp(prefix="ivfpq_append_"), emb=corpus
+    )
+    append_to_ivfpq_index(spark, new, out)
+    codes = spark.read.parquet(f"{out}/pq_codes")
+    code_sum = F.aggregate("codes", F.lit(0).cast("long"), lambda a, x: a + x)
+    is_new = F.col("vec_id") % 7 == 0
+    return (
+        codes.select("vec_id", "cell", code_sum.alias("code_sum"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.when(~is_new, 1)).cast("bigint").alias("n_corpus"),
+            F.count(F.when(is_new, 1)).cast("bigint").alias("n_new"),
             F.sum("code_sum").cast("bigint").alias("code_checksum"),
         )
     )
