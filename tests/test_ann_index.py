@@ -76,26 +76,46 @@ def test_decode_handles_noncontiguous_code_ids():
 
 
 def test_serving_plan_reads_only_index_and_queries(spark, index_dir):
+    import contextlib
+    import io
+
     from udacity_dend_capstone_immigration_spark.workload import QUERIES
 
+    import re
+
     df = QUERIES["knn_ivfpq_served"](spark, SF_DIR)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    # formatted explain: full scan locations (toString truncates paths)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
     # the only corpus-sized work is the codes scan + one Arrow decode
-    assert plan.count("MapInPandas") == 1
+    # (formatted explain lists each node once in the detail section)
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
     # no training/encoding shapes: training collects eagerly (never in
     # a plan), and an in-plan corpus encode would show as a second
     # MapInPandas over an embeddings scan; no explode-based centroid
-    # aggregation either
+    # aggregation either. The ONLY local relation allowed is the
+    # collected probe list (query_id, cell) — bounded at queries ×
+    # NPROBE rows by construction; a corpus-sized checkpoint here
+    # would be a broken serving plan
     assert "Generate" not in plan
-    assert "ExistingRDD" not in plan
+    rdd_nodes = re.findall(r"\(\d+\) Scan ExistingRDD\n(?:.*\n){1,3}", plan)
+    for node in rdd_nodes:
+        assert "query_id" in node and "cell" in node, node
     # every embeddings.parquet scan is the bounded query side with the
     # vec_id < 10 predicate pushed to the reader — the float corpus is
-    # never scanned at serve time
-    for line in plan.splitlines():
-        if "FileScan" in line and "embeddings.parquet" in line:
-            assert "vec_id" in line and "10" in line, line
-    # and the persisted index is what the plan reads
-    assert "pq_codes" in plan and "ivf_centroids" in plan
+    # never scanned at serve time. (ivf_centroids is read by the probe
+    # JOB at construction time — with the probe list collected, the
+    # serving plan itself never touches it.)
+    for seg in plan.split("Location:"):
+        if "embeddings.parquet" in seg.splitlines()[0]:
+            assert "LessThan(vec_id,10)" in seg, seg[:400]
+    assert "pq_codes" in plan
+    # probe routing happens BEFORE decode: the codes scan carries a
+    # static partition filter on cell_pt, so only probed cells are
+    # read/decoded (the faiss serving cost model)
+    assert re.search(r"PartitionFilters: \[cell_pt#\d+ IN", plan), plan[:2000]
 
 
 def test_served_equals_inline_ivfpq(spark):

@@ -364,6 +364,10 @@ def test_no_static_broadcast_of_estimate_blind_relations(spark):
         "ann_ivf_recall",               # same centroids (composed)
         "knn_ivfpq",                    # same N_CELLS centroids + 10-row query side
         "ann_ivfpq_recall",             # same centroids (composed)
+        # the COLLECTED probe list (queries × NPROBE rows, local
+        # relation) broadcast into the candidate join — bounded by
+        # construction; it scans as ExistingRDD, hence the suspect hit
+        "knn_ivfpq_served",
         "embedding_pq_residual_distortion",  # same centroids (residual join)
         "knn_ivfpq_residual",           # same centroids + 10-row query side
         "ann_ivfpq_residual_recall",    # same centroids (composed)

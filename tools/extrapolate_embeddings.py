@@ -91,6 +91,13 @@ def main() -> None:
     ap.add_argument("--scales", type=int, nargs="+", default=[10, 100])
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument(
+        "--queries",
+        nargs="+",
+        default=None,
+        help="override the default query list (skips the candidate-pair "
+        "model check, which belongs to the SemDeDup tier)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -117,7 +124,7 @@ def main() -> None:
     spark.range(1_000_000).select(F.sum("id")).collect()
     spark.range(64).repartition(8).mapInPandas(lambda it: it, "id long").count()
 
-    to_time = [
+    to_time = args.queries or [
         "knn_ivf",
         "semantic_dedup_representatives",
         "semantic_dedup_diverse_reps",
@@ -126,7 +133,8 @@ def main() -> None:
         "embeddings_stream_dedup_status",
     ]
     report: dict[str, dict] = {q: {} for q in to_time}
-    report["semdedup_candidate_pairs"] = {}
+    if args.queries is None:
+        report["semdedup_candidate_pairs"] = {}
 
     def measure(sf_dir: str, tag: str, n_cells: int) -> None:
         with V.ivf_cells_override(n_cells):
@@ -138,6 +146,8 @@ def main() -> None:
                     reps.append(round(time.time() - t0, 2))
                 report[name][tag] = {"sec": min(reps), "reps": reps, "rows": rows, "n_cells": n_cells}
                 print(f"  {name} {tag}: reps {reps}, {rows} rows (N_CELLS={n_cells})", flush=True)
+            if args.queries is not None:
+                return
             # candidate-pair count: the corpus^2/N_CELLS model check
             emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
             _, cb = V._ivf_train(emb)

@@ -879,19 +879,14 @@ def knn_ivfpq(spark, sf_dir):
     return _ivfpq_topk(emb, cents, recon)
 
 
-def _ivfpq_topk(emb, cents, recon):
-    """Shared IVF-PQ serving tail: NPROBE nearest cells per query
-    (vec_id < 10) → candidates = ``recon`` rows in the probed cells →
-    rounded asymmetric cosine (full-precision query × reconstruction)
-    → top-5 with the registry tiebreak. ``recon`` must carry
-    (neighbor_id, r, cell)."""
-    from udacity_dend_capstone_immigration_spark.functions.vectors import (
-        cosine_similarity,
-    )
+def _ivf_probes(emb, cents):
+    """(query_id, cell) probe list: the NPROBE nearest cells per query
+    vector (vec_id < 10) against the ``cents`` centroid relation —
+    bounded at queries × NPROBE rows by construction."""
     from udacity_dend_capstone_immigration_spark.operators.topk import top_k_per_group
 
     sim_to_cent = _probe_sim()
-    probes = top_k_per_group(
+    return top_k_per_group(
         emb.where(F.col("vec_id") < 10)
         .crossJoin(F.broadcast(cents))
         .select(F.col("vec_id").alias("query_id"), "cent_id", sim_to_cent.alias("csim")),
@@ -899,6 +894,23 @@ def _ivfpq_topk(emb, cents, recon):
         order_by=[F.desc("csim"), F.asc("cent_id")],
         k=_IVF_PROBE,
     ).select("query_id", F.col("cent_id").alias("cell"))
+
+
+def _ivfpq_topk(emb, cents, recon, probes=None):
+    """Shared IVF-PQ serving tail: NPROBE nearest cells per query
+    (vec_id < 10) → candidates = ``recon`` rows in the probed cells →
+    rounded asymmetric cosine (full-precision query × reconstruction)
+    → top-5 with the registry tiebreak. ``recon`` must carry
+    (neighbor_id, r, cell); callers that already materialized the
+    probe list (the served path collects it for partition routing)
+    pass it via ``probes`` to avoid a second probe job."""
+    from udacity_dend_capstone_immigration_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from udacity_dend_capstone_immigration_spark.operators.topk import top_k_per_group
+
+    if probes is None:
+        probes = _ivf_probes(emb, cents)
     q = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -1055,9 +1067,17 @@ def knn_ivfpq_served(spark, sf_dir):
     gather against the read-back codebooks — no distances, no
     training). Results are bit-identical to `knn_ivfpq` (same oracle):
     codes→codeword gather reproduces `pq_reconstruct`'s argmin choice
-    by construction, and float64 round-trips parquet exactly. The plan
-    never scans the corpus embeddings — the only embeddings.parquet
-    reads are the vec_id < 10 query side."""
+    by construction, and float64 round-trips parquet exactly.
+
+    Routing happens BEFORE decode: the probe list (bounded queries ×
+    NPROBE — the same eager-decision contract as the codebook
+    collects) becomes a STATIC partition filter on the codes scan, so
+    only the probed NPROBE·queries/N_CELLS fraction of the table is
+    read or decoded — at 100 TB that is the difference between a
+    full-store decode per query batch and the faiss serving cost
+    model. The plan never scans the corpus embeddings (only the
+    vec_id < 10 query side) and shows PartitionFilters on cell_pt
+    (pinned in tests/test_ann_index.py)."""
     from udacity_dend_capstone_immigration_spark.operators.similarity import (
         pq_decode_codes,
     )
@@ -1066,11 +1086,23 @@ def knn_ivfpq_served(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = spark.read.parquet(f"{idx}/ivf_centroids")
     books = load_pq_codebooks(spark, f"{idx}/pq_codebooks")
-    codes = spark.read.parquet(f"{idx}/pq_codes").select("vec_id", "codes", "cell")
+    # ONE probe job: the collected rows drive both the partition filter
+    # and (as a local relation) the candidate pairing downstream
+    probe_rows = [
+        (int(r["query_id"]), int(r["cell"]))
+        for r in _ivf_probes(emb, cents).collect()
+    ]
+    probed = sorted({c for _, c in probe_rows})
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell long")
+    codes = (
+        spark.read.parquet(f"{idx}/pq_codes")
+        .where(F.col("cell_pt").isin(probed))
+        .select("vec_id", "codes", "cell")
+    )
     recon = pq_decode_codes(codes, books, passthrough=("cell",)).select(
         F.col("vec_id").alias("neighbor_id"), "r", "cell"
     )
-    return _ivfpq_topk(emb, cents, recon)
+    return _ivfpq_topk(emb, cents, recon, probes=probes)
 
 
 @query(
