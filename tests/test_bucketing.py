@@ -75,7 +75,14 @@ def test_bucketed_join_roundtrip_query_plan(spark):
     assert "SortMergeJoin" in plan
     assert plan.count("Bucketed: true") == 2
     assert plan.count("Exchange") == 1, f"join side shuffled:\n{plan}"
-    loc = spark.sql("DESCRIBE TABLE EXTENDED bt_orders").collect()
+    # table names carry a per-run uuid suffix (r10 ADVICE: fixed names
+    # orphan previous external locations and race concurrent sessions) —
+    # resolve this run's orders table from the executed plan
+    import re
+
+    m = re.search(r"bt_orders_[0-9a-f]{8}", plan)
+    assert m, plan
+    loc = spark.sql(f"DESCRIBE TABLE EXTENDED {m.group(0)}").collect()
     path = next(r.data_type for r in loc if r.col_name == "Location")
     files = glob.glob(f"{path.removeprefix('file:')}/*.parquet")
     assert len(files) == 8, f"expected one file per bucket, got {len(files)}"
