@@ -9,6 +9,7 @@ plus a stateful custom-operator path (``applyInPandasWithState``).
 from udacity_dend_capstone_immigration_spark.streaming.windows import (
     read_stream,
     run_available_now,
+    run_available_now_many,
     run_foreach_batch_parquet,
     session_window_agg,
     stream_interval_join,
@@ -21,6 +22,7 @@ from udacity_dend_capstone_immigration_spark.streaming.stateful import running_t
 __all__ = [
     "read_stream",
     "run_available_now",
+    "run_available_now_many",
     "run_foreach_batch_parquet",
     "session_window_agg",
     "stream_interval_join",

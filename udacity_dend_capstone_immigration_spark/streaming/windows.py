@@ -151,6 +151,37 @@ def run_available_now(
     return stream_df.sparkSession.table(query_name)
 
 
+def run_available_now_many(specs, timeout_sec: int | None = None) -> list:
+    """Start several INDEPENDENT availableNow drains concurrently and
+    await them all; returns their memory tables in spec order. The
+    micro-batch scheduler interleaves the queries, so total wall is
+    ~max(drain) instead of sum(drain) — worth it whenever one query
+    needs two unrelated streaming passes (the streaming-dedup shape:
+    an exact-fingerprint semi join and a shingle-intersection
+    aggregate). Each spec is (stream_df, query_name, output_mode,
+    checkpoint_dir); failure semantics match :func:`run_available_now`
+    (timeout → stop + raise, never a partial sink)."""
+    import os
+
+    if timeout_sec is None:
+        timeout_sec = int(os.environ.get("SPARK_GRAFT_STREAM_DRAIN_TIMEOUT", "120"))
+    started = []
+    for stream_df, query_name, output_mode, checkpoint_dir in specs:
+        writer = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+        )
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        started.append((writer.start(), query_name, stream_df))
+    return [
+        (_await_or_raise(q, timeout_sec, name), sdf.sparkSession.table(name))[1]
+        for q, name, sdf in started
+    ]
+
+
 def run_foreach_batch_parquet(
     stream_df: DataFrame,
     out_dir: str,

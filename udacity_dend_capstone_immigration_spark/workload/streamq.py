@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from udacity_dend_capstone_immigration_spark.streaming import (
     session_window_agg,
     run_available_now,
+    run_available_now_many,
     watermarked_tumbling,
 )
 from udacity_dend_capstone_immigration_spark.workload.base import (
@@ -523,13 +524,6 @@ def documents_stream_dedup_status(spark, sf_dir):
         .select("doc_id")
     )
     uid = uuid.uuid4().hex[:8]
-    exact = run_available_now(
-        exact_stream,
-        f"docs_stream_exact_{uid}",
-        output_mode="append",
-        checkpoint_dir=tempfile.mkdtemp(prefix="ck_docs_exact_"),
-    ).withColumn("_exact", F.lit(1))
-
     ne = shingle_rows(sdocs.repartition(32), "doc_id", "text", 3).withColumnRenamed(
         "shingle", "g"
     )
@@ -539,12 +533,25 @@ def documents_stream_dedup_status(spark, sf_dir):
         .groupBy("nid", "cid")
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    inter = run_available_now(
-        inter_stream,
-        f"docs_stream_inter_{uid}",
-        output_mode="complete",
-        checkpoint_dir=tempfile.mkdtemp(prefix="ck_docs_inter_"),
+    # the two drains are independent (different sinks, different state) —
+    # run them CONCURRENTLY: wall ~max(drain) instead of sum(drain)
+    exact, inter = run_available_now_many(
+        [
+            (
+                exact_stream,
+                f"docs_stream_exact_{uid}",
+                "append",
+                tempfile.mkdtemp(prefix="ck_docs_exact_"),
+            ),
+            (
+                inter_stream,
+                f"docs_stream_inter_{uid}",
+                "complete",
+                tempfile.mkdtemp(prefix="ck_docs_inter_"),
+            ),
+        ]
     )
+    exact = exact.withColumn("_exact", F.lit(1))
 
     # --- batch finish: Jaccard threshold + per-doc reduction + status.
     # z is eagerly checkpointed: za and zb are DIFFERENT downstream
