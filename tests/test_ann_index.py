@@ -193,3 +193,37 @@ def test_append_then_serve_includes_new_vectors(spark):
         codes.where(F2.col("vec_id") % 7 == 0).select("vec_id", "codes"), books
     )
     assert {r["vec_id"] for r in served.collect()} == new_ids
+
+
+def test_flat_serving_plan_is_routed_and_training_free(spark):
+    # the IVF-FLAT store: exact scoring, partition-routed, NO Python
+    # stage at all in the serving plan (scoring is declarative)
+    import contextlib
+    import io
+    import re
+
+    from udacity_dend_capstone_immigration_spark.workload import QUERIES
+
+    df = QUERIES["knn_ivf_served"](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "MapInPandas" not in plan
+    assert "Generate" not in plan
+    assert re.search(r"PartitionFilters: \[cell_pt#\d+ IN", plan), plan[:2000]
+    for seg in plan.split("Location:"):
+        if "embeddings.parquet" in seg.splitlines()[0]:
+            assert "LessThan(vec_id,10)" in seg, seg[:400]
+    assert "ivf_vectors" in plan
+
+
+def test_flat_served_equals_inline_ivf(spark):
+    from udacity_dend_capstone_immigration_spark.workload import QUERIES
+
+    served = {
+        tuple(r)
+        for r in QUERIES["knn_ivf_served"](spark, SF_DIR).collect()
+    }
+    inline = {tuple(r) for r in QUERIES["knn_ivf"](spark, SF_DIR).collect()}
+    assert served == inline

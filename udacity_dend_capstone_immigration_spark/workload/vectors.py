@@ -1056,27 +1056,63 @@ def load_pq_codebooks(spark, path: str) -> list:
     return [Codebook(by_block[j]) for j in sorted(by_block)]
 
 
-#: per-process index cache ((sf_dir, residual) -> built index dir): the
+def build_ivf_flat_index(spark, sf_dir, out_dir: str, emb=None) -> str:
+    """Train-and-persist the IVF-FLAT layout: `ivf_centroids` plus
+    `ivf_vectors` — the full-precision corpus re-laid-out by coarse
+    cell (cell-partitioned parquet). On this corpus the repo's own
+    audits make this the PRODUCTION serving layout: IVF-flat recall@5
+    is 0.92/1.00 where 4-byte PQ reads 0.28 (`ann_ivfpq_recall`), so
+    the storage saving is not worth the recall loss here — flat keeps
+    exact scoring and still scans only NPROBE/N_CELLS of the store per
+    query. Returns ``out_dir``."""
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        assign_nearest_arrow,
+    )
+    from udacity_dend_capstone_immigration_spark.sources.writers import write_table
+
+    if emb is None:
+        emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents, cb = _ivf_train(emb)
+    assigned = assign_nearest_arrow(emb, cb, "vec_id", keep_embedding=True)
+    write_table(cents, f"{out_dir}/ivf_centroids")
+    write_table(
+        assigned.withColumn("cell_pt", F.col("cell")),
+        f"{out_dir}/ivf_vectors",
+        partition_by=["cell_pt"],
+    )
+    return out_dir
+
+
+#: per-process index cache ((sf_dir, kind) -> built index dir): the
 #: driver runs each query in its own process (cold build there —
 #: measured as the build half of the BASELINE row), while bench/tests
 #: build once and serve many, the contract this tier exists to prove.
+#: kind: "pq" | "pq_residual" | "flat".
 _SERVED_INDEX: dict[tuple, str] = {}
 
 
-def served_index_dir(spark, sf_dir: str, residual: bool = False) -> str:
+def served_index_dir(spark, sf_dir: str, residual: bool = False, kind: str | None = None) -> str:
     """Return a built index dir for ``sf_dir``, building on first use."""
     import os
     import tempfile
 
-    key = (sf_dir, residual)
+    if kind is None:
+        kind = "pq_residual" if residual else "pq"
+    key = (sf_dir, kind)
     d = _SERVED_INDEX.get(key)
-    if d is None or not os.path.isdir(f"{d}/pq_codes"):
-        d = build_ivfpq_index(
-            spark,
-            sf_dir,
-            tempfile.mkdtemp(prefix="ivfpq_index_"),
-            residual=residual,
-        )
+    probe_sub = "ivf_vectors" if kind == "flat" else "pq_codes"
+    if d is None or not os.path.isdir(f"{d}/{probe_sub}"):
+        if kind == "flat":
+            d = build_ivf_flat_index(
+                spark, sf_dir, tempfile.mkdtemp(prefix="ivfflat_index_")
+            )
+        else:
+            d = build_ivfpq_index(
+                spark,
+                sf_dir,
+                tempfile.mkdtemp(prefix="ivfpq_index_"),
+                residual=(kind == "pq_residual"),
+            )
         _SERVED_INDEX[key] = d
     return d
 
@@ -1125,6 +1161,65 @@ def knn_ivfpq_served(spark, sf_dir):
         F.col("vec_id").alias("neighbor_id"), "r", "cell"
     )
     return _ivfpq_topk(emb, cents, recon, probes=probes)
+
+
+@query("knn_ivf_served", oracle=ORACLES["knn_ivf"])
+def knn_ivf_served(spark, sf_dir):
+    """Exact-scoring kNN from the persisted IVF-FLAT store — on this
+    corpus the production serving choice (`ann_ivfpq_recall` measured
+    0.28 for 4-byte codes vs this layout's 0.92/1.00): the corpus is
+    re-laid-out by coarse cell once (`build_ivf_flat_index`), then each
+    query batch reads ONLY its probed cells (collected probe list →
+    static cell_pt partition filter — same routing as
+    `knn_ivfpq_served`) and scores full-precision cosine against the
+    bounded broadcast query side. No training, no full-store scan, no
+    decode stage anywhere in the serving plan; shares `knn_ivf`'s
+    oracle because the persisted layout changes WHERE rows live, not
+    what they score."""
+    from udacity_dend_capstone_immigration_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from udacity_dend_capstone_immigration_spark.operators.topk import top_k_per_group
+
+    idx = served_index_dir(spark, sf_dir, kind="flat")
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = spark.read.parquet(f"{idx}/ivf_centroids")
+    probe_rows = [
+        (int(r["query_id"]), int(r["cell"]))
+        for r in _ivf_probes(emb, cents).collect()
+    ]
+    probed = sorted({c for _, c in probe_rows})
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell long")
+    store = (
+        spark.read.parquet(f"{idx}/ivf_vectors")
+        .where(F.col("cell_pt").isin(probed))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+            "cell",
+        )
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        probes.join(store, "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("q_emb"), F.col("c_emb")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    return top_k_per_group(
+        scored,
+        partition_by=["query_id"],
+        order_by=[F.desc("cosine_sim"), F.asc("neighbor_id")],
+        k=5,
+    )
 
 
 @query(
