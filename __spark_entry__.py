@@ -22,11 +22,12 @@ FLAGSHIP = "top_nations_by_orders"
 
 #: The driver's CORRECTNESS record keeps only the first 50 entries of
 #: ``queries()``. Round-11 window, built by the ROLLING rotation rule
-#: (tests/test_registry.py): (a) the six queries NEW this round —
+#: (tests/test_registry.py): (a) the seven queries NEW this round —
 #: `knn_ivfpq_served` / `knn_ivfpq_residual_served` /
-#: `knn_ivf_served` / `ann_index_build_roundtrip` /
-#: `ann_index_append_roundtrip` (the persisted train-once/serve-many
-#: index tier: plain-PQ + IVFADC + exact-flat serving, build, and
+#: `knn_ivf_served` / `embeddings_stream_knn_served` /
+#: `ann_index_build_roundtrip` / `ann_index_append_roundtrip` (the
+#: persisted train-once/serve-many index tier: plain-PQ + IVFADC +
+#: exact-flat serving, ONLINE streaming serving, build, and
 #: frozen-codebook ingest) and `bpe_encode_corpus` (the tokenizer
 #: train→encode loop closed);
 #: (b) PLAN_CHANGED — the five whose plan, oracle, or constructed
@@ -34,7 +35,7 @@ FLAGSHIP = "top_nations_by_orders"
 #: height-perturbing payload-dedup copies, per-run bucketed table
 #: names, the z-checkpoint batch finish, the factored trainer) —
 #: results re-proven; (c) the ENTIRE r7 tranche (the oldest official
-#: rows); (d) one oldest-r8 fill. After this window lands no query's
+#: rows). After this window lands no query's
 #: newest official row is older than r8 (pinned by the rolling
 #: staleness bound in tests/test_registry.py — current round minus 3).
 SHOWCASE = [
@@ -42,6 +43,7 @@ SHOWCASE = [
     "knn_ivfpq_served",
     "knn_ivfpq_residual_served",
     "knn_ivf_served",
+    "embeddings_stream_knn_served",
     "ann_index_build_roundtrip",
     "ann_index_append_roundtrip",
     "bpe_encode_corpus",
@@ -90,8 +92,6 @@ SHOWCASE = [
     "tpch_q19_bracketed_revenue",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_idle_customer_balance",
-    # (d) oldest-r8 fill
-    "doc_tfidf_top_terms",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round

@@ -592,11 +592,16 @@ def documents_stream_dedup_status(spark, sf_dir):
 
 from udacity_dend_capstone_immigration_spark.workload.vectors import _IVF_CELLS  # noqa: E402
 
-
-@query(
-    "embeddings_stream_dedup_status",
-    oracle=f"""
-    WITH allv AS (
+#: Shared oracle CTE block for the streaming embedding tier: train the
+#: IVF index on the CORPUS partition only (vec_id % 7 != 0 — at
+#: ingestion time the index cannot have seen the arriving batch), then
+#: assign both partitions. Yields: n (corpus), ce (refined centroids),
+#: cassign (corpus cell per vector), nn (the arriving batch), nassign
+#: (its nearest cell). Used verbatim by `embeddings_stream_dedup_status`
+#: and `embeddings_stream_knn_served` so both oracles train the exact
+#: same index.
+_EMB_CORPUS_TRAIN_CTES = f"""
+    allv AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
     ),
@@ -669,7 +674,13 @@ from udacity_dend_capstone_immigration_spark.workload.vectors import _IVF_CELLS 
                                 ce.cent_id ASC) AS rn
             FROM nn JOIN ce ON TRUE
         ) WHERE rn = 1
-    ),
+    )"""
+
+
+@query(
+    "embeddings_stream_dedup_status",
+    oracle=f"""
+    WITH {_EMB_CORPUS_TRAIN_CTES},
     dup AS (
         SELECT DISTINCT na.vec_id
         FROM nassign na
@@ -753,4 +764,96 @@ def embeddings_stream_dedup_status(spark, sf_dir):
             .otherwise(F.lit("unique"))
             .alias("status"),
         )
+    )
+
+
+@query(
+    "embeddings_stream_knn_served",
+    oracle=f"""
+    WITH {_EMB_CORPUS_TRAIN_CTES},
+    scored AS (
+        SELECT na.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_sum(list_transform(generate_series(1, 64),
+                     i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cosine_sim
+        FROM nassign na
+            JOIN cassign ca ON ca.cell = na.cell
+            JOIN nn q ON q.vec_id = na.vec_id
+            JOIN n c ON c.vec_id = ca.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine_sim DESC, neighbor_id ASC) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def embeddings_stream_knn_served(spark, sf_dir):
+    """ONLINE ANN serving: a stream of incoming query vectors answered
+    top-5 from the PERSISTED IVF-FLAT store — the query-path production
+    shape composing the r11 index tier with the streaming tier. The
+    flat index is built once on the corpus partition
+    (`build_ivf_flat_index`; at production scale, yesterday's index
+    job); arriving queries (vec_id % 7 = 0, the incremental-tier
+    convention) route through the read-back codebook in a STATELESS
+    Arrow stage (1-probe — recall 0.96 on this corpus per
+    `ann_ivf_nprobe_curve`; deeper probing = a union of per-probe
+    candidate streams), stream-static join their cell's corpus members
+    from the parquet store (the docstring-recommended persisted form —
+    each micro-batch re-reads parquet, nothing re-derives), and exact
+    cosine scoring drains APPEND-mode (the whole streaming stage is
+    stateless); the top-5 rank finishes post-drain, the transitions
+    pattern. Candidates per query = one cell (~√N corpus rows), so
+    per-batch cost is batch × √N at any corpus size."""
+    from udacity_dend_capstone_immigration_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        Codebook,
+        assign_nearest_arrow,
+    )
+    from udacity_dend_capstone_immigration_spark.operators.topk import top_k_per_group
+    from udacity_dend_capstone_immigration_spark.workload.base import table
+    from udacity_dend_capstone_immigration_spark.workload.vectors import (
+        build_ivf_flat_index,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    is_new = F.col("vec_id") % 7 == 0
+    idx = build_ivf_flat_index(
+        spark, sf_dir, tempfile.mkdtemp(prefix="ivfflat_stream_"), emb=emb.where(~is_new)
+    )
+    cb = Codebook(
+        [
+            (r["cent_id"], r["cent_emb"])
+            for r in spark.read.parquet(f"{idx}/ivf_centroids").collect()
+        ]
+    )
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .where(is_new)
+        .select("vec_id", "embedding")
+    )
+    squeries = assign_nearest_arrow(stream, cb, "vec_id", keep_embedding=True)
+    store = spark.read.parquet(f"{idx}/ivf_vectors").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "cell",
+    )
+    cand = squeries.join(store.hint("merge"), "cell").select(
+        F.col("vec_id").alias("query_id"),
+        "neighbor_id",
+        F.round(cosine_similarity(F.col("embedding"), F.col("c_emb")), 6).alias(
+            "cosine_sim"
+        ),
+    )
+    name = f"emb_stream_knn_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix="ck_emb_knn_")
+    drained = run_available_now(cand, name, output_mode="append", checkpoint_dir=ck)
+    return top_k_per_group(
+        drained,
+        partition_by=["query_id"],
+        order_by=[F.desc("cosine_sim"), F.asc("neighbor_id")],
+        k=5,
     )
