@@ -227,3 +227,45 @@ def test_flat_served_equals_inline_ivf(spark):
     }
     inline = {tuple(r) for r in QUERIES["knn_ivf"](spark, SF_DIR).collect()}
     assert served == inline
+
+
+def test_flat_append_then_counts_cover_all(spark):
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.where(F2.col("vec_id") % 7 != 0)
+    new = emb.where(F2.col("vec_id") % 7 == 0)
+    idx = V.build_ivf_flat_index(
+        spark, SF_DIR, tempfile.mkdtemp(prefix="ivfflat_append_t_"), emb=corpus
+    )
+    n_corpus = spark.read.parquet(f"{idx}/ivf_vectors").count()
+    V.append_to_ivf_flat_index(spark, new, idx)
+    store = spark.read.parquet(f"{idx}/ivf_vectors")
+    assert store.count() == emb.count() > n_corpus
+    # appended rows carry cells the frozen codebook assigns
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        Codebook,
+        assign_nearest_arrow,
+    )
+
+    cb = Codebook(
+        [
+            (r["cent_id"], r["cent_emb"])
+            for r in spark.read.parquet(f"{idx}/ivf_centroids").collect()
+        ]
+    )
+    fresh = {
+        r["vec_id"]: r["cell"]
+        for r in assign_nearest_arrow(new, cb, "vec_id").collect()
+    }
+    stored = {
+        r["vec_id"]: r["cell"]
+        for r in store.where(F2.col("vec_id") % 7 == 0)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert stored == fresh

@@ -1083,6 +1083,30 @@ def build_ivf_flat_index(spark, sf_dir, out_dir: str, emb=None) -> str:
     return out_dir
 
 
+def append_to_ivf_flat_index(spark, new_emb, index_dir: str) -> None:
+    """Flat-store twin of :func:`append_to_ivfpq_index` (faiss ``add``):
+    assign the new batch against the read-back frozen centroids — one
+    Arrow scan over the batch — and append the full-precision rows to
+    the cell-partitioned ``ivf_vectors`` table. O(batch), no
+    retraining; `knn_ivf_served` picks the rows up with zero plan
+    changes."""
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        Codebook,
+        assign_nearest_arrow,
+    )
+    from udacity_dend_capstone_immigration_spark.sources.writers import write_table
+
+    cents_rows = spark.read.parquet(f"{index_dir}/ivf_centroids").collect()
+    cb = Codebook([(r["cent_id"], r["cent_emb"]) for r in cents_rows])
+    assigned = assign_nearest_arrow(new_emb, cb, "vec_id", keep_embedding=True)
+    write_table(
+        assigned.withColumn("cell_pt", F.col("cell")),
+        f"{index_dir}/ivf_vectors",
+        partition_by=["cell_pt"],
+        mode="append",
+    )
+
+
 #: per-process index cache ((sf_dir, kind) -> built index dir): the
 #: driver runs each query in its own process (cold build there —
 #: measured as the build half of the BASELINE row), while bench/tests
