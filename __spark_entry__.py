@@ -22,22 +22,23 @@ FLAGSHIP = "top_nations_by_orders"
 
 #: The driver's CORRECTNESS record keeps only the first 50 entries of
 #: ``queries()``. Round-11 window, built by the ROLLING rotation rule
-#: (tests/test_registry.py): (a) the seven queries NEW this round —
+#: (tests/test_registry.py): (a) the eight queries NEW this round —
 #: `knn_ivfpq_served` / `knn_ivfpq_residual_served` /
 #: `knn_ivf_served` / `embeddings_stream_knn_served` /
 #: `ann_index_build_roundtrip` / `ann_index_append_roundtrip` (the
 #: persisted train-once/serve-many index tier: plain-PQ + IVFADC +
 #: exact-flat serving, ONLINE streaming serving, build, and
-#: frozen-codebook ingest) and `bpe_encode_corpus` (the tokenizer
-#: train→encode loop closed);
+#: frozen-codebook ingest), `bpe_encode_corpus` (the tokenizer
+#: train→encode loop closed), and `doc_kn_bigram_likelihood`
+#: (Kneser-Ney smoothed LM scoring — the production quality filter);
 #: (b) PLAN_CHANGED — the five whose plan, oracle, or constructed
 #: result changed this round (NULL-payload quarantine semantics,
 #: height-perturbing payload-dedup copies, per-run bucketed table
 #: names, the z-checkpoint batch finish, the factored trainer) —
-#: results re-proven; (c) the ENTIRE r7 tranche (the oldest official
-#: rows). After this window lands no query's
-#: newest official row is older than r8 (pinned by the rolling
-#: staleness bound in tests/test_registry.py — current round minus 3).
+#: results re-proven; (c) the r7 tranche (the oldest official rows;
+#: 37 of its 38 fit — `tpch_q22_idle_customer_balance` rotates next
+#: round, inside the capacity-derived staleness bound
+#: tests/test_registry.py enforces: current round − (⌈N/50⌉ + 1)).
 SHOWCASE = [
     # (a) new this round
     "knn_ivfpq_served",
@@ -47,13 +48,14 @@ SHOWCASE = [
     "ann_index_build_roundtrip",
     "ann_index_append_roundtrip",
     "bpe_encode_corpus",
+    "doc_kn_bigram_likelihood",
     # (b) plan / oracle / constructed-result changed this round
     "events_json_corrupt_audit",
     "multimodal_payload_dedup",
     "bucketed_join_roundtrip",
     "documents_stream_dedup_status",
     "bpe_train_merges",
-    # (c) the full r7 tranche (oldest official rows)
+    # (c) the r7 tranche (37 of 38 — q22 rotates next round)
     "distinct_counts_per_segment",
     "dedup_exact_rows",
     "table_row_counts",
@@ -91,7 +93,6 @@ SHOWCASE = [
     "tpch_q18_large_volume_customers",
     "tpch_q19_bracketed_revenue",
     "tpch_q21_waiting_suppliers",
-    "tpch_q22_idle_customer_balance",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round

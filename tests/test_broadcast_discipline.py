@@ -30,6 +30,7 @@ ALLOWED = {
     "avg_bal": "one-row scalar aggregate",
     "avg_df": "one-row scalar aggregate",
     "n_docs": "one-row count",
+    "ty": "one-row bigram-type total (Kneser-Ney continuation denominator)",
     "tot": "one-row total",
     "ns": "one row per source (bounded key)",
     "agg": "one row per event_type (bounded key)",

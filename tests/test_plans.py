@@ -384,6 +384,9 @@ def test_no_static_broadcast_of_estimate_blind_relations(spark):
         "events_rolling_wau",
         # explicit one-row global stats aggregate (N, avgdl, df1..3)
         "bm25_scores",
+        # one-row bigram-type total broadcast, aggregated from the
+        # lazily-checkpointed bigram-count frame (the bm25 pattern)
+        "doc_kn_bigram_likelihood",
         # explicit F.broadcast of the one-row total + N_CELLS-row cell
         # config, both aggregated from the checkpointed (ExistingRDD)
         # assignment frame — bounded by cell-count at any corpus size

@@ -144,10 +144,18 @@ def test_showcase_window_completes_official_coverage():
     )
 
     # (c) rolling staleness: with this window counted at current_round,
-    # nothing older than current_round - 3 remains
+    # nothing older than current_round - cycle remains. The cycle is
+    # CAPACITY-DERIVED: the driver records 50 rows per round, so a
+    # registry of N queries cannot be refreshed faster than ceil(N/50)
+    # rounds — plus one round of slack for the new/plan-changed slots
+    # each window must also carry (a fixed 3-round cadence became
+    # unsatisfiable the moment the registry passed 150 queries).
+    import math
+
     for name in first50:
         latest[name] = current_round
-    bound = current_round - 3
+    cycle = max(3, math.ceil(len(QUERIES) / 50) + 1)
+    bound = current_round - cycle
     too_stale = {n: r for n, r in latest.items() if n in QUERIES and r < bound}
     assert not too_stale, (
         f"official rows older than r{bound} after this window: {too_stale}"

@@ -1544,3 +1544,95 @@ def source_token_divergence(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --- interpolated Kneser-Ney bigram scoring: the smoothing real LM
+# quality filters use (KenLM's default) — MLE conditional probability
+# (doc_lm_likelihood) assigns ZERO mass to unseen continuations and
+# over-trusts frequent prefixes; KN discounts every observed bigram by
+# D=0.75 and backs off to the CONTINUATION probability (how many
+# distinct prefixes a word follows / total bigram types — "Francisco"
+# is frequent but only ever follows "San", so its continuation mass is
+# tiny). Per-doc average P_KN over the doc's bigram tokens, probability
+# not log (ln's libm rounding is not bit-portable; each P_KN is a
+# fixed-order double expression and the mean is a decimal sum).
+# Plan shape mirrors source_token_divergence: ONE bigram-type aggregate
+# lazily checkpointed, every marginal (prefix totals+fan-out,
+# continuation fan-in, the one-row type total) derives from those
+# compact rows instead of re-exploding the corpus; vocabulary-sized
+# joins are merge-hinted (estimate-blind behind the checkpoint), the
+# one-row total broadcasts; the doc-side explode joins the scored
+# bigram table once and aggregates map-side per doc.
+@query(
+    "doc_kn_bigram_likelihood",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    bg AS (
+        SELECT doc_id, array_to_string(list_slice(toks, i, i + 1), ' ') AS bigram
+        FROM t, UNNEST(generate_series(1, greatest(len(toks) - 1, 0))) AS u(i)
+    ),
+    bgc AS (SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram),
+    sp AS (SELECT bigram, cnt,
+                  regexp_replace(bigram, ' [^ ]+$', '') AS w1,
+                  regexp_replace(bigram, '^[^ ]+ ', '') AS w2
+           FROM bgc),
+    pref AS (SELECT w1, SUM(cnt) AS ctot, COUNT(*) AS nfw FROM sp GROUP BY w1),
+    contw AS (SELECT w2, COUNT(*) AS nbw FROM sp GROUP BY w2),
+    ty AS (SELECT COUNT(*) AS btypes FROM bgc),
+    pkn AS (
+        SELECT s.bigram,
+               greatest(CAST(s.cnt AS DOUBLE) - 0.75e0, 0e0) / p.ctot
+               + (0.75e0 * p.nfw / p.ctot) * (CAST(c.nbw AS DOUBLE) / ty.btypes)
+                   AS p_kn
+        FROM sp s JOIN pref p ON s.w1 = p.w1
+                  JOIN contw c ON s.w2 = c.w2
+                  CROSS JOIN ty
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams, {sql_davg("p_kn", "avg_p_kn")}
+    FROM bg JOIN pkn USING (bigram)
+    GROUP BY doc_id
+    """,
+)
+def doc_kn_bigram_likelihood(spark, sf_dir):
+    """(doc_id, n_bigrams, avg_p_kn): interpolated Kneser-Ney with
+    absolute discount D=0.75 — P_KN(w2|w1) = max(c(w1,w2)−D, 0)/c(w1·)
+    + (D·N1+(w1·)/c(w1·)) · N1+(·w2)/|bigram types|. Every arithmetic
+    step is written in the same order on both engines (greatest, two
+    divisions, one product, one sum) so the doubles match bit-for-bit
+    before the decimal-sum mean."""
+    docs = table(spark, sf_dir, "documents")
+    bi = shingle_rows(docs, "doc_id", "text", 2, distinct=False).withColumnRenamed(
+        "shingle", "bigram"
+    )
+    bgc = (
+        bi.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("w1", F.substring_index("bigram", " ", 1))
+        .withColumn("w2", F.substring_index("bigram", " ", -1))
+        .localCheckpoint(eager=False)
+    )
+    pref = bgc.groupBy("w1").agg(
+        F.sum("cnt").alias("ctot"), F.count(F.lit(1)).alias("nfw")
+    )
+    contw = bgc.groupBy("w2").agg(F.count(F.lit(1)).alias("nbw"))
+    ty = bgc.agg(F.count(F.lit(1)).alias("btypes"))
+    p_kn = (
+        F.greatest(F.col("cnt").cast("double") - F.lit(0.75), F.lit(0.0))
+        / F.col("ctot")
+        + (F.lit(0.75) * F.col("nfw") / F.col("ctot"))
+        * (F.col("nbw").cast("double") / F.col("btypes"))
+    )
+    scored = (
+        bgc.join(pref.hint("merge"), "w1")
+        .join(contw.hint("merge"), "w2")
+        .crossJoin(F.broadcast(ty))
+        .select("bigram", p_kn.alias("p_kn"))
+    )
+    return (
+        bi.join(scored.hint("merge"), "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            davg(F.col("p_kn"), "avg_p_kn"),
+        )
+    )
