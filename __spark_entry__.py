@@ -22,7 +22,7 @@ FLAGSHIP = "top_nations_by_orders"
 
 #: The driver's CORRECTNESS record keeps only the first 50 entries of
 #: ``queries()``. Round-11 window, built by the ROLLING rotation rule
-#: (tests/test_registry.py): (a) the eight queries NEW this round —
+#: (tests/test_registry.py): (a) the ten queries NEW this round —
 #: `knn_ivfpq_served` / `knn_ivfpq_residual_served` /
 #: `knn_ivf_served` / `embeddings_stream_knn_served` /
 #: `ann_index_build_roundtrip` / `ann_index_append_roundtrip` (the
@@ -30,15 +30,17 @@ FLAGSHIP = "top_nations_by_orders"
 #: exact-flat serving, ONLINE streaming serving, build, and
 #: frozen-codebook ingest), `bpe_encode_corpus` (the tokenizer
 #: train→encode loop closed), and `doc_kn_bigram_likelihood`
-#: (Kneser-Ney smoothed LM scoring — the production quality filter);
+#: (Kneser-Ney smoothed LM scoring — the production quality filter),
+#: and `dedup_simhash_pairs` / `dedup_simhash_recall` (banded SimHash
+#: pair generation + the last missing approximate-tier recall audit);
 #: (b) PLAN_CHANGED — the five whose plan, oracle, or constructed
 #: result changed this round (NULL-payload quarantine semantics,
 #: height-perturbing payload-dedup copies, per-run bucketed table
 #: names, the z-checkpoint batch finish, the factored trainer) —
 #: results re-proven; (c) the r7 tranche (the oldest official rows;
-#: 37 of its 38 fit — `tpch_q22_idle_customer_balance` rotates next
-#: round, inside the capacity-derived staleness bound
-#: tests/test_registry.py enforces: current round − (⌈N/50⌉ + 1)).
+#: 35 of its 38 fit — `tpch_q19/q21/q22` rotate next round, inside the
+#: capacity-derived staleness bound tests/test_registry.py enforces:
+#: current round − (⌈N/50⌉ + 1)).
 SHOWCASE = [
     # (a) new this round
     "knn_ivfpq_served",
@@ -49,13 +51,15 @@ SHOWCASE = [
     "ann_index_append_roundtrip",
     "bpe_encode_corpus",
     "doc_kn_bigram_likelihood",
+    "dedup_simhash_pairs",
+    "dedup_simhash_recall",
     # (b) plan / oracle / constructed-result changed this round
     "events_json_corrupt_audit",
     "multimodal_payload_dedup",
     "bucketed_join_roundtrip",
     "documents_stream_dedup_status",
     "bpe_train_merges",
-    # (c) the r7 tranche (37 of 38 — q22 rotates next round)
+    # (c) the r7 tranche (35 of 38 — q19/q21/q22 rotate next round)
     "distinct_counts_per_segment",
     "dedup_exact_rows",
     "table_row_counts",
@@ -91,8 +95,6 @@ SHOWCASE = [
     "tpch_q15_top_supplier",
     "tpch_q17_small_quantity_revenue",
     "tpch_q18_large_volume_customers",
-    "tpch_q19_bracketed_revenue",
-    "tpch_q21_waiting_suppliers",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round

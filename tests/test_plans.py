@@ -377,6 +377,7 @@ def test_no_static_broadcast_of_estimate_blind_relations(spark):
         # one-row captured-pairs aggregate crossJoined onto the one-row
         # totals (the pair⋈pair join itself is merge-hinted)
         "dedup_minhash_recall",
+        "dedup_simhash_recall",         # same one-row aggregate shape
         "centroid_classifier_confusion",  # |labels| x 64 centroid cells
         "immigration_etl_fact",         # SAS label dims (local collections)
         "events_cohort_retention",      # one row per cohort week

@@ -1636,3 +1636,182 @@ def doc_kn_bigram_likelihood(spark, sf_dir):
             davg(F.col("p_kn"), "avg_p_kn"),
         )
     )
+
+
+# --- SimHash pair generation: the signatures `dedup_simhash` emits were
+# write-only (the same critique class as r9's unserved PQ codes) — this
+# turns them into near-dup PAIRS. Banding is EXACT here, not
+# probabilistic: 4 disjoint 16-bit bands and a hamming-≤3 criterion
+# mean every qualifying pair shares at least one identical band
+# (pigeonhole: 3 differing bits cannot touch all 4 bands), so band
+# blocking loses nothing — subject only to the standard frequency cap
+# (a 16-bit band shared by >cap docs is boilerplate; oracle-mirrored,
+# the CLAUDE.md no-self-equi-join rule). Hamming itself is codegen'd
+# integer work: each band parses to a bigint once per DOC, pairs XOR +
+# bit_count four bigints — no per-pair string/HOF scans.
+_SIMHASH_BAND_CAP = 50
+_SIMHASH_HAM_MAX = 3
+
+_SIMHASH_BAND_INT = (
+    "CAST(list_sum(list_transform(generate_series(1, 16),"
+    " i -> CASE WHEN substring(simhash_bits, j * 16 + i, 1) = '1'"
+    " THEN 2.0 ** (16 - i) ELSE 0.0 END)) AS BIGINT)"
+)
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH sig AS ({ORACLES["dedup_simhash"]}),
+    bands AS (
+        SELECT doc_id, j, {_SIMHASH_BAND_INT} AS bi
+        FROM sig, UNNEST(generate_series(0, 3)) u(j)
+    ),
+    ints AS (
+        SELECT doc_id,
+               MAX(CASE WHEN j = 0 THEN bi END) AS i0,
+               MAX(CASE WHEN j = 1 THEN bi END) AS i1,
+               MAX(CASE WHEN j = 2 THEN bi END) AS i2,
+               MAX(CASE WHEN j = 3 THEN bi END) AS i3
+        FROM bands GROUP BY doc_id
+    ),
+    grp AS (
+        SELECT j, bi, list(doc_id ORDER BY doc_id) AS ids
+        FROM bands GROUP BY j, bi
+        HAVING COUNT(*) BETWEEN 2 AND {_SIMHASH_BAND_CAP}
+    ),
+    cand AS (
+        SELECT DISTINCT u1.a AS id_a, u2.b AS id_b
+        FROM grp, UNNEST(ids) u1(a), UNNEST(ids) u2(b)
+        WHERE u1.a < u2.b
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(x.i0, y.i0)) + bit_count(xor(x.i1, y.i1))
+              + bit_count(xor(x.i2, y.i2)) + bit_count(xor(x.i3, y.i3)) AS INT)
+               AS hamming
+    FROM cand c JOIN ints x ON x.doc_id = c.id_a
+                JOIN ints y ON y.doc_id = c.id_b
+    WHERE bit_count(xor(x.i0, y.i0)) + bit_count(xor(x.i1, y.i1))
+        + bit_count(xor(x.i2, y.i2)) + bit_count(xor(x.i3, y.i3))
+        <= {_SIMHASH_HAM_MAX}
+    """,
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """(id_a, id_b, hamming ≤ 3): near-dup pairs from banded SimHash
+    signatures. ONE groupBy((band, value)) builds capped candidate
+    groups carrying each member's four band bigints; in-group explode
+    generates pairs; XOR + bit_count verifies hamming — all JVM
+    integer codegen. Scale shape identical to the MinHash bucket pass:
+    shuffles carry (band, 16-bit value, 4 bigints), never documents."""
+    docs = table(spark, sf_dir, "documents")
+    sig = simhash64(docs, "doc_id", tokenize(F.col("text"))).select(
+        "doc_id",
+        F.concat_ws(
+            "", F.transform(F.col("simhash"), lambda b: b.cast("string"))
+        ).alias("s"),
+    )
+    ints = sig.select(
+        "doc_id",
+        *[
+            F.conv(F.substring("s", j * 16 + 1, 16), 2, 10)
+            .cast("long")
+            .alias(f"i{j}")
+            for j in range(4)
+        ],
+    )
+    bands = ints.select(
+        "doc_id",
+        "i0",
+        "i1",
+        "i2",
+        "i3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), F.col(f"i{j}").alias("bi"))
+                    for j in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "i0", "i1", "i2", "i3", "band.j", "band.bi")
+    grp = (
+        bands.groupBy("j", "bi")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "i0", "i1", "i2", "i3"))
+            ).alias("ms")
+        )
+        .where((F.size("ms") >= 2) & (F.size("ms") <= _SIMHASH_BAND_CAP))
+    )
+    pairs = (
+        grp.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a.i{j}").bitwiseXOR(F.col(f"b.i{j}"))) for j in range(4)
+    )
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= _SIMHASH_HAM_MAX)
+        .groupBy("id_a", "id_b")
+        .agg(F.min("hamming").alias("hamming"))
+    )
+
+
+@query(
+    "dedup_simhash_recall",
+    oracle=f"""
+    WITH exact AS ({ORACLES["dedup_ngram_jaccard"]}),
+    approx AS ({ORACLES["dedup_simhash_pairs"]}),
+    capt AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS captured_pairs
+        FROM exact e JOIN approx a ON e.id_a = a.id_a AND e.id_b = a.id_b
+    ),
+    ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs FROM exact),
+    ap AS (SELECT CAST(COUNT(*) AS BIGINT) AS simhash_pairs FROM approx)
+    SELECT ex.exact_pairs, ap.simhash_pairs, capt.captured_pairs,
+           CASE WHEN ex.exact_pairs = 0 THEN 0.0e0
+                ELSE CAST(capt.captured_pairs AS DOUBLE)
+                     / CAST(ex.exact_pairs AS DOUBLE)
+           END AS pair_recall
+    FROM ex, ap, capt
+    """,
+)
+def dedup_simhash_recall(spark, sf_dir):
+    """One-row audit closing the last unmeasured approximate dedup
+    tier: how many exact Jaccard-τ pairs the hamming-≤3 SimHash pass
+    captures, plus the SimHash pair count for precision context.
+    SimHash approximates COSINE over token multisets, not Jaccard over
+    shingle sets, so low recall against this criterion is a real
+    finding about criterion mismatch, not an implementation bug — the
+    number tells a pipeline whether SimHash can substitute for the
+    MinHash path (whose measured recall is 1.00)."""
+    from udacity_dend_capstone_immigration_spark.workload.base import QUERIES
+
+    exact = QUERIES["dedup_ngram_jaccard"](spark, sf_dir).select("id_a", "id_b")
+    approx = QUERIES["dedup_simhash_pairs"](spark, sf_dir).select("id_a", "id_b")
+    captured = exact.hint("merge").join(
+        approx.hint("merge"), ["id_a", "id_b"]
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("captured_pairs"))
+    ex = exact.agg(F.count(F.lit(1)).cast("bigint").alias("exact_pairs"))
+    ap = approx.agg(F.count(F.lit(1)).cast("bigint").alias("simhash_pairs"))
+    return (
+        ex.crossJoin(ap)
+        .crossJoin(captured)
+        .select(
+            "exact_pairs",
+            "simhash_pairs",
+            "captured_pairs",
+            F.when(F.col("exact_pairs") == 0, F.lit(0.0))
+            .otherwise(
+                F.col("captured_pairs").cast("double")
+                / F.col("exact_pairs").cast("double")
+            )
+            .alias("pair_recall"),
+        )
+    )
