@@ -674,8 +674,22 @@ def pq_decode_codes(
             r = np.empty((len(ids), bd * len(codebooks)), dtype=np.float64)
             for j, cb in enumerate(codebooks):
                 # codes store Codebook ids (sorted ascending in cb.ids);
-                # searchsorted maps id -> row exactly
-                rows = np.searchsorted(cb.ids, codes[:, j])
+                # searchsorted maps id -> row exactly — but only for ids
+                # actually present. A code id absent from the loaded
+                # codebook (codes/codebooks version skew after an
+                # offline rebuild) must fail loudly, not gather the
+                # insertion-point neighbor's codeword
+                rows = np.clip(
+                    np.searchsorted(cb.ids, codes[:, j]), 0, len(cb.ids) - 1
+                )
+                if (cb.ids[rows] != codes[:, j]).any():
+                    missing = sorted(set(codes[:, j]) - set(cb.ids))[:5]
+                    raise ValueError(
+                        f"pq_decode_codes: block {j} codes reference ids "
+                        f"absent from the loaded codebook (e.g. {missing}) "
+                        "— codes/codebooks version skew; rebuild or reload "
+                        "the index artifacts together"
+                    )
                 r[:, j * bd : (j + 1) * bd] = cb.mat[rows]
             if center_col is not None:
                 r = np.stack(pdf[center_col].to_numpy()).astype(np.float64) + r

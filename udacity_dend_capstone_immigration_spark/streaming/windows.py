@@ -176,10 +176,22 @@ def run_available_now_many(specs, timeout_sec: int | None = None) -> list:
         if checkpoint_dir:
             writer = writer.option("checkpointLocation", checkpoint_dir)
         started.append((writer.start(), query_name, stream_df))
-    return [
-        (_await_or_raise(q, timeout_sec, name), sdf.sparkSession.table(name))[1]
-        for q, name, sdf in started
-    ]
+    try:
+        return [
+            (_await_or_raise(q, timeout_sec, name), sdf.sparkSession.table(name))[1]
+            for q, name, sdf in started
+        ]
+    except BaseException:
+        # _await_or_raise stops only the query that failed; siblings
+        # would keep running (and holding memory-sink state) past the
+        # raise — stop every still-active drain before propagating
+        for q, _, _ in started:
+            try:
+                if q.isActive:
+                    q.stop()
+            except Exception:
+                pass
+        raise
 
 
 def run_foreach_batch_parquet(

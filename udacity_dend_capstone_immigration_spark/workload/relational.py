@@ -9,6 +9,9 @@ aggregate is a hash aggregate with map-side partials, top-k compiles to
 
 from __future__ import annotations
 
+import atexit
+import shutil
+
 from pyspark.sql import functions as F
 
 from udacity_dend_capstone_immigration_spark.functions.cleaning import (
@@ -687,6 +690,20 @@ def schema_evolution_roundtrip(spark, sf_dir):
     return back.select("doc_id", "n_chars_v1", "source_v2")
 
 
+#: (root, (table, table)) of the previous bucketed_join_roundtrip run,
+#: retired lazily by the next run (see the query body) and swept at exit.
+_BUCKETED_PREV: list = []
+
+
+def _sweep_bucketed_dirs():
+    while _BUCKETED_PREV:
+        prev_root, _ = _BUCKETED_PREV.pop()
+        shutil.rmtree(prev_root, ignore_errors=True)
+
+
+atexit.register(_sweep_bucketed_dirs)
+
+
 # --- bucketed co-located join (S6 extension): write BOTH fact tables
 # hash-bucketed on the join key, then sort-merge-join them from the
 # catalog with ZERO Exchange on either side — the layout a recurring
@@ -716,6 +733,21 @@ def bucketed_join_roundtrip(spark, sf_dir):
     from udacity_dend_capstone_immigration_spark.sources.writers import write_bucketed
 
     n_buckets = 8
+    # LAZY cleanup (r11 advice): the per-run tables can't be dropped in
+    # this invocation — the returned DataFrame still reads them when the
+    # driver collects it — so each invocation retires the PREVIOUS one's
+    # catalog entries + external dirs instead. A long-lived process
+    # (driver gate, bench min-of-2, pytest) holds at most ONE live pair;
+    # atexit sweeps the last. DROP IF EXISTS is a no-op for entries made
+    # in an already-ended session (in-memory catalog died with it).
+    while _BUCKETED_PREV:
+        prev_root, prev_tables = _BUCKETED_PREV.pop()
+        for t in prev_tables:
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            except Exception:
+                pass
+        shutil.rmtree(prev_root, ignore_errors=True)
     root = tempfile.mkdtemp(prefix="bucketed_join_")
     # per-run table names (like the streaming queries' query names):
     # fixed names with a fresh mkdtemp path per invocation would orphan
@@ -723,6 +755,7 @@ def bucketed_join_roundtrip(spark, sf_dir):
     # concurrent sessions sharing a warehouse on the catalog entries
     uid = uuid.uuid4().hex[:8]
     ot, lt = f"bt_orders_{uid}", f"bt_lineitem_{uid}"
+    _BUCKETED_PREV.append((root, (ot, lt)))
     write_bucketed(
         table(spark, sf_dir, "orders"),
         ot,

@@ -1115,14 +1115,37 @@ def append_to_ivf_flat_index(spark, new_emb, index_dir: str) -> None:
 _SERVED_INDEX: dict[tuple, str] = {}
 
 
+def _corpus_fingerprint(sf_dir: str) -> tuple:
+    """Cheap identity of the embeddings corpus at ``sf_dir`` (path +
+    mtime + size of every parquet part) — the served-index cache key
+    must change when the corpus is regenerated in a long-lived process,
+    or a stale index would silently serve the old vectors (r11
+    advice)."""
+    import glob
+    import os
+
+    path = f"{sf_dir}/embeddings.parquet"
+    parts = sorted(glob.glob(f"{path}/*.parquet")) if os.path.isdir(path) else [path]
+    out = []
+    for p in parts:
+        try:
+            st = os.stat(p)
+            out.append((p, st.st_mtime_ns, st.st_size))
+        except OSError:
+            out.append((p, -1, -1))
+    return tuple(out)
+
+
 def served_index_dir(spark, sf_dir: str, residual: bool = False, kind: str | None = None) -> str:
-    """Return a built index dir for ``sf_dir``, building on first use."""
+    """Return a built index dir for ``sf_dir``, building on first use.
+    Cache validity = directory existence AND the corpus fingerprint the
+    index was built from."""
     import os
     import tempfile
 
     if kind is None:
         kind = "pq_residual" if residual else "pq"
-    key = (sf_dir, kind)
+    key = (sf_dir, kind, _corpus_fingerprint(sf_dir))
     d = _SERVED_INDEX.get(key)
     probe_sub = "ivf_vectors" if kind == "flat" else "pq_codes"
     if d is None or not os.path.isdir(f"{d}/{probe_sub}"):
