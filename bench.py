@@ -49,6 +49,12 @@ from udacity_dend_capstone_immigration_spark.workload import QUERIES
 #: per query) and bpe_encode_corpus in (the tokenizer train→encode
 #: loop closed — corpus token histogram under the trained merges);
 #: nothing out.
+#: Rotated r12: knn_ivf_served in (the exact-scoring persisted-store
+#: path named the production serving choice on this corpus) and
+#: knn_sq8_served in (the new byte-code compressed default — recall
+#: matches flat at 4× less store than float32); nothing out. The
+#: warmup pre-builds all three served layouts, so these rows are pure
+#: serve latency.
 #: Suite totals are NOT comparable across rotations — BASELINE.md
 #: records the discontinuity.
 HEADLINE = [
@@ -76,6 +82,8 @@ HEADLINE = [
     "documents_stream_dedup_status",
     "knn_ivfpq_served",
     "bpe_encode_corpus",
+    "knn_ivf_served",
+    "knn_sq8_served",
 ]
 
 
@@ -188,13 +196,16 @@ def main() -> None:
     # read_events (probes the footer, sets the confs it needs) so the
     # warmup emits no swallowed ERROR stack
     read_events(spark, sf_dir).limit(1).count()
-    # Pre-build the persisted IVF-PQ index so the knn_ivfpq_served
-    # headliner measures SERVE latency — the train-once/serve-many
-    # contract that query exists to prove (its build cost is the same
-    # training the knn_ivfpq headliner already times inline every run).
+    # Pre-build the persisted indexes so the *_served headliners
+    # measure SERVE latency — the train-once/serve-many contract those
+    # queries exist to prove (the build cost is the same training the
+    # knn_ivfpq headliner already times inline every run; build-side
+    # records live in BASELINE.md's extrapolation tables).
     from udacity_dend_capstone_immigration_spark.workload.vectors import served_index_dir
 
     served_index_dir(spark, sf_dir)
+    served_index_dir(spark, sf_dir, kind="flat")
+    served_index_dir(spark, sf_dir, kind="sq8")
 
     # Min-of-REPS per headliner (r10 verdict "What's wrong #3"): a
     # single reading is 1.25-1.55x the min-of-3 protocol the records

@@ -269,3 +269,98 @@ def test_flat_append_then_counts_cover_all(spark):
         .collect()
     }
     assert stored == fresh
+
+
+def test_decode_raises_on_codebook_version_skew(spark):
+    # codes referencing an id absent from the loaded codebook must fail
+    # loudly (r11 advice) — not gather the insertion-point neighbor
+    cbs = [Codebook([(0, [1.0, 0.0]), (5, [0.0, 1.0])])]
+    ok = spark.createDataFrame([(1, [0]), (2, [5])], "vec_id long, codes array<long>")
+    assert pq_decode_codes(ok, cbs).count() == 2
+    skewed = spark.createDataFrame([(1, [3])], "vec_id long, codes array<long>")
+    with pytest.raises(Exception, match="version skew"):
+        pq_decode_codes(skewed, cbs).collect()
+
+
+def test_sq8_store_layout_and_roundtrip(spark):
+    # the SQ8 store is literally d bytes/vector; decode reproduces the
+    # affine reconstruction the int8 audit proved bit-portable
+    import numpy as np
+
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        sq8_decode_codes,
+    )
+
+    idx = V.served_index_dir(spark, SF_DIR, kind="sq8")
+    codes = spark.read.parquet(f"{idx}/sq8_codes")
+    n_emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert codes.count() == n_emb
+    assert dict(codes.dtypes)["codes"] == "binary"
+    assert all(
+        r["n"] == 64 for r in codes.select(F.length("codes").alias("n")).distinct().collect()
+    )
+    mn, mx = V.load_sq8_stats(spark, f"{idx}/sq8_stats")
+    assert len(mn) == len(mx) == 64
+    # bit-exact reconstruction: decode one vector and recompute locally
+    row = codes.select("vec_id", "codes").first()
+    dec = {
+        r["vec_id"]: r["r"]
+        for r in sq8_decode_codes(
+            codes.where(F.col("vec_id") == row["vec_id"]).select("vec_id", "codes"),
+            mn,
+            mx,
+        ).collect()
+    }
+    c = np.frombuffer(row["codes"], dtype=np.uint8).astype(np.float64)
+    mn_a, mx_a = np.array(mn), np.array(mx)
+    expect = mn_a + (c * (mx_a - mn_a)) / 255.0
+    assert list(expect) == list(dec[row["vec_id"]])
+
+
+def test_sq8_serving_plan_is_routed_and_training_free(spark):
+    # one Arrow decode stage, stats in closure, probe-routed codes
+    # scan, query-side-only embeddings read — the knn_ivfpq_served
+    # contract at the SQ8 tier
+    import contextlib
+    import io
+    import re
+
+    from udacity_dend_capstone_immigration_spark.workload import QUERIES
+
+    df = QUERIES["knn_sq8_served"](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    assert "Generate" not in plan
+    rdd_nodes = re.findall(r"\(\d+\) Scan ExistingRDD\n(?:.*\n){1,3}", plan)
+    for node in rdd_nodes:
+        assert "query_id" in node and "cell" in node, node
+    for seg in plan.split("Location:"):
+        if "embeddings.parquet" in seg.splitlines()[0]:
+            assert "LessThan(vec_id,10)" in seg, seg[:400]
+    assert "sq8_codes" in plan
+    assert re.search(r"PartitionFilters: \[cell_pt#\d+ IN", plan), plan[:2000]
+
+
+def test_sq8_append_covers_all_with_frozen_quantizer(spark):
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.where(F2.col("vec_id") % 7 != 0)
+    new = emb.where(F2.col("vec_id") % 7 == 0)
+    idx = V.build_ivf_sq8_index(
+        spark, SF_DIR, tempfile.mkdtemp(prefix="ivfsq8_append_t_"), emb=corpus
+    )
+    n_corpus = spark.read.parquet(f"{idx}/sq8_codes").count()
+    V.append_to_sq8_index(spark, new, idx)
+    store = spark.read.parquet(f"{idx}/sq8_codes")
+    assert store.count() == emb.count() > n_corpus
+    # the quantizer is frozen: stats unchanged after append
+    mn, mx = V.load_sq8_stats(spark, f"{idx}/sq8_stats")
+    assert len(mn) == 64

@@ -1,0 +1,149 @@
+"""ANN store maintenance: compaction bounds the small-files growth the
+append path creates (lake OPTIMIZE), delete-by-id is a tombstone table
+applied logically at serve and physically at the next compaction
+(faiss remove_ids split across the lake pattern). r11 verdict
+"What's wrong #1" / "Next round #2".
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from udacity_dend_capstone_immigration_spark.workload import vectors as V
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _store_rows(spark, idx, store="ivf_vectors"):
+    return sorted(
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(f"{idx}/{store}").select("vec_id", "cell").collect()
+    )
+
+
+def _files_per_cell(idx, store="ivf_vectors"):
+    out = {}
+    for d in glob.glob(f"{idx}/{store}/cell_pt=*"):
+        out[d.rsplit("=", 1)[1]] = len(glob.glob(f"{d}/*.parquet"))
+    return out
+
+
+@pytest.fixture(scope="module")
+def appended_index(spark):
+    """Flat index built on ~2/3 of the corpus with the rest appended in
+    THREE batches — the small-files shape a daily ingest produces."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") % 3 == 0)
+    idx = V.build_ivf_flat_index(
+        spark, SF_DIR, tempfile.mkdtemp(prefix="ivfflat_maint_t_"), emb=corpus
+    )
+    for k in (1, 2):
+        V.append_to_ivf_flat_index(spark, emb.where(F.col("vec_id") % 3 == k), idx)
+    return idx, emb
+
+
+def test_appends_accumulate_files_then_compact_bounds_them(spark, appended_index):
+    idx, emb = appended_index
+    before = _files_per_cell(idx)
+    # the append path fragments: at least one probed cell reads >1 file
+    assert any(n > 1 for n in before.values()), before
+    rows_before = _store_rows(spark, idx)
+    stats = V.compact_index_cells(spark, idx)
+    after = _files_per_cell(idx)
+    # lake-OPTIMIZE contract: every cell directory is exactly one file
+    assert all(n == 1 for n in after.values()), after
+    assert stats["ivf_vectors"] == len(after)
+    # the rewrite is value-lossless
+    assert _store_rows(spark, idx) == rows_before
+    assert len(rows_before) == emb.count()
+
+
+def test_bounded_compaction_rewrites_only_touched_cells(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") % 3 == 0)
+    idx = V.build_ivf_flat_index(
+        spark, SF_DIR, tempfile.mkdtemp(prefix="ivfflat_bnd_t_"), emb=corpus
+    )
+    V.append_to_ivf_flat_index(spark, emb.where(F.col("vec_id") % 3 != 0), idx)
+    fragmented = [c for c, n in _files_per_cell(idx).items() if n > 1]
+    assert fragmented
+    touched = int(fragmented[0])
+    untouched_files = {
+        c: sorted(
+            os.path.basename(p)
+            for p in glob.glob(f"{idx}/ivf_vectors/cell_pt={c}/*.parquet")
+        )
+        for c in _files_per_cell(idx)
+        if c != str(touched)
+    }
+    rows_before = _store_rows(spark, idx)
+    V.compact_index_cells(spark, idx, cells=[touched])
+    after = _files_per_cell(idx)
+    assert after[str(touched)] == 1
+    # untouched cells MOVED (same file names — no rewrite)
+    for c, files in untouched_files.items():
+        got = sorted(
+            os.path.basename(p)
+            for p in glob.glob(f"{idx}/ivf_vectors/cell_pt={c}/*.parquet")
+        )
+        assert got == files, c
+    assert _store_rows(spark, idx) == rows_before
+
+
+def test_delete_is_logical_then_physical_and_tombstones_clear(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    idx = V.build_ivf_flat_index(
+        spark, SF_DIR, tempfile.mkdtemp(prefix="ivfflat_del_t_"), emb=emb
+    )
+    dead = [int(r["vec_id"]) for r in emb.select("vec_id").limit(7).collect()]
+    V.delete_from_index(spark, idx, dead)
+    # logical: the store still has the rows; apply_tombstones hides them
+    raw = spark.read.parquet(f"{idx}/ivf_vectors")
+    assert raw.where(F.col("vec_id").isin(dead)).count() == len(dead)
+    masked = V.apply_tombstones(spark, idx, raw)
+    assert masked.where(F.col("vec_id").isin(dead)).count() == 0
+    survivors = sorted(r["vec_id"] for r in masked.select("vec_id").collect())
+    # physical: compaction drops them and clears the tombstone table
+    V.compact_index_cells(spark, idx)
+    assert not os.path.isdir(f"{idx}/deleted_ids")
+    after = sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(f"{idx}/ivf_vectors").select("vec_id").collect()
+    )
+    assert after == survivors
+    # idempotent: applying tombstones after clearance is a no-op
+    again = V.apply_tombstones(spark, idx, spark.read.parquet(f"{idx}/ivf_vectors"))
+    assert again.count() == len(survivors)
+
+
+def test_bounded_compaction_keeps_tombstones_for_untouched_cells(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    idx = V.build_ivf_flat_index(
+        spark, SF_DIR, tempfile.mkdtemp(prefix="ivfflat_bndtomb_t_"), emb=emb
+    )
+    cells = sorted(
+        int(r["cell"])
+        for r in spark.read.parquet(f"{idx}/ivf_vectors").select("cell").distinct().collect()
+    )
+    assert len(cells) >= 2
+    dead = [int(r["vec_id"]) for r in emb.select("vec_id").limit(5).collect()]
+    V.delete_from_index(spark, idx, dead)
+    V.compact_index_cells(spark, idx, cells=[cells[0]])
+    # the bounded pass must NOT clear tombstones — untouched cells may
+    # still hold deleted rows that only the anti-join hides
+    assert os.path.isdir(f"{idx}/deleted_ids")
+    masked = V.apply_tombstones(spark, idx, spark.read.parquet(f"{idx}/ivf_vectors"))
+    assert masked.where(F.col("vec_id").isin(dead)).count() == 0

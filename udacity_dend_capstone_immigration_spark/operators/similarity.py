@@ -701,6 +701,98 @@ def pq_decode_codes(
     return df.mapInPandas(decode, f"{id_col} long, r array<double>{pass_schema}")
 
 
+def sq8_encode(
+    df: DataFrame,
+    mn,
+    mx,
+    id_col: str = "vec_id",
+    passthrough: tuple = (),
+) -> DataFrame:
+    """Scalar-quantization (SQ8) ENCODE as one Arrow map stage: per-dim
+    affine [mn, mx] → 0..255 byte codes, ``code_i = floor((v_i - mn_i)
+    * 255 / (mx_i - mn_i) + 0.5)`` — the exact chain of IEEE double ops
+    the `embedding_int8_distortion` audit proved bit-portable
+    (half-up via floor(x+0.5), association ((v-mn)*255)/(mx-mn)).
+    ``mn``/``mx`` are per-dim float64 arrays (64 values — the trained
+    stats, collected bounded like every codebook). Constant dims
+    (mx == mn) encode 0 and decode back to mn.
+
+    Codes are emitted as BINARY — one byte per dimension, so the
+    persisted store is literally d bytes/vector (64 here; 4× smaller
+    than float32, 8× than the float64 compute form) — the faiss
+    ScalarQuantizer QT_8bit layout done as a lake table."""
+    import numpy as np
+    import pandas as pd
+
+    mn = np.asarray(mn, dtype=np.float64)
+    mx = np.asarray(mx, dtype=np.float64)
+    scale = mx - mn
+    ok = scale > 0
+    safe = np.where(ok, scale, 1.0)
+    pass_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in passthrough
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            codes = np.where(ok, np.floor((mat - mn) * 255.0 / safe + 0.5), 0.0)
+            # out-of-range values (appended vectors beyond the trained
+            # stats) saturate — standard scalar-quantizer behavior; a
+            # no-op for the corpus the stats were trained on
+            codes = np.clip(codes, 0.0, 255.0).astype(np.uint8)
+            out = {id_col: ids, "codes": [c.tobytes() for c in codes]}
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(encode, f"{id_col} long, codes binary{pass_schema}")
+
+
+def sq8_decode_codes(
+    df: DataFrame,
+    mn,
+    mx,
+    id_col: str = "vec_id",
+    passthrough: tuple = (),
+) -> DataFrame:
+    """Decode persisted SQ8 byte codes (from :func:`sq8_encode`) back to
+    reconstructions ``r_i = mn_i + code_i * (mx_i - mn_i) / 255`` in one
+    Arrow map stage — the serve half: stats ride in the closure (128
+    doubles), no training or corpus scan in the plan. The association
+    mn + ((code*(mx-mn))/255) matches the int8 audit's SQL verbatim, so
+    reconstructions are bit-identical cross-engine; constant dims
+    decode to mn. Emits (id, r array<double>[, passthrough])."""
+    import numpy as np
+    import pandas as pd
+
+    mn = np.asarray(mn, dtype=np.float64)
+    mx = np.asarray(mx, dtype=np.float64)
+    scale = mx - mn
+    pass_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in passthrough
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            codes = np.stack(
+                [np.frombuffer(b, dtype=np.uint8) for b in pdf["codes"]]
+            ).astype(np.float64)
+            r = mn + (codes * scale) / 255.0
+            out = {id_col: ids, "r": list(r)}
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(decode, f"{id_col} long, r array<double>{pass_schema}")
+
+
 def signbit_code(embedding: Column, num_bits: int) -> Column:
     """Deterministic LSH bucket code: concatenated sign bits of the first
     ``num_bits`` coordinates."""
