@@ -1,0 +1,86 @@
+"""Write-audit-publish atomic parquet publish (sources/publish.py):
+readers must never observe a partial, unvalidated, or torn table state
+— the Delta-absent ACID pattern (r11 verdict "Next round #5")."""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+import pytest
+
+from udacity_dend_capstone_immigration_spark.sources.publish import (
+    AuditFailedError,
+    current_version,
+    publish_table,
+    read_published,
+)
+from udacity_dend_capstone_immigration_spark.sources.writers import write_table
+
+
+def _df(spark, n):
+    return spark.range(n).selectExpr("id", "id * 2 AS v")
+
+
+def test_publish_then_read_roundtrip(spark):
+    root = tempfile.mkdtemp(prefix="wap_t_")
+    v = publish_table(_df(spark, 5), root)
+    assert current_version(root) == v
+    assert sorted(r["v"] for r in read_published(spark, root).collect()) == [0, 2, 4, 6, 8]
+
+
+def test_unpublished_table_is_absent(spark):
+    root = tempfile.mkdtemp(prefix="wap_t_")
+    with pytest.raises(FileNotFoundError):
+        read_published(spark, root)
+
+
+def test_crash_between_write_and_publish_keeps_old_version(spark):
+    # simulate a writer dying AFTER its version dir landed but BEFORE
+    # the pointer swap: the staged dir is invisible garbage
+    root = tempfile.mkdtemp(prefix="wap_t_")
+    publish_table(_df(spark, 3), root)
+    write_table(_df(spark, 100), os.path.join(root, "v_crashed0000"))
+    assert read_published(spark, root).count() == 3
+    # and the next successful publish supersedes cleanly
+    publish_table(_df(spark, 7), root)
+    assert read_published(spark, root).count() == 7
+
+
+def test_audit_veto_removes_staged_and_keeps_live(spark):
+    root = tempfile.mkdtemp(prefix="wap_t_")
+    live = publish_table(_df(spark, 4), root)
+
+    def veto(staged):
+        raise ValueError("rows look wrong")
+
+    with pytest.raises(AuditFailedError):
+        publish_table(_df(spark, 9), root, audit=veto)
+    assert current_version(root) == live
+    assert read_published(spark, root).count() == 4
+    # the vetoed staged dir was removed — no garbage accumulates
+    assert len(glob.glob(os.path.join(root, "v_*"))) == 1
+
+
+def test_audit_sees_read_back_rows_not_the_frame(spark):
+    root = tempfile.mkdtemp(prefix="wap_t_")
+    seen = {}
+
+    def spy(staged):
+        seen["n"] = staged.count()
+
+    publish_table(_df(spark, 6), root, audit=spy)
+    assert seen["n"] == 6
+
+
+def test_prune_keeps_retention_window(spark):
+    root = tempfile.mkdtemp(prefix="wap_t_")
+    for n in (1, 2, 3, 4):
+        v = publish_table(_df(spark, n), root, keep_versions=2)
+    dirs = glob.glob(os.path.join(root, "v_*"))
+    assert len(dirs) == 2
+    assert current_version(root) == v
+    assert read_published(spark, root).count() == 4
+    # no leftover temp pointer files
+    assert not glob.glob(os.path.join(root, "._CURRENT.*"))

@@ -1,0 +1,119 @@
+"""Write-audit-publish (WAP) atomic table publish on plain parquet.
+
+Delta-spark is absent in this runtime (`writers.write_table` gates on
+`delta_available()`), so the ACID-ish need it was standing in for —
+readers never observe a partial or unvalidated write — is delivered
+directly with the three-step lake pattern (the same shape Iceberg's
+WAP branch / Delta's transaction log provide):
+
+1. **write**  — the new snapshot lands in a fresh ``v_<id>/`` version
+   directory under the table root; nothing references it yet, so a
+   failed or half-finished write is invisible garbage, never a
+   half-visible table.
+2. **audit**  — data-quality checks run against the STAGED directory's
+   read-back rows (not the in-memory frame — this validates what was
+   actually persisted, including the partition-column round trip).
+   A failing audit aborts with the staged dir removed; the live
+   version is untouched.
+3. **publish** — a one-line ``_CURRENT`` pointer file is swapped via
+   write-temp-then-``os.replace`` — atomic on POSIX, so a reader
+   resolves either the old version or the new one, never a torn
+   pointer. (On an object store the pointer is a manifest object
+   swapped by a conditional PUT; the layout is identical.)
+
+Readers (:func:`read_published`) resolve ``_CURRENT`` then read that
+version directory. Old versions are retained ``keep_versions`` deep
+(the VACUUM retention window: a reader that resolved the pointer just
+before a publish can still finish its scan), then pruned.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from udacity_dend_capstone_immigration_spark.sources.writers import write_table
+
+_POINTER = "_CURRENT"
+
+
+class AuditFailedError(RuntimeError):
+    """The staged snapshot failed its data-quality audit; nothing was
+    published and the live version is unchanged."""
+
+
+def current_version(root: str) -> str | None:
+    """The published version name, or None if nothing is published."""
+    try:
+        with open(os.path.join(root, _POINTER)) as f:
+            v = f.read().strip()
+        return v or None
+    except FileNotFoundError:
+        return None
+
+
+def read_published(spark: SparkSession, root: str) -> DataFrame:
+    """Read the CURRENT published snapshot. Raises if none exists —
+    an unpublished (staged-only or mid-crash) table is indistinguishable
+    from an absent one by design."""
+    v = current_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no published version under {root!r}")
+    return spark.read.parquet(os.path.join(root, v))
+
+
+def publish_table(
+    df: DataFrame,
+    root: str,
+    partition_by: Sequence[str] | None = None,
+    audit: Callable[[DataFrame], None] | None = None,
+    keep_versions: int = 2,
+) -> str:
+    """WAP-publish ``df`` as the new current version of the table at
+    ``root``; returns the version name. ``audit`` receives the staged
+    READ-BACK DataFrame and raises to veto (any exception → staged dir
+    removed, :class:`AuditFailedError` re-raised, live version
+    untouched). A crash anywhere before the final ``os.replace`` leaves
+    the previous version live."""
+    spark = df.sparkSession
+    os.makedirs(root, exist_ok=True)
+    version = f"v_{uuid.uuid4().hex[:12]}"
+    staged = os.path.join(root, version)
+    write_table(df, staged, partition_by=partition_by)
+    if audit is not None:
+        try:
+            audit(spark.read.parquet(staged))
+        except Exception as e:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise AuditFailedError(
+                f"audit vetoed staged version {version}: {e}"
+            ) from e
+    # atomic pointer swap: temp file + rename, never an in-place write
+    tmp = os.path.join(root, f".{_POINTER}.{version}")
+    with open(tmp, "w") as f:
+        f.write(version + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(root, _POINTER))
+    _prune_versions(root, keep=keep_versions)
+    return version
+
+
+def _prune_versions(root: str, keep: int) -> None:
+    """Drop all but the ``keep`` most-recent version dirs (always
+    keeping the live one) — the retention window that lets an
+    already-resolved reader finish its scan."""
+    live = current_version(root)
+    versions = [
+        d
+        for d in os.listdir(root)
+        if d.startswith("v_") and os.path.isdir(os.path.join(root, d))
+    ]
+    versions.sort(key=lambda d: os.path.getmtime(os.path.join(root, d)), reverse=True)
+    for d in versions[max(keep, 1):]:
+        if d != live:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)

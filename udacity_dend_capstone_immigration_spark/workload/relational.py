@@ -821,6 +821,64 @@ def orc_write_roundtrip(spark, sf_dir):
     return back.select("o_orderpriority", "o_orderstatus", "order_cnt", "total_price")
 
 
+# --- write-audit-publish atomic table publish (S6 extension; the
+# Delta-absent ACID pattern — sources/publish.py module doc). The query
+# exercises the full lifecycle IN-ENGINE: publish a stale snapshot,
+# have an audit VETO a broken one (readers keep the stale version
+# through the failed attempt — that's the whole point of WAP), then
+# publish the good snapshot and read it back through the pointer. The
+# oracle states the good aggregate over the original parquet, so the
+# driver's hash compare proves (a) the vetoed junk never became
+# visible and (b) the publish→resolve→read cycle is lossless.
+# tests/test_publish.py additionally pins crash-between-stages and
+# pointer-atomicity semantics.
+@query(
+    "atomic_publish_roundtrip",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS order_cnt,
+           {sql_dsum("o_totalprice", "total_price")}
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def atomic_publish_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from udacity_dend_capstone_immigration_spark.plans.dq import DQError
+    from udacity_dend_capstone_immigration_spark.sources.publish import (
+        AuditFailedError,
+        publish_table,
+        read_published,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("order_cnt"),
+        dsum(F.col("o_totalprice"), "total_price"),
+    )
+    root = tempfile.mkdtemp(prefix="wap_publish_")
+    # 1: a stale-but-valid snapshot goes live
+    publish_table(agg.where(F.col("o_orderpriority") == "1-URGENT"), root)
+    # 2: a broken snapshot is VETOED by its audit — never published
+
+    def full_coverage(staged):
+        if staged.count() < 5:
+            raise DQError("publish audit: expected all 5 priorities")
+
+    try:
+        publish_table(agg.limit(1), root, audit=full_coverage)
+    except AuditFailedError:
+        pass
+    else:  # pragma: no cover - the audit contract itself failed
+        raise AssertionError("audit should have vetoed the partial snapshot")
+    # 3: the good snapshot passes its audit and atomically replaces v1
+    publish_table(agg, root, audit=full_coverage)
+    return read_published(spark, root).select(
+        "o_orderpriority", "order_cnt", "total_price"
+    )
+
+
 # --- sketch path for 100 TB distinct counts: HLL approx_count_distinct.
 # Sketch VALUES are engine-specific (DuckDB can't reproduce Spark's HLL),
 # so the query is made self-validating instead of rows-only: it emits the
