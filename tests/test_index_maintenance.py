@@ -147,3 +147,71 @@ def test_bounded_compaction_keeps_tombstones_for_untouched_cells(spark):
     assert os.path.isdir(f"{idx}/deleted_ids")
     masked = V.apply_tombstones(spark, idx, spark.read.parquet(f"{idx}/ivf_vectors"))
     assert masked.where(F.col("vec_id").isin(dead)).count() == 0
+
+
+def test_stream_append_multibatch_exactly_once_and_fold(spark):
+    """Three micro-batches of streamed vectors land in three batch_pt
+    delta dirs; a REPLAYED batch overwrites (not duplicates); folding
+    the delta + compacting yields the same store as batch appends."""
+    import shutil
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") % 7 != 0)
+    new = emb.where(F.col("vec_id") % 7 == 0)
+    idx = V.build_ivf_flat_index(
+        spark, SF_DIR, tempfile.mkdtemp(prefix="ivfflat_stream_t_"), emb=corpus
+    )
+    # stream the new rows from a 3-file dir, one file per micro-batch
+    src = tempfile.mkdtemp(prefix="emb_stream_src_")
+    new.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    V.stream_append_to_ivf_flat_index(
+        spark, stream, idx, tempfile.mkdtemp(prefix="ck_idx_t_")
+    )
+    batch_dirs = sorted(glob.glob(f"{idx}/ivf_vectors_delta/batch_pt=*"))
+    assert len(batch_dirs) == 3, batch_dirs
+    store_rows = sorted(
+        (r["vec_id"], r["cell"])
+        for r in V.read_ivf_flat_store(spark, idx).select("vec_id", "cell").collect()
+    )
+    assert len(store_rows) == emb.count()
+    # replay batch 0 (simulated failure recovery): same directory is
+    # OVERWRITTEN — the serving view is unchanged
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        Codebook,
+        assign_nearest_arrow,
+    )
+
+    cb = Codebook(
+        [
+            (r["cent_id"], r["cent_emb"])
+            for r in spark.read.parquet(f"{idx}/ivf_centroids").collect()
+        ]
+    )
+    b0 = spark.read.parquet(batch_dirs[0]).select("vec_id", "embedding")
+    replay = assign_nearest_arrow(b0, cb, "vec_id", keep_embedding=True)
+    (
+        replay.withColumn("cell_pt", F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell_pt")
+        .parquet(batch_dirs[0])
+    )
+    after_replay = sorted(
+        (r["vec_id"], r["cell"])
+        for r in V.read_ivf_flat_store(spark, idx).select("vec_id", "cell").collect()
+    )
+    assert after_replay == store_rows
+    # fold + compact: delta gone, one file per cell, values identical
+    V.fold_index_delta(spark, idx)
+    assert not glob.glob(f"{idx}/ivf_vectors_delta")
+    V.compact_index_cells(spark, idx)
+    assert all(n == 1 for n in _files_per_cell(idx).values())
+    folded = _store_rows(spark, idx)
+    assert folded == store_rows
+    shutil.rmtree(src, ignore_errors=True)

@@ -857,3 +857,128 @@ def embeddings_stream_knn_served(spark, sf_dir):
         order_by=[F.desc("cosine_sim"), F.asc("neighbor_id")],
         k=5,
     )
+
+
+from udacity_dend_capstone_immigration_spark.workload.vectors import _IVF_PROBE  # noqa: E402
+
+_Q_CSIM = (
+    "round(list_sum(list_transform(generate_series(1, 64),"
+    " i -> q.v[i] * ce.cv[i])) / (q.nrm * ce.cnrm), 6)"
+)
+
+
+@query(
+    "embeddings_stream_index_append",
+    oracle=f"""
+    WITH {_EMB_CORPUS_TRAIN_CTES},
+    allnorm AS (SELECT vec_id, v, nrm FROM n UNION ALL SELECT vec_id, v, nrm FROM nn),
+    store_assign AS (SELECT vec_id, cell FROM cassign
+                     UNION ALL SELECT vec_id, cell FROM nassign),
+    q AS (SELECT vec_id, v, nrm FROM allnorm WHERE vec_id < 10),
+    probes AS (
+        SELECT q.vec_id AS query_id, ce.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_Q_CSIM} DESC, ce.cent_id ASC) AS pr
+        FROM q JOIN ce ON TRUE
+    ),
+    scored AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               round(list_sum(list_transform(generate_series(1, 64),
+                     i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cosine_sim
+        FROM probes p
+            JOIN store_assign a ON a.cell = p.cell
+            JOIN allnorm c ON c.vec_id = a.vec_id
+            JOIN q ON q.vec_id = p.query_id
+        WHERE p.pr <= {_IVF_PROBE} AND c.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine_sim DESC, neighbor_id ASC) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def embeddings_stream_index_append(spark, sf_dir):
+    """STREAMING ingest → index append → serve, end-to-end (r11 verdict
+    next #3): the flat index is built on the corpus partition
+    (vec_id % 7 != 0 — yesterday's index job), the arriving batch
+    (vec_id % 7 = 0) STREAMS in through the foreachBatch exactly-once
+    sink (`stream_append_to_ivf_flat_index`: per micro-batch, frozen-
+    codebook Arrow assignment, each batch overwriting its own
+    ``batch_pt=`` delta directory — a replayed batch rewrites, never
+    duplicates), and the serve query answers top-5 over main ∪ delta —
+    proving the drained rows are immediately servable with no rebuild,
+    no retrain, and both scans probe-routed (the collected probe list
+    prunes main and delta alike on cell_pt). `fold_index_delta` +
+    `compact_index_cells` fold the delta back at maintenance time
+    (value-identity unit-tested); the oracle trains on the corpus only
+    and scores queries against corpus+batch, so the hash compare
+    proves the streamed append landed exactly the frozen-index
+    assignment."""
+    from udacity_dend_capstone_immigration_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from udacity_dend_capstone_immigration_spark.operators.topk import top_k_per_group
+    from udacity_dend_capstone_immigration_spark.workload.base import table
+    from udacity_dend_capstone_immigration_spark.workload.vectors import (
+        _ivf_probes,
+        build_ivf_flat_index,
+        read_ivf_flat_store,
+        stream_append_to_ivf_flat_index,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    is_new = F.col("vec_id") % 7 == 0
+    idx = build_ivf_flat_index(
+        spark,
+        sf_dir,
+        tempfile.mkdtemp(prefix="ivfflat_ingest_"),
+        emb=emb.where(~is_new),
+    )
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .where(is_new)
+        .select("vec_id", "embedding")
+    )
+    stream_append_to_ivf_flat_index(
+        spark, stream, idx, tempfile.mkdtemp(prefix="ck_idx_append_")
+    )
+    cents = spark.read.parquet(f"{idx}/ivf_centroids")
+    probe_rows = [
+        (int(r["query_id"]), int(r["cell"]))
+        for r in _ivf_probes(emb, cents).collect()
+    ]
+    probed = sorted({c for _, c in probe_rows})
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell long")
+    store = (
+        read_ivf_flat_store(spark, idx)
+        .where(F.col("cell_pt").isin(probed))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+            "cell",
+        )
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        probes.join(store, "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("q_emb"), F.col("c_emb")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    return top_k_per_group(
+        scored,
+        partition_by=["query_id"],
+        order_by=[F.desc("cosine_sim"), F.asc("neighbor_id")],
+        k=5,
+    )
