@@ -21,80 +21,77 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "top_nations_by_orders"
 
 #: The driver's CORRECTNESS record keeps only the first 50 entries of
-#: ``queries()``. Round-11 window, built by the ROLLING rotation rule
-#: (tests/test_registry.py): (a) the ten queries NEW this round —
-#: `knn_ivfpq_served` / `knn_ivfpq_residual_served` /
-#: `knn_ivf_served` / `embeddings_stream_knn_served` /
-#: `ann_index_build_roundtrip` / `ann_index_append_roundtrip` (the
-#: persisted train-once/serve-many index tier: plain-PQ + IVFADC +
-#: exact-flat serving, ONLINE streaming serving, build, and
-#: frozen-codebook ingest), `bpe_encode_corpus` (the tokenizer
-#: train→encode loop closed), and `doc_kn_bigram_likelihood`
-#: (Kneser-Ney smoothed LM scoring — the production quality filter),
-#: and `dedup_simhash_pairs` / `dedup_simhash_recall` (banded SimHash
-#: pair generation + the last missing approximate-tier recall audit);
-#: (b) PLAN_CHANGED — the five whose plan, oracle, or constructed
-#: result changed this round (NULL-payload quarantine semantics,
-#: height-perturbing payload-dedup copies, per-run bucketed table
-#: names, the z-checkpoint batch finish, the factored trainer) —
-#: results re-proven; (c) the r7 tranche (the oldest official rows;
-#: 35 of its 38 fit — `tpch_q19/q21/q22` rotate next round, inside the
-#: capacity-derived staleness bound tests/test_registry.py enforces:
-#: current round − (⌈N/50⌉ + 1)).
+#: ``queries()``. Round-12 window, built by the ROLLING rotation rule
+#: (tests/test_registry.py): (a) the six queries NEW this round —
+#: `knn_sq8_served` / `ann_sq8_recall` (the persisted int8
+#: scalar-quantized serving layout + its recall audit — the new
+#: compressed serving default), `ann_index_maintenance_roundtrip`
+#: (build→append→delete→compact lifecycle),
+#: `embeddings_stream_index_append` (streaming ingest → exactly-once
+#: delta append → probe-routed serve over main ∪ delta),
+#: `atomic_publish_roundtrip` (write-audit-publish atomic parquet
+#: publish), and `corpus_importance_sample` (DSIR-shape two-LM-head
+#: importance selection); (b) PLAN_CHANGED — the four whose serving
+#: internals changed this round (PQ-decode version-skew guard,
+#: corpus-fingerprinted index cache, bucketed lazy table cleanup) —
+#: results re-proven; (c) the three r7 leftovers (`tpch_q19/q21/q22`)
+#: plus the 37 oldest r8 rows (the remaining 10 r8 rows rotate r13,
+#: inside the capacity-derived staleness bound
+#: tests/test_registry.py enforces: current round − (⌈N/50⌉ + 1)).
 SHOWCASE = [
     # (a) new this round
+    "knn_sq8_served",
+    "ann_sq8_recall",
+    "ann_index_maintenance_roundtrip",
+    "embeddings_stream_index_append",
+    "atomic_publish_roundtrip",
+    "corpus_importance_sample",
+    # (b) plan / serving internals changed this round
     "knn_ivfpq_served",
     "knn_ivfpq_residual_served",
     "knn_ivf_served",
-    "embeddings_stream_knn_served",
-    "ann_index_build_roundtrip",
-    "ann_index_append_roundtrip",
-    "bpe_encode_corpus",
-    "doc_kn_bigram_likelihood",
-    "dedup_simhash_pairs",
-    "dedup_simhash_recall",
-    # (b) plan / oracle / constructed-result changed this round
-    "events_json_corrupt_audit",
-    "multimodal_payload_dedup",
     "bucketed_join_roundtrip",
-    "documents_stream_dedup_status",
-    "bpe_train_merges",
-    # (c) the r7 tranche (35 of 38 — q19/q21/q22 rotate next round)
-    "distinct_counts_per_segment",
-    "dedup_exact_rows",
-    "table_row_counts",
-    "sql_revenue_by_priority",
-    "approx_distinct_summary",
-    "regional_supplier_revenue",
-    "orders_column_profile",
-    "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q14_promo_effect",
-    "lineitem_price_qty_corr",
-    "text_quality_scores",
-    "token_stats_by_source",
-    "dedup_simhash",
-    "token_counts_bpe_ish",
-    "doc_winnowing_fingerprints",
-    "doc_trigram_lm",
-    "doc_feature_hashing",
-    "doc_chunk_windows",
-    "doc_lm_likelihood",
-    "source_token_divergence",
-    "events_sliding_2h",
-    "events_json_extract",
-    "events_cep_triples",
-    "multimodal_resize",
-    "tpch_q4_late_order_priority",
-    "tpch_q7_nation_trade_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_profit_by_nation_year",
-    "tpch_q10_returned_items",
-    "tpch_q12_priority_by_shipcat",
-    "tpch_q13_order_count_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers",
+    # (c) the r7 leftovers, then the 37 oldest r8 rows
+    "tpch_q19_bracketed_revenue",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_idle_customer_balance",
+    "knn_lsh_bucketed",
+    "label_centroids",
+    "multimodal_frame_sample",
+    "multimodal_features",
+    "corpus_train_test_split",
+    "corpus_token_packing",
+    "corpus_weighted_sample",
+    "benchmark_contamination",
+    "corpus_curation_pipeline",
+    "asof_purchase_to_click",
+    "events_salted_type_totals",
+    "events_equi_depth_histogram",
+    "customer_spend_quartiles",
+    "events_cohort_retention",
+    "doc_top_terms",
+    "events_scd2_intervals",
+    "events_hourly_gap_fill",
+    "events_latest_per_key",
+    "events_robust_stats",
+    "range_join_event_counts",
+    "asof_purchase_to_click_30m",
+    "centroid_classifier_confusion",
+    "order_quantity_vectors",
+    "lineitem_rollup",
+    "value_percentiles_by_type",
+    "set_ops_customer_keys",
+    "set_ops_bag_semantics",
+    "cube_order_summary",
+    "grouping_sets_revenue",
+    "customers_with_orders_semi",
+    "orders_above_avg_price",
+    "orders_above_customer_avg",
+    "orders_metrics_unpivot",
+    "nation_balance_full_outer",
+    "lineitem_price_rank_stats",
+    "region_priority_grid",
+    "approx_quantile_accuracy",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round
@@ -103,11 +100,10 @@ SHOWCASE = [
 #: asserts these sit inside the window so changed behavior always gets
 #: an official row the round it ships. Update per round.
 PLAN_CHANGED = [
-    "events_json_corrupt_audit",
-    "multimodal_payload_dedup",
+    "knn_ivfpq_served",
+    "knn_ivfpq_residual_served",
+    "knn_ivf_served",
     "bucketed_join_roundtrip",
-    "documents_stream_dedup_status",
-    "bpe_train_merges",
 ]
 
 

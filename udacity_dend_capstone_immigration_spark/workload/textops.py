@@ -1815,3 +1815,174 @@ def dedup_simhash_recall(spark, sf_dir):
             .alias("pair_recall"),
         )
     )
+
+
+# --- DSIR-shape importance selection (r11 verdict next #6; Xie et al.
+# 2023's data-selection-with-importance-resampling, deterministic
+# top-p form): score every document by the RATIO of its likelihood
+# under a TARGET-domain Kneser-Ney LM to its likelihood under the
+# CORPUS LM, then keep the highest-importance docs per source until
+# 25% of the source's bigram mass is covered (the nucleus convention
+# of corpus_nucleus_sample). The target slice here is the
+# deterministic quarter doc_id % 4 = 0 — the engine-testable stand-in
+# for "docs from the trusted domain" (the registry's incremental-tier
+# convention); in production it is the curated high-quality set.
+# Ratios, not log-ratios: ln's libm rounding is not bit-portable, and
+# avg-probability ratios rank identically for selection purposes.
+# Docs sharing no bigram with the target LM are unscorable and
+# unselectable (inner-join semantics, identical in both engines).
+# Plan: ONE (bigram, is_target) type aggregate lazily checkpointed
+# feeds both LM heads (the z-checkpoint rule — a shared aggregate
+# feeding two subtrees would execute twice); each head is the
+# vocabulary-sized doc_kn_bigram_likelihood chain (merge-hinted —
+# estimate-blind behind the explode), and the selection runs through
+# the shape-adaptive grouped prefix sum.
+def _kn_bigram_scores(bgc):
+    """(bigram, p_kn) from a (bigram, cnt) bigram-type frame — the
+    trained interpolated-KN score table (the doc_kn_bigram_likelihood
+    arithmetic, factored so the DSIR heads train on different slices
+    of the same type counts)."""
+    bgc = (
+        bgc.withColumn("w1", F.substring_index("bigram", " ", 1))
+        .withColumn("w2", F.substring_index("bigram", " ", -1))
+        .localCheckpoint(eager=False)
+    )
+    pref = bgc.groupBy("w1").agg(
+        F.sum("cnt").alias("ctot"), F.count(F.lit(1)).alias("nfw")
+    )
+    contw = bgc.groupBy("w2").agg(F.count(F.lit(1)).alias("nbw"))
+    ty = bgc.agg(F.count(F.lit(1)).alias("btypes"))
+    p_kn = (
+        F.greatest(F.col("cnt").cast("double") - F.lit(0.75), F.lit(0.0))
+        / F.col("ctot")
+        + (F.lit(0.75) * F.col("nfw") / F.col("ctot"))
+        * (F.col("nbw").cast("double") / F.col("btypes"))
+    )
+    return (
+        bgc.join(pref.hint("merge"), "w1")
+        .join(contw.hint("merge"), "w2")
+        .crossJoin(F.broadcast(ty))
+        .select("bigram", p_kn.alias("p_kn"))
+    )
+
+
+def _kn_head_ctes(sfx: str, src: str) -> str:
+    """Oracle CTE chain for one KN head trained on bigram rows ``src``,
+    scoring ALL docs' bigrams (mirrors `_kn_bigram_scores`)."""
+    return f"""
+    bgc{sfx} AS (SELECT bigram, COUNT(*) AS cnt FROM {src} GROUP BY bigram),
+    sp{sfx} AS (SELECT bigram, cnt,
+                  regexp_replace(bigram, ' [^ ]+$', '') AS w1,
+                  regexp_replace(bigram, '^[^ ]+ ', '') AS w2
+           FROM bgc{sfx}),
+    pref{sfx} AS (SELECT w1, SUM(cnt) AS ctot, COUNT(*) AS nfw
+                  FROM sp{sfx} GROUP BY w1),
+    contw{sfx} AS (SELECT w2, COUNT(*) AS nbw FROM sp{sfx} GROUP BY w2),
+    ty{sfx} AS (SELECT COUNT(*) AS btypes FROM bgc{sfx}),
+    pkn{sfx} AS (
+        SELECT s.bigram,
+               greatest(CAST(s.cnt AS DOUBLE) - 0.75e0, 0e0) / p.ctot
+               + (0.75e0 * p.nfw / p.ctot) * (CAST(c.nbw AS DOUBLE) / ty.btypes)
+                   AS p_kn
+        FROM sp{sfx} s JOIN pref{sfx} p ON s.w1 = p.w1
+                  JOIN contw{sfx} c ON s.w2 = c.w2
+                  CROSS JOIN ty{sfx} ty
+    ),
+    score{sfx} AS (
+        SELECT bg.doc_id, COUNT(*) AS n_bigrams, {sql_davg("p_kn", "avg_p")}
+        FROM bg JOIN pkn{sfx} USING (bigram)
+        GROUP BY bg.doc_id
+    )"""
+
+
+@query(
+    "corpus_importance_sample",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    bg AS (
+        SELECT doc_id, array_to_string(list_slice(toks, i, i + 1), ' ') AS bigram
+        FROM t, UNNEST(generate_series(1, greatest(len(toks) - 1, 0))) AS u(i)
+    ),
+    bgt AS (SELECT * FROM bg WHERE doc_id % 4 = 0),
+    {_kn_head_ctes("C", "bg")},
+    {_kn_head_ctes("T", "bgt")},
+    w AS (
+        SELECT c.doc_id, d.source, c.n_bigrams, t2.avg_p / c.avg_p AS importance
+        FROM scoreC c JOIN scoreT t2 ON c.doc_id = t2.doc_id
+             JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    cum AS (
+        SELECT doc_id, source, n_bigrams, importance,
+               SUM(n_bigrams) OVER (PARTITION BY source
+                                    ORDER BY importance DESC, doc_id ASC
+                                    ROWS UNBOUNDED PRECEDING) AS cum_mass,
+               SUM(n_bigrams) OVER (PARTITION BY source) AS total_mass
+        FROM w
+    )
+    SELECT doc_id, source, importance,
+           CAST(n_bigrams AS BIGINT) AS mass, CAST(cum_mass AS BIGINT) AS cum_mass
+    FROM cum WHERE cum_mass - n_bigrams < 0.25 * total_mass
+    """,
+)
+def corpus_importance_sample(spark, sf_dir):
+    """(doc_id, source, importance, mass, cum_mass) for the selected
+    top-25%-of-mass docs per source, importance-ordered. 0.25 is
+    exactly representable in binary, so the DuckDB DECIMAL and Spark
+    double threshold comparisons agree bit-for-bit."""
+    from udacity_dend_capstone_immigration_spark.operators.cumsum import (
+        grouped_running_sum,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    bi = shingle_rows(docs, "doc_id", "text", 2, distinct=False).withColumnRenamed(
+        "shingle", "bigram"
+    )
+    is_t = (F.col("doc_id") % 4 == 0).alias("is_target")
+    bgall = (
+        bi.groupBy("bigram", is_t)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    scored_c = _kn_bigram_scores(bgall.groupBy("bigram").agg(F.sum("cnt").alias("cnt")))
+    scored_t = _kn_bigram_scores(bgall.where(F.col("is_target")).select("bigram", "cnt"))
+    score_c = (
+        bi.join(scored_c.hint("merge"), "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            davg(F.col("p_kn"), "avg_c"),
+        )
+    )
+    score_t = (
+        bi.join(scored_t.hint("merge"), "bigram")
+        .groupBy("doc_id")
+        .agg(davg(F.col("p_kn"), "avg_t"))
+    )
+    w = (
+        score_c.join(score_t.hint("merge"), "doc_id")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_bigrams",
+            (F.col("avg_t") / F.col("avg_c")).alias("importance"),
+        )
+    )
+    cum = grouped_running_sum(
+        w,
+        "source",
+        [F.desc("importance"), F.asc("doc_id")],
+        "n_bigrams",
+        out_col="cum_mass",
+        total_col="total_mass",
+    )
+    return cum.where(
+        (F.col("cum_mass") - F.col("n_bigrams")).cast("double")
+        < F.lit(0.25) * F.col("total_mass").cast("double")
+    ).select(
+        "doc_id",
+        "source",
+        "importance",
+        F.col("n_bigrams").cast("bigint").alias("mass"),
+        F.col("cum_mass").cast("bigint").alias("cum_mass"),
+    )
