@@ -22,7 +22,7 @@ FLAGSHIP = "top_nations_by_orders"
 
 #: The driver's CORRECTNESS record keeps only the first 50 entries of
 #: ``queries()``. Round-12 window, built by the ROLLING rotation rule
-#: (tests/test_registry.py): (a) the six queries NEW this round —
+#: (tests/test_registry.py): (a) the seven queries NEW this round —
 #: `knn_sq8_served` / `ann_sq8_recall` (the persisted int8
 #: scalar-quantized serving layout + its recall audit — the new
 #: compressed serving default), `ann_index_maintenance_roundtrip`
@@ -31,11 +31,13 @@ FLAGSHIP = "top_nations_by_orders"
 #: delta append → probe-routed serve over main ∪ delta),
 #: `atomic_publish_roundtrip` (write-audit-publish atomic parquet
 #: publish), and `corpus_importance_sample` (DSIR-shape two-LM-head
-#: importance selection); (b) PLAN_CHANGED — the four whose serving
+#: importance selection), and `knn_ivf_maintenance_served` (serve
+#: value-identity across logical-tombstone and physical-compaction
+#: delete states); (b) PLAN_CHANGED — the four whose serving
 #: internals changed this round (PQ-decode version-skew guard,
 #: corpus-fingerprinted index cache, bucketed lazy table cleanup) —
 #: results re-proven; (c) the three r7 leftovers (`tpch_q19/q21/q22`)
-#: plus the 37 oldest r8 rows (the remaining 10 r8 rows rotate r13,
+#: plus the 36 oldest r8 rows (the remaining 11 r8 rows rotate r13,
 #: inside the capacity-derived staleness bound
 #: tests/test_registry.py enforces: current round − (⌈N/50⌉ + 1)).
 SHOWCASE = [
@@ -46,6 +48,7 @@ SHOWCASE = [
     "embeddings_stream_index_append",
     "atomic_publish_roundtrip",
     "corpus_importance_sample",
+    "knn_ivf_maintenance_served",
     # (b) plan / serving internals changed this round
     "knn_ivfpq_served",
     "knn_ivfpq_residual_served",
@@ -91,7 +94,6 @@ SHOWCASE = [
     "nation_balance_full_outer",
     "lineitem_price_rank_stats",
     "region_priority_grid",
-    "approx_quantile_accuracy",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round

@@ -2708,3 +2708,90 @@ def semantic_dedup_recall(spark, sf_dir):
         )
         .alias("pair_recall"),
     )
+
+
+# --- maintenance-aware SERVING proof (the r11 verdict's done-criterion
+# for maintenance: a serve query value-identical pre/post
+# compaction+delete). ONE query serves the store TWICE — first with the
+# delete applied LOGICALLY (tombstone anti-join, pre-compaction), then
+# PHYSICALLY (post-compaction, tombstones folded into the rewrite) —
+# and unions the two with a stage label. The oracle states the same
+# deleted-excluded top-5 once per stage, so the driver's hash compare
+# proves logical and physical delete serve IDENTICAL results and the
+# compaction rewrite changed nothing a query can observe.
+_MAINT_SERVE_ORACLE = (
+    "WITH base AS (" 
+    + ORACLES["knn_ivf"].replace(
+        "WHERE p.pr <= 4 AND c.vec_id != p.query_id",
+        "WHERE p.pr <= 4 AND c.vec_id != p.query_id AND c.vec_id % 5 != 2",
+    )
+    + ") SELECT stage, query_id, neighbor_id, cosine_sim, rank"
+    " FROM base, (SELECT 'logical' AS stage UNION ALL SELECT 'physical') s"
+)
+assert "% 5 != 2" in _MAINT_SERVE_ORACLE
+
+
+@query("knn_ivf_maintenance_served", oracle=_MAINT_SERVE_ORACLE)
+def knn_ivf_maintenance_served(spark, sf_dir):
+    """build flat index → delete vec_id%5=2 → serve (tombstones
+    anti-joined) → compact (physical) → serve again → union with stage
+    labels. Both serves are the standard probe-routed shape."""
+    import tempfile
+
+    from udacity_dend_capstone_immigration_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from udacity_dend_capstone_immigration_spark.operators.topk import top_k_per_group
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = build_ivf_flat_index(
+        spark, sf_dir, tempfile.mkdtemp(prefix="ivfflat_maintserve_")
+    )
+    delete_from_index(
+        spark, idx, emb.where(F.col("vec_id") % 5 == 2).select("vec_id")
+    )
+    cents = spark.read.parquet(f"{idx}/ivf_centroids")
+    probe_rows = [
+        (int(r["query_id"]), int(r["cell"]))
+        for r in _ivf_probes(emb, cents).collect()
+    ]
+    probed = sorted({c for _, c in probe_rows})
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell long")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+
+    def serve(stage: str):
+        store = spark.read.parquet(f"{idx}/ivf_vectors").where(
+            F.col("cell_pt").isin(probed)
+        )
+        store = apply_tombstones(spark, idx, store).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+            "cell",
+        )
+        scored = (
+            probes.join(store, "cell")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cosine_similarity(F.col("q_emb"), F.col("c_emb")), 6).alias(
+                    "cosine_sim"
+                ),
+            )
+        )
+        top = top_k_per_group(
+            scored,
+            partition_by=["query_id"],
+            order_by=[F.desc("cosine_sim"), F.asc("neighbor_id")],
+            k=5,
+        )
+        return top.select(F.lit(stage).alias("stage"), "*")
+
+    # serve 1 executes NOW (before the compaction mutates the store):
+    # localCheckpoint pins the logical-delete result eagerly
+    logical = serve("logical").localCheckpoint(eager=True)
+    compact_index_cells(spark, idx)
+    return logical.unionByName(serve("physical"))
