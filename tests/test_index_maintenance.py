@@ -215,3 +215,26 @@ def test_stream_append_multibatch_exactly_once_and_fold(spark):
     folded = _store_rows(spark, idx)
     assert folded == store_rows
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_compaction_crash_recovery_restores_old_dir(spark):
+    """A crash between the two swap renames leaves the store only in
+    `<store>.old` — the next compaction must RESTORE it (and sweep any
+    orphan staging), never delete the only copy."""
+    import shutil
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    idx = V.build_ivf_flat_index(
+        spark, SF_DIR, tempfile.mkdtemp(prefix="ivfflat_crash_t_"), emb=emb
+    )
+    rows = _store_rows(spark, idx)
+    # simulate the mid-swap crash state: live renamed away, staging orphaned
+    os.rename(f"{idx}/ivf_vectors", f"{idx}/ivf_vectors.old")
+    os.makedirs(f"{idx}/_ivf_vectors_compact_orphan")
+    V.compact_index_cells(spark, idx)
+    assert _store_rows(spark, idx) == rows
+    assert not os.path.isdir(f"{idx}/ivf_vectors.old")
+    assert not os.path.isdir(f"{idx}/_ivf_vectors_compact_orphan")
+    shutil.rmtree(idx, ignore_errors=True)

@@ -1393,6 +1393,21 @@ def compact_index_cells(spark, index_dir: str, cells=None) -> dict:
     out = {}
     full = cells is None
     cell_set = None if full else {int(c) for c in cells}
+    # crash recovery + sweep from a previously interrupted compaction:
+    # a crash BETWEEN the two renames leaves the data only in
+    # `<store>.old` (live dir absent) — restore it; any other leftover
+    # (.old beside a live dir, orphan staging) is invisible to readers
+    # ("_"-prefixed dirs are ignored by Spark) and swept
+    for junk in sorted(os.listdir(index_dir)) if os.path.isdir(index_dir) else []:
+        path = os.path.join(index_dir, junk)
+        if junk.endswith(".old"):
+            live_of = path[: -len(".old")]
+            if not os.path.isdir(live_of):
+                os.rename(path, live_of)
+            else:
+                sh.rmtree(path, ignore_errors=True)
+        elif "_compact_" in junk:
+            sh.rmtree(path, ignore_errors=True)
     for store in _INDEX_STORES:
         live = f"{index_dir}/{store}"
         if not os.path.isdir(live):
