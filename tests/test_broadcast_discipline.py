@@ -45,6 +45,8 @@ ALLOWED = {
     "cellcfg": "one row per IVF cell (N_CELLS-bounded cell→nsub config)",
     "stats": "one row per embedding dim (64, schema-fixed) — per-dim min/max",
     "cents": "N_CELLS trained centroids",
+    "cells": "count-min sketch cell table - w*d = 256 rows (constants)",
+    'dim.where(F.col("category") == "engagement")': "5-row literal event-type dim",
     "cent_df": "N_CELLS centroid frame (Lloyd-iteration input, bounded)",
     # local-collection dims (SAS label parses / driver literals)
     "dim": "local-collection dim (SAS labels / literal frame)",

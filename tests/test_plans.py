@@ -433,3 +433,24 @@ def test_no_static_broadcast_of_estimate_blind_relations(spark):
         "estimate-blind relation statically broadcast (add a merge hint "
         f"or argue boundedness in ALLOWED): {offenders}"
     )
+
+
+def test_dpp_fires_on_partitioned_fact(spark):
+    """events_dpp_partitioned_join: the fact scan must carry a
+    dynamicpruningexpression partition filter — the dim-side predicate
+    reaches the partitioned fact at RUNTIME through the broadcast, so
+    only the matching partitions are read (2 of 5 here; the engagement
+    fraction of a 100 TB store in production)."""
+    plan = plan_of(spark, "events_dpp_partitioned_join")
+    assert "dynamicpruningexpression" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cms_sketch_exchange_is_corpus_size_independent(spark):
+    """events_heavy_hitters_cms: the sketch aggregate must partial
+    (map-side combine) before its exchange — the shuffle carries w*d
+    cells, not events — and the cell table joins broadcast."""
+    plan = plan_of(spark, "events_heavy_hitters_cms")
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan

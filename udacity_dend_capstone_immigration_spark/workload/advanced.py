@@ -637,3 +637,154 @@ def asof_purchase_to_click_30m(spark, sf_dir):
         payload=["click_event_id", "click_value"],
         tolerance="30 minutes",
     )
+
+
+# --- count-min-sketch heavy hitters: the streaming-scale frequency
+# primitive (Cormode & Muthukrishnan 2005) done as two aggregates whose
+# SKETCH exchange carries w×d cells at ANY corpus size — the same
+# corpus-independent-exchange shape as IVF training. Every hash is md5
+# (the engine-portable hash rule), so the sketch is fully DETERMINISTIC
+# and the oracle replays it exactly: the driver hash-checks not just
+# the exact counts but the estimates themselves, making the
+# overcount column (est − exact ≥ 0, the CMS one-sided error) an
+# oracle-proven property instead of a claim. At 100 TB the exact
+# per-key aggregate is the expensive path and the sketch is the cheap
+# one; here both run so the error is measured — the
+# approx_distinct_summary self-validation pattern for frequencies.
+_CMS_W, _CMS_D = 64, 4
+
+
+@query(
+    "events_heavy_hitters_cms",
+    oracle=f"""
+    WITH u AS (SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY user_id),
+    jj AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(j)),
+    cells AS (
+        SELECT jj.j,
+               CAST(('0x' || substring(md5(CAST(e.user_id AS VARCHAR) || '#'
+                    || CAST(jj.j AS VARCHAR)), 1, 8)) AS BIGINT) % {_CMS_W} AS bucket,
+               COUNT(*) AS cell_cnt
+        FROM events e, jj
+        GROUP BY 1, 2
+    ),
+    ub AS (
+        SELECT u.user_id, u.exact_cnt, jj.j,
+               CAST(('0x' || substring(md5(CAST(u.user_id AS VARCHAR) || '#'
+                    || CAST(jj.j AS VARCHAR)), 1, 8)) AS BIGINT) % {_CMS_W} AS bucket
+        FROM u, jj
+    ),
+    est AS (
+        SELECT ub.user_id, ub.exact_cnt, MIN(c.cell_cnt) AS cms_est
+        FROM ub JOIN cells c ON c.j = ub.j AND c.bucket = ub.bucket
+        GROUP BY ub.user_id, ub.exact_cnt
+    )
+    SELECT user_id, exact_cnt, cms_est, cms_est - exact_cnt AS overcount
+    FROM est
+    ORDER BY exact_cnt DESC, user_id ASC LIMIT 20
+    """,
+)
+def events_heavy_hitters_cms(spark, sf_dir):
+    """Top-20 users by exact count, with the deterministic CMS estimate
+    beside the truth. One corpus pass builds the 256-cell sketch
+    (map-side combine into a w×d exchange); the per-user estimate is a
+    broadcast join of the candidate keys' buckets against the tiny cell
+    table and a min over depths."""
+    from udacity_dend_capstone_immigration_spark.operators.topk import top_k
+
+    ev = table(spark, sf_dir, "events")
+
+    def bucket(u_col, j_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(u_col.cast("string"), F.lit("#"), j_col.cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _CMS_W
+        )
+
+    js = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("j")
+    cells = (
+        ev.select("user_id")
+        .select("user_id", js)
+        .select("j", bucket(F.col("user_id"), F.col("j")).alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell_cnt"))
+    )
+    u = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    ub = u.select("user_id", "exact_cnt", js).select(
+        "user_id",
+        "exact_cnt",
+        "j",
+        bucket(F.col("user_id"), F.col("j")).alias("bucket"),
+    )
+    est = (
+        # cells is w×d = 256 rows by construction (constants) — bounded
+        ub.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("cell_cnt").alias("cms_est"))
+    )
+    out = est.select(
+        "user_id",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+    )
+    return top_k(out, order_by=[F.desc("exact_cnt"), F.asc("user_id")], k=20)
+
+
+# --- dynamic partition pruning roundtrip: at 100 TB the fact table is
+# partitioned on a join key and the dim-side predicate is only known at
+# plan time THROUGH the join — static pruning can't help, and a full
+# fact scan is the cluster-melter. Catalyst's DPP injects the
+# broadcast-materialized dim keys as a runtime partition filter on the
+# fact scan (plan shows `dynamicpruningexpression` in PartitionFilters
+# — pinned in tests/test_plans.py::test_dpp_fires_on_partitioned_fact),
+# so the scan reads 2 of 5 partitions here and the engagement fraction
+# of a 100 TB store in production. The oracle states the same join
+# aggregate over the original parquet, proving the partitioned
+# write→DPP-join→aggregate cycle lossless.
+@query(
+    "events_dpp_partitioned_join",
+    oracle=f"""
+    SELECT e.event_type, COUNT(*) AS cnt,
+           {sql_dsum("e.value", "total_value")}
+    FROM events e
+    WHERE e.event_type IN ('click', 'view')
+    GROUP BY e.event_type
+    """,
+)
+def events_dpp_partitioned_join(spark, sf_dir):
+    import tempfile
+
+    ev = table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="events_dpp_")
+    from udacity_dend_capstone_immigration_spark.sources.writers import write_parquet
+
+    write_parquet(
+        ev.select("event_id", "event_type", "value"), out, partition_by=("event_type",)
+    )
+    fact = spark.read.parquet(out)
+    # the dim: every type labeled; only the predicate on the DIM decides
+    # which fact partitions exist in the plan's runtime filter
+    dim = spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("purchase", "conversion"),
+            ("signup", "conversion"),
+            ("error", "ops"),
+        ],
+        "event_type string, category string",
+    )
+    joined = fact.join(
+        F.broadcast(dim.where(F.col("category") == "engagement")), "event_type"
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum(F.col("value"), "total_value"),
+    )
