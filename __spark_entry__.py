@@ -22,7 +22,7 @@ FLAGSHIP = "top_nations_by_orders"
 
 #: The driver's CORRECTNESS record keeps only the first 50 entries of
 #: ``queries()``. Round-12 window, built by the ROLLING rotation rule
-#: (tests/test_registry.py): (a) the nine queries NEW this round —
+#: (tests/test_registry.py): (a) the ten queries NEW this round —
 #: `knn_sq8_served` / `ann_sq8_recall` (the persisted int8
 #: scalar-quantized serving layout + its recall audit — the new
 #: compressed serving default), `ann_index_maintenance_roundtrip`
@@ -36,11 +36,13 @@ FLAGSHIP = "top_nations_by_orders"
 #: delete states), plus `events_heavy_hitters_cms` (deterministic
 #: count-min sketch, estimates themselves oracle-proven) and
 #: `events_dpp_partitioned_join` (dynamic partition pruning
-#: plan-pinned on a partitioned fact); (b) PLAN_CHANGED — the four whose serving
+#: plan-pinned on a partitioned fact) and its ingestion twin
+#: `events_stream_heavy_hitters` (the 256-cell sketch as BOUNDED
+#: streaming state, shared oracle); (b) PLAN_CHANGED — the four whose serving
 #: internals changed this round (PQ-decode version-skew guard,
 #: corpus-fingerprinted index cache, bucketed lazy table cleanup) —
 #: results re-proven; (c) the three r7 leftovers (`tpch_q19/q21/q22`)
-#: plus the 34 oldest r8 rows (the remaining 13 r8 rows rotate r13,
+#: plus the 33 oldest r8 rows (the remaining 14 r8 rows rotate r13,
 #: inside the capacity-derived staleness bound
 #: tests/test_registry.py enforces: current round − (⌈N/50⌉ + 1)).
 SHOWCASE = [
@@ -54,6 +56,7 @@ SHOWCASE = [
     "knn_ivf_maintenance_served",
     "events_heavy_hitters_cms",
     "events_dpp_partitioned_join",
+    "events_stream_heavy_hitters",
     # (b) plan / serving internals changed this round
     "knn_ivfpq_served",
     "knn_ivfpq_residual_served",
@@ -96,7 +99,6 @@ SHOWCASE = [
     "orders_above_avg_price",
     "orders_above_customer_avg",
     "orders_metrics_unpivot",
-    "nation_balance_full_outer",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round

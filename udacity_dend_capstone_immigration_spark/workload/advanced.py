@@ -654,6 +654,23 @@ def asof_purchase_to_click_30m(spark, sf_dir):
 _CMS_W, _CMS_D = 64, 4
 
 
+def _cms_bucket(u_col, j_col):
+    """Depth-j CMS bucket of a key: md5 of "key#j" → first 8 hex → mod w
+    (engine-portable; shared by the batch and streaming sketches)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(u_col.cast("string"), F.lit("#"), j_col.cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _CMS_W
+    )
+
+
 @query(
     "events_heavy_hitters_cms",
     oracle=f"""
@@ -692,21 +709,7 @@ def events_heavy_hitters_cms(spark, sf_dir):
     from udacity_dend_capstone_immigration_spark.operators.topk import top_k
 
     ev = table(spark, sf_dir, "events")
-
-    def bucket(u_col, j_col):
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(u_col.cast("string"), F.lit("#"), j_col.cast("string"))),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            % _CMS_W
-        )
-
+    bucket = _cms_bucket
     js = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("j")
     cells = (
         ev.select("user_id")

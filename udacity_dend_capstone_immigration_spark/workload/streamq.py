@@ -982,3 +982,67 @@ def embeddings_stream_index_append(spark, sf_dir):
         order_by=[F.desc("cosine_sim"), F.asc("neighbor_id")],
         k=5,
     )
+
+
+from udacity_dend_capstone_immigration_spark.workload.advanced import (  # noqa: E402
+    _CMS_D,
+    _CMS_W,
+)
+from udacity_dend_capstone_immigration_spark.workload.base import ORACLES  # noqa: E402
+
+
+@query(
+    "events_stream_heavy_hitters",
+    oracle=ORACLES["events_heavy_hitters_cms"],
+)
+def events_stream_heavy_hitters(spark, sf_dir):
+    """Count-min sketch maintained AT INGESTION: the streaming twin of
+    `events_heavy_hitters_cms` — the w×d cell counts aggregate in
+    complete mode over the event stream (state = 256 cells at ANY
+    stream length: the whole point of sketching an unbounded stream;
+    contrast the exact per-user aggregate, whose state grows with
+    distinct keys), then the drained sketch answers the offline
+    heavy-hitter audit exactly as the batch query does. Shares the
+    batch oracle verbatim: availableNow over the finite backlog ==
+    the batch sketch, cell for cell."""
+    from udacity_dend_capstone_immigration_spark.operators.topk import top_k
+    from udacity_dend_capstone_immigration_spark.workload.advanced import (
+        _cms_bucket,
+    )
+    from udacity_dend_capstone_immigration_spark.workload.base import table
+
+    ev_stream = read_events_stream(spark, sf_dir)
+    js = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("j")
+    stream_cells = (
+        ev_stream.select("user_id")
+        .select("user_id", js)
+        .select("j", _cms_bucket(F.col("user_id"), F.col("j")).alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell_cnt"))
+    )
+    name = f"events_stream_cms_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix="ck_events_cms_")
+    cells = run_available_now(stream_cells, name, checkpoint_dir=ck)
+    u = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    ub = u.select("user_id", "exact_cnt", js).select(
+        "user_id",
+        "exact_cnt",
+        "j",
+        _cms_bucket(F.col("user_id"), F.col("j")).alias("bucket"),
+    )
+    est = (
+        ub.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("cell_cnt").alias("cms_est"))
+    )
+    out = est.select(
+        "user_id",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+    )
+    return top_k(out, order_by=[F.desc("exact_cnt"), F.asc("user_id")], k=20)
