@@ -399,6 +399,15 @@ def test_no_static_broadcast_of_estimate_blind_relations(spark):
         # (dim count is schema-fixed, not SF-scaling); it sits on the
         # posexplode subtree, hence the Generate in its build
         "embedding_int8_distortion",
+        # explicit F.broadcast of the w×d = 256-cell count-min sketch
+        # (constants, corpus-size-independent by construction); the
+        # cell build explodes the 4 depths per row, hence the Generate
+        "events_heavy_hitters_cms",
+        "events_stream_heavy_hitters",
+        # explicit F.broadcast of the 5-row literal event-type dim
+        # (local relation → ExistingRDD); the broadcast IS the point —
+        # DPP reuses it as the runtime partition filter
+        "events_dpp_partitioned_join",
     }
 
     def suspects(plan: str) -> list[str]:
