@@ -238,3 +238,63 @@ def test_compaction_crash_recovery_restores_old_dir(spark):
     assert not os.path.isdir(f"{idx}/ivf_vectors.old")
     assert not os.path.isdir(f"{idx}/_ivf_vectors_compact_orphan")
     shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_full_compaction_keeps_tombstones_while_delta_exists(spark):
+    """A full compaction must NOT clear tombstones while a streaming
+    delta dir exists — the delta may hold deleted rows the pass never
+    rewrites; clearing would resurrect them at serve."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") % 7 != 0)
+    new = emb.where(F.col("vec_id") % 7 == 0)
+    idx = V.build_ivf_flat_index(
+        spark, SF_DIR, tempfile.mkdtemp(prefix="ivfflat_deltatomb_t_"), emb=corpus
+    )
+    src = tempfile.mkdtemp(prefix="emb_stream_src2_")
+    new.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("vec_id long, embedding array<float>").parquet(src)
+    V.stream_append_to_ivf_flat_index(
+        spark, stream, idx, tempfile.mkdtemp(prefix="ck_idx_t2_")
+    )
+    # delete a vector that lives only in the DELTA
+    dead = [int(new.select("vec_id").first()["vec_id"])]
+    V.delete_from_index(spark, idx, dead)
+    V.compact_index_cells(spark, idx)
+    # tombstones retained; the deleted delta row stays masked at serve
+    assert os.path.isdir(f"{idx}/deleted_ids")
+    served = V.apply_tombstones(spark, idx, V.read_ivf_flat_store(spark, idx))
+    assert served.where(F.col("vec_id").isin(dead)).count() == 0
+    # folding the delta retires both: next full compaction clears
+    V.fold_index_delta(spark, idx)
+    V.compact_index_cells(spark, idx)
+    assert not os.path.isdir(f"{idx}/deleted_ids")
+    raw = spark.read.parquet(f"{idx}/ivf_vectors")
+    assert raw.where(F.col("vec_id").isin(dead)).count() == 0
+
+
+def test_stream_append_new_checkpoint_lineage_does_not_collide(spark):
+    """A second ingestion wave with a FRESH checkpoint must not
+    overwrite the first wave's batch directories (batch ids restart at
+    0 per lineage)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    idx = V.build_ivf_flat_index(
+        spark,
+        SF_DIR,
+        tempfile.mkdtemp(prefix="ivfflat_waves_t_"),
+        emb=emb.where(F.col("vec_id") % 3 == 0),
+    )
+    for k in (1, 2):  # two waves, each its own checkpoint lineage
+        src = tempfile.mkdtemp(prefix=f"emb_wave{k}_")
+        emb.where(F.col("vec_id") % 3 == k).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<float>"
+        ).parquet(src)
+        V.stream_append_to_ivf_flat_index(
+            spark, stream, idx, tempfile.mkdtemp(prefix=f"ck_wave{k}_")
+        )
+    assert len(glob.glob(f"{idx}/ivf_vectors_delta/batch_pt=*")) == 2
+    assert V.read_ivf_flat_store(spark, idx).count() == emb.count()

@@ -84,3 +84,21 @@ def test_prune_keeps_retention_window(spark):
     assert read_published(spark, root).count() == 4
     # no leftover temp pointer files
     assert not glob.glob(os.path.join(root, "._CURRENT.*"))
+
+
+def test_crashed_stage_does_not_occupy_a_retention_slot(spark):
+    # a crashed writer's orphan v_* dir was never resolvable — it must
+    # not push a REAL previous version out of the retention window
+    # (a reader that just resolved it may still be scanning)
+    root = tempfile.mkdtemp(prefix="wap_t_")
+    v1 = publish_table(_df(spark, 3), root, keep_versions=2)
+    write_table(_df(spark, 99), os.path.join(root, "v_crashed0000"))
+    publish_table(_df(spark, 5), root, keep_versions=2)
+    dirs = {os.path.basename(d) for d in glob.glob(os.path.join(root, "v_*"))}
+    assert v1 in dirs  # the real previous version survived
+    assert "v_crashed0000" in dirs  # the orphan is not pruned here either
+    # a third publish retires v1 (now beyond the window)
+    publish_table(_df(spark, 7), root, keep_versions=2)
+    dirs = {os.path.basename(d) for d in glob.glob(os.path.join(root, "v_*"))}
+    assert v1 not in dirs
+    assert read_published(spark, root).count() == 7

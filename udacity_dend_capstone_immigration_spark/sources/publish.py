@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from udacity_dend_capstone_immigration_spark.sources.writers import write_table
 
 _POINTER = "_CURRENT"
+_LOG = "_PUBLISH_LOG"
 
 
 class AuditFailedError(RuntimeError):
@@ -99,21 +100,35 @@ def publish_table(
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(root, _POINTER))
+    # append-only publish history: pruning counts ONLY published
+    # versions toward the retention window (see _prune_versions)
+    with open(os.path.join(root, _LOG), "a") as f:
+        f.write(version + "\n")
     _prune_versions(root, keep=keep_versions)
     return version
 
 
 def _prune_versions(root: str, keep: int) -> None:
-    """Drop all but the ``keep`` most-recent version dirs (always
-    keeping the live one) — the retention window that lets an
-    already-resolved reader finish its scan."""
+    """Drop published versions beyond the ``keep`` most recent — the
+    retention window that lets an already-resolved reader finish its
+    scan. Only versions recorded in the publish history count toward
+    (or are eligible for) the window: a crashed writer's orphan ``v_*``
+    dir was never resolvable by any reader, so it must neither occupy a
+    retention slot (which would prune a REAL previous version mid-scan)
+    nor be deleted here (it may be another writer's in-flight stage —
+    crashed-stage garbage collection is a separate, age-based concern)."""
+    try:
+        with open(os.path.join(root, _LOG)) as f:
+            history = [line.strip() for line in f if line.strip()]
+    except FileNotFoundError:
+        return
     live = current_version(root)
-    versions = [
-        d
-        for d in os.listdir(root)
-        if d.startswith("v_") and os.path.isdir(os.path.join(root, d))
-    ]
-    versions.sort(key=lambda d: os.path.getmtime(os.path.join(root, d)), reverse=True)
-    for d in versions[max(keep, 1):]:
+    # de-dup (a version republished later keeps its newest position)
+    seen: dict[str, None] = {}
+    for v in history:
+        seen.pop(v, None)
+        seen[v] = None
+    ordered = list(seen)  # oldest → newest
+    for d in ordered[: -max(keep, 1)]:
         if d != live:
             shutil.rmtree(os.path.join(root, d), ignore_errors=True)

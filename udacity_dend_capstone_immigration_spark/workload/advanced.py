@@ -751,6 +751,25 @@ def events_heavy_hitters_cms(spark, sf_dir):
 # of a 100 TB store in production. The oracle states the same join
 # aggregate over the original parquet, proving the partitioned
 # write→DPP-join→aggregate cycle lossless.
+#: one partitioned-fact staging dir per process, OVERWRITTEN each
+#: invocation and swept at exit — a fresh mkdtemp per run would leak a
+#: full events copy every driver/bench/pytest invocation (the
+#: bucketed_join_roundtrip accumulation class).
+_DPP_OUT: list = []
+
+
+def _dpp_out_dir() -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _DPP_OUT:
+        d = tempfile.mkdtemp(prefix="events_dpp_")
+        _DPP_OUT.append(d)
+        atexit.register(lambda: shutil.rmtree(d, ignore_errors=True))
+    return _DPP_OUT[0]
+
+
 @query(
     "events_dpp_partitioned_join",
     oracle=f"""
@@ -762,10 +781,8 @@ def events_heavy_hitters_cms(spark, sf_dir):
     """,
 )
 def events_dpp_partitioned_join(spark, sf_dir):
-    import tempfile
-
     ev = table(spark, sf_dir, "events")
-    out = tempfile.mkdtemp(prefix="events_dpp_")
+    out = _dpp_out_dir()
     from udacity_dend_capstone_immigration_spark.sources.writers import write_parquet
 
     write_parquet(

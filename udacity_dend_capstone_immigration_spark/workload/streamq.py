@@ -915,13 +915,10 @@ def embeddings_stream_index_append(spark, sf_dir):
     and scores queries against corpus+batch, so the hash compare
     proves the streamed append landed exactly the frozen-index
     assignment."""
-    from udacity_dend_capstone_immigration_spark.functions.vectors import (
-        cosine_similarity,
-    )
-    from udacity_dend_capstone_immigration_spark.operators.topk import top_k_per_group
     from udacity_dend_capstone_immigration_spark.workload.base import table
     from udacity_dend_capstone_immigration_spark.workload.vectors import (
         _ivf_probes,
+        _ivfpq_topk,
         build_ivf_flat_index,
         read_ivf_flat_store,
         stream_append_to_ivf_flat_index,
@@ -957,37 +954,14 @@ def embeddings_stream_index_append(spark, sf_dir):
         .where(F.col("cell_pt").isin(probed))
         .select(
             F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("c_emb"),
+            F.col("embedding").alias("r"),
             "cell",
         )
     )
-    q = emb.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    scored = (
-        probes.join(store, "cell")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .join(F.broadcast(q), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_similarity(F.col("q_emb"), F.col("c_emb")), 6).alias(
-                "cosine_sim"
-            ),
-        )
-    )
-    return top_k_per_group(
-        scored,
-        partition_by=["query_id"],
-        order_by=[F.desc("cosine_sim"), F.asc("neighbor_id")],
-        k=5,
-    )
+    return _ivfpq_topk(emb, cents, store, probes=probes)
 
 
-from udacity_dend_capstone_immigration_spark.workload.advanced import (  # noqa: E402
-    _CMS_D,
-    _CMS_W,
-)
+from udacity_dend_capstone_immigration_spark.workload.advanced import _CMS_D  # noqa: E402
 from udacity_dend_capstone_immigration_spark.workload.base import ORACLES  # noqa: E402
 
 

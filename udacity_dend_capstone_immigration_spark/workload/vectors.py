@@ -1256,8 +1256,17 @@ def stream_append_to_ivf_flat_index(
         _await_or_raise,
     )
 
+    import hashlib
+
     cents_rows = spark.read.parquet(f"{index_dir}/ivf_centroids").collect()
     cb = Codebook([(r["cent_id"], r["cent_emb"]) for r in cents_rows])
+    # batch_id restarts at 0 for every NEW checkpoint lineage, so batch
+    # addressing alone is only unique per lineage — a second ingestion
+    # wave (fresh checkpoint, un-folded delta) would overwrite wave 1's
+    # batch_pt=0. Namespacing the partition value by the checkpoint
+    # identity keeps replay idempotent (same checkpoint → same dir)
+    # without cross-wave collisions.
+    lineage = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
 
     def write_batch(df, batch_id: int) -> None:
         assigned = assign_nearest_arrow(df, cb, "vec_id", keep_embedding=True)
@@ -1266,7 +1275,7 @@ def stream_append_to_ivf_flat_index(
             .repartition(F.col("cell_pt"))  # one file per touched cell
             .write.mode("overwrite")
             .partitionBy("cell_pt")
-            .parquet(f"{index_dir}/ivf_vectors_delta/batch_pt={batch_id}")
+            .parquet(f"{index_dir}/ivf_vectors_delta/batch_pt={lineage}-{batch_id}")
         )
 
     q = (
@@ -1376,9 +1385,11 @@ def compact_index_cells(spark, index_dir: str, cells=None) -> dict:
     rewrites all cells.
 
     Tombstones are applied to every rewritten cell; the tombstone table
-    is cleared only after a FULL compaction (a bounded pass leaves it
-    in place for the cells it didn't touch — re-applying at serve time
-    is an idempotent anti-join). Swap is write-staging-then-rename:
+    is cleared only after a FULL compaction with NO streaming delta dir
+    present (a bounded pass leaves it in place for the cells it didn't
+    touch, and a delta may hold deleted rows this pass never rewrites —
+    re-applying at serve time is an idempotent anti-join; fold the
+    delta first to retire both). Swap is write-staging-then-rename:
     the rewritten store lands in a sibling staging dir, then replaces
     the live dir in two renames — on a POSIX fs readers never observe
     a half-written store (on an object store the same pattern runs
@@ -1437,7 +1448,13 @@ def compact_index_cells(spark, index_dir: str, cells=None) -> dict:
             for f in files
             if f.endswith(".parquet")
         )
-    if full and os.path.isdir(f"{index_dir}/deleted_ids"):
+    # tombstones may only be cleared when every store they mask was
+    # rewritten: a bounded pass skips cells, and a streaming DELTA dir
+    # (not in _INDEX_STORES) may still hold deleted rows that only the
+    # serve-time anti-join hides — clearing then would RESURRECT them.
+    # Run fold_index_delta before a full compaction to retire both.
+    delta_present = os.path.isdir(f"{index_dir}/ivf_vectors_delta")
+    if full and not delta_present and os.path.isdir(f"{index_dir}/deleted_ids"):
         sh.rmtree(f"{index_dir}/deleted_ids", ignore_errors=True)
     return out
 
@@ -1569,12 +1586,8 @@ def knn_ivf_served(spark, sf_dir):
     bounded broadcast query side. No training, no full-store scan, no
     decode stage anywhere in the serving plan; shares `knn_ivf`'s
     oracle because the persisted layout changes WHERE rows live, not
-    what they score."""
-    from udacity_dend_capstone_immigration_spark.functions.vectors import (
-        cosine_similarity,
-    )
-    from udacity_dend_capstone_immigration_spark.operators.topk import top_k_per_group
-
+    what they score. Scoring tail = `_ivfpq_topk` (a flat store is a
+    "reconstruction" that happens to be exact)."""
     idx = served_index_dir(spark, sf_dir, kind="flat")
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = spark.read.parquet(f"{idx}/ivf_centroids")
@@ -1589,31 +1602,11 @@ def knn_ivf_served(spark, sf_dir):
         .where(F.col("cell_pt").isin(probed))
         .select(
             F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("c_emb"),
+            F.col("embedding").alias("r"),
             "cell",
         )
     )
-    q = emb.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    scored = (
-        probes.join(store, "cell")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .join(F.broadcast(q), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_similarity(F.col("q_emb"), F.col("c_emb")), 6).alias(
-                "cosine_sim"
-            ),
-        )
-    )
-    return top_k_per_group(
-        scored,
-        partition_by=["query_id"],
-        order_by=[F.desc("cosine_sim"), F.asc("neighbor_id")],
-        k=5,
-    )
+    return _ivfpq_topk(emb, cents, store, probes=probes)
 
 
 @query(
@@ -2750,13 +2743,9 @@ assert "% 5 != 2" in _MAINT_SERVE_ORACLE
 def knn_ivf_maintenance_served(spark, sf_dir):
     """build flat index → delete vec_id%5=2 → serve (tombstones
     anti-joined) → compact (physical) → serve again → union with stage
-    labels. Both serves are the standard probe-routed shape."""
+    labels. Both serves are the standard probe-routed `_ivfpq_topk`
+    tail."""
     import tempfile
-
-    from udacity_dend_capstone_immigration_spark.functions.vectors import (
-        cosine_similarity,
-    )
-    from udacity_dend_capstone_immigration_spark.operators.topk import top_k_per_group
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     idx = build_ivf_flat_index(
@@ -2772,9 +2761,6 @@ def knn_ivf_maintenance_served(spark, sf_dir):
     ]
     probed = sorted({c for _, c in probe_rows})
     probes = spark.createDataFrame(probe_rows, "query_id long, cell long")
-    q = emb.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
 
     def serve(stage: str):
         store = spark.read.parquet(f"{idx}/ivf_vectors").where(
@@ -2782,27 +2768,10 @@ def knn_ivf_maintenance_served(spark, sf_dir):
         )
         store = apply_tombstones(spark, idx, store).select(
             F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("c_emb"),
+            F.col("embedding").alias("r"),
             "cell",
         )
-        scored = (
-            probes.join(store, "cell")
-            .where(F.col("neighbor_id") != F.col("query_id"))
-            .join(F.broadcast(q), "query_id")
-            .select(
-                "query_id",
-                "neighbor_id",
-                F.round(cosine_similarity(F.col("q_emb"), F.col("c_emb")), 6).alias(
-                    "cosine_sim"
-                ),
-            )
-        )
-        top = top_k_per_group(
-            scored,
-            partition_by=["query_id"],
-            order_by=[F.desc("cosine_sim"), F.asc("neighbor_id")],
-            k=5,
-        )
+        top = _ivfpq_topk(emb, cents, store, probes=probes)
         return top.select(F.lit(stage).alias("stage"), "*")
 
     # serve 1 executes NOW (before the compaction mutates the store):
