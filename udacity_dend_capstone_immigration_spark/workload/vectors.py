@@ -1169,7 +1169,15 @@ def build_ivf_sq8_index(spark, sf_dir, out_dir: str, emb=None) -> str:
     """Train-and-persist the IVF-SQ8 layout: the same `_ivf_train`
     coarse index as every other layout, per-dim affine stats, then one
     chained Arrow corpus scan (assign → byte-encode) into the
-    cell-partitioned codes table. Returns ``out_dir``."""
+    cell-partitioned codes table. Returns ``out_dir``.
+
+    No residual (IVFADC-style) SQ8 variant on purpose: residual
+    encoding exists to stretch a TIGHT code budget (it bought PQ's
+    4 bytes recall 0.18 → 0.28), but plain SQ8 already serves recall
+    == the uncompressed flat layout on this corpus (`ann_sq8_recall`
+    0.92/0.96) — there is no loss left for the residual transform to
+    recover, and it would add a centroid join to the decode for
+    nothing."""
     from udacity_dend_capstone_immigration_spark.operators.similarity import (
         assign_nearest_arrow,
         sq8_encode,
