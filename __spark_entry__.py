@@ -22,7 +22,7 @@ FLAGSHIP = "top_nations_by_orders"
 
 #: The driver's CORRECTNESS record keeps only the first 50 entries of
 #: ``queries()``. Round-12 window, built by the ROLLING rotation rule
-#: (tests/test_registry.py): (a) the ten queries NEW this round —
+#: (tests/test_registry.py): (a) the eleven queries NEW this round —
 #: `knn_sq8_served` / `ann_sq8_recall` (the persisted int8
 #: scalar-quantized serving layout + its recall audit — the new
 #: compressed serving default), `ann_index_maintenance_roundtrip`
@@ -38,11 +38,12 @@ FLAGSHIP = "top_nations_by_orders"
 #: `events_dpp_partitioned_join` (dynamic partition pruning
 #: plan-pinned on a partitioned fact) and its ingestion twin
 #: `events_stream_heavy_hitters` (the 256-cell sketch as BOUNDED
-#: streaming state, shared oracle); (b) PLAN_CHANGED — the four whose serving
+#: streaming state, shared oracle) and `embeddings_stream_sq8_append`
+#: (streaming ingest closed across BOTH persisted layouts); (b) PLAN_CHANGED — the four whose serving
 #: internals changed this round (PQ-decode version-skew guard,
 #: corpus-fingerprinted index cache, bucketed lazy table cleanup) —
 #: results re-proven; (c) the three r7 leftovers (`tpch_q19/q21/q22`)
-#: plus the 33 oldest r8 rows (the remaining 14 r8 rows rotate r13,
+#: plus the 32 oldest r8 rows (the remaining 15 r8 rows rotate r13,
 #: inside the capacity-derived staleness bound
 #: tests/test_registry.py enforces: current round − (⌈N/50⌉ + 1)).
 SHOWCASE = [
@@ -57,12 +58,13 @@ SHOWCASE = [
     "events_heavy_hitters_cms",
     "events_dpp_partitioned_join",
     "events_stream_heavy_hitters",
+    "embeddings_stream_sq8_append",
     # (b) plan / serving internals changed this round
     "knn_ivfpq_served",
     "knn_ivfpq_residual_served",
     "knn_ivf_served",
     "bucketed_join_roundtrip",
-    # (c) the r7 leftovers, then the 33 oldest r8 rows
+    # (c) the r7 leftovers, then the 32 oldest r8 rows
     "tpch_q19_bracketed_revenue",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_idle_customer_balance",
@@ -98,7 +100,6 @@ SHOWCASE = [
     "customers_with_orders_semi",
     "orders_above_avg_price",
     "orders_above_customer_avg",
-    "orders_metrics_unpivot",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round

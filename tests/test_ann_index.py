@@ -364,3 +364,46 @@ def test_sq8_append_covers_all_with_frozen_quantizer(spark):
     # the quantizer is frozen: stats unchanged after append
     mn, mx = V.load_sq8_stats(spark, f"{idx}/sq8_stats")
     assert len(mn) == 64
+
+
+def test_sq8_stream_append_saturates_against_frozen_stats(spark):
+    """Streamed SQ8 appends encode against the FROZEN corpus stats:
+    values outside the trained [mn, mx] must saturate to 0/255 (the
+    scalar-quantizer append contract), never wrap."""
+    import tempfile
+
+    import numpy as np
+    from pyspark.sql import functions as F2
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    idx = V.build_ivf_sq8_index(
+        spark, SF_DIR, tempfile.mkdtemp(prefix="ivfsq8_sat_t_"), emb=emb
+    )
+    # an out-of-range batch: scale every coordinate far past the stats
+    big = emb.limit(3).select(
+        (F2.col("vec_id") + 1_000_000).alias("vec_id"),
+        F2.transform(F2.col("embedding"), lambda v: v * F2.lit(100.0))
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    src = tempfile.mkdtemp(prefix="sq8_sat_src_")
+    big.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("vec_id long, embedding array<float>").parquet(src)
+    V.stream_append_to_sq8_index(
+        spark, stream, idx, tempfile.mkdtemp(prefix="ck_sq8_sat_")
+    )
+    appended = (
+        V.read_sq8_store(spark, idx)
+        .where(F2.col("vec_id") >= 1_000_000)
+        .select("codes")
+        .collect()
+    )
+    assert len(appended) == 3
+    for r in appended:
+        arr = np.frombuffer(r["codes"], dtype=np.uint8)
+        assert arr.min() >= 0 and arr.max() <= 255
+        # coordinates blown past the max must pin AT 255 (saturation,
+        # not wrap-around — a wrapped byte would be small again)
+        assert (arr == 255).sum() > 0

@@ -1020,3 +1020,91 @@ def events_stream_heavy_hitters(spark, sf_dir):
         (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
     )
     return top_k(out, order_by=[F.desc("exact_cnt"), F.asc("user_id")], k=20)
+
+
+#: Spark-side byte-code checksum: hex the BINARY codes column once and
+#: fold the 64 byte pairs (SQL-expr lambda — a roundtrip audit column,
+#: not a hot serving path).
+_SQ8_CODE_SUM = (
+    "aggregate(sequence(0, 63), CAST(0 AS BIGINT),"
+    " (a, i) -> a + CAST(conv(substr(hex(codes), i * 2 + 1, 2), 16, 10) AS BIGINT))"
+)
+
+
+@query(
+    "embeddings_stream_sq8_append",
+    oracle=f"""
+    WITH {_EMB_CORPUS_TRAIN_CTES},
+    stats AS (
+        SELECT i AS dim, MIN(v[i + 1]) AS mn, MAX(v[i + 1]) AS mx
+        FROM n, range(64) t(i)
+        GROUP BY i
+    ),
+    csum AS (
+        SELECT av.vec_id,
+               SUM(CASE WHEN s.mx > s.mn
+                        THEN CAST(least(greatest(floor((av.v[s.dim + 1] - s.mn)
+                                 * 255.0e0 / (s.mx - s.mn) + 0.5e0), 0e0), 255e0)
+                             AS BIGINT)
+                        ELSE 0 END) AS code_sum
+        FROM (SELECT vec_id, v FROM n UNION ALL SELECT vec_id, v FROM nn) av, stats s
+        GROUP BY av.vec_id
+    ),
+    aall AS (SELECT vec_id, cell, 0 AS is_new FROM cassign
+             UNION ALL SELECT vec_id, cell, 1 AS is_new FROM nassign)
+    SELECT a.cell,
+           CAST(COUNT(*) FILTER (WHERE a.is_new = 0) AS BIGINT) AS n_corpus,
+           CAST(COUNT(*) FILTER (WHERE a.is_new = 1) AS BIGINT) AS n_new,
+           CAST(SUM(c.code_sum) AS BIGINT) AS code_checksum
+    FROM aall a JOIN csum c ON a.vec_id = c.vec_id
+    GROUP BY a.cell
+    """,
+)
+def embeddings_stream_sq8_append(spark, sf_dir):
+    """Streaming ingest into the persisted SQ8 store, end-to-end: the
+    byte-code index is built on the corpus partition (vec_id % 7 != 0
+    — frozen centroids AND frozen affine stats), the arriving batch
+    STREAMS through the exactly-once lineage-addressed delta sink
+    (`stream_append_to_sq8_index`; out-of-range values saturate — the
+    scalar-quantizer append contract), and the read-back main ∪ delta
+    store aggregates per cell split corpus/new with a per-vector
+    byte-code checksum. The oracle re-derives the same affine encode
+    (floor half-up, saturating clamp) from the corpus-trained stats,
+    so the hash compare proves the streamed bytes are exactly what the
+    frozen quantizer assigns. Completes streaming ingest across BOTH
+    persisted layouts (flat: `embeddings_stream_index_append`)."""
+    from udacity_dend_capstone_immigration_spark.workload.base import table
+    from udacity_dend_capstone_immigration_spark.workload.vectors import (
+        build_ivf_sq8_index,
+        read_sq8_store,
+        stream_append_to_sq8_index,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    is_new = F.col("vec_id") % 7 == 0
+    idx = build_ivf_sq8_index(
+        spark,
+        sf_dir,
+        tempfile.mkdtemp(prefix="ivfsq8_ingest_"),
+        emb=emb.where(~is_new),
+    )
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .where(is_new)
+        .select("vec_id", "embedding")
+    )
+    stream_append_to_sq8_index(
+        spark, stream, idx, tempfile.mkdtemp(prefix="ck_sq8_append_")
+    )
+    store = read_sq8_store(spark, idx)
+    return (
+        store.select("vec_id", "cell", F.expr(_SQ8_CODE_SUM).alias("code_sum"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.when(~is_new, 1)).cast("bigint").alias("n_corpus"),
+            F.count(F.when(is_new, 1)).cast("bigint").alias("n_new"),
+            F.sum("code_sum").cast("bigint").alias("code_checksum"),
+        )
+    )

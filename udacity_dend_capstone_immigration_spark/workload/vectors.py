@@ -1295,6 +1295,87 @@ def stream_append_to_ivf_flat_index(
     _await_or_raise(q, timeout_sec, f"index_append:{index_dir}")
 
 
+def stream_append_to_sq8_index(
+    spark, stream_df, index_dir: str, checkpoint_dir: str, timeout_sec: int = 120
+) -> None:
+    """SQ8 twin of :func:`stream_append_to_ivf_flat_index`: each
+    micro-batch assigns against the FROZEN read-back centroids and
+    byte-encodes against the FROZEN affine stats (out-of-range values
+    saturate — the scalar-quantizer append contract), overwriting its
+    own lineage-addressed ``batch_pt`` directory in the
+    ``sq8_codes_delta`` store. Same exactly-once and serving (main ∪
+    delta) semantics; :func:`fold_sq8_delta` is the minor compaction."""
+    import hashlib
+
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        Codebook,
+        assign_nearest_arrow,
+        sq8_encode,
+    )
+    from udacity_dend_capstone_immigration_spark.streaming.windows import (
+        _await_or_raise,
+    )
+
+    cents_rows = spark.read.parquet(f"{index_dir}/ivf_centroids").collect()
+    cb = Codebook([(r["cent_id"], r["cent_emb"]) for r in cents_rows])
+    mn, mx = load_sq8_stats(spark, f"{index_dir}/sq8_stats")
+    lineage = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+
+    def write_batch(df, batch_id: int) -> None:
+        assigned = assign_nearest_arrow(df, cb, "vec_id", keep_embedding=True)
+        codes = sq8_encode(assigned, mn, mx, passthrough=("cell",))
+        (
+            codes.withColumn("cell_pt", F.col("cell"))
+            .repartition(F.col("cell_pt"))  # one file per touched cell
+            .write.mode("overwrite")
+            .partitionBy("cell_pt")
+            .parquet(f"{index_dir}/sq8_codes_delta/batch_pt={lineage}-{batch_id}")
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    _await_or_raise(q, timeout_sec, f"sq8_append:{index_dir}")
+
+
+def read_sq8_store(spark, index_dir: str):
+    """Serving view of the SQ8 store: main ∪ delta, both
+    cell_pt-prunable (the `read_ivf_flat_store` contract for byte
+    codes; tombstones layered by the caller)."""
+    import os
+
+    cols = ["vec_id", "codes", "cell", "cell_pt"]
+    main = spark.read.parquet(f"{index_dir}/sq8_codes").select(*cols)
+    delta_dir = f"{index_dir}/sq8_codes_delta"
+    if not os.path.isdir(delta_dir):
+        return main
+    return main.unionByName(spark.read.parquet(delta_dir).select(*cols))
+
+
+def fold_sq8_delta(spark, index_dir: str) -> None:
+    """Fold streamed SQ8 delta batches into the main codes store and
+    drop the delta (same crash caveat as :func:`fold_index_delta`)."""
+    import os
+    import shutil as sh
+
+    from udacity_dend_capstone_immigration_spark.sources.writers import write_table
+
+    delta_dir = f"{index_dir}/sq8_codes_delta"
+    if not os.path.isdir(delta_dir):
+        return
+    rows = spark.read.parquet(delta_dir).select("vec_id", "codes", "cell")
+    write_table(
+        rows.withColumn("cell_pt", F.col("cell")),
+        f"{index_dir}/sq8_codes",
+        partition_by=["cell_pt"],
+        mode="append",
+    )
+    sh.rmtree(delta_dir, ignore_errors=True)
+
+
 def read_ivf_flat_store(spark, index_dir: str):
     """The serving view of the flat store: main ∪ delta (when a delta
     exists), both carrying ``cell_pt`` as a partition column so a probe
@@ -1461,7 +1542,10 @@ def compact_index_cells(spark, index_dir: str, cells=None) -> dict:
     # (not in _INDEX_STORES) may still hold deleted rows that only the
     # serve-time anti-join hides — clearing then would RESURRECT them.
     # Run fold_index_delta before a full compaction to retire both.
-    delta_present = os.path.isdir(f"{index_dir}/ivf_vectors_delta")
+    delta_present = any(
+        os.path.isdir(f"{index_dir}/{d}")
+        for d in ("ivf_vectors_delta", "sq8_codes_delta")
+    )
     if full and not delta_present and os.path.isdir(f"{index_dir}/deleted_ids"):
         sh.rmtree(f"{index_dir}/deleted_ids", ignore_errors=True)
     return out
