@@ -43,7 +43,7 @@ FLAGSHIP = "top_nations_by_orders"
 #: internals changed this round (PQ-decode version-skew guard,
 #: corpus-fingerprinted index cache, bucketed lazy table cleanup) —
 #: results re-proven; (c) the three r7 leftovers (`tpch_q19/q21/q22`)
-#: plus the 32 oldest r8 rows (the remaining 15 r8 rows rotate r13,
+#: plus the 30 oldest r8 rows (the remaining 17 r8 rows rotate r13,
 #: inside the capacity-derived staleness bound
 #: tests/test_registry.py enforces: current round − (⌈N/50⌉ + 1)).
 SHOWCASE = [
@@ -59,12 +59,14 @@ SHOWCASE = [
     "events_dpp_partitioned_join",
     "events_stream_heavy_hitters",
     "embeddings_stream_sq8_append",
+    "knn_matryoshka16",
+    "ann_matryoshka_recall",
     # (b) plan / serving internals changed this round
     "knn_ivfpq_served",
     "knn_ivfpq_residual_served",
     "knn_ivf_served",
     "bucketed_join_roundtrip",
-    # (c) the r7 leftovers, then the 32 oldest r8 rows
+    # (c) the r7 leftovers, then the 30 oldest r8 rows
     "tpch_q19_bracketed_revenue",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_idle_customer_balance",
@@ -98,8 +100,6 @@ SHOWCASE = [
     "cube_order_summary",
     "grouping_sets_revenue",
     "customers_with_orders_semi",
-    "orders_above_avg_price",
-    "orders_above_customer_avg",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round
