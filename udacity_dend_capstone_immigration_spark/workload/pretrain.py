@@ -550,3 +550,114 @@ def negative_sampling_pairs(spark, sf_dir):
         order_by=[F.asc("pk"), F.asc("neg_id")],
         k=_NEG_K,
     ).select("anchor_id", "neg_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 (sparse arm) + dense cosine (dense arm) fused
+# by Reciprocal Rank Fusion (Cormack & Clarke 2009: score(d) =
+# Σ_arms 1/(k + rank_arm(d)), k = 60). RRF is THE production fusion for
+# hybrid search (rank-only, so the arms' incomparable score scales
+# never matter). The "information need" is the fixed workload query:
+# the 3-term BM25 text view and embedding vec_id 0 as the dense view
+# (doc_id and vec_id share the id space in the testdata).
+_RRF_K = 60
+_RRF_ARM_K = 20  # fused depth per arm; fusion cost is O(arm_k), never corpus
+from udacity_dend_capstone_immigration_spark.workload.base import ORACLES as _ORACLES  # noqa: E402
+
+_BM25_SQL = _ORACLES["bm25_scores"]
+
+
+@query(
+    "retrieval_hybrid_rrf",
+    oracle=f"""
+    WITH bm AS ({_BM25_SQL}),
+    sparse AS (
+        SELECT doc_id, sr FROM (
+            SELECT doc_id, CAST(ROW_NUMBER() OVER
+                (ORDER BY bm25 DESC, doc_id ASC) AS INT) AS sr
+            FROM bm
+        ) WHERE sr <= {_RRF_ARM_K}
+    ),
+    n AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings)
+    ),
+    dense AS (
+        SELECT doc_id, dr FROM (
+            SELECT c.vec_id AS doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY
+                       round(list_sum(list_transform(generate_series(1, 64),
+                             i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) DESC,
+                       c.vec_id ASC) AS INT) AS dr
+            FROM n q JOIN n c ON q.vec_id = 0 AND c.vec_id != 0
+        ) WHERE dr <= {_RRF_ARM_K}
+    ),
+    fused AS (
+        SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+               COALESCE(s.sr, 0) AS sparse_rank,
+               COALESCE(d.dr, 0) AS dense_rank,
+               (CASE WHEN s.sr IS NOT NULL
+                     THEN 1.0e0 / ({_RRF_K}.0e0 + CAST(s.sr AS DOUBLE))
+                     ELSE 0.0e0 END)
+               + (CASE WHEN d.dr IS NOT NULL
+                       THEN 1.0e0 / ({_RRF_K}.0e0 + CAST(d.dr AS DOUBLE))
+                       ELSE 0.0e0 END) AS rrf_score
+        FROM sparse s FULL JOIN dense d ON s.doc_id = d.doc_id
+    )
+    SELECT doc_id, sparse_rank, dense_rank, rrf_score, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER
+            (ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS rank
+        FROM fused
+    ) WHERE rank <= 10
+    """,
+)
+def retrieval_hybrid_rrf(spark, sf_dir):
+    """Top-10 hybrid retrieval: each arm produces its own top-20 with a
+    TakeOrdered partial heap (O(k) state per task — no arm ever sorts
+    the corpus), the fusion stage full-outer-joins two 20-row lists and
+    re-ranks ≤40 rows. At 100 TB the arms are the scans (BM25's
+    doc-keyed aggregate; the dense arm would swap in a served ANN store
+    — `knn_sq8_served`'s routed read — with the fusion stage unchanged:
+    RRF only consumes ranks). 1/(60+r) is a single IEEE division per
+    arm, summed sparse-then-dense — bit-identical cross-engine without
+    decimal sums. Absent-from-arm ranks surface as 0 (NULL-free
+    output), standard RRF semantics: the missing arm contributes
+    nothing."""
+    from udacity_dend_capstone_immigration_spark.operators.similarity import brute_force_knn
+    from udacity_dend_capstone_immigration_spark.operators.topk import top_k
+    from udacity_dend_capstone_immigration_spark.workload.base import QUERIES, table as _t
+    from pyspark.sql import Window
+
+    arm_w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    sparse = (
+        top_k(
+            QUERIES["bm25_scores"](spark, sf_dir).select("doc_id", "bm25"),
+            [F.desc("bm25"), F.asc("doc_id")],
+            _RRF_ARM_K,
+        )
+        # rank the 20 surviving rows (bounded window — 20 rows, 1 task)
+        .select("doc_id", F.row_number().over(arm_w).cast("int").alias("sr"))
+    )
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dense = brute_force_knn(
+        emb.where(F.col("vec_id") == 0), emb, "vec_id", k=_RRF_ARM_K
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").cast("int").alias("dr"))
+
+    arm = lambda col: F.when(  # noqa: E731
+        col.isNotNull(), F.lit(1.0) / (F.lit(float(_RRF_K)) + col.cast("double"))
+    ).otherwise(F.lit(0.0))
+    fused = (
+        sparse.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("sr"), F.lit(0)).alias("sparse_rank"),
+            F.coalesce(F.col("dr"), F.lit(0)).alias("dense_rank"),
+            (arm(F.col("sr")) + arm(F.col("dr"))).alias("rrf_score"),
+        )
+    )
+    fuse_w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(fuse_w).cast("int"))
+        .where(F.col("rank") <= 10)
+    )
