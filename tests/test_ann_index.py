@@ -407,3 +407,43 @@ def test_sq8_stream_append_saturates_against_frozen_stats(spark):
         # coordinates blown past the max must pin AT 255 (saturation,
         # not wrap-around — a wrapped byte would be small again)
         assert (arr == 255).sum() > 0
+
+
+def test_filtered_serving_plan_is_routed_filtered_and_training_free(spark):
+    # the attribute-carrying flat store: label predicate must reach the
+    # routed store scan as a parquet PushedFilter (pre-filtering), with
+    # the same cell_pt routing and no training / Python stage
+    import contextlib
+    import io
+    import re
+
+    from udacity_dend_capstone_immigration_spark.workload import QUERIES
+
+    df = QUERIES["knn_ivf_filtered_served"](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "MapInPandas" not in plan
+    assert re.search(r"PartitionFilters: \[cell_pt#\d+ IN", plan), plan[:2000]
+    store_seg = [
+        seg for seg in plan.split("Location:") if "ivf_vectors" in seg.splitlines()[0]
+    ]
+    assert store_seg, plan[:2000]
+    assert "LessThan(label,5)" in store_seg[0], store_seg[0][:600]
+    for seg in plan.split("Location:"):
+        if "embeddings.parquet" in seg.splitlines()[0]:
+            assert "LessThan(vec_id,10)" in seg, seg[:400]
+
+
+def test_filtered_served_never_returns_filtered_out_labels(spark):
+    from udacity_dend_capstone_immigration_spark.workload import QUERIES
+    from udacity_dend_capstone_immigration_spark.workload.base import table
+
+    res = QUERIES["knn_ivf_filtered_served"](spark, SF_DIR).collect()
+    assert res
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in table(spark, SF_DIR, "embeddings").select("vec_id", "label").collect()
+    }
+    assert all(labels[r["neighbor_id"]] < 5 for r in res)

@@ -451,6 +451,7 @@ def assign_nearest_arrow(
     chunk_rows: int = 4096,
     metric: str = "cosine",
     emit_residual: bool = False,
+    passthrough: tuple = (),
 ) -> DataFrame:
     """Nearest-centroid assignment as ONE Arrow map stage: each batch
     computes a BLAS (chunk × cells) cosine block against the in-closure
@@ -473,7 +474,10 @@ def assign_nearest_arrow(
     ``residual`` column v − centroid(cell) — the IVFADC encoding input —
     for free inside the same scan (the assigned centroid row is already
     in hand); the subtraction is a single IEEE op per element, matching
-    an oracle's ``n.v[i] - ce.cv[i]`` bit-for-bit."""
+    an oracle's ``n.v[i] - ce.cv[i]`` bit-for-bit. ``passthrough``
+    names input columns copied verbatim onto the output (original
+    dtype) — how attribute columns (filtered-search metadata) ride the
+    assignment scan into a persisted store without a corpus re-join."""
     import numpy as np
     import pandas as pd
 
@@ -483,6 +487,9 @@ def assign_nearest_arrow(
         + (f", embedding {emb_type}" if keep_embedding else "")
         + (", cent_sim double" if emit_sim else "")
         + (", residual array<double>" if emit_residual else "")
+        + "".join(
+            f", {c} {df.schema[c].dataType.simpleString()}" for c in passthrough
+        )
     )
     cb = codebook
 
@@ -529,6 +536,8 @@ def assign_nearest_arrow(
                 out["cent_sim"] = best
             if emit_residual:
                 out["residual"] = list(mat - cb.mat[args])
+            for c in passthrough:
+                out[c] = pdf[c]
             yield pd.DataFrame(out)
 
     return df.mapInPandas(assign, out_schema)

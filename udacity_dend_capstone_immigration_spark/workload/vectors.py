@@ -1080,7 +1080,7 @@ def load_pq_codebooks(spark, path: str) -> list:
     return [Codebook(by_block[j]) for j in sorted(by_block)]
 
 
-def build_ivf_flat_index(spark, sf_dir, out_dir: str, emb=None) -> str:
+def build_ivf_flat_index(spark, sf_dir, out_dir: str, emb=None, attrs: tuple = ()) -> str:
     """Train-and-persist the IVF-FLAT layout: `ivf_centroids` plus
     `ivf_vectors` — the full-precision corpus re-laid-out by coarse
     cell (cell-partitioned parquet). On this corpus the repo's own
@@ -1088,16 +1088,24 @@ def build_ivf_flat_index(spark, sf_dir, out_dir: str, emb=None) -> str:
     is 0.92/1.00 where 4-byte PQ reads 0.28 (`ann_ivfpq_recall`), so
     the storage saving is not worth the recall loss here — flat keeps
     exact scoring and still scans only NPROBE/N_CELLS of the store per
-    query. Returns ``out_dir``."""
+    query. ``attrs`` names metadata columns of ``embeddings`` persisted
+    BESIDE each vector (they ride the assignment scan via passthrough —
+    no corpus re-join): the filtered-search layout, where a serve-time
+    predicate pushes down to the routed store scan instead of joining
+    an attribute table per query batch. Returns ``out_dir``."""
     from udacity_dend_capstone_immigration_spark.operators.similarity import (
         assign_nearest_arrow,
     )
     from udacity_dend_capstone_immigration_spark.sources.writers import write_table
 
     if emb is None:
-        emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents, cb = _ivf_train(emb)
-    assigned = assign_nearest_arrow(emb, cb, "vec_id", keep_embedding=True)
+        emb = table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", *attrs
+        )
+    cents, cb = _ivf_train(emb.select("vec_id", "embedding"))
+    assigned = assign_nearest_arrow(
+        emb, cb, "vec_id", keep_embedding=True, passthrough=attrs
+    )
     write_table(cents, f"{out_dir}/ivf_centroids")
     write_table(
         assigned.withColumn("cell_pt", F.col("cell")),
@@ -1591,11 +1599,22 @@ def served_index_dir(spark, sf_dir: str, residual: bool = False, kind: str | Non
         kind = "pq_residual" if residual else "pq"
     key = (sf_dir, kind, _corpus_fingerprint(sf_dir))
     d = _SERVED_INDEX.get(key)
-    probe_sub = {"flat": "ivf_vectors", "sq8": "sq8_codes"}.get(kind, "pq_codes")
+    probe_sub = {
+        "flat": "ivf_vectors",
+        "flat_label": "ivf_vectors",
+        "sq8": "sq8_codes",
+    }.get(kind, "pq_codes")
     if d is None or not os.path.isdir(f"{d}/{probe_sub}"):
         if kind == "flat":
             d = build_ivf_flat_index(
                 spark, sf_dir, tempfile.mkdtemp(prefix="ivfflat_index_")
+            )
+        elif kind == "flat_label":
+            d = build_ivf_flat_index(
+                spark,
+                sf_dir,
+                tempfile.mkdtemp(prefix="ivfflatlabel_index_"),
+                attrs=("label",),
             )
         elif kind == "sq8":
             d = build_ivf_sq8_index(
@@ -2939,3 +2958,81 @@ ann_matryoshka_recall = _register_knn_recall(
     "0.12 sf0.1 — prefix-truncation is NOT serviceable on this corpus, "
     "exactly the no-go the audit exists to catch.",
 )
+
+
+# --- filtered vector search: top-k under a metadata predicate, served
+# from an attribute-carrying persisted store. The production shape
+# (faiss IDSelector / every vector DB's metadata filter) done as lake
+# tables: the filter column is PERSISTED BESIDE the vectors (it rode
+# the assignment scan at build time), so at serve time the predicate
+# pushes down to the SAME routed parquet scan the probe list already
+# prunes — pre-filtering, which keeps top-k exact over the filtered
+# set, with zero extra joins and zero extra scans. The alternative
+# (post-filter an unfiltered top-k) silently under-returns when the
+# predicate is selective; the alternative join-the-attribute-table
+# design re-shuffles the candidate set every query batch.
+_FILTER_LABEL_LT = 5  # ~half the corpus qualifies — a selective-enough audit predicate
+
+
+@query(
+    "knn_ivf_filtered_served",
+    oracle=f"""
+    WITH n AS ({_NORMED}),
+    {_IVF_TRAIN_CTES},
+    probes AS (
+        SELECT n.vec_id AS query_id, ce.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                                  ORDER BY {_CSIM} DESC, ce.cent_id ASC) AS pr
+        FROM n JOIN ce ON TRUE
+        WHERE n.vec_id < 10
+    ),
+    scored AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               round(list_sum(list_transform(generate_series(1, 64),
+                     i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cosine_sim
+        FROM probes p
+            JOIN assign a ON a.cell = p.cell
+            JOIN n c ON c.vec_id = a.vec_id
+            JOIN embeddings e ON e.vec_id = a.vec_id
+            JOIN n q ON q.vec_id = p.query_id
+        WHERE p.pr <= {_IVF_PROBE} AND c.vec_id != p.query_id
+              AND e.label < {_FILTER_LABEL_LT}
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine_sim DESC, neighbor_id ASC) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def knn_ivf_filtered_served(spark, sf_dir):
+    """Filtered exact-scoring kNN from the attribute-carrying IVF-FLAT
+    store: top-5 among corpus vectors with ``label < 5``, probe-routed.
+    The store scan carries BOTH prunings at once — the collected probe
+    list as a static cell_pt PartitionFilter (reads NPROBE/N_CELLS of
+    the store) and the label predicate as a parquet PushedFilter
+    (row-group min/max skipping inside the probed cells) — and the
+    serving plan stays training-free with no Python stage (pinned in
+    tests/test_ann_index.py). Pre-filtering: candidates are filtered
+    BEFORE ranking, so the result is the exact top-5 of the filtered
+    set — never the silent under-return of post-filtering a top-k."""
+    idx = served_index_dir(spark, sf_dir, kind="flat_label")
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = spark.read.parquet(f"{idx}/ivf_centroids")
+    probe_rows = [
+        (int(r["query_id"]), int(r["cell"]))
+        for r in _ivf_probes(emb, cents).collect()
+    ]
+    probed = sorted({c for _, c in probe_rows})
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell long")
+    store = (
+        spark.read.parquet(f"{idx}/ivf_vectors")
+        .where(F.col("cell_pt").isin(probed))
+        .where(F.col("label") < _FILTER_LABEL_LT)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("r"),
+            "cell",
+        )
+    )
+    return _ivfpq_topk(emb, cents, store, probes=probes)
