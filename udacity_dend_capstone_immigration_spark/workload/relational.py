@@ -1236,3 +1236,86 @@ def lineitem_price_qty_corr(spark, sf_dir):
         n.cast("bigint").alias("n_items"),
         corr.alias("price_qty_corr"),
     )
+
+
+# --- MERGE INTO parity (SCD1 upsert) on a partitioned parquet store:
+# the update batch UPDATES matched keys whole-row (including a
+# partition MOVE for some), INSERTS unmatched keys, and the store
+# rewrite touches only the affected partition directories
+# (`sources/merge.py:merge_upsert` — dynamic partition overwrite; the
+# untouched-partition-files-unchanged guarantee is unit-tested in
+# tests/test_merge.py, the value guarantee is this oracle). The oracle
+# recomputes the expected post-merge state from `orders` directly, so
+# the hash compare proves write → merge → read-back lossless: updates
+# won, moved rows left their old partition, inserts landed, unmatched
+# rows are byte-identical.
+@query(
+    "merge_upsert_roundtrip",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+               o_orderpriority
+        FROM orders
+    ),
+    upd AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice + 100.0e0 AS o_totalprice,
+               CASE WHEN o_orderkey % 14 = 3 THEN '1-URGENT'
+                    ELSE o_orderpriority END AS o_orderpriority
+        FROM base WHERE o_orderkey % 7 = 3
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'N', 42.0e0, '5-LOW'
+        FROM base WHERE o_orderkey % 97 = 0
+    ),
+    merged AS (
+        SELECT * FROM upd
+        UNION ALL
+        SELECT b.* FROM base b
+        LEFT JOIN (SELECT DISTINCT o_orderkey FROM upd) k
+            ON b.o_orderkey = k.o_orderkey
+        WHERE k.o_orderkey IS NULL
+    )
+    SELECT o_orderpriority, COUNT(*) AS n_rows,
+           {sql_dsum("o_totalprice", "total_price")}
+    FROM merged
+    GROUP BY o_orderpriority
+    """,
+)
+def merge_upsert_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from udacity_dend_capstone_immigration_spark.sources.merge import merge_upsert
+    from udacity_dend_capstone_immigration_spark.sources.writers import write_parquet
+
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    store = tempfile.mkdtemp(prefix="merge_store_")
+    write_parquet(base, store, partition_by=("o_orderpriority",))
+    updates = (
+        base.where(F.col("o_orderkey") % 7 == 3)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+            F.when(F.col("o_orderkey") % 14 == 3, F.lit("1-URGENT"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("o_orderpriority"),
+        )
+        .unionByName(
+            base.where(F.col("o_orderkey") % 97 == 0).select(
+                (F.col("o_orderkey") + F.lit(10000000)).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.lit(42.0).alias("o_totalprice"),
+                F.lit("5-LOW").alias("o_orderpriority"),
+            )
+        )
+    )
+    merge_upsert(spark, store, updates, ("o_orderkey",), "o_orderpriority")
+    back = spark.read.parquet(store)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("o_totalprice"), "total_price"),
+    )
