@@ -43,7 +43,7 @@ FLAGSHIP = "top_nations_by_orders"
 #: internals changed this round (PQ-decode version-skew guard,
 #: corpus-fingerprinted index cache, bucketed lazy table cleanup) —
 #: results re-proven; (c) the three r7 leftovers (`tpch_q19/q21/q22`)
-#: plus the 27 oldest r8 rows (the remaining 20 r8 rows rotate r13,
+#: plus the 26 oldest r8 rows (the remaining 21 r8 rows rotate r13,
 #: inside the capacity-derived staleness bound
 #: tests/test_registry.py enforces: current round − (⌈N/50⌉ + 1)).
 SHOWCASE = [
@@ -64,12 +64,13 @@ SHOWCASE = [
     "retrieval_hybrid_rrf",
     "knn_ivf_filtered_served",
     "merge_upsert_roundtrip",
+    "publish_time_travel",
     # (b) plan / serving internals changed this round
     "knn_ivfpq_served",
     "knn_ivfpq_residual_served",
     "knn_ivf_served",
     "bucketed_join_roundtrip",
-    # (c) the r7 leftovers, then the 27 oldest r8 rows
+    # (c) the r7 leftovers, then the 26 oldest r8 rows
     "tpch_q19_bracketed_revenue",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_idle_customer_balance",
@@ -99,7 +100,6 @@ SHOWCASE = [
     "lineitem_rollup",
     "value_percentiles_by_type",
     "set_ops_customer_keys",
-    "set_ops_bag_semantics",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round

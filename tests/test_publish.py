@@ -102,3 +102,36 @@ def test_crashed_stage_does_not_occupy_a_retention_slot(spark):
     dirs = {os.path.basename(d) for d in glob.glob(os.path.join(root, "v_*"))}
     assert v1 not in dirs
     assert read_published(spark, root).count() == 7
+
+
+def test_time_travel_window_and_errors(spark, tmp_path):
+    import pytest
+
+    from udacity_dend_capstone_immigration_spark.sources.publish import (
+        published_versions,
+        publish_table,
+        read_published,
+    )
+
+    root = str(tmp_path / "tt")
+    vs = [
+        publish_table(
+            spark.createDataFrame([(i,)], "gen long"), root, keep_versions=2
+        )
+        for i in range(3)
+    ]
+    window = published_versions(root)
+    # retention keeps 2: the oldest snapshot is pruned from the window
+    assert window == vs[1:]
+    assert read_published(spark, root).first()["gen"] == 2
+    assert read_published(spark, root, version=0).first()["gen"] == 2
+    assert read_published(spark, root, version=-1).first()["gen"] == 1
+    assert read_published(spark, root, version=vs[1]).first()["gen"] == 1
+    with pytest.raises(FileNotFoundError):
+        read_published(spark, root, version=-2)  # pruned past retention
+    with pytest.raises(FileNotFoundError):
+        read_published(spark, root, version=vs[0])  # pruned name
+    with pytest.raises(FileNotFoundError):
+        read_published(spark, root, version="v_nonexistent")
+    with pytest.raises(ValueError):
+        read_published(spark, root, version=1)

@@ -57,13 +57,56 @@ def current_version(root: str) -> str | None:
         return None
 
 
-def read_published(spark: SparkSession, root: str) -> DataFrame:
-    """Read the CURRENT published snapshot. Raises if none exists —
-    an unpublished (staged-only or mid-crash) table is indistinguishable
-    from an absent one by design."""
-    v = current_version(root)
-    if v is None:
-        raise FileNotFoundError(f"no published version under {root!r}")
+def published_versions(root: str) -> list[str]:
+    """Publish history (oldest → newest), restricted to versions whose
+    snapshot directory still exists — i.e. the readable time-travel
+    window (history entries pruned past the retention window are
+    excluded; a republished version keeps its newest position, matching
+    the pruner's ordering)."""
+    try:
+        with open(os.path.join(root, _LOG)) as f:
+            history = [line.strip() for line in f if line.strip()]
+    except FileNotFoundError:
+        return []
+    seen: dict[str, None] = {}
+    for v in history:
+        seen.pop(v, None)
+        seen[v] = None
+    return [v for v in seen if os.path.isdir(os.path.join(root, v))]
+
+
+def read_published(
+    spark: SparkSession, root: str, version: str | int | None = None
+) -> DataFrame:
+    """Read a published snapshot. ``version=None`` → the CURRENT
+    pointer; a version name → that snapshot; a non-positive int → a
+    relative offset into the publish history (0 = newest published,
+    -1 = the one before — Delta's ``VERSION AS OF`` done over the
+    retention window). Raises if the requested snapshot was never
+    published, or was pruned past ``keep_versions`` — time travel
+    reaches exactly as far as retention, by design. An unpublished
+    (staged-only or mid-crash) table is indistinguishable from an
+    absent one, also by design."""
+    if version is None:
+        v = current_version(root)
+        if v is None:
+            raise FileNotFoundError(f"no published version under {root!r}")
+    elif isinstance(version, int):
+        if version > 0:
+            raise ValueError("relative version must be 0 (newest) or negative")
+        window = published_versions(root)
+        if not window or -version >= len(window):
+            raise FileNotFoundError(
+                f"version offset {version} outside the retained window "
+                f"({len(window)} snapshots) under {root!r}"
+            )
+        v = window[version - 1]
+    else:
+        v = version
+        if v not in published_versions(root):
+            raise FileNotFoundError(
+                f"version {v!r} was never published or is pruned under {root!r}"
+            )
     return spark.read.parquet(os.path.join(root, v))
 
 

@@ -1319,3 +1319,58 @@ def merge_upsert_roundtrip(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         dsum(F.col("o_totalprice"), "total_price"),
     )
+
+
+# --- time travel over the WAP publish store: two published snapshots
+# (a day-1 partial load, then the day-2 full load), read back as
+# CURRENT and `VERSION AS OF -1` (`sources/publish.py:read_published`
+# relative-offset form — Delta time travel over the retention window).
+# The oracle recomputes both days' states from `orders`, so the hash
+# compare proves the previous snapshot survives the next publish
+# BYTE-EXACT — the audit/rollback/reproducible-training-run property
+# the retention window exists for.
+@query(
+    "publish_time_travel",
+    oracle=f"""
+    WITH day1 AS (
+        SELECT o_orderstatus, CAST(o_totalprice AS DOUBLE) AS p
+        FROM orders WHERE o_orderkey % 3 != 0
+    ),
+    day2 AS (
+        SELECT o_orderstatus, CAST(o_totalprice AS DOUBLE) AS p FROM orders
+    )
+    SELECT 'current' AS snapshot, o_orderstatus, COUNT(*) AS n_rows,
+           {sql_dsum("p", "total_price")}
+    FROM day2 GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'previous', o_orderstatus, COUNT(*),
+           {sql_dsum("p", "total_price")}
+    FROM day1 GROUP BY o_orderstatus
+    """,
+)
+def publish_time_travel(spark, sf_dir):
+    import tempfile
+
+    from udacity_dend_capstone_immigration_spark.sources.publish import (
+        publish_table,
+        read_published,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="timetravel_")
+    publish_table(orders.where(F.col("o_orderkey") % 3 != 0), root)
+    publish_table(orders, root)
+
+    def state(df, label):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("o_totalprice"), "total_price"),
+        ).select(F.lit(label).alias("snapshot"), "*")
+
+    return state(read_published(spark, root), "current").unionByName(
+        state(read_published(spark, root, version=-1), "previous")
+    )
