@@ -463,3 +463,22 @@ def test_cms_sketch_exchange_is_corpus_size_independent(spark):
     assert "partial_count" in plan
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bloom_runtime_filter_is_injected(spark):
+    """lineitem_bloom_pruned_join's whole point is the runtime filter:
+    the big-side scan must carry might_contain over the join key so
+    non-matching rows die before the exchange."""
+    import contextlib
+    import io
+
+    from udacity_dend_capstone_immigration_spark.workload import QUERIES
+
+    df = QUERIES["lineitem_bloom_pruned_join"](spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "might_contain" in plan, plan[:2000]
+    # and the enabling confs did NOT leak into the shared session
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"

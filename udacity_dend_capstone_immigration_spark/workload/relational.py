@@ -1374,3 +1374,61 @@ def publish_time_travel(spark, sf_dir):
     return state(read_published(spark, root), "current").unionByName(
         state(read_published(spark, root, version=-1), "previous")
     )
+
+
+# --- runtime bloom-filter join pruning (semi-join reduction): when
+# NEITHER join side broadcasts — the 100 TB fact⋈filtered-fact regime —
+# Spark can still prune the big side's shuffle ROW-WISE by building a
+# bloom filter over the small side's join keys and injecting
+# `might_contain(xxhash64(key))` into the big side's scan filter: rows
+# that cannot match never enter the exchange. That is the runtime
+# complement to DPP (`events_dpp_partitioned_join` prunes whole
+# partitions; this prunes rows inside them) and the Spark twin of
+# Trino/Snowflake runtime filters. The query runs on an ISOLATED
+# `newSession` (same context, own conf) because the enabling confs —
+# broadcast off to simulate the neither-side-broadcasts regime, the
+# application-side size floor dropped to fire at test scale — must
+# hold at EXECUTION time without leaking into the shared session.
+# Plan pinned in tests/test_plans.py: the lineitem scan filter must
+# carry might_contain.
+@query(
+    "lineitem_bloom_pruned_join",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n_items,
+           {sql_dsum("l_extendedprice", "revenue")}
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+)
+def lineitem_bloom_pruned_join(spark, sf_dir):
+    from udacity_dend_capstone_immigration_spark.workload.base import pin_session
+
+    sub = spark.newSession()
+    pin_session(sub)
+    sub.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    sub.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+    )
+    sub.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "0",
+    )
+    sub.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    li = table(sub, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    o = (
+        table(sub, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice"), "revenue"),
+        )
+    )
