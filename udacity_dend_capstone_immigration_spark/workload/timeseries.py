@@ -332,3 +332,91 @@ def events_value_histogram(spark, sf_dir):
     ).select(
         "bin_lo", (F.col("bin_lo") + 2).cast("double").alias("bin_hi"), "cnt"
     )
+
+
+# --- per-user OLS linear trend + next-day forecast: the grouped
+# regression a metrics/anomaly pipeline fits per entity (the
+# distributed form of sklearn's per-group LinearRegression loop). One
+# hash aggregate per user carrying four moments + the exact MAX — the
+# `lineitem_price_qty_corr` recipe, hardened: the moments are built on
+# EXACT INTEGERS (event seconds since a fixed epoch × value cents via
+# the repo's floor(x+0.5) half-up chain), because double PRODUCTS fed
+# straight to a DECIMAL cast can land exactly on a scale-10 rounding
+# midpoint where Spark's HALF_UP and DuckDB's tie-break diverge one
+# ulp (measured on this very query's h*y — the midpoint-unreachable
+# argument in workload/base.py holds for parquet doubles, not for
+# arbitrary products). Integer moments make every sum exact and every
+# downstream double op a fixed-order tree on identical operands. The
+# exchange carries one compact row per user at any event volume; no
+# window, no second pass, no corpus-wide sort anywhere.
+@query(
+    "events_user_linear_trend",
+    oracle="""
+    WITH x AS (
+        SELECT user_id,
+               epoch_us(ts) // 1000000 - epoch_us(TIMESTAMP '2024-01-01') // 1000000 AS s,
+               CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT) AS yc
+        FROM events
+    ),
+    m AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(CAST(SUM(CAST(s AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(CAST(yc AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(CAST(s * yc AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sxy,
+               CAST(CAST(SUM(CAST(s * s AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sxx,
+               MAX(s) AS mx
+        FROM x GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 36.0e0 AS slope_per_hour,
+           ((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n) / 100.0e0
+               AS intercept,
+           (((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
+               + ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                 * (CAST(mx AS DOUBLE) + 86400.0e0)) / 100.0e0
+               AS forecast_next_day
+    FROM m
+    WHERE n >= 2.0e0 AND (n * sxx - sx * sx) != 0.0e0
+    """,
+)
+def events_user_linear_trend(spark, sf_dir):
+    from udacity_dend_capstone_immigration_spark.workload.base import (
+        dsum_expr,
+        read_events,
+    )
+
+    ev = read_events(spark, sf_dir)
+    epoch0 = F.unix_micros(F.lit("2024-01-01").cast("timestamp")) / F.lit(1000000)
+    sec = (F.unix_micros(F.col("ts")) / F.lit(1000000)).cast("bigint") - epoch0.cast(
+        "bigint"
+    )
+    yc = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint")
+    m = (
+        ev.select("user_id", sec.alias("s"), yc.alias("yc"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            dsum_expr(F.col("s")).alias("sx"),
+            dsum_expr(F.col("yc")).alias("sy"),
+            dsum_expr(F.col("s") * F.col("yc")).alias("sxy"),
+            dsum_expr(F.col("s") * F.col("s")).alias("sxx"),
+            F.max("s").alias("mx"),
+        )
+    )
+    n, sx, sy, sxy, sxx, mx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx", "mx"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return (
+        m.where((n >= F.lit(2.0)) & ((n * sxx - sx * sx) != F.lit(0.0)))
+        .select(
+            "user_id",
+            n.cast("bigint").alias("n_events"),
+            (slope * F.lit(36.0)).alias("slope_per_hour"),
+            (intercept / F.lit(100.0)).alias("intercept"),
+            (
+                (intercept + slope * (mx.cast("double") + F.lit(86400.0)))
+                / F.lit(100.0)
+            ).alias("forecast_next_day"),
+        )
+    )
