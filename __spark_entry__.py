@@ -43,7 +43,7 @@ FLAGSHIP = "top_nations_by_orders"
 #: internals changed this round (PQ-decode version-skew guard,
 #: corpus-fingerprinted index cache, bucketed lazy table cleanup) —
 #: results re-proven; (c) the three r7 leftovers (`tpch_q19/q21/q22`)
-#: plus the 24 oldest r8 rows (the remaining 23 r8 rows rotate r13,
+#: plus the 23 oldest r8 rows (the remaining 24 r8 rows rotate r13,
 #: inside the capacity-derived staleness bound
 #: tests/test_registry.py enforces: current round − (⌈N/50⌉ + 1)).
 SHOWCASE = [
@@ -67,12 +67,13 @@ SHOWCASE = [
     "publish_time_travel",
     "lineitem_bloom_pruned_join",
     "events_user_linear_trend",
+    "events_zorder_box_scan",
     # (b) plan / serving internals changed this round
     "knn_ivfpq_served",
     "knn_ivfpq_residual_served",
     "knn_ivf_served",
     "bucketed_join_roundtrip",
-    # (c) the r7 leftovers, then the 24 oldest r8 rows
+    # (c) the r7 leftovers, then the 23 oldest r8 rows
     "tpch_q19_bracketed_revenue",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_idle_customer_balance",
@@ -99,7 +100,6 @@ SHOWCASE = [
     "asof_purchase_to_click_30m",
     "centroid_classifier_confusion",
     "order_quantity_vectors",
-    "lineitem_rollup",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round

@@ -808,3 +808,56 @@ def events_dpp_partitioned_join(spark, sf_dir):
         F.count(F.lit(1)).alias("cnt"),
         dsum(F.col("value"), "total_value"),
     )
+
+
+# --- z-order clustering + min/max file skipping (Delta OPTIMIZE
+# ZORDER / Iceberg manifest-stats parity on plain parquet,
+# `sources/zorder.py`): events re-laid-out on a Morton interleave of
+# (user_id, value-cents) so each file covers a tight RECTANGLE in both
+# dimensions, then a 2-D box predicate plans the scan from per-file
+# min/max stats — only intersecting files are listed (the z-beats-
+# linear-sort skipping ratio is measured in tests/test_zorder.py —
+# 1 vs 4 of 16 files for a quarter-width 2-D box on a uniform grid;
+# this corpus's box reads 7/16 at sf0.01, 5/16 at sf0.1). The bounds are ALSO a real
+# filter, so parquet row-group pruning stacks on top and the result
+# can never depend on the manifest — which is exactly what this oracle
+# hash-proves: the skipping read is LOSSLESS vs filtering the raw
+# table.
+@query(
+    "events_zorder_box_scan",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n_events,
+           {sql_dsum("value", "total_value")}
+    FROM events
+    WHERE user_id BETWEEN 10 AND 40
+      AND CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT) BETWEEN 5000 AND 10000
+    GROUP BY event_type
+    """,
+)
+def events_zorder_box_scan(spark, sf_dir):
+    import tempfile
+
+    from udacity_dend_capstone_immigration_spark.sources.zorder import (
+        scan_with_skipping,
+        zorder_write,
+    )
+    from udacity_dend_capstone_immigration_spark.workload.base import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("value_c"),
+    )
+    out = tempfile.mkdtemp(prefix="zorder_events_")
+    zorder_write(ev, out, ["user_id", "value_c"], n_files=16)
+    df, _read, _total = scan_with_skipping(
+        spark, out, {"user_id": (10, 40), "value_c": (5000, 10000)}
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value"), "total_value"),
+    )
