@@ -88,3 +88,60 @@ def test_remerge_is_idempotent(spark, store):
     first = _rows(spark, store)
     merge_upsert(spark, store, updates, ("k",), "pt")
     assert _rows(spark, store) == first
+
+
+def test_delete_only_merge(spark, store):
+    dels = spark.createDataFrame([(2,), (999,)], "k long")  # 999 = no-op
+    touched = merge_upsert(
+        spark,
+        store,
+        spark.createDataFrame([], "k long, s string, v double, pt string"),
+        ("k",),
+        "pt",
+        deletes=dels,
+    )
+    assert touched == ["p1"]
+    assert _rows(spark, store) == {
+        (1, "a", 10.0, "p1"),
+        (3, "c", 30.0, "p2"),
+        (4, "d", 40.0, "p3"),
+    }
+
+
+def test_apply_cdc_resolution_and_delete_wins(spark, store):
+    from udacity_dend_capstone_immigration_spark.sources.merge import apply_cdc
+
+    batch = spark.createDataFrame(
+        [
+            # key 1: update then LATER delete -> delete wins
+            (1, "A", 11.0, "p1", "U", 1),
+            (1, "A", 11.0, "p1", "D", 2),
+            # key 2: two updates -> highest seq wins
+            (2, "b1", 21.0, "p1", "U", 1),
+            (2, "b2", 22.0, "p1", "U", 2),
+            # key 3: delete then LATER re-insert -> insert wins
+            (3, "c", 30.0, "p2", "D", 1),
+            (3, "c2", 33.0, "p2", "I", 2),
+            # key 9: plain insert
+            (9, "new", 90.0, "p3", "I", 1),
+        ],
+        "k long, s string, v double, pt string, op string, seq int",
+    )
+    apply_cdc(spark, store, batch, ("k",), "pt")
+    assert _rows(spark, store) == {
+        (2, "b2", 22.0, "p1"),
+        (3, "c2", 33.0, "p2"),
+        (4, "d", 40.0, "p3"),
+        (9, "new", 90.0, "p3"),
+    }
+
+
+def test_apply_cdc_seq_tie_breaks_toward_delete(spark, store):
+    from udacity_dend_capstone_immigration_spark.sources.merge import apply_cdc
+
+    batch = spark.createDataFrame(
+        [(2, "b", 21.0, "p1", "U", 5), (2, "b", 21.0, "p1", "D", 5)],
+        "k long, s string, v double, pt string, op string, seq int",
+    )
+    apply_cdc(spark, store, batch, ("k",), "pt")
+    assert 2 not in {r[0] for r in _rows(spark, store)}

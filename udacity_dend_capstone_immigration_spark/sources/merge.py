@@ -40,9 +40,15 @@ def merge_upsert(
     updates: DataFrame,
     key_cols: Sequence[str],
     partition_col: str,
+    deletes: DataFrame | None = None,
 ) -> list:
-    """Upsert ``updates`` into the partitioned parquet store at
-    ``store_dir``. Returns the list of touched partition values.
+    """Upsert ``updates`` (and drop ``deletes``, a key-column frame)
+    in the partitioned parquet store at ``store_dir``. Returns the
+    list of touched partition values. Delete semantics are MERGE's
+    WHEN MATCHED THEN DELETE: a delete key absent from the store is a
+    no-op, and deletes win over nothing — route a batch that both
+    updates and deletes one key through :func:`apply_cdc`, which
+    resolves operation order first.
 
     The touched-partition list is collected driver-side — bounded by
     the layout guardrail (``DEFAULT_MAX_PARTITIONS``), the same
@@ -56,7 +62,10 @@ def merge_upsert(
     (`compact_index_cells`) instead.
     """
     base = spark.read.parquet(store_dir)
-    keys = updates.select(*key_cols).distinct()
+    touched_keys = updates.select(*key_cols)
+    if deletes is not None:
+        touched_keys = touched_keys.unionByName(deletes.select(*key_cols))
+    keys = touched_keys.distinct()
     up_parts = updates.select(F.col(partition_col).alias("p")).distinct()
     moved_from = (
         base.join(F.broadcast(keys), list(key_cols), "left_semi")
@@ -77,3 +86,45 @@ def merge_upsert(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
     return touched
+
+
+def apply_cdc(
+    spark: SparkSession,
+    store_dir: str,
+    batch: DataFrame,
+    key_cols: Sequence[str],
+    partition_col: str,
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> list:
+    """Apply a CDC batch (Debezium/DMS shape: one row per change event
+    with an op code I/U/D and a monotone sequence) to the store —
+    MERGE INTO with the keep-latest resolution done first:
+
+    1. per key, keep only the HIGHEST-``seq_col`` event (row_number
+       over a key-partitioned window — one shuffle of the batch, never
+       the store; ties break toward delete, the conservative CDC
+       convention);
+    2. survivors with op D become the delete set, everything else
+       (I and U are both whole-row images) becomes the upsert set;
+    3. one :func:`merge_upsert` pass rewrites only the touched
+       partitions.
+
+    The batch must carry the full store schema plus (op, seq).
+    Returns the touched partition values."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(seq_col), F.desc(F.col(op_col) == "D")
+    )
+    latest = (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    data_cols = [c for c in batch.columns if c not in (op_col, seq_col)]
+    ups = latest.where(F.col(op_col) != "D").select(*data_cols)
+    dels = latest.where(F.col(op_col) == "D").select(*key_cols)
+    return merge_upsert(
+        spark, store_dir, ups, key_cols, partition_col, deletes=dels
+    )

@@ -1432,3 +1432,95 @@ def lineitem_bloom_pruned_join(spark, sf_dir):
             dsum(F.col("l_extendedprice"), "revenue"),
         )
     )
+
+
+# --- CDC apply (Debezium/DMS → lake): a change batch of I/U/D events
+# with a monotone sequence lands on the partitioned store through
+# `sources/merge.py:apply_cdc` — per-key keep-latest resolution (one
+# window over the BATCH, never the store; seq ties break toward
+# delete), then one touched-partitions-only MERGE pass with
+# WHEN MATCHED DELETE semantics. The constructed batch exercises every
+# resolution case at once: updates (some partition-moving), inserts,
+# deletes, and keys carrying BOTH an update and a later delete (the
+# delete must win). The oracle recomputes the expected post-apply
+# state from `orders`, so the hash compare proves resolution order,
+# delete-wins, and the rewrite are all value-exact.
+@query(
+    "cdc_apply_roundtrip",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+               o_orderpriority
+        FROM orders
+    ),
+    merged AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice + 100.0e0 AS o_totalprice,
+               CASE WHEN o_orderkey % 14 = 3 THEN '1-URGENT'
+                    ELSE o_orderpriority END AS o_orderpriority
+        FROM base WHERE o_orderkey % 7 = 3 AND o_orderkey % 10 != 1
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'N', 42.0e0, '5-LOW'
+        FROM base WHERE o_orderkey % 97 = 0
+        UNION ALL
+        SELECT * FROM base WHERE o_orderkey % 10 != 1 AND o_orderkey % 7 != 3
+    )
+    SELECT o_orderpriority, COUNT(*) AS n_rows,
+           {sql_dsum("o_totalprice", "total_price")}
+    FROM merged
+    GROUP BY o_orderpriority
+    """,
+)
+def cdc_apply_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from udacity_dend_capstone_immigration_spark.sources.merge import apply_cdc
+    from udacity_dend_capstone_immigration_spark.sources.writers import write_parquet
+
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    store = tempfile.mkdtemp(prefix="cdc_store_")
+    write_parquet(base, store, partition_by=("o_orderpriority",))
+    updates = base.where(F.col("o_orderkey") % 7 == 3).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 14 == 3, F.lit("1-URGENT"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    inserts = base.where(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + F.lit(10000000)).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(42.0).alias("o_totalprice"),
+        F.lit("5-LOW").alias("o_orderpriority"),
+        F.lit("I").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    # deletes arrive AFTER the updates (seq 2): for the keys in both
+    # sets, delete must win
+    deletes = base.where(F.col("o_orderkey") % 10 == 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+        F.lit("D").alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    apply_cdc(
+        spark,
+        store,
+        updates.unionByName(inserts).unionByName(deletes),
+        ("o_orderkey",),
+        "o_orderpriority",
+    )
+    back = spark.read.parquet(store)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("o_totalprice"), "total_price"),
+    )
