@@ -402,3 +402,41 @@ def test_stream_dedup_batch_finish_scan_count(spark):
         if "FileScan" in ln and "documents.parquet" in ln
     ]
     assert len(scans) == 1, plan
+
+
+def test_incremental_agg_merge_across_batches(spark, event_dir, tmp_path):
+    """update-mode agg + foreachBatch merge: after a multi-batch drain
+    the maintained table equals recomputing the aggregate from scratch
+    — including user 1 and 2, whose totals SPAN batches and must be
+    absolute (state-store) values, not per-batch deltas."""
+    from udacity_dend_capstone_immigration_spark.sources.merge import merge_upsert
+
+    stream = read_stream(spark, event_dir, EVENTS_SCHEMA, max_files_per_trigger=1)
+    totals = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,10)")).alias("tv_dec"),
+    )
+    store = str(tmp_path / "totals")
+    batches = []
+
+    def upsert(batch_df, batch_id):
+        batches.append(batch_id)
+        batch = batch_df.select(
+            (F.col("user_id") % 2).alias("pt"), "user_id", "n_events", "tv_dec"
+        )
+        merge_upsert(batch_df.sparkSession, store, batch, ("user_id",), "pt")
+
+    q = (
+        totals.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(batches) >= 2  # the backlog really straddled batches
+    got = {
+        (r["user_id"], r["n_events"], float(r["tv_dec"]))
+        for r in spark.read.parquet(store).collect()
+    }
+    assert got == {(1, 3, 7.0), (2, 3, 14.0)}

@@ -61,7 +61,15 @@ def merge_upsert(
     large to pin, fold through the staging-then-rename swap
     (`compact_index_cells`) instead.
     """
-    base = spark.read.parquet(store_dir)
+    try:
+        base = spark.read.parquet(store_dir)
+    except Exception:
+        # bootstrap: no store yet (first CDC batch / first IVM upsert)
+        # → the updates ARE the initial state; deletes are no-ops
+        write_parquet(updates, store_dir, partition_by=[partition_col])
+        return sorted(
+            {r["p"] for r in updates.select(F.col(partition_col).alias("p")).distinct().collect()}
+        )
     touched_keys = updates.select(*key_cols)
     if deletes is not None:
         touched_keys = touched_keys.unionByName(deletes.select(*key_cols))

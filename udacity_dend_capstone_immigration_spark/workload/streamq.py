@@ -1108,3 +1108,61 @@ def embeddings_stream_sq8_append(spark, sf_dir):
             F.sum("code_sum").cast("bigint").alias("code_checksum"),
         )
     )
+
+
+@query(
+    "events_stream_incremental_agg",
+    oracle=f"""
+    SELECT user_id % 8 AS pt, user_id, COUNT(*) AS n_events,
+           {sql_dsum("value", "total_value")}
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_stream_incremental_agg(spark, sf_dir):
+    """Incremental view maintenance, streaming-executed: a per-user
+    totals TABLE kept current by the stream. The streaming aggregate
+    runs in UPDATE output mode, so each micro-batch emits only the
+    users it changed — with their new ABSOLUTE totals out of the state
+    store — and ``foreachBatch`` MERGEs exactly those rows into the
+    partitioned serving table (`sources/merge.py:merge_upsert`; the
+    first batch bootstraps the store). This is the production
+    streaming-agg→lake-table recipe, and it is exactly-once WITHOUT
+    batch addressing: absolute totals make the merge idempotent — a
+    replayed batch rewrites the same values, where merging per-batch
+    DELTAS would double-count (the design reason update-mode + merge
+    beats append-mode + add). Per-batch cost: O(changed keys) merge
+    against O(touched partitions); state = one row per user. The
+    oracle is the plain batch aggregate — the maintained table must
+    equal recomputing the view from scratch. Cross-batch accumulation
+    is unit-tested with a forced multi-batch backlog
+    (tests/test_streaming.py)."""
+    from udacity_dend_capstone_immigration_spark.sources.merge import merge_upsert
+    from udacity_dend_capstone_immigration_spark.streaming.windows import _await_or_raise
+
+    ev = read_events_stream(spark, sf_dir).select("user_id", "value")
+    totals = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,10)")).alias("tv_dec"),
+    )
+    store = tempfile.mkdtemp(prefix="ivm_store_") + "/totals"
+    ck = tempfile.mkdtemp(prefix="ck_ivm_")
+
+    def upsert(batch_df, batch_id):
+        batch = batch_df.select(
+            (F.col("user_id") % 8).alias("pt"), "user_id", "n_events", "tv_dec"
+        )
+        merge_upsert(batch_df.sparkSession, store, batch, ("user_id",), "pt")
+
+    q = (
+        totals.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    _await_or_raise(q, 120, "events_stream_incremental_agg")
+    back = spark.read.parquet(store)
+    return back.select(
+        "pt", "user_id", "n_events", F.col("tv_dec").cast("double").alias("total_value")
+    )
