@@ -1166,3 +1166,47 @@ def events_stream_incremental_agg(spark, sf_dir):
     return back.select(
         "pt", "user_id", "n_events", F.col("tv_dec").cast("double").alias("total_value")
     )
+
+
+@query(
+    "events_stream_state_introspection",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS n_events,
+           {sql_dsum("value", "total_value")}
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_stream_state_introspection(spark, sf_dir):
+    """State-store INTROSPECTION (Spark 4 state data source): after a
+    streaming aggregate drains, its checkpoint is opened as a TABLE
+    (``spark.read.format("statestore")``) and the raw per-key state —
+    key struct, value struct, store partition id — is flattened and
+    hash-proven equal to the batch aggregate of the backlog (the value
+    struct exposes the physical agg BUFFER fields — count/sum/isEmpty
+    — one level below the query's aliases). This is
+    the observability contract a production streaming platform needs:
+    state corruption, skewed state partitions, and watermark bugs are
+    debugged by QUERYING the store, not by adding print sinks; and the
+    proof here (state == recomputed truth) is exactly the invariant an
+    on-call engineer checks. The read is offline and zero-impact on
+    the (stopped) query; at scale it reads only the state files, never
+    the backlog."""
+    ev = read_events_stream(spark, sf_dir).select("user_id", "value")
+    totals = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,10)")).alias("tv_dec"),
+    )
+    name = f"events_stream_state_intro_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix="ck_state_intro_")
+    run_available_now(totals, name, output_mode="update", checkpoint_dir=ck)
+    state = spark.read.format("statestore").load(ck)
+    # the value struct carries the PHYSICAL aggregation buffer — the
+    # DeclarativeAggregate fields (count / sum / isEmpty), not the
+    # query's output aliases: this is the store's raw layout, which is
+    # the point of introspecting it
+    return state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").alias("n_events"),
+        F.col("value.sum").cast("double").alias("total_value"),
+    )
