@@ -54,7 +54,11 @@ from udacity_dend_capstone_immigration_spark.workload import QUERIES
 #: knn_sq8_served in (the new byte-code compressed default — recall
 #: matches flat at 4× less store than float32); nothing out. The
 #: warmup pre-builds all three served layouts, so these rows are pure
-#: serve latency.
+#: serve latency. Added late-r12: retrieval_hybrid_rrf (the fused
+#: sparse+dense retrieval path — BM25 + dense arms and the RRF tail in
+#: one number) and knn_ivf_filtered_served (metadata-filtered serving
+#: from the attribute-carrying store; the warmup pre-builds its
+#: flat_label layout too); nothing out.
 #: Suite totals are NOT comparable across rotations — BASELINE.md
 #: records the discontinuity.
 HEADLINE = [
@@ -84,6 +88,8 @@ HEADLINE = [
     "bpe_encode_corpus",
     "knn_ivf_served",
     "knn_sq8_served",
+    "retrieval_hybrid_rrf",
+    "knn_ivf_filtered_served",
 ]
 
 
@@ -206,6 +212,7 @@ def main() -> None:
     served_index_dir(spark, sf_dir)
     served_index_dir(spark, sf_dir, kind="flat")
     served_index_dir(spark, sf_dir, kind="sq8")
+    served_index_dir(spark, sf_dir, kind="flat_label")
 
     # Min-of-REPS per headliner (r10 verdict "What's wrong #3"): a
     # single reading is 1.25-1.55x the min-of-3 protocol the records

@@ -385,6 +385,10 @@ def test_no_static_broadcast_of_estimate_blind_relations(spark):
         "events_rolling_wau",
         # explicit one-row global stats aggregate (N, avgdl, df1..3)
         "bm25_scores",
+        # the same one-row BM25 stats broadcast, composed into the
+        # sparse arm of the RRF fusion (both fused arms are TakeOrdered
+        # top-20 lists — every broadcast here is rows-bounded)
+        "retrieval_hybrid_rrf",
         # one-row bigram-type total broadcast, aggregated from the
         # lazily-checkpointed bigram-count frame (the bm25 pattern)
         "doc_kn_bigram_likelihood",
