@@ -360,6 +360,9 @@ def test_no_static_broadcast_of_estimate_blind_relations(spark):
         # explode/checkpoint subtrees (boundedness argued in
         # tests/test_broadcast_discipline.py):
         "source_token_divergence",      # one row per source + one scalar
+        # one row per source (exact per-source 0.8-quantile cutoffs)
+        # aggregated from the lazily-checkpointed scored frame
+        "quality_score_calibration",
         "knn_ivf",                      # N_CELLS trained centroids
         "ann_ivf_recall",               # same centroids (composed)
         "knn_ivfpq",                    # same N_CELLS centroids + 10-row query side

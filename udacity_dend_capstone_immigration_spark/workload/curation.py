@@ -444,3 +444,78 @@ def source_temperature_mixture(spark, sf_dir):
         "weight",
         (F.col("weight") / F.col("wsum")).alias("mix_prob"),
     )
+
+
+# --- per-source quality-score calibration (quantile normalization):
+# a raw global quality threshold selects at wildly different RATES per
+# source (each source has its own score distribution — the reason
+# RefinedWeb/FineWeb-class pipelines calibrate per source), so the
+# calibrated selector thresholds each source at its own exact 0.8
+# quantile instead. Scale shape: NO corpus-wide ranking window — the
+# per-source cutoffs are ONE aggregate (percentile_disc over a
+# source-keyed exchange, dim-sized output) broadcast back onto a map
+# stage; selection stays a scan. The query reports both selectors'
+# per-source counts side by side — the calibration effect IS the
+# result: cal_selected ≈ 20% of every source while raw_selected
+# skews with each source's distribution.
+@query(
+    "quality_score_calibration",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               (CAST(len(list_filter({TOKS},
+                    t -> list_contains(['the','a','of','and','is','to','in'], t))) AS DOUBLE)
+                   / greatest(len({TOKS}), 1))
+               - (CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1)) AS score
+        FROM documents
+    ),
+    cuts AS (
+        SELECT source,
+               quantile_disc(score, 0.8) AS cal_cut
+        FROM scored GROUP BY source
+    )
+    SELECT s.source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN s.score >= 0.1e0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS raw_selected,
+           CAST(SUM(CASE WHEN s.score >= c.cal_cut THEN 1 ELSE 0 END) AS BIGINT)
+               AS cal_selected,
+           MIN(c.cal_cut) AS cal_cut
+    FROM scored s JOIN cuts c ON s.source = c.source
+    GROUP BY s.source
+    """,
+)
+def quality_score_calibration(spark, sf_dir):
+    from udacity_dend_capstone_immigration_spark.functions.text import (
+        punct_ratio,
+        stopword_ratio,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        (
+            stopword_ratio(F.col("text")).cast("double")
+            - punct_ratio(F.col("text")).cast("double")
+        ).alias("score"),
+    ).localCheckpoint(eager=False)  # scored feeds cuts AND the final agg
+    cuts = scored.groupBy("source").agg(
+        F.expr("percentile_disc(0.8) WITHIN GROUP (ORDER BY score)").alias(
+            "cal_cut"
+        )
+    )
+    return (
+        scored.join(F.broadcast(cuts), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("score") >= F.lit(0.1)).cast("int"))
+            .cast("bigint")
+            .alias("raw_selected"),
+            F.sum((F.col("score") >= F.col("cal_cut")).cast("int"))
+            .cast("bigint")
+            .alias("cal_selected"),
+            F.min("cal_cut").alias("cal_cut"),
+        )
+    )
