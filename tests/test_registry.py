@@ -35,6 +35,7 @@ _EXECUTING = frozenset(
         "partitioned_write_roundtrip",
         "dedup_clusters",
         "dedup_keep_best",
+        "dedup_triangle_cohesion",
         "doc_pagerank_near_dup",
         "immigration_etl_fact",
         "immigration_etl_city_demographics",

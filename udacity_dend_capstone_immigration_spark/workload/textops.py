@@ -1986,3 +1986,57 @@ def corpus_importance_sample(spark, sf_dir):
         F.col("n_bigrams").cast("bigint").alias("mass"),
         F.col("cum_mass").cast("bigint").alias("cum_mass"),
     )
+
+
+# --- triangle cohesion over the near-dup pair graph: distributed
+# triangle counting (the cohesion signal cluster-quality audits use —
+# a triangle-rich component is a real template family, a triangle-free
+# chain is transitive-closure noise). Composes the VERIFIED
+# `dedup_ngram_jaccard` edges (capped grouped generation, canonical
+# id_a < id_b) exactly like the recall audits compose their base
+# queries. Algorithm: edges oriented by id (a<b<c — each triangle
+# counted once), wedge join on the middle vertex, closing-edge
+# semi-join; per-doc membership = one explode of the three roles. The
+# tiny edge list is EAGERLY checkpointed before the three-way
+# self-join — un-materialized, the full shingle pipeline would execute
+# three times (the CLAUDE.md shared-subtree rule). At scale the edge
+# list is bounded by the pair caps, and degree-ordering (not id-
+# ordering) is the orientation to swap in if a hub vertex ever
+# dominates wedge fan-out.
+@query(
+    "dedup_triangle_cohesion",
+    oracle=f"""
+    WITH pairs AS ({ORACLES["dedup_ngram_jaccard"]}),
+    tri AS (
+        SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e1.id_b = e2.id_a
+        JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    ),
+    roles AS (
+        SELECT a AS doc_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT doc_id, COUNT(*) AS tri_cnt
+    FROM roles GROUP BY doc_id
+    """,
+)
+def dedup_triangle_cohesion(spark, sf_dir):
+    from udacity_dend_capstone_immigration_spark.workload.base import QUERIES
+
+    edges = (
+        QUERIES["dedup_ngram_jaccard"](spark, sf_dir)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    e1 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = edges.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    e3 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    roles = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    )
+    return roles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("tri_cnt"))
