@@ -43,7 +43,7 @@ FLAGSHIP = "top_nations_by_orders"
 #: internals changed this round (PQ-decode version-skew guard,
 #: corpus-fingerprinted index cache, bucketed lazy table cleanup) —
 #: results re-proven; (c) the three r7 leftovers (`tpch_q19/q21/q22`)
-#: plus the 18 oldest r8 rows (the remaining 29 r8 rows rotate r13,
+#: plus the 17 oldest r8 rows (the remaining 30 r8 rows rotate r13,
 #: inside the capacity-derived staleness bound
 #: tests/test_registry.py enforces: current round − (⌈N/50⌉ + 1)).
 SHOWCASE = [
@@ -73,12 +73,13 @@ SHOWCASE = [
     "events_stream_state_introspection",
     "quality_score_calibration",
     "dedup_triangle_cohesion",
+    "events_stream_approx_distinct",
     # (b) plan / serving internals changed this round
     "knn_ivfpq_served",
     "knn_ivfpq_residual_served",
     "knn_ivf_served",
     "bucketed_join_roundtrip",
-    # (c) the r7 leftovers, then the 18 oldest r8 rows
+    # (c) the r7 leftovers, then the 17 oldest r8 rows
     "tpch_q19_bracketed_revenue",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_idle_customer_balance",
@@ -99,7 +100,6 @@ SHOWCASE = [
     "doc_top_terms",
     "events_scd2_intervals",
     "events_hourly_gap_fill",
-    "events_latest_per_key",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round
