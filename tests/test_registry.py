@@ -36,6 +36,7 @@ _EXECUTING = frozenset(
         "dedup_clusters",
         "dedup_keep_best",
         "dedup_triangle_cohesion",
+        "entity_resolution_parts",
         "doc_pagerank_near_dup",
         "immigration_etl_fact",
         "immigration_etl_city_demographics",

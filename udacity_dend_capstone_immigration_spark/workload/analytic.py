@@ -631,3 +631,67 @@ def events_rolling_wau(spark, sf_dir):
         .groupBy("day")
         .agg(F.count_distinct("user_id").alias("wau"))
     )
+
+
+from udacity_dend_capstone_immigration_spark.workload.base import ORACLES  # noqa: E402
+
+
+# --- entity resolution end-to-end (block → match → cluster →
+# canonicalize): the named production workload MDM/catalog pipelines
+# run, composed entirely from verified operators — the blocked
+# levenshtein matcher (`fuzzy_part_name_pairs`: distinct-name
+# vocabulary, length-block, metric only on survivors) feeds
+# `connected_components` (min-LABEL propagation works unchanged on
+# STRING ids — the canonical entity name is the lexicographic min of
+# its variant cluster), then each entity reports its variant count and
+# the raw-row mass it covers. Scale shape: matching and clustering run
+# on the dim-sized name vocabulary (saturates at 64 names on this
+# generator), only the final coverage join touches the fact table —
+# one hash join on p_name. The oracle resolves the same closure with a
+# recursive CTE (the dedup_clusters template).
+@query(
+    "entity_resolution_parts",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({ORACLES["fuzzy_part_name_pairs"]}),
+    names AS (SELECT DISTINCT p_name FROM part),
+    edges AS (
+        SELECT name_a AS src, name_b AS dst FROM pairs
+        UNION
+        SELECT name_b AS src, name_a AS dst FROM pairs
+    ),
+    reach AS (
+        SELECT p_name AS id, p_name AS lab FROM names
+        UNION
+        SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    ent AS (SELECT id AS p_name, MIN(lab) AS entity_name FROM reach GROUP BY id)
+    SELECT ent.entity_name, COUNT(*) AS n_variants,
+           CAST(SUM(c.n_parts) AS BIGINT) AS n_parts
+    FROM ent
+    JOIN (SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY p_name) c
+        ON ent.p_name = c.p_name
+    GROUP BY ent.entity_name
+    """,
+)
+def entity_resolution_parts(spark, sf_dir):
+    from udacity_dend_capstone_immigration_spark.operators.dedup import (
+        connected_components,
+    )
+    from udacity_dend_capstone_immigration_spark.workload.base import QUERIES
+
+    part = table(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    pairs = QUERIES["fuzzy_part_name_pairs"](spark, sf_dir).select(
+        F.col("name_a").alias("id_a"), F.col("name_b").alias("id_b")
+    )
+    ents = connected_components(pairs, names, id_col="p_name")
+    counts = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+    return (
+        ents.join(counts, "p_name")
+        .groupBy(F.col("cluster_id").alias("entity_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.sum("n_parts").cast("bigint").alias("n_parts"),
+        )
+    )
