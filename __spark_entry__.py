@@ -43,7 +43,7 @@ FLAGSHIP = "top_nations_by_orders"
 #: internals changed this round (PQ-decode version-skew guard,
 #: corpus-fingerprinted index cache, bucketed lazy table cleanup) —
 #: results re-proven; (c) the three r7 leftovers (`tpch_q19/q21/q22`)
-#: plus the 16 oldest r8 rows (the remaining 31 r8 rows rotate r13,
+#: plus the 15 oldest r8 rows (the remaining 32 r8 rows rotate r13,
 #: inside the capacity-derived staleness bound
 #: tests/test_registry.py enforces: current round − (⌈N/50⌉ + 1)).
 SHOWCASE = [
@@ -76,11 +76,12 @@ SHOWCASE = [
     "events_stream_approx_distinct",
     "entity_resolution_parts",
     # (b) plan / serving internals changed this round
+    "dedup_simhash_recall",
     "knn_ivfpq_served",
     "knn_ivfpq_residual_served",
     "knn_ivf_served",
     "bucketed_join_roundtrip",
-    # (c) the r7 leftovers, then the 16 oldest r8 rows
+    # (c) the r7 leftovers, then the 15 oldest r8 rows
     "tpch_q19_bracketed_revenue",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_idle_customer_balance",
@@ -99,7 +100,6 @@ SHOWCASE = [
     "customer_spend_quartiles",
     "events_cohort_retention",
     "doc_top_terms",
-    "events_scd2_intervals",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round
@@ -108,6 +108,7 @@ SHOWCASE = [
 #: asserts these sit inside the window so changed behavior always gets
 #: an official row the round it ships. Update per round.
 PLAN_CHANGED = [
+    "dedup_simhash_recall",
     "knn_ivfpq_served",
     "knn_ivfpq_residual_served",
     "knn_ivf_served",

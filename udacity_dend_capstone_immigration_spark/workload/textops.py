@@ -1778,14 +1778,21 @@ def dedup_simhash_pairs(spark, sf_dir):
            CASE WHEN ex.exact_pairs = 0 THEN 0.0e0
                 ELSE CAST(capt.captured_pairs AS DOUBLE)
                      / CAST(ex.exact_pairs AS DOUBLE)
-           END AS pair_recall
+           END AS pair_recall,
+           CASE WHEN ap.simhash_pairs = 0 THEN 0.0e0
+                ELSE CAST(capt.captured_pairs AS DOUBLE)
+                     / CAST(ap.simhash_pairs AS DOUBLE)
+           END AS pair_precision
     FROM ex, ap, capt
     """,
 )
 def dedup_simhash_recall(spark, sf_dir):
     """One-row audit closing the last unmeasured approximate dedup
     tier: how many exact Jaccard-τ pairs the hamming-≤3 SimHash pass
-    captures, plus the SimHash pair count for precision context.
+    captures (recall) AND what fraction of the emitted SimHash pairs
+    are true Jaccard-τ pairs (precision — the false-positive dual; a
+    banded pass can read high on one and useless on the other, so a
+    go/no-go needs both).
     SimHash approximates COSINE over token multisets, not Jaccard over
     shingle sets, so low recall against this criterion is a real
     finding about criterion mismatch, not an implementation bug — the
@@ -1813,6 +1820,12 @@ def dedup_simhash_recall(spark, sf_dir):
                 / F.col("exact_pairs").cast("double")
             )
             .alias("pair_recall"),
+            F.when(F.col("simhash_pairs") == 0, F.lit(0.0))
+            .otherwise(
+                F.col("captured_pairs").cast("double")
+                / F.col("simhash_pairs").cast("double")
+            )
+            .alias("pair_precision"),
         )
     )
 
