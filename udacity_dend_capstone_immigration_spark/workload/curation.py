@@ -519,3 +519,61 @@ def quality_score_calibration(spark, sf_dir):
             F.min("cal_cut").alias("cal_cut"),
         )
     )
+
+
+# --- deterministic epoch shuffle: the reproducible global permutation
+# a training dataloader needs per epoch, WITHOUT a global sort. Each
+# (epoch, doc) gets an md5 order key; the corpus is bucketed on the
+# key's prefix (16 shards here — in production, the shard count the
+# loader reads) and ordered within bucket only — the dataloader
+# consumes shards in bucket order, so the concatenation IS the
+# epoch's permutation while no stage ever materializes a total order
+# (per-bucket windows, bounded; the shard assignment is pure map
+# work). Seeding by epoch makes successive epochs independent
+# permutations, and md5 makes them byte-reproducible across retries,
+# engines, and cluster sizes — `randomSplit`/`rand()` give none of
+# that. Emits both epochs so the oracle proves the two orders are
+# each internally deterministic AND differ.
+@query(
+    "corpus_epoch_shuffle",
+    oracle="""
+    WITH keyed AS (
+        SELECT e.epoch, d.doc_id,
+               md5('epoch' || CAST(e.epoch AS VARCHAR) || ':'
+                   || CAST(d.doc_id AS VARCHAR)) AS k
+        FROM documents d, (SELECT 1 AS epoch UNION ALL SELECT 2) e
+    )
+    SELECT epoch, doc_id,
+           CAST(CAST(('0x' || substring(k, 1, 4)) AS BIGINT) % 16 AS INT)
+               AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY epoch,
+                   CAST(('0x' || substring(k, 1, 4)) AS BIGINT) % 16
+               ORDER BY k, doc_id) AS INT) AS pos_in_shard
+    FROM keyed
+    """,
+)
+def corpus_epoch_shuffle(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    epochs = docs.sparkSession.createDataFrame([(1,), (2,)], "epoch int")
+    keyed = docs.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.lit("epoch"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("k"),
+    )
+    shard = (F.conv(F.substring("k", 1, 4), 16, 10).cast("bigint") % 16).cast("int")
+    w = Window.partitionBy("epoch", "shard").orderBy(F.col("k"), F.col("doc_id"))
+    return (
+        keyed.withColumn("shard", shard)
+        .withColumn("pos_in_shard", F.row_number().over(w).cast("int"))
+        .select("epoch", "doc_id", "shard", "pos_in_shard")
+    )
