@@ -43,7 +43,7 @@ FLAGSHIP = "top_nations_by_orders"
 #: internals changed this round (PQ-decode version-skew guard,
 #: corpus-fingerprinted index cache, bucketed lazy table cleanup) —
 #: results re-proven; (c) the three r7 leftovers (`tpch_q19/q21/q22`)
-#: plus the 14 oldest r8 rows (the remaining 33 r8 rows rotate r13,
+#: plus the 13 oldest r8 rows (the remaining 34 r8 rows rotate r13,
 #: inside the capacity-derived staleness bound
 #: tests/test_registry.py enforces: current round − (⌈N/50⌉ + 1)).
 SHOWCASE = [
@@ -76,13 +76,14 @@ SHOWCASE = [
     "events_stream_approx_distinct",
     "entity_resolution_parts",
     "corpus_epoch_shuffle",
+    "events_partition_evolution_scan",
     # (b) plan / serving internals changed this round
     "dedup_simhash_recall",
     "knn_ivfpq_served",
     "knn_ivfpq_residual_served",
     "knn_ivf_served",
     "bucketed_join_roundtrip",
-    # (c) the r7 leftovers, then the 14 oldest r8 rows
+    # (c) the r7 leftovers, then the 13 oldest r8 rows
     "tpch_q19_bracketed_revenue",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_idle_customer_balance",
@@ -99,7 +100,6 @@ SHOWCASE = [
     "events_salted_type_totals",
     "events_equi_depth_histogram",
     "customer_spend_quartiles",
-    "events_cohort_retention",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round

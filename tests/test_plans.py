@@ -489,3 +489,20 @@ def test_bloom_runtime_filter_is_injected(spark):
     assert "might_contain" in plan, plan[:2000]
     # and the enabling confs did NOT leak into the shared session
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+
+
+def test_partition_evolution_scan_prunes_gen2(spark):
+    """The evolved generation must be read via PartitionFilters on
+    day_pt; the legacy generation's date filter pushes to row groups."""
+    import contextlib
+    import io
+    import re
+
+    from udacity_dend_capstone_immigration_spark.workload import QUERIES
+
+    df = QUERIES["events_partition_evolution_scan"](spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert re.search(r"PartitionFilters: \[.*day_pt#\d+ >=", plan), plan[:2000]

@@ -861,3 +861,65 @@ def events_zorder_box_scan(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         dsum(F.col("value"), "total_value"),
     )
+
+
+# --- partition-layout EVOLUTION (the Iceberg partition-evolution
+# contract on plain parquet): a table's early history was written
+# UNPARTITIONED (generation 1), the layout was then evolved to
+# day-partitioning (generation 2) — and history is NOT rewritten
+# (at 100 TB a layout change that rewrites history is a non-starter;
+# schema_evolution_roundtrip is this query's column-level sibling).
+# The reader is one UNION view over both generations where each side
+# gets the pruning its layout affords: the day predicate prunes
+# gen-2 to its matching `day_pt=` directories (PartitionFilters,
+# plan-pinned in tests/test_plans.py) and pushes down to gen-1's
+# row-group stats. The oracle recomputes from raw events, proving the
+# two-generation cycle loses and duplicates nothing across the
+# layout boundary.
+@query(
+    "events_partition_evolution_scan",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n_events,
+           {sql_dsum("value", "total_value")}
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-20'
+    GROUP BY event_type
+    """,
+)
+def events_partition_evolution_scan(spark, sf_dir):
+    import tempfile
+
+    from udacity_dend_capstone_immigration_spark.sources.writers import write_parquet
+    from udacity_dend_capstone_immigration_spark.workload.base import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_id", "ts", "event_type", "value",
+        F.col("ts").cast("date").alias("day_pt"),
+    )
+    root = tempfile.mkdtemp(prefix="ptevo_")
+    # generation 1: the first half of history, unpartitioned
+    write_parquet(
+        ev.where(F.col("day_pt") < F.lit("2024-01-16").cast("date")).drop("day_pt"),
+        f"{root}/gen1",
+    )
+    # generation 2: the rest, day-partitioned (the evolved layout)
+    write_parquet(
+        ev.where(F.col("day_pt") >= F.lit("2024-01-16").cast("date")),
+        f"{root}/gen2",
+        partition_by=("day_pt",),
+    )
+    lo, hi = F.lit("2024-01-10").cast("date"), F.lit("2024-01-20").cast("date")
+    g1 = (
+        spark.read.parquet(f"{root}/gen1")
+        .where(F.col("ts").cast("date").between(lo, hi))
+        .select("event_id", "event_type", "value")
+    )
+    g2 = (
+        spark.read.parquet(f"{root}/gen2")
+        .where(F.col("day_pt").between(lo, hi))
+        .select("event_id", "event_type", "value")
+    )
+    return g1.unionByName(g2).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value"), "total_value"),
+    )
