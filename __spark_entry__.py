@@ -43,7 +43,7 @@ FLAGSHIP = "top_nations_by_orders"
 #: internals changed this round (PQ-decode version-skew guard,
 #: corpus-fingerprinted index cache, bucketed lazy table cleanup) —
 #: results re-proven; (c) the three r7 leftovers (`tpch_q19/q21/q22`)
-#: plus the 13 oldest r8 rows (the remaining 34 r8 rows rotate r13,
+#: plus the 12 oldest r8 rows (the remaining 35 r8 rows rotate r13,
 #: inside the capacity-derived staleness bound
 #: tests/test_registry.py enforces: current round − (⌈N/50⌉ + 1)).
 SHOWCASE = [
@@ -77,13 +77,14 @@ SHOWCASE = [
     "entity_resolution_parts",
     "corpus_epoch_shuffle",
     "events_partition_evolution_scan",
+    "events_stream_late_data_audit",
     # (b) plan / serving internals changed this round
     "dedup_simhash_recall",
     "knn_ivfpq_served",
     "knn_ivfpq_residual_served",
     "knn_ivf_served",
     "bucketed_join_roundtrip",
-    # (c) the r7 leftovers, then the 13 oldest r8 rows
+    # (c) the r7 leftovers, then the 12 oldest r8 rows
     "tpch_q19_bracketed_revenue",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_idle_customer_balance",
@@ -99,7 +100,6 @@ SHOWCASE = [
     "asof_purchase_to_click",
     "events_salted_type_totals",
     "events_equi_depth_histogram",
-    "customer_spend_quartiles",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round

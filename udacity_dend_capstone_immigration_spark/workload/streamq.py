@@ -1269,3 +1269,98 @@ def events_stream_approx_distinct(spark, sf_dir):
             )
         ).alias("within_bound"),
     )
+
+
+@query(
+    "events_stream_late_data_audit",
+    oracle=f"""
+    WITH a AS (SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-25'),
+    wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM a),
+    recent AS (
+        SELECT date_trunc('hour', ts) AS window_start,
+               COUNT(*) AS event_cnt, {sql_dsum("value", "total_value")}
+        FROM a, wm
+        GROUP BY date_trunc('hour', ts), wm.w
+        HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR <= wm.w
+    ),
+    b AS (
+        SELECT date_trunc('hour', ts) AS window_start,
+               COUNT(*) AS event_cnt, {sql_dsum("value", "total_value")}
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-25' AND event_id % 2 = 0
+        GROUP BY date_trunc('hour', ts)
+    ),
+    c AS (
+        SELECT date_trunc('hour', ts) AS window_start,
+               COUNT(*) AS event_cnt, {sql_dsum("value", "total_value")}
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-25' AND event_id % 2 = 1
+          AND date_trunc('hour', ts) NOT IN (SELECT window_start FROM b)
+        GROUP BY date_trunc('hour', ts)
+    )
+    SELECT * FROM recent UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c
+    """,
+)
+def events_stream_late_data_audit(spark, sf_dir):
+    """Watermark semantics MEASURED, not assumed — the audit encodes
+    what Spark 4.1's windowed aggregate actually does with late data
+    (established with a 3-batch minimal repro; numRowsDroppedByWatermark
+    confirms each leg):
+
+    1. the drop boundary is STATE EVICTION, not the watermark
+       timestamp: the FIRST late arrival for an hour window lands,
+       immediately finalizes (append emits windows once end ≤ current
+       watermark), and its state is evicted;
+    2. later arrivals for that EVICTED window are dropped — the
+       exactly-once window output holds;
+    3. windows the watermark already passed still emit from the batch
+       that first touches them.
+
+    The staged backlog forces all three legs: batch 1 = the recent
+    tail (watermark jumps to max(ts)−1h and the passed recent windows
+    emit), batch 2 = even-id stragglers (leg 1: land + finalize),
+    batch 3 = odd-id stragglers (leg 2: dropped wherever batch 2
+    already evicted the window; leg 3: odd-only windows still emit).
+    The oracle states the exact expected union, so any deviation —
+    a leaked duplicate, a silently swallowed first-late window, a
+    never-finalized recent window — is a hash mismatch. File order is
+    pinned by mtime (the file source processes oldest-first)."""
+    import os
+
+    from udacity_dend_capstone_immigration_spark.streaming import read_stream
+    from udacity_dend_capstone_immigration_spark.workload.base import read_events
+
+    ev = read_events(spark, sf_dir).select("ts", "event_id", "value")
+    cut = F.lit("2024-01-25 00:00:00").cast("timestamp")
+    stages = {
+        "a_recent": ev.where(F.col("ts") >= cut),
+        "b_late_even": ev.where((F.col("ts") < cut) & (F.col("event_id") % 2 == 0)),
+        "c_late_odd": ev.where((F.col("ts") < cut) & (F.col("event_id") % 2 == 1)),
+    }
+    src = tempfile.mkdtemp(prefix="late_audit_src_")
+    flat = tempfile.mkdtemp(prefix="late_audit_flat_")
+    mt = 1_700_000_000  # fixed mtimes pin batch order: oldest first
+    for i, (name, df) in enumerate(stages.items()):
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/{name}")
+        (part,) = [
+            f
+            for f in os.listdir(f"{src}/{name}")
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+        dst = f"{flat}/{name}.parquet"
+        os.replace(f"{src}/{name}/{part}", dst)
+        os.utime(dst, (mt + i * 3600, mt + i * 3600))
+    schema = spark.read.parquet(f"{flat}/a_recent.parquet").schema
+    stream = read_stream(spark, flat, schema, max_files_per_trigger=1)
+    agg = watermarked_tumbling(
+        stream,
+        "ts",
+        "1 hour",
+        [],
+        [F.count(F.lit(1)).alias("event_cnt"), dsum(F.col("value"), "total_value")],
+        watermark="1 hour",
+    )
+    name = f"events_stream_late_audit_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix="ck_late_audit_")
+    drained = run_available_now(agg, name, output_mode="append", checkpoint_dir=ck)
+    return drained.select("window_start", "event_cnt", "total_value")
