@@ -22,26 +22,24 @@ FLAGSHIP = "top_nations_by_orders"
 
 #: The driver's CORRECTNESS record keeps only the first 50 entries of
 #: ``queries()``. Round-12 window, built by the ROLLING rotation rule
-#: (tests/test_registry.py): (a) the eleven queries NEW this round —
-#: `knn_sq8_served` / `ann_sq8_recall` (the persisted int8
-#: scalar-quantized serving layout + its recall audit — the new
-#: compressed serving default), `ann_index_maintenance_roundtrip`
-#: (build→append→delete→compact lifecycle),
-#: `embeddings_stream_index_append` (streaming ingest → exactly-once
-#: delta append → probe-routed serve over main ∪ delta),
-#: `atomic_publish_roundtrip` (write-audit-publish atomic parquet
-#: publish), and `corpus_importance_sample` (DSIR-shape two-LM-head
-#: importance selection), and `knn_ivf_maintenance_served` (serve
-#: value-identity across logical-tombstone and physical-compaction
-#: delete states), plus `events_heavy_hitters_cms` (deterministic
-#: count-min sketch, estimates themselves oracle-proven) and
-#: `events_dpp_partitioned_join` (dynamic partition pruning
-#: plan-pinned on a partitioned fact) and its ingestion twin
-#: `events_stream_heavy_hitters` (the 256-cell sketch as BOUNDED
-#: streaming state, shared oracle) and `embeddings_stream_sq8_append`
-#: (streaming ingest closed across BOTH persisted layouts); (b) PLAN_CHANGED — the four whose serving
-#: internals changed this round (PQ-decode version-skew guard,
-#: corpus-fingerprinted index cache, bucketed lazy table cleanup) —
+#: (tests/test_registry.py): (a) every query NEW this round, in two
+#: waves — wave 1 (the r11 verdict items): the persisted IVF-SQ8
+#: serving layout + recall audit, ANN store maintenance lifecycle,
+#: streaming ingest → exactly-once delta append → serve (both
+#: layouts), write-audit-publish, DSIR importance selection,
+#: maintenance-aware serve identity, count-min heavy hitters (batch +
+#: streaming), DPP; wave 2 (production-lake + retrieval tier):
+#: Matryoshka truncation audit, hybrid BM25+dense RRF retrieval,
+#: metadata-filtered ANN serving, MERGE upsert + CDC apply, publish
+#: time travel, runtime bloom-filter pruning, per-entity OLS trend,
+#: z-order file skipping, streaming incremental view maintenance,
+#: state-store introspection, per-source quality calibration,
+#: triangle cohesion, streaming HLL distinct, entity resolution,
+#: deterministic epoch shuffle, partition-layout evolution, and the
+#: measured watermark late-data semantics audit; (b) PLAN_CHANGED —
+#: the serving-internals changes (PQ-decode version-skew guard,
+#: corpus-fingerprinted index cache, bucketed lazy table cleanup) plus
+#: `dedup_simhash_recall` (now also emits pair_precision) —
 #: results re-proven; (c) the three r7 leftovers (`tpch_q19/q21/q22`)
 #: plus the 12 oldest r8 rows (the remaining 35 r8 rows rotate r13,
 #: inside the capacity-derived staleness bound
