@@ -923,3 +923,75 @@ def events_partition_evolution_scan(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         dsum(F.col("value"), "total_value"),
     )
+
+
+# --- linear multi-touch attribution: every purchase distributes one
+# unit of credit equally across the SAME user's clicks in the
+# preceding hour (the marketing-attribution workload; first/last-touch
+# are the degenerate cases the as-of join already covers). Shapes that
+# matter at scale: the purchase×click pairing is USER-KEYED (one hash
+# exchange; within a user the hour predicate bounds pairs — the
+# stream_interval_join shape in batch), and the fractional credit is
+# an EXACT INTEGER ledger — floor(1_000_000 / n) millionths per click,
+# the events_user_linear_trend lesson applied: summing 1/n doubles
+# through a decimal cast can land on rounding midpoints, integer
+# micro-credit cannot. The floor remainder is reported beside the
+# credit, so the ledger provably balances:
+# credit + remainder = 1_000_000 × purchases, per user, exactly.
+@query(
+    "events_multitouch_attribution",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, event_id AS p_id, ts AS p_ts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'
+    ),
+    per_purchase AS (
+        SELECT p.user_id, p.p_id, COUNT(*) AS n_clicks
+        FROM purchases p JOIN clicks c
+            ON p.user_id = c.user_id
+           AND c.c_ts <= p.p_ts
+           AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+        GROUP BY p.user_id, p.p_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS attributed_purchases,
+           CAST(SUM(n_clicks) AS BIGINT) AS attributed_pairs,
+           CAST(SUM(n_clicks * (1000000 // n_clicks)) AS BIGINT)
+               AS credit_millionths,
+           CAST(SUM(1000000 - n_clicks * (1000000 // n_clicks)) AS BIGINT)
+               AS remainder_millionths
+    FROM per_purchase
+    GROUP BY user_id
+    """,
+)
+def events_multitouch_attribution(spark, sf_dir):
+    from udacity_dend_capstone_immigration_spark.workload.base import read_events
+
+    ev = read_events(spark, sf_dir)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    per_purchase = (
+        p.join(c, "user_id")
+        .where(
+            (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id", "p_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    unit = F.floor(F.lit(1000000) / F.col("n_clicks")).cast("bigint")
+    return per_purchase.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("attributed_purchases"),
+        F.sum("n_clicks").cast("bigint").alias("attributed_pairs"),
+        F.sum(F.col("n_clicks") * unit).cast("bigint").alias("credit_millionths"),
+        F.sum(F.lit(1000000) - F.col("n_clicks") * unit)
+        .cast("bigint")
+        .alias("remainder_millionths"),
+    )
