@@ -41,7 +41,7 @@ FLAGSHIP = "top_nations_by_orders"
 #: corpus-fingerprinted index cache, bucketed lazy table cleanup) plus
 #: `dedup_simhash_recall` (now also emits pair_precision) —
 #: results re-proven; (c) the three r7 leftovers (`tpch_q19/q21/q22`)
-#: plus the 11 oldest r8 rows (the remaining 36 r8 rows rotate r13,
+#: plus the 10 oldest r8 rows (the remaining 37 r8 rows rotate r13,
 #: inside the capacity-derived staleness bound
 #: tests/test_registry.py enforces: current round − (⌈N/50⌉ + 1)).
 SHOWCASE = [
@@ -77,13 +77,14 @@ SHOWCASE = [
     "events_partition_evolution_scan",
     "events_stream_late_data_audit",
     "events_multitouch_attribution",
+    "dq_constraint_report",
     # (b) plan / serving internals changed this round
     "dedup_simhash_recall",
     "knn_ivfpq_served",
     "knn_ivfpq_residual_served",
     "knn_ivf_served",
     "bucketed_join_roundtrip",
-    # (c) the r7 leftovers, then the 11 oldest r8 rows
+    # (c) the r7 leftovers, then the 10 oldest r8 rows
     "tpch_q19_bracketed_revenue",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_idle_customer_balance",

@@ -77,3 +77,51 @@ class DQCheck:
                 )
         self.passed.append(f"referential:{fact_key}")
         return self
+
+
+def constraint_report(df: DataFrame, constraints: list[tuple]) -> DataFrame:
+    """Deequ-shape declarative constraint suite: evaluate every metric
+    in ONE map-combinable aggregate over one scan (conditional counts —
+    never one job per constraint, never an Expand from mixing exact
+    DISTINCTs into the same aggregate; a uniqueness constraint runs as
+    its own pass and cross-joins in, the approx_distinct_summary
+    lesson), then unpivot to one (constraint, metric, passed) row each.
+
+    ``constraints`` entries: ("name", kind, column_or_expr, threshold)
+    with kind in {"completeness", "satisfies", "uniqueness"} —
+    completeness = non-null fraction of a column, satisfies = fraction
+    of rows where the boolean Column holds, uniqueness = distinct/total
+    of a column. ``passed`` = metric >= threshold. Metrics are single
+    IEEE divisions of exact counts — engine-portable by construction."""
+    n = F.count(F.lit(1)).cast("double")
+    aggs, uniq = [], []
+    for name, kind, target, _thr in constraints:
+        if kind == "completeness":
+            aggs.append((F.count(target) / n).alias(name))
+        elif kind == "satisfies":
+            aggs.append(
+                (F.count(F.when(target, 1)).cast("double") / n).alias(name)
+            )
+        elif kind == "uniqueness":
+            uniq.append((name, target))
+        else:
+            raise ValueError(f"unknown constraint kind {kind!r}")
+    base = df.agg(*aggs) if aggs else df.agg(n.alias("_n")).drop("_n")
+    for name, col in uniq:
+        u = df.agg(
+            (F.countDistinct(col).cast("double") / F.count(F.lit(1)).cast("double"))
+            .alias(name)
+        )
+        base = base.crossJoin(u)
+    pairs = []
+    for name, _kind, _target, thr in constraints:
+        pairs.append(
+            F.struct(
+                F.lit(name).alias("constraint"),
+                F.col(name).alias("metric"),
+                (F.col(name) >= F.lit(float(thr))).alias("passed"),
+            )
+        )
+    return base.select(F.explode(F.array(*pairs)).alias("r")).select(
+        "r.constraint", "r.metric", "r.passed"
+    )

@@ -1524,3 +1524,63 @@ def cdc_apply_roundtrip(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         dsum(F.col("o_totalprice"), "total_price"),
     )
+
+
+# --- declarative DQ constraint suite (Deequ/Great-Expectations shape,
+# `plans/dq.py:constraint_report`): completeness / satisfies /
+# uniqueness constraints over orders, every non-distinct metric
+# computed in ONE map-combinable aggregate over one scan (the
+# uniqueness pass is separate BY DESIGN — mixing an exact DISTINCT
+# into the shared aggregate plans an Expand that multiplies the scan,
+# the measured 19× approx_distinct_summary lesson), unpivoted to one
+# row per constraint. Extends §2.11's raising referential checks with
+# the report-card form a 100 TB nightly pipeline actually runs.
+@query(
+    "dq_constraint_report",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(COUNT(o_custkey) AS DOUBLE) AS c_cust,
+               CAST(COUNT(CASE WHEN o_totalprice > 0.0e0
+                                AND o_totalprice < 600000.0e0 THEN 1 END)
+                    AS DOUBLE) AS c_price,
+               CAST(COUNT(CASE WHEN o_orderpriority
+                    SIMILAR TO '[1-5]-[A-Z ]+' THEN 1 END) AS DOUBLE) AS c_prio,
+               CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) AS c_uniq
+        FROM orders
+    )
+    SELECT * FROM (
+        SELECT 'custkey_complete' AS constraint, c_cust / n AS metric,
+               c_cust / n >= 1.0e0 AS passed FROM m
+        UNION ALL
+        SELECT 'price_in_range', c_price / n, c_price / n >= 0.99e0 FROM m
+        UNION ALL
+        SELECT 'priority_pattern', c_prio / n, c_prio / n >= 1.0e0 FROM m
+        UNION ALL
+        SELECT 'orderkey_unique', c_uniq / n, c_uniq / n >= 1.0e0 FROM m
+    )
+    """,
+)
+def dq_constraint_report(spark, sf_dir):
+    from udacity_dend_capstone_immigration_spark.plans.dq import constraint_report
+
+    orders = table(spark, sf_dir, "orders")
+    return constraint_report(
+        orders,
+        [
+            ("custkey_complete", "completeness", F.col("o_custkey"), 1.0),
+            (
+                "price_in_range",
+                "satisfies",
+                (F.col("o_totalprice") > 0.0) & (F.col("o_totalprice") < 600000.0),
+                0.99,
+            ),
+            (
+                "priority_pattern",
+                "satisfies",
+                F.col("o_orderpriority").rlike("^[1-5]-[A-Z ]+$"),
+                1.0,
+            ),
+            ("orderkey_unique", "uniqueness", F.col("o_orderkey"), 1.0),
+        ],
+    )
