@@ -41,7 +41,7 @@ FLAGSHIP = "top_nations_by_orders"
 #: corpus-fingerprinted index cache, bucketed lazy table cleanup) plus
 #: `dedup_simhash_recall` (now also emits pair_precision) —
 #: results re-proven; (c) the three r7 leftovers (`tpch_q19/q21/q22`)
-#: plus the 10 oldest r8 rows (the remaining 37 r8 rows rotate r13,
+#: plus the 10 oldest r8 rows (every remaining r8 row rotates r13,
 #: inside the capacity-derived staleness bound
 #: tests/test_registry.py enforces: current round − (⌈N/50⌉ + 1)).
 SHOWCASE = [
@@ -98,8 +98,6 @@ SHOWCASE = [
     "benchmark_contamination",
     "corpus_curation_pipeline",
     "asof_purchase_to_click",
-    "events_salted_type_totals",
-    "events_equi_depth_histogram",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round

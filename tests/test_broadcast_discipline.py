@@ -58,6 +58,8 @@ ALLOWED = {
     'visa_categories.alias("svc")': "SAS label dim",
     'travel_modes.alias("stm")': "SAS label dim",
     "cd": "city-demographics dim (bounded city list)",
+    "cuts": "one row per source (exact per-source quantile cutoffs)",
+    "epochs": "2-row literal epoch frame",
 }
 
 def _balanced_arg(text: str, start: int) -> str:

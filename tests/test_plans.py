@@ -363,6 +363,13 @@ def test_no_static_broadcast_of_estimate_blind_relations(spark):
         # one row per source (exact per-source 0.8-quantile cutoffs)
         # aggregated from the lazily-checkpointed scored frame
         "quality_score_calibration",
+        # the eagerly-checkpointed near-dup EDGE list (bounded by the
+        # grouped pair-generation caps) broadcast into the wedge /
+        # closing-edge joins; scans as ExistingRDD, hence the hit
+        "dedup_triangle_cohesion",
+        # the 2-row literal epoch frame (explicit F.broadcast of a
+        # local relation)
+        "corpus_epoch_shuffle",
         "knn_ivf",                      # N_CELLS trained centroids
         "ann_ivf_recall",               # same centroids (composed)
         "knn_ivfpq",                    # same N_CELLS centroids + 10-row query side
