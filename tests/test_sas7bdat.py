@@ -128,3 +128,30 @@ def test_multipage_file(spark, tmp_path):
     df = read_sas7bdat(spark, str(path), chunk_rows=300)
     assert df.count() == n
     assert df.agg({"k": "sum"}).collect()[0][0] == float(n * (n - 1) / 2)
+
+
+def test_python_datasource_format_matches_mapinpandas_reader(spark, tmp_path):
+    """spark.read.format("sas7bdat") — the Spark 4 Python Data Source
+    wrapper — must return exactly what the mapInPandas reader returns,
+    with one input partition per file."""
+    from udacity_dend_capstone_immigration_spark.sources.sas7bdat import (
+        SAS7BDATDataSource,
+        read_sas7bdat,
+    )
+
+    d = tmp_path / "sasdir"
+    d.mkdir()
+    import pandas as pd
+
+    for i, rows in enumerate(([(1.0, "ab"), (2.0, "")], [(3.0, "cd")])):
+        write_sas7bdat(
+            str(d / f"f{i}.sas7bdat"),
+            pd.DataFrame(rows, columns=["num", "txt"]),
+        )
+    spark.dataSource.register(SAS7BDATDataSource)
+    via_format = spark.read.format("sas7bdat").load(str(d))
+    assert via_format.rdd.getNumPartitions() == 2
+    got = {tuple(r) for r in via_format.collect()}
+    want = {tuple(r) for r in read_sas7bdat(spark, str(d)).collect()}
+    assert got == want
+    assert (1.0, "ab") in got and (2.0, None) in got and (3.0, "cd") in got

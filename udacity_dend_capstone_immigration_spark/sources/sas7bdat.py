@@ -102,3 +102,75 @@ def read_sas7bdat(
                         yield out
 
     return paths_df.mapInPandas(parse, schema=schema)
+
+
+# --- Spark 4 Python Data Source API wrapper: the same executor-side
+# parse surfaced as a REGISTERABLE format, so the reference's
+#     spark.read.format("com.github.saurfang.sas.spark").load(path)
+# line (etl.py:133-135) has a true drop-in shape here:
+#     spark.dataSource.register(SAS7BDATDataSource)
+#     spark.read.format("sas7bdat").load(path)
+# Scale contract is identical to read_sas7bdat (the format is not
+# block-splittable, so the planning unit is the file): partitions()
+# emits one InputPartition per discovered file, each read() streams
+# its file through pandas' chunked parser and yields Arrow
+# RecordBatches (the zero-copy path through the Python source API).
+# Import-gated so the module stays importable on Spark < 4.
+try:  # pragma: no cover - trivially true on the pinned runtime
+    from pyspark.sql.datasource import DataSource as _DS
+    from pyspark.sql.datasource import DataSourceReader as _DSR
+    from pyspark.sql.datasource import InputPartition as _IP
+
+    class _SASReader(_DSR):
+        def __init__(self, schema, path):
+            self._names = [f.name for f in schema.fields]
+            self._str_cols = [
+                f.name for f in schema.fields if f.dataType.typeName() == "string"
+            ]
+            self._path = path
+
+        def partitions(self):
+            return [_IP(f) for f in _discover(self._path)]
+
+        def read(self, partition):
+            import pyarrow as pa
+
+            with pd.read_sas(
+                partition.value,
+                format="sas7bdat",
+                encoding="infer",
+                chunksize=100_000,
+                iterator=True,
+            ) as reader:
+                for chunk in reader:
+                    out = chunk.reindex(columns=self._names)
+                    for c in self._str_cols:
+                        col = out[c]
+                        out[c] = col.where(col.notna() & (col != ""), None)
+                    yield pa.RecordBatch.from_pandas(out, preserve_index=False)
+
+    class SAS7BDATDataSource(_DS):
+        """``spark.read.format("sas7bdat")`` via the Python Data
+        Source API (register with ``spark.dataSource.register``)."""
+
+        @classmethod
+        def name(cls):
+            return "sas7bdat"
+
+        def schema(self):
+            return sas7bdat_schema(_discover(self.options["path"])[0])
+
+        def reader(self, schema):
+            return _SASReader(schema, self.options["path"])
+
+except ImportError:  # pragma: no cover
+
+    class SAS7BDATDataSource:  # type: ignore[no-redef]
+        """Placeholder: the Python Data Source API needs Spark >= 4."""
+
+        def __init__(self, *a, **k):
+            raise ImportError(
+                "pyspark.sql.datasource is unavailable — "
+                "spark.read.format('sas7bdat') needs Spark 4+; "
+                "use read_sas7bdat() instead"
+            )
