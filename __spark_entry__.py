@@ -41,7 +41,7 @@ FLAGSHIP = "top_nations_by_orders"
 #: corpus-fingerprinted index cache, bucketed lazy table cleanup) plus
 #: `dedup_simhash_recall` (now also emits pair_precision) —
 #: results re-proven; (c) the three r7 leftovers (`tpch_q19/q21/q22`)
-#: plus the 10 oldest r8 rows (every remaining r8 row rotates r13,
+#: plus the 9 oldest r8 rows (every remaining r8 row rotates r13,
 #: inside the capacity-derived staleness bound
 #: tests/test_registry.py enforces: current round − (⌈N/50⌉ + 1)).
 SHOWCASE = [
@@ -78,6 +78,7 @@ SHOWCASE = [
     "events_stream_late_data_audit",
     "events_multitouch_attribution",
     "dq_constraint_report",
+    "events_stream_outer_attribution",
     # (b) plan / serving internals changed this round
     "dedup_simhash_recall",
     "knn_ivfpq_served",
@@ -97,7 +98,6 @@ SHOWCASE = [
     "corpus_weighted_sample",
     "benchmark_contamination",
     "corpus_curation_pipeline",
-    "asof_purchase_to_click",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round

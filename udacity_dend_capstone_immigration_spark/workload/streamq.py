@@ -1364,3 +1364,130 @@ def events_stream_late_data_audit(spark, sf_dir):
     ck = tempfile.mkdtemp(prefix="ck_late_audit_")
     drained = run_available_now(agg, name, output_mode="append", checkpoint_dir=ck)
     return drained.select("window_start", "event_cnt", "total_value")
+
+
+@query(
+    "events_stream_outer_attribution",
+    oracle=f"""
+    WITH wm AS (
+        SELECT least(
+            (SELECT max(ts) FROM events WHERE event_type = 'click'),
+            (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+        ) - INTERVAL 1 HOUR AS w
+    ),
+    clicks AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    matched AS (
+        SELECT c.user_id, p.value
+        FROM clicks c JOIN purch p ON c.user_id = p.user_id
+           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    ),
+    unmatched AS (
+        SELECT c.user_id FROM clicks c, wm
+        WHERE c.ts + INTERVAL 30 MINUTE < wm.w
+          AND NOT EXISTS (
+              SELECT 1 FROM purch p
+              WHERE p.user_id = c.user_id
+                AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+          )
+    ),
+    m AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS matched_pairs,
+               {sql_dsum("value", "attributed_value")}
+        FROM matched GROUP BY user_id
+    ),
+    u AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS unmatched_clicks
+        FROM unmatched GROUP BY user_id
+    )
+    SELECT COALESCE(m.user_id, u.user_id) AS user_id,
+           COALESCE(m.matched_pairs, 0) AS matched_pairs,
+           COALESCE(m.attributed_value, 0.0e0) AS attributed_value,
+           COALESCE(u.unmatched_clicks, 0) AS unmatched_clicks
+    FROM m FULL JOIN u ON m.user_id = u.user_id
+    """,
+)
+def events_stream_outer_attribution(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join, streaming-executed: the
+    click stream left-joins the purchase stream (purchase within 30
+    minutes after the click); matched pairs emit as they are found,
+    and a click whose match window the watermark has CLOSED emits
+    exactly once WITH NULLS — the state-eviction-driven null emission
+    that distinguishes a streaming outer join from an inner join plus
+    patience. Determinism is engineered the late-data-audit way: the
+    backlog is one file plus a second sentinel file (a single 'view'
+    row that filters out of both sides), so a second micro-batch runs
+    state cleanup under the post-backlog watermark and flushes the
+    final unmatched rows; the oracle states the exact eviction
+    frontier (min of the two sides' max event time, minus the
+    watermark delay — Spark's multipleWatermarkPolicy=min — minus the
+    join interval), so leaked, duplicated, or never-flushed unmatched
+    rows all hash-mismatch. Clicks inside the last interval+delay of
+    the stream are NOT final and must not emit — that boundary is part
+    of the oracle."""
+    import os
+
+    from udacity_dend_capstone_immigration_spark.streaming import (
+        read_stream,
+        stream_interval_join,
+    )
+    from udacity_dend_capstone_immigration_spark.workload.base import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = tempfile.mkdtemp(prefix="outer_attr_src_")
+    flat = tempfile.mkdtemp(prefix="outer_attr_flat_")
+    stages = {
+        "a_backlog": ev,
+        "b_sentinel": ev.where(F.col("event_type") == "view").limit(1),
+    }
+    mt = 1_700_000_000
+    for i, (nm, df) in enumerate(stages.items()):
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/{nm}")
+        (part,) = [
+            f
+            for f in os.listdir(f"{src}/{nm}")
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+        os.replace(f"{src}/{nm}/{part}", f"{flat}/{nm}.parquet")
+        os.utime(f"{flat}/{nm}.parquet", (mt + i * 3600, mt + i * 3600))
+    schema = spark.read.parquet(f"{flat}/a_backlog.parquet").schema
+
+    def typed(event_type, ts_name, cols):
+        s = read_stream(spark, flat, schema, max_files_per_trigger=1)
+        return s.where(F.col("event_type") == event_type).select(
+            F.col("ts").alias(ts_name), *cols
+        )
+
+    clicks = typed("click", "click_ts", [F.col("user_id").alias("c_user")])
+    purchases = typed(
+        "purchase",
+        "purch_ts",
+        [F.col("user_id").alias("p_user"), F.col("value").alias("p_value")],
+    )
+    lw = clicks.withWatermark("click_ts", "1 hour")
+    rw = purchases.withWatermark("purch_ts", "1 hour")
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purch_ts") >= F.col("click_ts"))
+        & (F.col("purch_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTE"))
+    )
+    joined = lw.join(rw, cond, "left_outer")
+    name = f"events_stream_outer_attr_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix="ck_outer_attr_")
+    drained = run_available_now(joined, name, output_mode="append", checkpoint_dir=ck)
+    return drained.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count("p_value").cast("bigint").alias("matched_pairs"),
+        F.coalesce(
+            F.sum(F.col("p_value").cast("decimal(28,10)")).cast("double"),
+            F.lit(0.0),
+        ).alias("attributed_value"),
+        F.count(F.when(F.col("p_value").isNull(), 1))
+        .cast("bigint")
+        .alias("unmatched_clicks"),
+    )
