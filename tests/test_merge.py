@@ -145,3 +145,35 @@ def test_apply_cdc_seq_tie_breaks_toward_delete(spark, store):
     )
     apply_cdc(spark, store, batch, ("k",), "pt")
     assert 2 not in {r[0] for r in _rows(spark, store)}
+
+
+def test_stable_partitions_fast_path(spark, store):
+    import pytest
+
+    updates = spark.createDataFrame(
+        [(2, "B", 21.0, "p1"), (9, "new", 90.0, "p2")],
+        "k long, s string, v double, pt string",
+    )
+    touched = merge_upsert(
+        spark, store, updates, ("k",), "pt", assume_stable_partitions=True
+    )
+    assert touched == ["p1", "p2"]
+    assert _rows(spark, store) == {
+        (1, "a", 10.0, "p1"),
+        (2, "B", 21.0, "p1"),
+        (3, "c", 30.0, "p2"),
+        (9, "new", 90.0, "p2"),
+        (4, "d", 40.0, "p3"),
+    }
+    # deletes without the partition column cannot be located under the
+    # stable-partitions contract — loud error, not silent staleness
+    with pytest.raises(ValueError):
+        merge_upsert(
+            spark,
+            store,
+            updates.limit(0),
+            ("k",),
+            "pt",
+            deletes=spark.createDataFrame([(2,)], "k long"),
+            assume_stable_partitions=True,
+        )
