@@ -41,7 +41,7 @@ FLAGSHIP = "top_nations_by_orders"
 #: corpus-fingerprinted index cache, bucketed lazy table cleanup) plus
 #: `dedup_simhash_recall` (now also emits pair_precision) —
 #: results re-proven; (c) the three r7 leftovers (`tpch_q19/q21/q22`)
-#: plus the 9 oldest r8 rows (every remaining r8 row rotates r13,
+#: plus the 7 oldest r8 rows (every remaining r8 row rotates r13,
 #: inside the capacity-derived staleness bound
 #: tests/test_registry.py enforces: current round − (⌈N/50⌉ + 1)).
 SHOWCASE = [
@@ -79,6 +79,8 @@ SHOWCASE = [
     "events_multitouch_attribution",
     "dq_constraint_report",
     "events_stream_outer_attribution",
+    "events_time_weighted_avg",
+    "events_ohlc_bars",
     # (b) plan / serving internals changed this round
     "dedup_simhash_recall",
     "knn_ivfpq_served",
@@ -96,8 +98,6 @@ SHOWCASE = [
     "corpus_train_test_split",
     "corpus_token_packing",
     "corpus_weighted_sample",
-    "benchmark_contamination",
-    "corpus_curation_pipeline",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round

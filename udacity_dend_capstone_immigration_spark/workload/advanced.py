@@ -977,8 +977,27 @@ def events_multitouch_attribution(spark, sf_dir):
     c = ev.where(F.col("event_type") == "click").select(
         "user_id", F.col("ts").alias("c_ts")
     )
+    # bucketed interval pairing (the rangejoin recipe, keyed on
+    # user_id AND a window-width time bucket): a plain user-keyed join
+    # evaluates EVERY click×purchase combination of a user before the
+    # range filter — a hot user owning 10% of a 10M-row table is a
+    # ~4e10-pair single task (measured: the x100-hot extrapolation run
+    # had to be killed). Each click interval [c_ts, c_ts+1h] spans at
+    # most 2 buckets; a purchase lives in exactly 1, so no pair can
+    # match twice and per-cell work is the TRUE pair count.
+    bw = 3_600_000_000  # 1 hour in micros — the attribution window
+    pb = p.withColumn("_b", (F.unix_micros(F.col("p_ts")) / F.lit(bw)).cast("long"))
+    cb = c.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                (F.unix_micros(F.col("c_ts")) / F.lit(bw)).cast("long"),
+                ((F.unix_micros(F.col("c_ts")) + F.lit(bw)) / F.lit(bw)).cast("long"),
+            )
+        ),
+    )
     per_purchase = (
-        p.join(c, "user_id")
+        pb.join(cb, ["user_id", "_b"])
         .where(
             (F.col("c_ts") <= F.col("p_ts"))
             & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))

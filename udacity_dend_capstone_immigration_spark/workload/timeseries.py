@@ -420,3 +420,106 @@ def events_user_linear_trend(spark, sf_dir):
             ).alias("forecast_next_day"),
         )
     )
+
+
+# --- time-weighted average value per user (the TWAP/IoT integral
+# mean: each reading holds until the next one, so its weight is the
+# interval it was live). One user-keyed window (lead) + one aggregate;
+# moments are EXACT integers — duration in micros × value in cents —
+# summed as DECIMAL(38,0) (cents×micros per-term tops ~1.5e17, beyond
+# DECIMAL(28,10)'s integer headroom across a hot user; 38,0 holds the
+# corpus), VARCHAR-roundtripped to double only for the final ratio.
+@query(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               epoch_us(ts) AS t_us,
+               lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS next_us,
+               CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT) AS yc
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           (CAST(CAST(SUM(CAST((next_us - t_us) * yc AS DECIMAL(38,0)))
+                      AS VARCHAR) AS DOUBLE)
+            / CAST(CAST(SUM(CAST(next_us - t_us AS DECIMAL(38,0)))
+                        AS VARCHAR) AS DOUBLE)) / 100.0e0 AS twap
+    FROM seq WHERE next_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_time_weighted_avg(spark, sf_dir):
+    from udacity_dend_capstone_immigration_spark.workload.base import read_events
+
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        F.lead(F.unix_micros(F.col("ts"))).over(w).alias("next_us"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("yc"),
+    ).where(F.col("next_us").isNotNull())
+
+    def dsum38(col):
+        return F.sum(col.cast("decimal(38,0)")).cast("double")
+
+    dur = F.col("next_us") - F.col("t_us")
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        ((dsum38(dur * F.col("yc")) / dsum38(dur)) / F.lit(100.0)).alias("twap"),
+    )
+
+
+# --- OHLC bars (candlestick downsampling): per (user, hour) the
+# open/high/low/close of `value` plus tick count — the canonical
+# time-series compaction finance/IoT dashboards read instead of raw
+# ticks. NO window function: open/close are min_by/max_by over an
+# exact bigint order key ((micros since 2024-01-01) · 2^20 + event_id
+# — unique, overflow-checked: 30 days of micros × 2^20 < 2^63), so
+# the whole bar table is ONE map-combinable hash aggregate — at any
+# event volume the exchange carries one row per (user, hour), where a
+# row_number-based open/close pays a full per-user sort first.
+@query(
+    "events_ohlc_bars",
+    oracle="""
+    WITH keyed AS (
+        SELECT user_id, date_trunc('hour', ts) AS bar_hour, value,
+               (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) * 1048576
+                   + event_id AS ok
+        FROM events
+    )
+    SELECT user_id, bar_hour,
+           arg_min(value, ok) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ok) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks
+    FROM keyed
+    GROUP BY user_id, bar_hour
+    """,
+)
+def events_ohlc_bars(spark, sf_dir):
+    from udacity_dend_capstone_immigration_spark.workload.base import read_events
+
+    ev = read_events(spark, sf_dir)
+    ok = (
+        F.unix_micros(F.col("ts"))
+        - F.unix_micros(F.lit("2024-01-01").cast("timestamp"))
+    ) * F.lit(1048576) + F.col("event_id")
+    keyed = ev.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("bar_hour"),
+        "value",
+        ok.alias("ok"),
+    )
+    return keyed.groupBy("user_id", "bar_hour").agg(
+        F.min_by("value", "ok").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ok").alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+    )
