@@ -929,9 +929,10 @@ def events_partition_evolution_scan(spark, sf_dir):
 # unit of credit equally across the SAME user's clicks in the
 # preceding hour (the marketing-attribution workload; first/last-touch
 # are the degenerate cases the as-of join already covers). Shapes that
-# matter at scale: the purchase×click pairing is USER-KEYED (one hash
-# exchange; within a user the hour predicate bounds pairs — the
-# stream_interval_join shape in batch), and the fractional credit is
+# matter at scale: the purchase×click pairing is keyed on (user_id,
+# hour-bucket) — NOT user alone; the in-function comment has the
+# measured hot-key blowup that forced the bucketing — and the
+# fractional credit is
 # an EXACT INTEGER ledger — floor(1_000_000 / n) millionths per click,
 # the events_user_linear_trend lesson applied: summing 1/n doubles
 # through a decimal cast can land on rounding midpoints, integer
