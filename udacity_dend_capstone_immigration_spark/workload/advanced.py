@@ -997,8 +997,12 @@ def events_multitouch_attribution(spark, sf_dir):
             )
         ),
     )
+    # both pairing sides are SF-scaling and the click side sits below
+    # an explode — Catalyst's estimate is blind to the fan-out and
+    # would statically broadcast it (the registry plan gate caught
+    # exactly that); hint the join to sort-merge per the CLAUDE rule
     per_purchase = (
-        pb.join(cb, ["user_id", "_b"])
+        pb.hint("merge").join(cb.hint("merge"), ["user_id", "_b"])
         .where(
             (F.col("c_ts") <= F.col("p_ts"))
             & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
