@@ -41,7 +41,7 @@ FLAGSHIP = "top_nations_by_orders"
 #: corpus-fingerprinted index cache, bucketed lazy table cleanup) plus
 #: `dedup_simhash_recall` (now also emits pair_precision) —
 #: results re-proven; (c) the three r7 leftovers (`tpch_q19/q21/q22`)
-#: plus the 7 oldest r8 rows (every remaining r8 row rotates r13,
+#: plus the 5 oldest r8 rows (every remaining r8 row rotates r13,
 #: inside the capacity-derived staleness bound
 #: tests/test_registry.py enforces: current round − (⌈N/50⌉ + 1)).
 SHOWCASE = [
@@ -81,6 +81,8 @@ SHOWCASE = [
     "events_stream_outer_attribution",
     "events_time_weighted_avg",
     "events_ohlc_bars",
+    "events_approx_top_k_users",
+    "events_dynamic_gap_sessions",
     # (b) plan / serving internals changed this round
     "dedup_simhash_recall",
     "knn_ivfpq_served",
@@ -96,8 +98,6 @@ SHOWCASE = [
     "multimodal_frame_sample",
     "multimodal_features",
     "corpus_train_test_split",
-    "corpus_token_packing",
-    "corpus_weighted_sample",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round

@@ -1019,3 +1019,58 @@ def events_multitouch_attribution(spark, sf_dir):
         .cast("bigint")
         .alias("remainder_millionths"),
     )
+
+
+# --- approx_top_k audit (Spark 4's sketch-based frequent-items
+# aggregate — the one-expression answer to the hand-built CMS when a
+# SINGLE engine computes it; the CMS stays the cross-engine/streaming
+# form). Sketch internals are engine-specific AND tie order within
+# equal counts is unspecified, so the hash surface is the
+# approx_distinct_summary/CMS pattern: the sketch's top-k is VALIDATED
+# against exact counts — every returned item's exact count must reach
+# the exact k-th count (any valid top-k under ties passes; any missed
+# heavy hitter or phantom item fails) — and the exact boundary count
+# plus the validity flag are what the driver hashes.
+@query(
+    "events_approx_top_k_users",
+    oracle="""
+    WITH exact AS (
+        SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ),
+    kth AS (
+        SELECT cnt AS kth_cnt FROM exact ORDER BY cnt DESC, user_id LIMIT 1 OFFSET 9
+    )
+    SELECT CAST(10 AS INT) AS k, kth.kth_cnt,
+           CAST(TRUE AS BOOLEAN) AS sketch_is_valid_topk
+    FROM kth
+    """,
+)
+def events_approx_top_k_users(spark, sf_dir):
+    from udacity_dend_capstone_immigration_spark.workload.base import read_events
+
+    ev = read_events(spark, sf_dir)
+    sketch = ev.select(
+        F.expr("approx_top_k(user_id, 10, 10000)").alias("items")
+    ).select(F.explode("items").alias("it")).select(
+        F.col("it.item").alias("user_id"), F.col("it.count").alias("est")
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    kth = (
+        exact.orderBy(F.desc("cnt"), F.asc("user_id"))
+        .limit(10)
+        .agg(F.min("cnt").alias("kth_cnt"))
+    )
+    checked = (
+        sketch.join(exact, "user_id")
+        .crossJoin(F.broadcast(kth))
+        .agg(
+            F.min("kth_cnt").alias("kth_cnt"),
+            (F.count(F.lit(1)) == 10).alias("has_10"),
+            F.min((F.col("cnt") >= F.col("kth_cnt")).cast("int")).alias("all_heavy"),
+        )
+    )
+    return checked.select(
+        F.lit(10).cast("int").alias("k"),
+        "kth_cnt",
+        (F.col("has_10") & (F.col("all_heavy") == 1)).alias("sketch_is_valid_topk"),
+    )

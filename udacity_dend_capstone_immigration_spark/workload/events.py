@@ -478,3 +478,68 @@ def events_salted_dim_join(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("event_cnt"),
         dsum(F.col("value"), "total_value"),
     )
+
+
+# --- DYNAMIC-gap session windows (native session_window with a
+# per-event gap Column — Spark 3.2+): purchases hold a session open
+# for 1 hour, everything else 30 minutes, the "checkout keeps the
+# visit alive" policy real funnels use. Semantics differ from fixed
+# gap in one load-bearing way the oracle states exactly: the session
+# end is the RUNNING MAX of (ts + its own gap) — a long-gap event
+# extends the session past later short-gap events' horizons — so the
+# break predicate is ts >= max-over-prior-events(ts + gap), not a
+# lag-difference test. One user-keyed exchange either way.
+@query(
+    "events_dynamic_gap_sessions",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN event_type = 'purchase' THEN INTERVAL 1 HOUR
+                    ELSE INTERVAL 30 MINUTE END AS gap
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, ts, value, gap,
+               CASE WHEN MAX(ts + gap) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        IS NULL
+                     OR ts >= MAX(ts + gap) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS brk
+        FROM g
+    ),
+    sessions AS (
+        SELECT user_id, ts, value, gap,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, ts + gap
+                              ROWS UNBOUNDED PRECEDING) AS sess_n
+        FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts + gap) AS session_end,
+           COUNT(*) AS event_cnt,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+               AS total_value
+    FROM sessions
+    GROUP BY user_id, sess_n
+    """,
+)
+def events_dynamic_gap_sessions(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase", "1 hour").otherwise(
+        "30 minutes"
+    )
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("event_cnt"),
+            dsum(F.col("value"), "total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "event_cnt",
+            "total_value",
+        )
+    )
