@@ -177,3 +177,50 @@ def test_stable_partitions_fast_path(spark, store):
             deletes=spark.createDataFrame([(2,)], "k long"),
             assume_stable_partitions=True,
         )
+
+
+def test_emptied_partition_does_not_resurrect(spark, store):
+    # delete EVERY row of p2 -> the partition dir must actually empty
+    dels = spark.createDataFrame([(3,)], "k long")
+    merge_upsert(
+        spark,
+        store,
+        spark.createDataFrame([], "k long, s string, v double, pt string"),
+        ("k",),
+        "pt",
+        deletes=dels,
+    )
+    assert _rows(spark, store) == {
+        (1, "a", 10.0, "p1"),
+        (2, "b", 20.0, "p1"),
+        (4, "d", 40.0, "p3"),
+    }
+
+
+def test_partition_move_empties_source_partition(spark, store):
+    # p2's ONLY row moves to p1: the old copy must not remain in p2
+    updates = spark.createDataFrame(
+        [(3, "C", 31.0, "p1")], "k long, s string, v double, pt string"
+    )
+    merge_upsert(spark, store, updates, ("k",), "pt")
+    rows = _rows(spark, store)
+    assert (3, "C", 31.0, "p1") in rows
+    assert not any(r[0] == 3 and r[3] == "p2" for r in rows)
+    assert len([r for r in rows if r[0] == 3]) == 1
+
+
+def test_bootstrap_probe_does_not_mask_read_errors(spark, tmp_path):
+    import pytest
+
+    # a NON-empty store dir whose contents are unreadable must raise,
+    # never silently bootstrap-overwrite the store with the batch
+    bad = tmp_path / "badstore"
+    bad.mkdir()
+    (bad / "pt=p1").mkdir()
+    (bad / "pt=p1" / "garbage.parquet").write_bytes(b"not a parquet file")
+    upd = spark.createDataFrame(
+        [(1, "a", 1.0, "p1")], "k long, s string, v double, pt string"
+    )
+    with pytest.raises(Exception):
+        merge_upsert(spark, str(bad), upd, ("k",), "pt")
+    assert (bad / "pt=p1" / "garbage.parquet").exists()  # store untouched

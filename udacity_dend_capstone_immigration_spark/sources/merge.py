@@ -72,15 +72,24 @@ def merge_upsert(
     large to pin, fold through the staging-then-rename swap
     (`compact_index_cells`) instead.
     """
-    try:
-        base = spark.read.parquet(store_dir)
-    except Exception:
+    import os
+
+    entries = (
+        [f for f in os.listdir(store_dir) if not f.startswith((".", "_"))]
+        if os.path.isdir(store_dir)
+        else []
+    )
+    if not entries:
         # bootstrap: no store yet (first CDC batch / first IVM upsert)
-        # → the updates ARE the initial state; deletes are no-ops
+        # → the updates ARE the initial state; deletes are no-ops.
+        # The emptiness PROBE decides this — a read failure on an
+        # EXISTING store must propagate, never trigger an overwrite
+        # of the store with the update batch.
         write_parquet(updates, store_dir, partition_by=[partition_col])
         return sorted(
             {r["p"] for r in updates.select(F.col(partition_col).alias("p")).distinct().collect()}
         )
+    base = spark.read.parquet(store_dir)
     touched_keys = updates.select(*key_cols)
     if deletes is not None:
         touched_keys = touched_keys.unionByName(deletes.select(*key_cols))
@@ -116,6 +125,28 @@ def merge_upsert(
         write_parquet(out, store_dir, partition_by=[partition_col], mode="overwrite")
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+    # dynamic overwrite only replaces partitions PRESENT in the written
+    # data — a touched partition that ends up EMPTY (every row deleted,
+    # or its only rows moved to another partition) is never rewritten
+    # and its stale files would resurrect on read. Drop those
+    # directories explicitly, using the exact path escaping the writer
+    # used (crash between the write and this cleanup leaves the old
+    # files in place — stale, like today’s lakes, never torn).
+    import shutil
+
+    remaining = {
+        r["p"]
+        for r in out.select(F.col(partition_col).alias("p")).distinct().collect()
+    }
+    esc = (
+        spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName
+    )
+    for v in touched:
+        if v not in remaining and v is not None:
+            d = os.path.join(store_dir, f"{partition_col}={esc(str(v))}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
     return touched
 
 

@@ -63,6 +63,25 @@ def sas7bdat_schema(path: str) -> StructType:
     return StructType(fields)
 
 
+def _parse_sas_chunks(file_path: str, names, str_cols, chunk_rows: int):
+    """The ONE SAS decode contract both readers share: chunked
+    pandas parse, reindex to the schema's column order, SAS
+    blank-missing normalization (empty strings are nulls)."""
+    with pd.read_sas(
+        file_path,
+        format="sas7bdat",
+        encoding="infer",
+        chunksize=chunk_rows,
+        iterator=True,
+    ) as reader:
+        for chunk in reader:
+            out = chunk.reindex(columns=names)
+            for c in str_cols:
+                col = out[c]
+                out[c] = col.where(col.notna() & (col != ""), None)
+            yield out
+
+
 def read_sas7bdat(
     spark: SparkSession,
     path: str,
@@ -82,24 +101,12 @@ def read_sas7bdat(
         len(files), "path"
     )
 
+    str_cols = [f.name for f in schema.fields if isinstance(f.dataType, StringType)]
+
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for file_path in pdf["path"]:
-                with pd.read_sas(
-                    file_path,
-                    format="sas7bdat",
-                    encoding="infer",
-                    chunksize=chunk_rows,
-                    iterator=True,
-                ) as reader:
-                    for chunk in reader:
-                        out = chunk.reindex(columns=names)
-                        # SAS blank-missing: empty strings are nulls.
-                        for f in schema.fields:
-                            if isinstance(f.dataType, StringType):
-                                col = out[f.name]
-                                out[f.name] = col.where(col.notna() & (col != ""), None)
-                        yield out
+                yield from _parse_sas_chunks(file_path, names, str_cols, chunk_rows)
 
     return paths_df.mapInPandas(parse, schema=schema)
 
@@ -135,19 +142,10 @@ try:  # pragma: no cover - trivially true on the pinned runtime
         def read(self, partition):
             import pyarrow as pa
 
-            with pd.read_sas(
-                partition.value,
-                format="sas7bdat",
-                encoding="infer",
-                chunksize=100_000,
-                iterator=True,
-            ) as reader:
-                for chunk in reader:
-                    out = chunk.reindex(columns=self._names)
-                    for c in self._str_cols:
-                        col = out[c]
-                        out[c] = col.where(col.notna() & (col != ""), None)
-                    yield pa.RecordBatch.from_pandas(out, preserve_index=False)
+            for out in _parse_sas_chunks(
+                partition.value, self._names, self._str_cols, 100_000
+            ):
+                yield pa.RecordBatch.from_pandas(out, preserve_index=False)
 
     class SAS7BDATDataSource(_DS):
         """``spark.read.format("sas7bdat")`` via the Python Data

@@ -50,12 +50,21 @@ def interleave_bits(a: Column, b: Column, bits: int = 8) -> Column:
 
 def _bucket(col: Column, mn: int, mx: int, bits: int) -> Column:
     """Affine rank of an integer-valued column into 0..2^bits-1 —
-    exact integer arithmetic (floor division on bigints), so the
-    bucketing is bit-identical everywhere."""
+    EXACT integer floor division (num − num % span, then an exact
+    double division of the resulting multiple), so the bucketing is
+    bit-identical everywhere. Spark's ``/`` is true double division:
+    a plain `(x*2^bits)/span` cast loses exactness past 2^53 and can
+    even round the maximum element into bucket 2^bits (whose low bits
+    alias bucket 0 after interleaving). The guard keeps the exact-
+    multiple division inside the double-exact range."""
     span = max(int(mx) - int(mn), 0) + 1
-    return (
-        (col.cast("bigint") - F.lit(int(mn))) * F.lit(2**bits) / F.lit(span)
-    ).cast("bigint")
+    if span * (2**bits) >= 2**53:
+        raise ValueError(
+            f"z-order bucket arithmetic needs span*2^bits < 2^53 "
+            f"(span={span}, bits={bits}); pre-bucket the column coarser"
+        )
+    num = (col.cast("bigint") - F.lit(int(mn))) * F.lit(2**bits)
+    return ((num - num % F.lit(span)) / F.lit(span)).cast("bigint")
 
 
 def zorder_write(

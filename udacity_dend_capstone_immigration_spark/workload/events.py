@@ -499,7 +499,7 @@ def events_salted_dim_join(spark, sf_dir):
         FROM events
     ),
     marked AS (
-        SELECT user_id, ts, value, gap,
+        SELECT user_id, ts, event_id, value, gap,
                CASE WHEN MAX(ts + gap) OVER (PARTITION BY user_id
                         ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -512,7 +512,7 @@ def events_salted_dim_join(spark, sf_dir):
     ),
     sessions AS (
         SELECT user_id, ts, value, gap,
-               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, ts + gap
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sess_n
         FROM marked
     )

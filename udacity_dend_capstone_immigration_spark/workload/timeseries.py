@@ -478,18 +478,21 @@ def events_time_weighted_avg(spark, sf_dir):
 # open/high/low/close of `value` plus tick count — the canonical
 # time-series compaction finance/IoT dashboards read instead of raw
 # ticks. NO window function: open/close are min_by/max_by over an
-# exact bigint order key ((micros since 2024-01-01) · 2^20 + event_id
-# — unique, overflow-checked: 30 days of micros × 2^20 < 2^63), so
-# the whole bar table is ONE map-combinable hash aggregate — at any
-# event volume the exchange carries one row per (user, hour), where a
-# row_number-based open/close pays a full per-user sort first.
+# exact ZERO-PADDED STRING order key (16-digit micros ‖ 10-digit
+# event_id — lexicographic order == (ts, event_id) order, with no
+# packing arithmetic to overflow: the first cut packed event_id into
+# 20 bits and silently mis-ordered sub-10µs ties once event_ids
+# passed 2^20 on the x100 corpus), so the whole bar table is ONE
+# map-combinable hash aggregate — at any event volume the exchange
+# carries one row per (user, hour), where a row_number-based
+# open/close pays a full per-user sort first.
 @query(
     "events_ohlc_bars",
     oracle="""
     WITH keyed AS (
         SELECT user_id, date_trunc('hour', ts) AS bar_hour, value,
-               (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) * 1048576
-                   + event_id AS ok
+               lpad(CAST(epoch_us(ts) AS VARCHAR), 16, '0')
+                   || lpad(CAST(event_id AS VARCHAR), 10, '0') AS ok
         FROM events
     )
     SELECT user_id, bar_hour,
@@ -506,10 +509,10 @@ def events_ohlc_bars(spark, sf_dir):
     from udacity_dend_capstone_immigration_spark.workload.base import read_events
 
     ev = read_events(spark, sf_dir)
-    ok = (
-        F.unix_micros(F.col("ts"))
-        - F.unix_micros(F.lit("2024-01-01").cast("timestamp"))
-    ) * F.lit(1048576) + F.col("event_id")
+    ok = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 16, "0"),
+        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+    )
     keyed = ev.select(
         "user_id",
         F.date_trunc("hour", F.col("ts")).alias("bar_hour"),
