@@ -60,6 +60,7 @@ ALLOWED = {
     "cd": "city-demographics dim (bounded city list)",
     "cuts": "one row per source (exact per-source quantile cutoffs)",
     "epochs": "2-row literal epoch frame",
+    "kth": "one-row exact k-th-count aggregate (top-k boundary)",
 }
 
 def _balanced_arg(text: str, start: int) -> str:

@@ -370,6 +370,10 @@ def test_no_static_broadcast_of_estimate_blind_relations(spark):
         # the 2-row literal epoch frame (explicit F.broadcast of a
         # local relation)
         "corpus_epoch_shuffle",
+        # the exploded approx_top_k sketch output (k=10 rows by
+        # construction) joined against the exact counts — the Generate
+        # makes it estimate-blind, the k bound makes it broadcastable
+        "events_approx_top_k_users",
         "knn_ivf",                      # N_CELLS trained centroids
         "ann_ivf_recall",               # same centroids (composed)
         "knn_ivfpq",                    # same N_CELLS centroids + 10-row query side
