@@ -543,3 +543,46 @@ def events_dynamic_gap_sessions(spark, sf_dir):
             "total_value",
         )
     )
+
+
+# --- week-over-week growth report: daily totals with the same-weekday
+# prior-week comparison (the BI staple). The heavy input collapses to
+# ~30 day rows in ONE map-combinable aggregate; the lag(7) window then
+# runs over day rows only — at any event volume the window sees ≤
+# span-in-days rows, so there is no per-key scale hazard to salt or
+# rewrite. Growth is one IEEE division of two portable decimal-summed
+# doubles; days without a prior week report NULL growth (stated by
+# the oracle, so null-vs-zero semantics are hash-checked too).
+@query(
+    "events_wow_growth",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR)
+                    AS DOUBLE) AS total_value
+        FROM events GROUP BY CAST(ts AS DATE)
+    )
+    SELECT day, n_events, total_value,
+           lag(total_value, 7) OVER (ORDER BY day) AS prior_week_value,
+           total_value / lag(total_value, 7) OVER (ORDER BY day) - 1.0e0
+               AS wow_growth
+    FROM daily
+    """,
+)
+def events_wow_growth(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value"), "total_value"),
+    )
+    w = Window.orderBy("day")
+    prior = F.lag("total_value", 7).over(w)
+    return daily.select(
+        "day",
+        "n_events",
+        "total_value",
+        prior.alias("prior_week_value"),
+        (F.col("total_value") / prior - F.lit(1.0)).alias("wow_growth"),
+    )

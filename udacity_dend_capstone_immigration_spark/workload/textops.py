@@ -2053,3 +2053,49 @@ def dedup_triangle_cohesion(spark, sf_dir):
         .unionAll(tri.select(F.col("c").alias("doc_id")))
     )
     return roles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("tri_cnt"))
+
+
+# --- per-source duplicate-rate report (corpus QA): which ingestion
+# sources ship duplicated content, by exact fingerprint — the number
+# that decides where dedup budget goes and which feeds to renegotiate.
+# ONE md5-fingerprint aggregate (map-combinable; the fingerprint is
+# the only thing shuffled, never text) feeding a source rollup; a doc
+# is a duplicate if ANY other doc (any source) shares its fingerprint
+# and it is not the min-id representative — the keep-best convention
+# of the dedup ladder, so this report states exactly what
+# exact-dedup WOULD delete, per source.
+@query(
+    "source_dup_rate_report",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id, source, md5({NORM}) AS f FROM documents
+    ),
+    marked AS (
+        SELECT source,
+               CASE WHEN doc_id > MIN(doc_id) OVER (PARTITION BY f)
+                    THEN 1 ELSE 0 END AS is_dup
+        FROM fp
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(is_dup) AS BIGINT) AS dup_docs,
+           CAST(SUM(is_dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+    FROM marked GROUP BY source
+    """,
+)
+def source_dup_rate_report(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", "source", doc_fingerprint(F.col("text")).alias("f"))
+    w = Window.partitionBy("f")
+    marked = fp.select(
+        "source",
+        (F.col("doc_id") > F.min("doc_id").over(w)).cast("int").alias("is_dup"),
+    )
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_dup").cast("bigint").alias("dup_docs"),
+        (F.sum("is_dup").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "dup_rate"
+        ),
+    )
