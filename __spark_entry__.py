@@ -41,7 +41,7 @@ FLAGSHIP = "top_nations_by_orders"
 #: corpus-fingerprinted index cache, bucketed lazy table cleanup) plus
 #: `dedup_simhash_recall` (now also emits pair_precision) —
 #: results re-proven; (c) the three r7 leftovers (`tpch_q19/q21/q22`)
-#: plus the 3 oldest r8 rows (every remaining r8 row rotates r13,
+#: plus the 2 oldest r8 rows (every remaining r8 row rotates r13,
 #: inside the capacity-derived staleness bound
 #: tests/test_registry.py enforces: current round − (⌈N/50⌉ + 1)).
 SHOWCASE = [
@@ -85,19 +85,19 @@ SHOWCASE = [
     "events_dynamic_gap_sessions",
     "events_wow_growth",
     "source_dup_rate_report",
+    "orders_stream_cdc_apply",
     # (b) plan / serving internals changed this round
     "dedup_simhash_recall",
     "knn_ivfpq_served",
     "knn_ivfpq_residual_served",
     "knn_ivf_served",
     "bucketed_join_roundtrip",
-    # (c) the r7 leftovers, then the 3 oldest r8 rows
+    # (c) the r7 leftovers, then the 2 oldest r8 rows
     "tpch_q19_bracketed_revenue",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_idle_customer_balance",
     "knn_lsh_bucketed",
     "label_centroids",
-    "multimodal_frame_sample",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round

@@ -1491,3 +1491,112 @@ def events_stream_outer_attribution(spark, sf_dir):
         .cast("bigint")
         .alias("unmatched_clicks"),
     )
+
+
+def _register_stream_cdc():
+    from udacity_dend_capstone_immigration_spark.workload.base import ORACLES
+
+    @query("orders_stream_cdc_apply", oracle=ORACLES["cdc_apply_roundtrip"])
+    def orders_stream_cdc_apply(spark, sf_dir):
+        """CDC arriving AS A STREAM and applied to the lake store,
+        end-to-end: the change feed (the same I/U/D batch
+        `cdc_apply_roundtrip` constructs) is staged as two files —
+        updates+inserts first, the later deletes second — and each
+        micro-batch lands through `apply_cdc` in foreachBatch
+        (per-batch keep-latest resolution, touched-partitions MERGE,
+        delete-wins). Cross-batch order is the seq order, so the final
+        store state is IDENTICAL to applying the whole feed at once —
+        which is exactly what sharing the batch query's oracle proves.
+        Replay safety comes from the op rows being absolute images:
+        re-applying a batch rewrites the same rows (the IVM argument,
+        extended to deletes — deleting twice is a no-op). This is the
+        Debezium→lake pipeline closed: stream → resolve → merge →
+        serve, all previously-proven pieces."""
+        import os
+
+        from udacity_dend_capstone_immigration_spark.sources.merge import apply_cdc
+        from udacity_dend_capstone_immigration_spark.sources.writers import (
+            write_parquet,
+        )
+        from udacity_dend_capstone_immigration_spark.streaming import read_stream
+        from udacity_dend_capstone_immigration_spark.streaming.windows import (
+            _await_or_raise,
+        )
+        from udacity_dend_capstone_immigration_spark.workload.base import table
+
+        base = table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "o_orderpriority",
+        )
+        store = tempfile.mkdtemp(prefix="cdc_stream_store_") + "/orders"
+        write_parquet(base, store, partition_by=("o_orderpriority",))
+        wave1 = base.where(F.col("o_orderkey") % 7 == 3).select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+            F.when(F.col("o_orderkey") % 14 == 3, F.lit("1-URGENT"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("o_orderpriority"),
+            F.lit("U").alias("op"),
+            F.lit(1).alias("seq"),
+        ).unionByName(
+            base.where(F.col("o_orderkey") % 97 == 0).select(
+                (F.col("o_orderkey") + F.lit(10000000)).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.lit(42.0).alias("o_totalprice"),
+                F.lit("5-LOW").alias("o_orderpriority"),
+                F.lit("I").alias("op"),
+                F.lit(1).alias("seq"),
+            )
+        )
+        wave2 = base.where(F.col("o_orderkey") % 10 == 1).select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderpriority",
+            F.lit("D").alias("op"),
+            F.lit(2).alias("seq"),
+        )
+        feed = tempfile.mkdtemp(prefix="cdc_feed_")
+        mt = 1_700_000_000
+        for i, (nm, df) in enumerate((("a_wave1", wave1), ("b_wave2", wave2))):
+            d = tempfile.mkdtemp()
+            df.coalesce(1).write.mode("overwrite").parquet(d)
+            (part,) = [
+                f
+                for f in os.listdir(d)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            ]
+            os.replace(f"{d}/{part}", f"{feed}/{nm}.parquet")
+            os.utime(f"{feed}/{nm}.parquet", (mt + i * 3600, mt + i * 3600))
+        schema = spark.read.parquet(f"{feed}/a_wave1.parquet").schema
+        stream = read_stream(spark, feed, schema, max_files_per_trigger=1)
+
+        def land(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            apply_cdc(
+                batch_df.sparkSession,
+                store,
+                batch_df,
+                ("o_orderkey",),
+                "o_orderpriority",
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(land)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_cdc_stream_"))
+            .start()
+        )
+        _await_or_raise(q, 180, "orders_stream_cdc_apply")
+        back = spark.read.parquet(store)
+        return back.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("o_totalprice"), "total_price"),
+        )
+
+
+_register_stream_cdc()
