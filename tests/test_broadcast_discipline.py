@@ -61,6 +61,10 @@ ALLOWED = {
     "cuts": "one row per source (exact per-source quantile cutoffs)",
     "epochs": "2-row literal epoch frame",
     "kth": "one-row exact k-th-count aggregate (top-k boundary)",
+    # counted-at-runtime bounds
+    "keys": "merge key set — COUNTED ≤ MAX_BROADCAST_MERGE_KEYS (2M) "
+    "before broadcasting; larger batches fall back to a merge-hinted "
+    "shuffled join (sources/merge.py)",
 }
 
 def _balanced_arg(text: str, start: int) -> str:
@@ -81,7 +85,9 @@ def _balanced_arg(text: str, start: int) -> str:
 def _broadcast_args():
     hits = []
     marker = "F.broadcast"
-    for sub in ("workload", "plans", "operators"):
+    # "sources" and "streaming" joined the scan in r13 (r12 advice: the
+    # merge key-set broadcast silently escaped this inventory)
+    for sub in ("workload", "plans", "operators", "sources", "streaming"):
         for path in sorted((PKG / sub).glob("*.py")):
             text = path.read_text()
             idx = 0

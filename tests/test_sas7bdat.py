@@ -155,3 +155,25 @@ def test_python_datasource_format_matches_mapinpandas_reader(spark, tmp_path):
     want = {tuple(r) for r in read_sas7bdat(spark, str(d)).collect()}
     assert got == want
     assert (1.0, "ab") in got and (2.0, None) in got and (3.0, "cd") in got
+
+
+def test_python_datasource_all_null_string_chunk_keeps_declared_type(spark, tmp_path):
+    """r12 advice: RecordBatch.from_pandas without the declared schema
+    infers Arrow type null for an all-missing string column, failing
+    the read. The reader now passes the schema explicitly."""
+    from udacity_dend_capstone_immigration_spark.sources.sas7bdat import SAS7BDATDataSource
+
+    d = tmp_path / "sasnull"
+    d.mkdir()
+    import pandas as pd
+
+    # every string value blank → SAS blank-missing → all-None column
+    write_sas7bdat(
+        str(d / "allnull.sas7bdat"),
+        pd.DataFrame([(1.0, ""), (2.0, "")], columns=["num", "txt"]),
+    )
+    spark.dataSource.register(SAS7BDATDataSource)
+    got = spark.read.format("sas7bdat").load(str(d))
+    assert dict(got.dtypes) == {"num": "double", "txt": "string"}
+    rows = {tuple(r) for r in got.collect()}
+    assert rows == {(1.0, None), (2.0, None)}

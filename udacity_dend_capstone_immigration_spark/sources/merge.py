@@ -33,6 +33,30 @@ from pyspark.sql import functions as F
 
 from udacity_dend_capstone_immigration_spark.sources.writers import write_parquet
 
+#: Broadcast the merge key set only while it is genuinely small. A key
+#: row is a few dozen bytes, so 2M keys ≈ tens of MB — comfortably
+#: under Spark's 8 GB broadcast hard cap and the driver heap, while a
+#: backfill replay (tens of millions of keys) falls back to
+#: merge-hinted shuffled joins instead of a driver-side OOM.
+MAX_BROADCAST_MERGE_KEYS = 2_000_000
+
+
+def _check_no_null_partition(values: set, partition_col: str) -> set:
+    """Dynamic partition overwrite routes NULL partition values to the
+    ``__HIVE_DEFAULT_PARTITION__`` directory, which this module's
+    ``isin(touched)`` kept-filter and emptied-dir cleanup do not model
+    (a null-partition matched row would silently go stale). Rejecting
+    nulls at entry, before anything is written, keeps the contract
+    honest: partition columns in a merge store must be non-null."""
+    if any(v is None for v in values):
+        raise ValueError(
+            f"merge_upsert: NULL value in partition column {partition_col!r} "
+            "— null-partitioned rows are not supported (they map to "
+            "__HIVE_DEFAULT_PARTITION__, outside the touched-partition "
+            "rewrite model); filter or default them upstream"
+        )
+    return values
+
 
 def merge_upsert(
     spark: SparkSession,
@@ -84,16 +108,34 @@ def merge_upsert(
         # → the updates ARE the initial state; deletes are no-ops.
         # The emptiness PROBE decides this — a read failure on an
         # EXISTING store must propagate, never trigger an overwrite
-        # of the store with the update batch.
-        write_parquet(updates, store_dir, partition_by=[partition_col])
-        return sorted(
-            {r["p"] for r in updates.select(F.col(partition_col).alias("p")).distinct().collect()}
+        # of the store with the update batch. Partition values are
+        # collected BEFORE the write so a null partition is rejected
+        # while the store is still untouched.
+        boot = _check_no_null_partition(
+            {
+                r["p"]
+                for r in updates.select(F.col(partition_col).alias("p"))
+                .distinct()
+                .collect()
+            },
+            partition_col,
         )
+        write_parquet(updates, store_dir, partition_by=[partition_col])
+        return sorted(boot)
     base = spark.read.parquet(store_dir)
     touched_keys = updates.select(*key_cols)
     if deletes is not None:
         touched_keys = touched_keys.unionByName(deletes.select(*key_cols))
-    keys = touched_keys.distinct()
+    # Pin the key set once (it feeds up to three consumers: the count
+    # below, the moved-from probe, and the kept anti-join) and COUNT it
+    # so the broadcast decision is based on the batch's real size, not
+    # a contract the CDC source can't guarantee: a normal CDC batch is
+    # thousands of keys and broadcasting beats shuffling the store, but
+    # a backfill replay can carry millions — above the cap the probe
+    # and anti-join fall back to merge-hinted shuffled joins (ADVICE
+    # r12: forced O(batch) broadcast escaped the boundedness inventory).
+    keys = touched_keys.distinct().localCheckpoint(eager=True)
+    small_keys = keys.count() <= MAX_BROADCAST_MERGE_KEYS
     up_parts = updates.select(F.col(partition_col).alias("p")).distinct()
     if deletes is not None and partition_col in deletes.columns:
         up_parts = up_parts.unionByName(
@@ -105,18 +147,23 @@ def merge_upsert(
             f"own partition values — the deletes frame must carry "
             f"{partition_col!r}"
         )
+    probe = F.broadcast(keys) if small_keys else keys.hint("merge")
     if assume_stable_partitions:
         parts = up_parts
     else:
         moved_from = (
-            base.join(F.broadcast(keys), list(key_cols), "left_semi")
+            base.join(probe, list(key_cols), "left_semi")
             .select(F.col(partition_col).alias("p"))
             .distinct()
         )
         parts = up_parts.unionByName(moved_from)
-    touched = sorted({r["p"] for r in parts.distinct().collect()})
+    touched = sorted(
+        _check_no_null_partition(
+            {r["p"] for r in parts.distinct().collect()}, partition_col
+        )
+    )
     kept = base.where(F.col(partition_col).isin(touched)).join(
-        F.broadcast(keys), list(key_cols), "left_anti"
+        probe, list(key_cols), "left_anti"
     )
     out = kept.unionByName(updates.select(*base.columns)).localCheckpoint(eager=True)
     prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")

@@ -142,10 +142,24 @@ try:  # pragma: no cover - trivially true on the pinned runtime
         def read(self, partition):
             import pyarrow as pa
 
+            # The declared schema must be passed explicitly: an
+            # all-null string chunk would otherwise INFER Arrow type
+            # null and fail the read with a type mismatch (the
+            # mapInPandas path coerces per the Spark schema; this API
+            # hands Spark the Arrow batch as-is). SAS has exactly two
+            # physical types, so the mapping is total.
+            arrow_schema = pa.schema(
+                [
+                    (n, pa.string() if n in set(self._str_cols) else pa.float64())
+                    for n in self._names
+                ]
+            )
             for out in _parse_sas_chunks(
                 partition.value, self._names, self._str_cols, 100_000
             ):
-                yield pa.RecordBatch.from_pandas(out, preserve_index=False)
+                yield pa.RecordBatch.from_pandas(
+                    out, schema=arrow_schema, preserve_index=False
+                )
 
     class SAS7BDATDataSource(_DS):
         """``spark.read.format("sas7bdat")`` via the Python Data
