@@ -213,6 +213,12 @@ def main() -> None:
     served_index_dir(spark, sf_dir, kind="flat")
     served_index_dir(spark, sf_dir, kind="sq8")
     served_index_dir(spark, sf_dir, kind="flat_label")
+    # r13: the TEXT-dedup store joins the pre-built set, so
+    # documents_stream_dedup_status measures serve latency too (its
+    # index rebuild was 124s of the 144s wall at the 100x corpus)
+    from udacity_dend_capstone_immigration_spark.workload.dedupstore import served_dedup_index_dir
+
+    served_dedup_index_dir(spark, sf_dir)
 
     # Min-of-REPS per headliner (r10 verdict "What's wrong #3"): a
     # single reading is 1.25-1.55x the min-of-3 protocol the records

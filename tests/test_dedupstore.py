@@ -1,0 +1,132 @@
+"""Persisted text-dedup index: build/append/fold lifecycle semantics
+(the value-level contract is also driver-gated by the three
+dedup_index_*_roundtrip oracle rows; these tests pin the edge cases
+the sf0.01 corpus cannot produce and the plan-level no-op contracts)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from udacity_dend_capstone_immigration_spark.workload.dedupstore import (
+    append_to_dedup_index,
+    build_dedup_index,
+    fold_dedup_index,
+    read_dedup_doc_sizes,
+    read_dedup_fingerprints,
+    read_dedup_shingle_index,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _postings(spark, d):
+    return {
+        (r["g"], r["cid"]) for r in read_dedup_shingle_index(spark, d).collect()
+    }
+
+
+# 4 docs sharing "a b c"; cap=3 keeps it (df=3 for 'a b c' in CORPUS
+# docs 1..3), doc 4 appended pushes it to 4 -> cap crossing.
+CORPUS = [
+    (1, "a b c x1 y1"),
+    (2, "a b c x2 y2"),
+    (3, "a b c x3 y3"),
+]
+BATCH = [(4, "a b c x4 y4")]
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    d = str(tmp_path / "idx")
+    build_dedup_index(spark, _docs(spark, CORPUS), d, cap=3)
+    return d
+
+
+def test_build_postings_fingerprints_sizes(spark, store):
+    posts = _postings(spark, store)
+    # every doc has 3 distinct shingles ('a b c', 'b c xN', 'c xN yN')
+    assert ("a b c", 1) in posts and ("a b c", 3) in posts
+    assert len(posts) == 9
+    sizes = {r["doc_id"]: r["n"] for r in read_dedup_doc_sizes(spark, store).collect()}
+    assert sizes == {1: 3, 2: 3, 3: 3}
+    fps = [r["fp"] for r in read_dedup_fingerprints(spark, store).collect()]
+    assert len(fps) == len(set(fps)) == 3
+
+
+def test_append_cap_crossing_tombstones_then_fold(spark, store):
+    append_to_dedup_index(spark, _docs(spark, BATCH), store)
+    assert os.path.isdir(f"{store}/dropped_shingles")
+    posts = _postings(spark, store)
+    # 'a b c' crossed the cap: ALL its rows (main + batch) are dead
+    assert not any(g == "a b c" for g, _ in posts)
+    # doc 4's other shingles landed
+    assert ("b c x4", 4) in posts and ("c x4 y4", 4) in posts
+    # == a from-scratch rebuild on the union (the roundtrip contract)
+    rebuilt = str(store) + "_rebuild"
+    build_dedup_index(spark, _docs(spark, CORPUS + BATCH), rebuilt, cap=3)
+    assert posts == _postings(spark, rebuilt)
+    # fold applies physically: tombstone table gone, raw scan == read
+    fold_dedup_index(spark, store)
+    assert not os.path.isdir(f"{store}/dropped_shingles")
+    raw = {
+        (r["g"], r["cid"])
+        for r in spark.read.parquet(f"{store}/shingle_index").collect()
+    }
+    assert raw == posts
+
+
+def test_append_batch_only_overcap_shingle_never_indexed(spark, store):
+    # a shingle over the cap purely WITHIN one batch (df_m=0, df_b>cap)
+    batch = [(10 + i, f"q r s t{i} u{i}") for i in range(5)]  # 'q r s' df_b=5
+    append_to_dedup_index(spark, _docs(spark, batch), store)
+    posts = _postings(spark, store)
+    assert not any(g == "q r s" for g, _ in posts)
+    # and it must NOT create a tombstone (main had no rows to retract)
+    if os.path.isdir(f"{store}/dropped_shingles"):
+        dead = {r["g"] for r in spark.read.parquet(f"{store}/dropped_shingles").collect()}
+        assert "q r s" not in dead
+
+
+def test_second_append_after_crossing_stays_dead(spark, store):
+    append_to_dedup_index(spark, _docs(spark, BATCH), store)
+    append_to_dedup_index(spark, _docs(spark, [(5, "a b c x5 y5")]), store)
+    posts = _postings(spark, store)
+    assert not any(g == "a b c" for g, _ in posts)
+    dead = {r["g"] for r in spark.read.parquet(f"{store}/dropped_shingles").collect()}
+    assert list(dead).count("a b c") == 1 if "a b c" in dead else False
+
+
+def test_tombstone_antijoin_is_plan_noop_when_absent(spark, store):
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        read_dedup_shingle_index(spark, store).explain("formatted")
+    assert "Join" not in buf.getvalue()  # bare scan until a delete lands
+
+
+def test_stream_dedup_status_serves_from_store(spark):
+    """The re-pointed serving query's batch plan reads the persisted
+    store and never tokenizes the corpus: the only documents.parquet
+    work left is the arriving batch (status base + batch set sizes)."""
+    import contextlib
+    import io
+
+    from udacity_dend_capstone_immigration_spark.workload import QUERIES
+
+    df = QUERIES["documents_stream_dedup_status"](spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # the postings/fingerprint sides live inside the (already-drained)
+    # streaming plans; the batch finish shows the store's doc_sizes
+    # scan where the full-corpus tokenize+groupBy used to be
+    assert "doc_sizes" in plan
+    assert "collect_list" not in plan  # no inline index build anywhere
+    scans = plan.count("documents.parquet")
+    assert scans <= 2, f"{scans} documents scans in the serve plan"

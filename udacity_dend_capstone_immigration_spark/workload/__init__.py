@@ -22,5 +22,6 @@ from udacity_dend_capstone_immigration_spark.workload import analytic  # noqa: F
 from udacity_dend_capstone_immigration_spark.workload import timeseries  # noqa: F401
 from udacity_dend_capstone_immigration_spark.workload import tpch  # noqa: F401
 from udacity_dend_capstone_immigration_spark.workload import pretrain  # noqa: F401
+from udacity_dend_capstone_immigration_spark.workload import dedupstore  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES"]

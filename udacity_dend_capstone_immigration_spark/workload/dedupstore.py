@@ -1,0 +1,492 @@
+"""Persisted TEXT-dedup index: train-once/serve-many for the corpus
+shingle/fingerprint index (the r12 verdict's top item).
+
+`documents_stream_dedup_status` classifies an arriving batch against
+the corpus via three static relations — the df-capped (shingle, doc)
+index, the distinct content-fingerprint set, and per-doc shingle
+counts. Rebuilding those per run is rebuild-dominated at scale (124s
+of the 144s wall at the 100x corpus was the index job), the exact
+cost shape the r11 ANN stores already solved: build once to parquet,
+serve from the read-back relations, append new batches in O(batch).
+
+Store layout (all plain parquet, same lifecycle as the IVF stores):
+
+    shingle_index/g_pt=<b>/   (g, cid)      df-capped corpus postings
+    shingle_df/g_pt=<b>/      (g, df)       per-shingle df (UNcapped —
+                                            the append probe must see
+                                            over-cap shingles too)
+    fingerprints/fp_pt=<b>/   (fp)          distinct md5(norm) set
+    doc_sizes/                (doc_id, n)   per-doc shingle counts
+    dropped_shingles/         (g)           tombstones: shingles whose
+                                            df CROSSED the cap via an
+                                            append (their main rows
+                                            are dead until the fold)
+    meta/                     (k, cap, n_buckets)
+
+Partition key: ``g_pt = int(md5(g)[:4], 16) % n_buckets`` — md5 so the
+DuckDB oracles compute the identical bucket (repo rule: hashing md5
+only), and partitioned so (a) every relation scans with n_buckets
+splits regardless of writer row-grouping, (b) an append's writes and
+its stats probe prune to the buckets the batch actually touches.
+
+Append semantics (the part that must equal a full rebuild): the df cap
+is a GLOBAL statistic, so appending docs can push a shingle over the
+cap, which must RETRACT its already-indexed rows. The LSM split used
+throughout this repo handles it in O(batch):
+
+    df_total(g) = df_main(g) + df_batch(g)   (probe: batch shingles ⋈
+                                              read-back shingle_df)
+    df_total <= cap            -> append the batch's (g, cid) rows
+    df_total >  cap, df_main>0
+               and df_main<=cap -> tombstone g in dropped_shingles
+    df_total >  cap otherwise   -> drop silently (main has no rows)
+
+Reads anti-join the tombstones (a plan no-op while the table is
+absent, mirroring `apply_tombstones`); `fold_dedup_index` applies them
+physically at maintenance cadence. With df stored uncapped, this is
+EXACTLY rebuild-equivalence: `dedup_index_append_roundtrip`'s oracle
+is the full-rebuild aggregation, proving it value-for-value.
+
+No counterpart in the reference (etl.py's dedup surface is
+drop_duplicates, :169); this is the beyond-reference LLM-pipeline tier.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udacity_dend_capstone_immigration_spark.functions.text import doc_fingerprint
+from udacity_dend_capstone_immigration_spark.operators.dedup import shingle_rows
+from udacity_dend_capstone_immigration_spark.sources.writers import write_table
+from udacity_dend_capstone_immigration_spark.workload.base import query, table
+from udacity_dend_capstone_immigration_spark.workload.textops import (
+    _INC_MOD,
+    _NGRAM_SHINGLE_CAP,
+    NORM,
+    SHINGLES,
+)
+
+#: Bucket count for the md5-prefix partition key. 32 matches the local
+#: parallelism; a 100 TB corpus raises it at build time (it is stored
+#: in meta/ — appends and serves read the built value, so stores with
+#: different layouts coexist).
+N_SHINGLE_BUCKETS = 32
+
+
+def _bucket(col, n_buckets: int = N_SHINGLE_BUCKETS):
+    """Engine-portable bucket: first 4 md5 hex digits mod n_buckets
+    (DuckDB: ``CAST(('0x' || substring(md5(x),1,4)) AS BIGINT) % n``)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("bigint") % n_buckets
+    ).cast("int")
+
+
+def _hex_bucket(col, n_buckets: int = N_SHINGLE_BUCKETS):
+    """Bucket for a column that IS already an md5 hex string (the
+    fingerprint set): its own 4-hex prefix, no second hash."""
+    return (
+        F.conv(F.substring(col, 1, 4), 16, 10).cast("bigint") % n_buckets
+    ).cast("int")
+
+
+def build_dedup_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    k: int = 3,
+    cap: int = _NGRAM_SHINGLE_CAP,
+    n_buckets: int = N_SHINGLE_BUCKETS,
+) -> str:
+    """Build the index from ``docs`` (doc_id, text) into ``out_dir``.
+
+    Two tokenize scans, not one: stats (count-only groupBy, map-side
+    combinable) and postings (grouped collect_list -> cap filter ->
+    in-group explode) are written from separate scans because the r11
+    A/B measured materializing the uncapped grouped-list frame to
+    share one scan 11% SLOWER at the 100x corpus than re-scanning
+    (mega-bucket arrays cost more than a second map-side-combining
+    pass). Build runs at maintenance cadence; serve never pays it.
+    """
+    e = shingle_rows(docs, "doc_id", "text", k).withColumnRenamed("shingle", "g")
+    stats = (
+        e.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("g_pt", _bucket(F.col("g"), n_buckets))
+    )
+    write_table(stats, f"{out_dir}/shingle_df", partition_by=["g_pt"])
+    idx = (
+        e.groupBy("g")
+        .agg(F.collect_list("doc_id").alias("cids"))
+        .where(F.size("cids") <= cap)
+        .select("g", F.explode("cids").alias("cid"))
+        .withColumn("g_pt", _bucket(F.col("g"), n_buckets))
+    )
+    write_table(idx, f"{out_dir}/shingle_index", partition_by=["g_pt"])
+    fp = (
+        docs.select(doc_fingerprint("text").alias("fp"))
+        .distinct()
+        .withColumn("fp_pt", _hex_bucket(F.col("fp"), n_buckets))
+    )
+    write_table(fp, f"{out_dir}/fingerprints", partition_by=["fp_pt"])
+    sizes = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    write_table(sizes, f"{out_dir}/doc_sizes")
+    meta = spark.createDataFrame(
+        [(k, cap, n_buckets)], "k int, cap int, n_buckets int"
+    )
+    write_table(meta, f"{out_dir}/meta")
+    return out_dir
+
+
+def _read_meta(spark: SparkSession, index_dir: str):
+    r = spark.read.parquet(f"{index_dir}/meta").collect()[0]
+    return int(r["k"]), int(r["cap"]), int(r["n_buckets"])
+
+
+def append_to_dedup_index(
+    spark: SparkSession, new_docs: DataFrame, index_dir: str
+) -> None:
+    """Ingest a new corpus batch: O(batch) shingle work + one stats
+    probe restricted to the batch's buckets — never a corpus re-shingle.
+
+    The batch's grouped shingles are pinned once (eager localCheckpoint,
+    O(batch)); the touched-bucket list is collected driver-side (≤
+    n_buckets values — the eager-decision contract) and becomes a
+    STATIC partition filter on the shingle_df probe scan, so a small
+    batch reads only its slice of the stats table. Cap-crossing
+    shingles land in ``dropped_shingles`` (read-time anti-join; folded
+    physically by :func:`fold_dedup_index`)."""
+    k, cap, n_buckets = _read_meta(spark, index_dir)
+    e_b = shingle_rows(new_docs, "doc_id", "text", k).withColumnRenamed(
+        "shingle", "g"
+    )
+    gb = (
+        e_b.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df_b"), F.collect_list("doc_id").alias("cids"))
+        .withColumn("g_pt", _bucket(F.col("g"), n_buckets))
+        .localCheckpoint(eager=True)
+    )
+    touched = sorted({r["g_pt"] for r in gb.select("g_pt").distinct().collect()})
+    # stats may hold several rows per g (one per prior append) until a
+    # fold — SUM them in the probe's own shuffle
+    stats = (
+        spark.read.parquet(f"{index_dir}/shingle_df")
+        .where(F.col("g_pt").isin(touched))
+        .groupBy("g")
+        .agg(F.sum("df").alias("df_m"))
+    )
+    joined = (
+        gb.join(stats.hint("merge"), "g", "left")
+        .withColumn("df_m", F.coalesce("df_m", F.lit(0)))
+        .localCheckpoint(eager=True)  # decisions pinned BEFORE the
+        # first write mutates the store the probe just read
+    )
+    total = F.col("df_m") + F.col("df_b")
+    new_rows = joined.where(total <= cap).select(
+        "g", F.explode("cids").alias("cid"), "g_pt"
+    )
+    write_table(
+        new_rows, f"{index_dir}/shingle_index", partition_by=["g_pt"], mode="append"
+    )
+    cross = joined.where(
+        (total > cap) & (F.col("df_m") >= 1) & (F.col("df_m") <= cap)
+    ).select("g")
+    # only materialize the tombstone table when a crossing happened —
+    # an empty dir would pin a permanent anti-join into serve plans
+    if cross.limit(1).count():
+        write_table(cross, f"{index_dir}/dropped_shingles", mode="append")
+    write_table(
+        gb.select("g", F.col("df_b").alias("df"), "g_pt"),
+        f"{index_dir}/shingle_df",
+        partition_by=["g_pt"],
+        mode="append",
+    )
+    fp_b = (
+        new_docs.select(doc_fingerprint("text").alias("fp"))
+        .distinct()
+        .withColumn("fp_pt", _hex_bucket(F.col("fp"), n_buckets))
+    )
+    write_table(
+        fp_b, f"{index_dir}/fingerprints", partition_by=["fp_pt"], mode="append"
+    )
+    sizes_b = e_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    write_table(sizes_b, f"{index_dir}/doc_sizes", mode="append")
+
+
+def read_dedup_shingle_index(
+    spark: SparkSession, index_dir: str, with_bucket: bool = False
+) -> DataFrame:
+    """(g, cid) postings with pending tombstones anti-joined — a plan
+    no-op while ``dropped_shingles`` is absent (the common state), so
+    serve plans are bare index scans until a cap-crossing lands. The
+    tombstone side is a real file scan, so Catalyst's size estimate is
+    accurate and the small-table broadcast happens on its own — no
+    hint needed (this is NOT the estimate-blind class)."""
+    cols = ["g", "cid"] + (["g_pt"] if with_bucket else [])
+    idx = spark.read.parquet(f"{index_dir}/shingle_index").select(*cols)
+    dead_dir = f"{index_dir}/dropped_shingles"
+    if os.path.isdir(dead_dir):
+        idx = idx.join(spark.read.parquet(dead_dir).select("g"), "g", "left_anti")
+    return idx
+
+
+def read_dedup_fingerprints(spark: SparkSession, index_dir: str) -> DataFrame:
+    """(fp, fp_pt). May contain cross-batch duplicates until a fold —
+    callers use it as a semi-join side, where duplicates are harmless;
+    set-shaped consumers must ``.distinct()``."""
+    return spark.read.parquet(f"{index_dir}/fingerprints")
+
+
+def read_dedup_doc_sizes(spark: SparkSession, index_dir: str) -> DataFrame:
+    """(doc_id, n) distinct-shingle counts for every indexed doc."""
+    return spark.read.parquet(f"{index_dir}/doc_sizes")
+
+
+def _swap_in(df: DataFrame, path: str, partition_by=None) -> None:
+    """Write ``df`` (which may READ from ``path``) to a staging dir,
+    then swap: the write fully materializes before the source moves, so
+    a crash leaves either the old relation valid or (for the instant
+    between renames) a recoverable ``__old`` copy beside the store."""
+    staging = f"{path}__staging"
+    old = f"{path}__old"
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+    write_table(df, staging, partition_by=partition_by)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+
+
+def fold_dedup_index(spark: SparkSession, index_dir: str) -> None:
+    """Maintenance fold: apply tombstones physically to the postings,
+    collapse per-append stats rows to one (g, df), dedupe the
+    fingerprint set, and clear ``dropped_shingles`` — after which reads
+    are bare scans again. O(store) at maintenance cadence, exactly like
+    `fold_index_delta` / `compact_index_cells` for the ANN stores."""
+    _, _, n_buckets = _read_meta(spark, index_dir)
+    idx = read_dedup_shingle_index(spark, index_dir, with_bucket=True)
+    _swap_in(idx, f"{index_dir}/shingle_index", partition_by=["g_pt"])
+    stats = (
+        spark.read.parquet(f"{index_dir}/shingle_df")
+        .groupBy("g", "g_pt")
+        .agg(F.sum("df").cast("long").alias("df"))
+        .select("g", "df", "g_pt")
+    )
+    _swap_in(stats, f"{index_dir}/shingle_df", partition_by=["g_pt"])
+    fp = spark.read.parquet(f"{index_dir}/fingerprints").distinct()
+    _swap_in(fp, f"{index_dir}/fingerprints", partition_by=["fp_pt"])
+    dead_dir = f"{index_dir}/dropped_shingles"
+    if os.path.isdir(dead_dir):
+        shutil.rmtree(dead_dir)
+
+
+# --- served-store cache (same contract as vectors.served_index_dir):
+# one build per (sf_dir, corpus fingerprint) per process; the bench
+# warmup pre-builds it so `documents_stream_dedup_status` measures
+# serve latency, the number the store exists to make small.
+_SERVED_DEDUP: dict[tuple, str] = {}
+
+
+def served_dedup_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    from udacity_dend_capstone_immigration_spark.workload.vectors import _corpus_fingerprint
+
+    key = (sf_dir, _corpus_fingerprint(sf_dir, "documents"))
+    d = _SERVED_DEDUP.get(key)
+    if d is None or not os.path.isdir(f"{d}/shingle_index"):
+        docs = table(spark, sf_dir, "documents").where(
+            F.col("doc_id") % _INC_MOD != 0
+        )
+        d = build_dedup_index(
+            spark, docs, tempfile.mkdtemp(prefix="dedup_index_")
+        )
+        _SERVED_DEDUP[key] = d
+    return d
+
+
+# --- roundtrip queries: per-bucket aggregation of every store relation,
+# grouped by the PERSISTED partition values (g_pt / fp_pt), so a row
+# landing in the wrong directory fails the hash compare, not just a
+# wrong value. 8-hex md5-prefix sums keep the checksums inside BIGINT
+# headroom out to ~1e9 postings per bucket.
+
+_H8 = "CAST(('0x' || substring({x}, 1, 8)) AS BIGINT)"
+
+
+def _agg_oracle(cap: int, corpus_pred: str, extra_cols: str = "") -> str:
+    return f"""
+    WITH sh AS ({SHINGLES}),
+    e AS (SELECT doc_id, unnest(shingles) AS g FROM sh WHERE {corpus_pred}),
+    grp AS (SELECT g, COUNT(*) AS df FROM e GROUP BY g),
+    idx AS (SELECT e.g, e.doc_id AS cid FROM e JOIN grp USING (g)
+            WHERE grp.df <= {cap}),
+    ia AS (SELECT CAST(CAST(('0x' || substring(md5(g), 1, 4)) AS BIGINT)
+                       % {N_SHINGLE_BUCKETS} AS INT) AS part,
+                  CAST(COUNT(*) AS BIGINT) AS idx_rows,
+                  CAST(SUM({_H8.format(x='md5(g)')}) AS BIGINT) AS idx_gsum,
+                  CAST(SUM(cid) AS BIGINT) AS idx_cidsum
+           FROM idx GROUP BY 1),
+    fps AS (SELECT DISTINCT md5({NORM}) AS fp FROM documents WHERE {corpus_pred}),
+    fa AS (SELECT CAST(CAST(('0x' || substring(fp, 1, 4)) AS BIGINT)
+                       % {N_SHINGLE_BUCKETS} AS INT) AS part,
+                  CAST(COUNT(*) AS BIGINT) AS fp_rows,
+                  CAST(SUM({_H8.format(x='fp')}) AS BIGINT) AS fp_hsum
+           FROM fps GROUP BY 1),
+    sz AS (SELECT doc_id, len(shingles) AS n FROM sh WHERE {corpus_pred}),
+    sa AS (SELECT CAST(doc_id % {N_SHINGLE_BUCKETS} AS INT) AS part,
+                  CAST(COUNT(*) AS BIGINT) AS sz_rows,
+                  CAST(SUM(n) AS BIGINT) AS sz_nsum
+           FROM sz GROUP BY 1)
+    SELECT part,
+           COALESCE(idx_rows, 0) AS idx_rows,
+           COALESCE(idx_gsum, 0) AS idx_gsum,
+           COALESCE(idx_cidsum, 0) AS idx_cidsum,
+           COALESCE(fp_rows, 0) AS fp_rows,
+           COALESCE(fp_hsum, 0) AS fp_hsum,
+           COALESCE(sz_rows, 0) AS sz_rows,
+           COALESCE(sz_nsum, 0) AS sz_nsum{extra_cols}
+    FROM ia FULL JOIN fa USING (part) FULL JOIN sa USING (part)
+    """
+
+
+def _h8_spark(col):
+    return F.conv(F.substring(col, 1, 8), 16, 10).cast("long")
+
+
+def _index_aggregate(
+    spark: SparkSession, index_dir: str, distinct_fp: bool = True
+) -> DataFrame:
+    idx = read_dedup_shingle_index(spark, index_dir, with_bucket=True)
+    ia = (
+        idx.groupBy(F.col("g_pt").cast("int").alias("part"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("idx_rows"),
+            F.sum(_h8_spark(F.md5("g"))).cast("long").alias("idx_gsum"),
+            F.sum("cid").cast("long").alias("idx_cidsum"),
+        )
+    )
+    fp = read_dedup_fingerprints(spark, index_dir)
+    if distinct_fp:
+        fp = fp.select("fp", "fp_pt").distinct()
+    fa = (
+        fp.groupBy(F.col("fp_pt").cast("int").alias("part"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("fp_rows"),
+            F.sum(_h8_spark(F.col("fp"))).cast("long").alias("fp_hsum"),
+        )
+    )
+    sa = (
+        read_dedup_doc_sizes(spark, index_dir)
+        .groupBy((F.col("doc_id") % N_SHINGLE_BUCKETS).cast("int").alias("part"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("sz_rows"),
+            F.sum("n").cast("long").alias("sz_nsum"),
+        )
+    )
+    out = ia.join(fa, "part", "full").join(sa, "part", "full")
+    fill = {
+        c: 0
+        for c in (
+            "idx_rows",
+            "idx_gsum",
+            "idx_cidsum",
+            "fp_rows",
+            "fp_hsum",
+            "sz_rows",
+            "sz_nsum",
+        )
+    }
+    return out.fillna(fill)
+
+
+_CORPUS_PRED = f"doc_id % {_INC_MOD} != 0"
+#: The testdata's 3-gram dfs top out far under the production cap (max
+#: 7 at sf0.01, 23 at sf0.1 — measured), so the append/fold roundtrips
+#: build with a tighter cap to make cap-CROSSINGS real: at cap=4 the
+#: sf0.01 split below produces 43 tombstoned shingles and 14
+#: already-over drops. The cap is a store parameter read from meta/,
+#: not a code fork — serving stores keep `_NGRAM_SHINGLE_CAP`.
+_APPEND_CAP = 4
+
+
+def _is_batch():  # 1/3 of the corpus plays the append batch
+    return F.col("doc_id") % 3 == 1
+
+
+@query(
+    "dedup_index_build_roundtrip",
+    oracle=_agg_oracle(_NGRAM_SHINGLE_CAP, _CORPUS_PRED),
+)
+def dedup_index_build_roundtrip(spark, sf_dir):
+    """Build the text-dedup store into a FRESH dir (full tokenize ->
+    cap -> write path every invocation) and aggregate every read-back
+    relation per persisted bucket; the oracle recomputes the same
+    checksums from the shingle CTEs, so the driver's hash compare
+    proves postings, fingerprint set, doc sizes AND the md5-bucket
+    partition layout — the build half of the train-once/serve-many
+    contract (`documents_stream_dedup_status` serves from this store)."""
+    out = build_dedup_index(
+        spark,
+        table(spark, sf_dir, "documents").where(F.col("doc_id") % _INC_MOD != 0),
+        tempfile.mkdtemp(prefix="dedupidx_build_"),
+    )
+    return _index_aggregate(spark, out)
+
+
+@query(
+    "dedup_index_append_roundtrip",
+    oracle=_agg_oracle(_APPEND_CAP, _CORPUS_PRED),
+)
+def dedup_index_append_roundtrip(spark, sf_dir):
+    """Build on 2/3 of the corpus, append the remaining 1/3, aggregate
+    the read-back store WITH tombstones applied. The oracle is the
+    FULL-REBUILD aggregation over the united corpus — so the hash
+    compare proves append-equals-rebuild exactly, including the
+    retraction of shingles the append pushed over the cap (43 of them
+    at sf0.01 with the roundtrip cap of 4)."""
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % _INC_MOD != 0
+    )
+    out = build_dedup_index(
+        spark,
+        docs.where(~_is_batch()),
+        tempfile.mkdtemp(prefix="dedupidx_append_"),
+        cap=_APPEND_CAP,
+    )
+    append_to_dedup_index(spark, docs.where(_is_batch()), out)
+    return _index_aggregate(spark, out)
+
+
+@query(
+    "dedup_index_fold_roundtrip",
+    oracle=_agg_oracle(
+        _APPEND_CAP,
+        _CORPUS_PRED,
+        extra_cols=", CAST(0 AS INT) AS pending_tombstones",
+    ),
+)
+def dedup_index_fold_roundtrip(spark, sf_dir):
+    """Append then FOLD, and aggregate the raw store with NO logical
+    tombstone application and NO fingerprint distinct — same oracle as
+    the append roundtrip, so the compare proves the fold applied every
+    tombstone physically and collapsed the fingerprint duplicates; the
+    pending_tombstones column pins that the tombstone table itself was
+    cleared (plan no-op restored for serves)."""
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % _INC_MOD != 0
+    )
+    out = build_dedup_index(
+        spark,
+        docs.where(~_is_batch()),
+        tempfile.mkdtemp(prefix="dedupidx_fold_"),
+        cap=_APPEND_CAP,
+    )
+    append_to_dedup_index(spark, docs.where(_is_batch()), out)
+    fold_dedup_index(spark, out)
+    pending = 1 if os.path.isdir(f"{out}/dropped_shingles") else 0
+    return _index_aggregate(spark, out, distinct_fp=False).withColumn(
+        "pending_tombstones", F.lit(pending).cast("int")
+    )

@@ -1947,9 +1947,21 @@ def corpus_importance_sample(spark, sf_dir):
     )
 
     docs = table(spark, sf_dir, "documents")
-    bi = shingle_rows(docs, "doc_id", "text", 2, distinct=False).withColumnRenamed(
+    bi = _doc_bigrams(docs)
+    scored_c, scored_t = _dsir_train_heads(bi)
+    return _dsir_select(docs, bi, scored_c, scored_t)
+
+
+def _doc_bigrams(docs):
+    return shingle_rows(docs, "doc_id", "text", 2, distinct=False).withColumnRenamed(
         "shingle", "bigram"
     )
+
+
+def _dsir_train_heads(bi):
+    """Train both KN heads from ONE (bigram, is_target) type aggregate
+    (lazily checkpointed — the z-checkpoint rule; a shared aggregate
+    feeding two subtrees would execute twice)."""
     is_t = (F.col("doc_id") % 4 == 0).alias("is_target")
     bgall = (
         bi.groupBy("bigram", is_t)
@@ -1958,6 +1970,16 @@ def corpus_importance_sample(spark, sf_dir):
     )
     scored_c = _kn_bigram_scores(bgall.groupBy("bigram").agg(F.sum("cnt").alias("cnt")))
     scored_t = _kn_bigram_scores(bgall.where(F.col("is_target")).select("bigram", "cnt"))
+    return scored_c, scored_t
+
+
+def _dsir_select(docs, bi, scored_c, scored_t):
+    """Score + nucleus-select from TRAINED head score tables — shared
+    by the inline query above and the persisted-head serve twin."""
+    from udacity_dend_capstone_immigration_spark.operators.cumsum import (
+        grouped_running_sum,
+    )
+
     score_c = (
         bi.join(scored_c.hint("merge"), "bigram")
         .groupBy("doc_id")
@@ -1999,6 +2021,70 @@ def corpus_importance_sample(spark, sf_dir):
         F.col("n_bigrams").cast("bigint").alias("mass"),
         F.col("cum_mass").cast("bigint").alias("cum_mass"),
     )
+
+
+# --- persisted DSIR heads (r12 verdict item 4): the trained score
+# tables (bigram, p_kn) are the serve artifact — vocabulary-sized, so
+# the store is tiny next to the corpus, and a re-score of new/changed
+# docs pays ZERO head retraining (18.3s of the x100
+# corpus_importance_sample wall was the two KN trains). Same
+# train-once/serve-many lifecycle as the ANN and text-dedup stores.
+def build_dsir_heads(spark, docs, out_dir: str) -> str:
+    """Train both heads and persist them, md5-bucketed like the
+    text-dedup store so the scan splits at any corpus scale."""
+    from udacity_dend_capstone_immigration_spark.sources.writers import write_table
+    from udacity_dend_capstone_immigration_spark.workload.dedupstore import _bucket
+
+    bi = _doc_bigrams(docs)
+    scored_c, scored_t = _dsir_train_heads(bi)
+    for name, head in (("pkn_corpus", scored_c), ("pkn_target", scored_t)):
+        write_table(
+            head.withColumn("bg_pt", _bucket(F.col("bigram"))),
+            f"{out_dir}/{name}",
+            partition_by=["bg_pt"],
+        )
+    return out_dir
+
+
+_SERVED_DSIR: dict[tuple, str] = {}
+
+
+def served_dsir_dir(spark, sf_dir: str) -> str:
+    import os
+
+    from udacity_dend_capstone_immigration_spark.workload.vectors import (
+        _corpus_fingerprint,
+    )
+
+    key = (sf_dir, _corpus_fingerprint(sf_dir, "documents"))
+    d = _SERVED_DSIR.get(key)
+    if d is None or not os.path.isdir(f"{d}/pkn_corpus"):
+        import tempfile
+
+        d = build_dsir_heads(
+            spark,
+            table(spark, sf_dir, "documents"),
+            tempfile.mkdtemp(prefix="dsir_heads_"),
+        )
+        _SERVED_DSIR[key] = d
+    return d
+
+
+@query("corpus_importance_served", oracle=ORACLES["corpus_importance_sample"])
+def corpus_importance_served(spark, sf_dir):
+    """DSIR selection served FROM the persisted heads: the score
+    tables are bare parquet scans (training-free — no bigram type
+    aggregate, no KN chain anywhere in the plan), the corpus pays one
+    bigram explode for scoring, and the result is bit-identical to the
+    inline trainer (same oracle): p_kn is a per-row double expression
+    that round-trips parquet exactly. The head joins keep their merge
+    hints — the BIGRAM side is explode-inflated (estimate-blind class)
+    even though the head side now has accurate file stats."""
+    d = served_dsir_dir(spark, sf_dir)
+    scored_c = spark.read.parquet(f"{d}/pkn_corpus").select("bigram", "p_kn")
+    scored_t = spark.read.parquet(f"{d}/pkn_target").select("bigram", "p_kn")
+    docs = table(spark, sf_dir, "documents")
+    return _dsir_select(docs, _doc_bigrams(docs), scored_c, scored_t)
 
 
 # --- triangle cohesion over the near-dup pair graph: distributed

@@ -1567,16 +1567,16 @@ def compact_index_cells(spark, index_dir: str, cells=None) -> dict:
 _SERVED_INDEX: dict[tuple, str] = {}
 
 
-def _corpus_fingerprint(sf_dir: str) -> tuple:
-    """Cheap identity of the embeddings corpus at ``sf_dir`` (path +
-    mtime + size of every parquet part) — the served-index cache key
-    must change when the corpus is regenerated in a long-lived process,
-    or a stale index would silently serve the old vectors (r11
-    advice)."""
+def _corpus_fingerprint(sf_dir: str, table_name: str = "embeddings") -> tuple:
+    """Cheap identity of a corpus table at ``sf_dir`` (path + mtime +
+    size of every parquet part) — the served-index cache key must
+    change when the corpus is regenerated in a long-lived process, or
+    a stale index would silently serve the old rows (r11 advice).
+    Shared with the text-dedup store (``table_name='documents'``)."""
     import glob
     import os
 
-    path = f"{sf_dir}/embeddings.parquet"
+    path = f"{sf_dir}/{table_name}.parquet"
     parts = sorted(glob.glob(f"{path}/*.parquet")) if os.path.isdir(path) else [path]
     out = []
     for p in parts:
