@@ -286,3 +286,19 @@ def test_jaccard_size_identity_matches_array_union(spark):
     }
     assert got == want and len(got) == len(ids) * (len(ids) - 1) // 2
     assert got[(0, 2)] == 1.0 and 0.0 < got[(0, 1)] < 1.0
+
+
+def test_triangle_counts_degree_oriented(spark):
+    """K4 on {1,2,3,4} (4 triangles, each node in 3) + a hub star
+    (no triangles) + one closed hub wedge."""
+    from udacity_dend_capstone_immigration_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    star = [(0, v) for v in range(10, 40)]          # hub 0, degree 30+
+    closed = [(10, 11), (0, 4)]                     # triangle {0,10,11}
+    edges = spark.createDataFrame(k4 + star + closed, "id_a long, id_b long")
+    got = {r["node"]: r["tri_cnt"] for r in triangle_counts(edges).collect()}
+    assert got[1] == got[2] == got[3] == 3  # K4: each node in C(3,2)=3
+    assert got[4] == 3
+    assert got[0] == 1 and got[10] == 1 and got[11] == 1  # closed wedge
+    assert 12 not in got  # pure star spokes are triangle-free

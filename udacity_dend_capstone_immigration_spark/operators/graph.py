@@ -65,3 +65,67 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks.select(F.col("node").alias(id_col), F.col("r").alias("pagerank"))
+
+
+def triangle_counts(edges: DataFrame, a_col: str = "id_a", b_col: str = "id_b") -> DataFrame:
+    """Per-node triangle counts over an undirected edge list
+    (canonical ``a < b`` rows, no duplicates) — DEGREE-oriented wedge
+    join (node-iterator++ / Cohen's MapReduce orientation).
+
+    Why degree order and not id order (the r12 verdict's skew flag): a
+    wedge join fans out quadratically in the ORIENTING vertex's
+    out-degree. Id orientation leaves a low-id hub with out-degree
+    ~deg(hub), so one boilerplate doc in d edges makes one task
+    evaluate O(d²) wedge pairs. Orienting every edge from its
+    lower-(degree, id) endpoint bounds every out-degree by O(√|E|)
+    (a vertex keeps an out-edge only toward HIGHER-degree neighbors,
+    and there can only be √|E| vertices of degree ≥ √|E|), so total
+    wedges ≤ |E|^1.5 no matter how skewed the degree distribution —
+    the hub's d² blowup becomes d wedges oriented INTO it. Measured at
+    1M edges with a 100k-degree hub: the id-oriented join is a
+    single-task 5e9-pair stage; degree-oriented finishes in seconds
+    (tools/extrapolate_triangles.py).
+
+    Each triangle {x,y,z} (x<y<z in the degree order) is generated
+    exactly once: wedge (x→y, x→z) with key(y)<key(z), closed by the
+    oriented edge y→z. Per-node counts explode the three roles.
+
+    The input should be pinned (eagerly checkpointed) by the caller if
+    it is the output of an expensive pipeline — it is scanned four
+    times (degree pass + three join legs).
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    deg = (
+        edges.select(a.alias("v"))
+        .unionAll(edges.select(b.alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        edges.join(deg.withColumnRenamed("v", a_col).withColumnRenamed("d", "da"), a_col)
+        .join(deg.withColumnRenamed("v", b_col).withColumnRenamed("d", "db"), b_col)
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (a < b)
+    )
+    oriented = ed.select(
+        F.when(a_first, a).otherwise(b).alias("src"),
+        F.when(a_first, b).otherwise(a).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddst"),
+    ).localCheckpoint(eager=False)
+    w1 = oriented.select("src", F.col("dst").alias("y"), F.col("ddst").alias("dy"))
+    w2 = oriented.select("src", F.col("dst").alias("z"), F.col("ddst").alias("dz"))
+    wedges = w1.join(w2, "src").where(
+        (F.col("dy") < F.col("dz"))
+        | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
+    )
+    closing = oriented.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    tri = wedges.join(closing, ["y", "z"]).select(
+        F.col("src").alias("x"), "y", "z"
+    )
+    roles = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return roles.groupBy("node").agg(F.count(F.lit(1)).alias("tri_cnt"))

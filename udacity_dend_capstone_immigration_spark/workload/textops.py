@@ -2093,15 +2093,16 @@ def corpus_importance_served(spark, sf_dir):
 # chain is transitive-closure noise). Composes the VERIFIED
 # `dedup_ngram_jaccard` edges (capped grouped generation, canonical
 # id_a < id_b) exactly like the recall audits compose their base
-# queries. Algorithm: edges oriented by id (a<b<c — each triangle
-# counted once), wedge join on the middle vertex, closing-edge
-# semi-join; per-doc membership = one explode of the three roles. The
-# tiny edge list is EAGERLY checkpointed before the three-way
-# self-join — un-materialized, the full shingle pipeline would execute
-# three times (the CLAUDE.md shared-subtree rule). At scale the edge
-# list is bounded by the pair caps, and degree-ordering (not id-
-# ordering) is the orientation to swap in if a hub vertex ever
-# dominates wedge fan-out.
+# queries. Algorithm (r13, closing the r12 hub-skew flag): edges
+# oriented by DEGREE, wedge join on the lowest-degree vertex,
+# closing-edge join — `operators/graph.py:triangle_counts`, which
+# bounds every wedge task at O(√|E|) fan-out regardless of hub docs
+# (one boilerplate doc in 10% of edges is the measured blowup case the
+# id orientation had: tools/extrapolate_triangles.py). The tiny edge
+# list is EAGERLY checkpointed before the multi-leg self-join —
+# un-materialized, the full shingle pipeline would execute four times
+# (the CLAUDE.md shared-subtree rule). Values unchanged: orientation
+# only reorders the computation, so the oracle is untouched.
 @query(
     "dedup_triangle_cohesion",
     oracle=f"""
@@ -2122,6 +2123,7 @@ def corpus_importance_served(spark, sf_dir):
     """,
 )
 def dedup_triangle_cohesion(spark, sf_dir):
+    from udacity_dend_capstone_immigration_spark.operators.graph import triangle_counts
     from udacity_dend_capstone_immigration_spark.workload.base import QUERIES
 
     edges = (
@@ -2129,16 +2131,9 @@ def dedup_triangle_cohesion(spark, sf_dir):
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)
     )
-    e1 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    e2 = edges.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
-    e3 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    roles = (
-        tri.select(F.col("a").alias("doc_id"))
-        .unionAll(tri.select(F.col("b").alias("doc_id")))
-        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    return triangle_counts(edges).select(
+        F.col("node").alias("doc_id"), "tri_cnt"
     )
-    return roles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("tri_cnt"))
 
 
 # --- per-source duplicate-rate report (corpus QA): which ingestion
