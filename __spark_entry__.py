@@ -21,83 +21,74 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "top_nations_by_orders"
 
 #: The driver's CORRECTNESS record keeps only the first 50 entries of
-#: ``queries()``. Round-12 window, built by the ROLLING rotation rule
-#: (tests/test_registry.py): (a) every query NEW this round, in two
-#: waves — wave 1 (the r11 verdict items): the persisted IVF-SQ8
-#: serving layout + recall audit, ANN store maintenance lifecycle,
-#: streaming ingest → exactly-once delta append → serve (both
-#: layouts), write-audit-publish, DSIR importance selection,
-#: maintenance-aware serve identity, count-min heavy hitters (batch +
-#: streaming), DPP; wave 2 (production-lake + retrieval tier):
-#: Matryoshka truncation audit, hybrid BM25+dense RRF retrieval,
-#: metadata-filtered ANN serving, MERGE upsert + CDC apply, publish
-#: time travel, runtime bloom-filter pruning, per-entity OLS trend,
-#: z-order file skipping, streaming incremental view maintenance,
-#: state-store introspection, per-source quality calibration,
-#: triangle cohesion, streaming HLL distinct, entity resolution,
-#: deterministic epoch shuffle, partition-layout evolution, and the
-#: measured watermark late-data semantics audit; (b) PLAN_CHANGED —
-#: the serving-internals changes (PQ-decode version-skew guard,
-#: corpus-fingerprinted index cache, bucketed lazy table cleanup) plus
-#: `dedup_simhash_recall` (now also emits pair_precision) —
-#: results re-proven; (c) the three r7 leftovers (`tpch_q19/q21/q22`)
-#: plus the 2 oldest r8 rows (every remaining r8 row rotates r13,
-#: inside the capacity-derived staleness bound
-#: tests/test_registry.py enforces: current round − (⌈N/50⌉ + 1)).
+#: ``queries()``. Round-13 window, built by the ROLLING rotation rule
+#: (tests/test_registry.py): (a) every query NEW this round — the
+#: persisted text-dedup index lifecycle (build/append/fold roundtrips,
+#: with the append oracle being the full-rebuild aggregation: append ≡
+#: rebuild incl. cap-crossing tombstones), BPE-encoded packed training
+#: examples, and the persisted-DSIR-heads serve twin; (b) PLAN_CHANGED
+#: — `documents_stream_dedup_status` (now SERVED from the persisted
+#: store; 124s → 26.5s at the 100× corpus), `dedup_triangle_cohesion`
+#: (degree-oriented wedge join — hub-skew fix),
+#: `ann_index_maintenance_roundtrip` (policy-driven delta fold wired
+#: in), and the three merge-backed queries (bounded key broadcast +
+#: null-partition rejection in merge_upsert); (c) 39 of the 45 r8 rows
+#: (oldest tranche; the remaining 6 MUST rotate in r14 — they hit the
+#: capacity-derived staleness bound current−(⌈N/50⌉+1) then).
 SHOWCASE = [
     # (a) new this round
-    "knn_sq8_served",
-    "ann_sq8_recall",
-    "ann_index_maintenance_roundtrip",
-    "embeddings_stream_index_append",
-    "atomic_publish_roundtrip",
-    "corpus_importance_sample",
-    "knn_ivf_maintenance_served",
-    "events_heavy_hitters_cms",
-    "events_dpp_partitioned_join",
-    "events_stream_heavy_hitters",
-    "embeddings_stream_sq8_append",
-    "knn_matryoshka16",
-    "ann_matryoshka_recall",
-    "retrieval_hybrid_rrf",
-    "knn_ivf_filtered_served",
-    "merge_upsert_roundtrip",
-    "publish_time_travel",
-    "lineitem_bloom_pruned_join",
-    "events_user_linear_trend",
-    "events_zorder_box_scan",
-    "cdc_apply_roundtrip",
-    "events_stream_incremental_agg",
-    "events_stream_state_introspection",
-    "quality_score_calibration",
+    "dedup_index_build_roundtrip",
+    "dedup_index_append_roundtrip",
+    "dedup_index_fold_roundtrip",
+    "corpus_examples_packed",
+    "corpus_importance_served",
+    # (b) plan changed this round
+    "documents_stream_dedup_status",
     "dedup_triangle_cohesion",
-    "events_stream_approx_distinct",
-    "entity_resolution_parts",
-    "corpus_epoch_shuffle",
-    "events_partition_evolution_scan",
-    "events_stream_late_data_audit",
-    "events_multitouch_attribution",
-    "dq_constraint_report",
-    "events_stream_outer_attribution",
-    "events_time_weighted_avg",
-    "events_ohlc_bars",
-    "events_approx_top_k_users",
-    "events_dynamic_gap_sessions",
-    "events_wow_growth",
-    "source_dup_rate_report",
+    "ann_index_maintenance_roundtrip",
+    "merge_upsert_roundtrip",
+    "cdc_apply_roundtrip",
     "orders_stream_cdc_apply",
-    # (b) plan / serving internals changed this round
-    "dedup_simhash_recall",
-    "knn_ivfpq_served",
-    "knn_ivfpq_residual_served",
-    "knn_ivf_served",
-    "bucketed_join_roundtrip",
-    # (c) the r7 leftovers, then the 2 oldest r8 rows
-    "tpch_q19_bracketed_revenue",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_idle_customer_balance",
-    "knn_lsh_bucketed",
-    "label_centroids",
+    # (c) the oldest r8 tranche (39 of 45)
+    "doc_tfidf_top_terms",
+    "centroid_classifier_confusion",
+    "multimodal_frame_sample",
+    "multimodal_features",
+    "asof_purchase_to_click",
+    "lineitem_rollup",
+    "value_percentiles_by_type",
+    "set_ops_customer_keys",
+    "range_join_event_counts",
+    "cube_order_summary",
+    "grouping_sets_revenue",
+    "customers_with_orders_semi",
+    "orders_above_avg_price",
+    "set_ops_bag_semantics",
+    "approx_quantile_accuracy",
+    "events_salted_type_totals",
+    "events_robust_stats",
+    "events_equi_depth_histogram",
+    "asof_purchase_to_click_30m",
+    "corpus_train_test_split",
+    "corpus_quota_sample",
+    "corpus_token_packing",
+    "benchmark_contamination",
+    "quality_filter_funnel",
+    "corpus_stratified_sample",
+    "corpus_weighted_sample",
+    "corpus_curation_pipeline",
+    "corpus_nucleus_sample",
+    "source_temperature_mixture",
+    "customer_spend_quartiles",
+    "orders_metrics_unpivot",
+    "doc_top_terms",
+    "nation_balance_full_outer",
+    "orders_above_customer_avg",
+    "lineitem_price_rank_stats",
+    "fuzzy_part_name_pairs",
+    "region_priority_grid",
+    "order_quantity_vectors",
+    "events_cohort_retention",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round
@@ -106,11 +97,12 @@ SHOWCASE = [
 #: asserts these sit inside the window so changed behavior always gets
 #: an official row the round it ships. Update per round.
 PLAN_CHANGED = [
-    "dedup_simhash_recall",
-    "knn_ivfpq_served",
-    "knn_ivfpq_residual_served",
-    "knn_ivf_served",
-    "bucketed_join_roundtrip",
+    "documents_stream_dedup_status",
+    "dedup_triangle_cohesion",
+    "ann_index_maintenance_roundtrip",
+    "merge_upsert_roundtrip",
+    "cdc_apply_roundtrip",
+    "orders_stream_cdc_apply",
 ]
 
 

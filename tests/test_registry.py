@@ -163,3 +163,21 @@ def test_showcase_window_completes_official_coverage():
     assert not too_stale, (
         f"official rows older than r{bound} after this window: {too_stale}"
     )
+
+
+def test_readme_query_count_matches_registry():
+    """r12 verdict item 8: the README/BASELINE registry counts drifted
+    228↔229 across three commits because the number was hand-written in
+    several places. One source of truth: the README's '(N named
+    queries' clause must equal len(QUERIES) — update the README in the
+    same commit that registers a query."""
+    import re
+    from pathlib import Path
+
+    readme = (Path(__file__).resolve().parent.parent / "README.md").read_text()
+    m = re.search(r"\((\d+) named queries", readme)
+    assert m, "README.md lost its '(N named queries' clause"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"README says {m.group(1)} queries, registry has {len(QUERIES)} — "
+        "update README.md alongside the registration"
+    )
