@@ -32,14 +32,15 @@ FLAGSHIP = "top_nations_by_orders"
 #: (degree-oriented wedge join — hub-skew fix),
 #: `ann_index_maintenance_roundtrip` (policy-driven delta fold wired
 #: in), and the three merge-backed queries (bounded key broadcast +
-#: null-partition rejection in merge_upsert); (c) 39 of the 45 r8 rows
-#: (oldest tranche; the remaining 6 MUST rotate in r14 — they hit the
+#: null-partition rejection in merge_upsert); (c) 38 of the 45 r8 rows
+#: (oldest tranche; the remaining 7 MUST rotate in r14 — they hit the
 #: capacity-derived staleness bound current−(⌈N/50⌉+1) then).
 SHOWCASE = [
     # (a) new this round
     "dedup_index_build_roundtrip",
     "dedup_index_append_roundtrip",
     "dedup_index_fold_roundtrip",
+    "documents_stream_index_append",
     "corpus_examples_packed",
     "corpus_importance_served",
     # (b) plan changed this round
@@ -88,7 +89,6 @@ SHOWCASE = [
     "fuzzy_part_name_pairs",
     "region_priority_grid",
     "order_quantity_vectors",
-    "events_cohort_retention",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round

@@ -130,3 +130,59 @@ def test_stream_dedup_status_serves_from_store(spark):
     assert "collect_list" not in plan  # no inline index build anywhere
     scans = plan.count("documents.parquet")
     assert scans <= 2, f"{scans} documents scans in the serve plan"
+
+
+def test_stream_append_two_waves_cross_wave_crossing_and_fold(spark, tmp_path):
+    """Wave 2's cap decision must see wave 1's DELTA stats (not just
+    main): 'a b c' has df 2 in main, +1 in wave 1 (cap=3: still kept),
+    +1 in wave 2 -> crossing decided against main+delta, tombstoned in
+    the wave-2 delta. Fold absorbs both waves; the raw store then
+    equals a from-scratch rebuild on everything."""
+    from udacity_dend_capstone_immigration_spark.workload.dedupstore import (
+        stream_append_to_dedup_index,
+    )
+
+    base = [(1, "a b c x1 y1"), (2, "a b c x2 y2")]
+    w1 = [(3, "a b c x3 y3")]
+    w2 = [(4, "a b c x4 y4")]
+    d = str(tmp_path / "sidx")
+    build_dedup_index(spark, _docs(spark, base), d, cap=3)
+
+    def drain(rows, name):
+        src = tmp_path / name
+        src.mkdir()
+        _docs(spark, rows).coalesce(1).write.parquet(str(src / "docs"))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(str(src / "docs"))
+        )
+        stream_append_to_dedup_index(
+            spark, stream, d, str(tmp_path / f"ck_{name}")
+        )
+
+    drain(w1, "w1")
+    assert os.path.isdir(f"{d}/shingle_index_delta")
+    posts_after_w1 = _postings(spark, d)
+    assert ("a b c", 3) in posts_after_w1  # df 3 == cap: kept
+    drain(w2, "w2")
+    posts = _postings(spark, d)
+    assert not any(g == "a b c" for g, _ in posts)  # crossed at df 4
+    assert os.path.isdir(f"{d}/dropped_shingles_delta")
+    # serving view == full rebuild on the union
+    rebuilt = str(tmp_path / "rebuilt")
+    build_dedup_index(spark, _docs(spark, base + w1 + w2), rebuilt, cap=3)
+    assert posts == _postings(spark, rebuilt)
+    # fold absorbs the deltas and applies the streamed tombstones
+    fold_dedup_index(spark, d)
+    for rel in ("shingle_index", "shingle_df", "fingerprints", "doc_sizes"):
+        assert not os.path.isdir(f"{d}/{rel}_delta")
+    assert not os.path.isdir(f"{d}/dropped_shingles_delta")
+    assert not os.path.isdir(f"{d}/dropped_shingles")
+    raw = {
+        (r["g"], r["cid"])
+        for r in spark.read.parquet(f"{d}/shingle_index").collect()
+    }
+    assert raw == posts
+    # sizes and fingerprints folded in for every doc
+    sizes = {r["doc_id"] for r in read_dedup_doc_sizes(spark, d).collect()}
+    assert sizes == {1, 2, 3, 4}

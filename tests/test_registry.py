@@ -33,6 +33,10 @@ _EXECUTING = frozenset(
     in {
         "embeddings_stream_cell_counts",
         "partitioned_write_roundtrip",
+        "dedup_index_build_roundtrip",
+        "dedup_index_append_roundtrip",
+        "dedup_index_fold_roundtrip",
+        "documents_stream_index_append",
         "dedup_clusters",
         "dedup_keep_best",
         "dedup_triangle_cohesion",

@@ -164,37 +164,10 @@ def append_to_dedup_index(
     e_b = shingle_rows(new_docs, "doc_id", "text", k).withColumnRenamed(
         "shingle", "g"
     )
-    gb = (
-        e_b.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("df_b"), F.collect_list("doc_id").alias("cids"))
-        .withColumn("g_pt", _bucket(F.col("g"), n_buckets))
-        .localCheckpoint(eager=True)
-    )
-    touched = sorted({r["g_pt"] for r in gb.select("g_pt").distinct().collect()})
-    # stats may hold several rows per g (one per prior append) until a
-    # fold — SUM them in the probe's own shuffle
-    stats = (
-        spark.read.parquet(f"{index_dir}/shingle_df")
-        .where(F.col("g_pt").isin(touched))
-        .groupBy("g")
-        .agg(F.sum("df").alias("df_m"))
-    )
-    joined = (
-        gb.join(stats.hint("merge"), "g", "left")
-        .withColumn("df_m", F.coalesce("df_m", F.lit(0)))
-        .localCheckpoint(eager=True)  # decisions pinned BEFORE the
-        # first write mutates the store the probe just read
-    )
-    total = F.col("df_m") + F.col("df_b")
-    new_rows = joined.where(total <= cap).select(
-        "g", F.explode("cids").alias("cid"), "g_pt"
-    )
+    gb, new_rows, cross = _batch_decisions(spark, e_b, index_dir, cap, n_buckets)
     write_table(
         new_rows, f"{index_dir}/shingle_index", partition_by=["g_pt"], mode="append"
     )
-    cross = joined.where(
-        (total > cap) & (F.col("df_m") >= 1) & (F.col("df_m") <= cap)
-    ).select("g")
     # only materialize the tombstone table when a crossing happened —
     # an empty dir would pin a permanent anti-join into serve plans
     if cross.limit(1).count():
@@ -217,33 +190,208 @@ def append_to_dedup_index(
     write_table(sizes_b, f"{index_dir}/doc_sizes", mode="append")
 
 
+def _batch_decisions(
+    spark, e_b, index_dir: str, cap: int, n_buckets: int, exclude_batch=None
+):
+    """The append contract's per-batch decisions, shared by the batch
+    append above and the streaming writer: pin the batch's grouped
+    shingles (eager localCheckpoint, O(batch)), probe the stats table
+    — bucket-pruned to the batch's buckets (touched list collected
+    driver-side, ≤ n_buckets values — the eager-decision contract) and
+    INCLUDING prior streamed stats deltas but never the replaying
+    batch's own (``exclude_batch``) — and split on the cap. Returns
+    (gb, new_index_rows, crossing_tombstones); decisions are pinned
+    (checkpointed) before any caller write mutates what was probed."""
+    gb = (
+        e_b.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df_b"), F.collect_list("doc_id").alias("cids"))
+        .withColumn("g_pt", _bucket(F.col("g"), n_buckets))
+        .localCheckpoint(eager=True)
+    )
+    touched = sorted({r["g_pt"] for r in gb.select("g_pt").distinct().collect()})
+    # stats may hold several rows per g (one per prior append/batch)
+    # until a fold — SUM them in the probe's own shuffle
+    stats = (
+        _union_delta(
+            spark, index_dir, "shingle_df", ["g", "df", "g_pt"], exclude_batch
+        )
+        .where(F.col("g_pt").isin(touched))
+        .groupBy("g")
+        .agg(F.sum("df").alias("df_m"))
+    )
+    joined = (
+        gb.join(stats.hint("merge"), "g", "left")
+        .withColumn("df_m", F.coalesce("df_m", F.lit(0)))
+        .localCheckpoint(eager=True)
+    )
+    total = F.col("df_m") + F.col("df_b")
+    new_rows = joined.where(total <= cap).select(
+        "g", F.explode("cids").alias("cid"), "g_pt"
+    )
+    cross = joined.where(
+        (total > cap) & (F.col("df_m") >= 1) & (F.col("df_m") <= cap)
+    ).select("g")
+    return gb, new_rows, cross
+
+
+def stream_append_to_dedup_index(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+) -> None:
+    """Drain a (doc_id, text, ...) document STREAM into the index's
+    delta stores with exactly-once semantics — the text twin of
+    `stream_append_to_ivf_flat_index`. Each micro-batch runs the same
+    cap-crossing decisions as the batch append, then OVERWRITES its
+    own lineage-addressed ``batch_pt`` directory under every delta
+    relation (replay lands the identical rows in the identical dirs;
+    the probe excludes the batch's own partial rows, so a replayed
+    decision is computed from exactly the pre-batch state). Serving
+    reads main ∪ delta through the read_* functions;
+    :func:`fold_dedup_index` absorbs the deltas at maintenance."""
+    import hashlib
+
+    from udacity_dend_capstone_immigration_spark.streaming.windows import (
+        _await_or_raise,
+    )
+
+    k, cap, n_buckets = _read_meta(spark, index_dir)
+    lineage = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+
+    def write_batch(df, batch_id: int) -> None:
+        bpt = f"{lineage}-{batch_id}"
+        e_b = shingle_rows(df, "doc_id", "text", k).withColumnRenamed(
+            "shingle", "g"
+        )
+        gb, new_rows, cross = _batch_decisions(
+            spark, e_b, index_dir, cap, n_buckets, exclude_batch=bpt
+        )
+        (
+            new_rows.repartition(F.col("g_pt"))
+            .write.mode("overwrite")
+            .partitionBy("g_pt")
+            .parquet(f"{index_dir}/shingle_index_delta/batch_pt={bpt}")
+        )
+        # deterministic decisions => skip-if-empty is replay-safe (a
+        # replayed batch recomputes the same emptiness)
+        if cross.limit(1).count():
+            cross.coalesce(1).write.mode("overwrite").parquet(
+                f"{index_dir}/dropped_shingles_delta/batch_pt={bpt}"
+            )
+        (
+            gb.select("g", F.col("df_b").alias("df"), "g_pt")
+            .repartition(F.col("g_pt"))
+            .write.mode("overwrite")
+            .partitionBy("g_pt")
+            .parquet(f"{index_dir}/shingle_df_delta/batch_pt={bpt}")
+        )
+        fp_b = (
+            df.select(doc_fingerprint("text").alias("fp"))
+            .distinct()
+            .withColumn("fp_pt", _hex_bucket(F.col("fp"), n_buckets))
+        )
+        (
+            fp_b.repartition(F.col("fp_pt"))
+            .write.mode("overwrite")
+            .partitionBy("fp_pt")
+            .parquet(f"{index_dir}/fingerprints_delta/batch_pt={bpt}")
+        )
+        (
+            e_b.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/doc_sizes_delta/batch_pt={bpt}")
+        )
+
+    q = (
+        doc_stream.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    _await_or_raise(q, timeout_sec, f"dedup_index_append:{index_dir}")
+
+
+def _has_batches(delta_root: str) -> bool:
+    return os.path.isdir(delta_root) and any(
+        e.startswith("batch_pt=") for e in os.listdir(delta_root)
+    )
+
+
+def _union_delta(
+    spark: SparkSession,
+    index_dir: str,
+    rel: str,
+    cols: list,
+    exclude_batch: str | None = None,
+):
+    """main ∪ streamed delta for one store relation (the ANN stores'
+    main∪delta serving contract). ``exclude_batch`` drops one
+    ``batch_pt`` from the delta side — the stream writer's own-batch
+    exclusion: on a crash replay, the re-executing micro-batch must not
+    probe the partial rows its first attempt landed."""
+    main = spark.read.parquet(f"{index_dir}/{rel}").select(*cols)
+    droot = f"{index_dir}/{rel}_delta"
+    if not _has_batches(droot):
+        return main
+    d = spark.read.parquet(droot)
+    if exclude_batch is not None:
+        d = d.where(F.col("batch_pt") != exclude_batch)
+    return main.unionByName(d.select(*cols))
+
+
+def _dead_shingles(spark: SparkSession, index_dir: str):
+    """Union of folded and streamed tombstones; None when neither
+    exists (the serve-plan no-op contract)."""
+    parts = []
+    if os.path.isdir(f"{index_dir}/dropped_shingles"):
+        parts.append(
+            spark.read.parquet(f"{index_dir}/dropped_shingles").select("g")
+        )
+    if _has_batches(f"{index_dir}/dropped_shingles_delta"):
+        parts.append(
+            spark.read.parquet(f"{index_dir}/dropped_shingles_delta").select("g")
+        )
+    if not parts:
+        return None
+    dead = parts[0]
+    for p in parts[1:]:
+        dead = dead.unionByName(p)
+    return dead
+
+
 def read_dedup_shingle_index(
     spark: SparkSession, index_dir: str, with_bucket: bool = False
 ) -> DataFrame:
-    """(g, cid) postings with pending tombstones anti-joined — a plan
-    no-op while ``dropped_shingles`` is absent (the common state), so
-    serve plans are bare index scans until a cap-crossing lands. The
-    tombstone side is a real file scan, so Catalyst's size estimate is
-    accurate and the small-table broadcast happens on its own — no
-    hint needed (this is NOT the estimate-blind class)."""
+    """(g, cid) postings — main ∪ streamed delta — with pending
+    tombstones anti-joined — a plan no-op while no tombstone table
+    exists (the common state), so serve plans are bare index scans
+    until a cap-crossing lands. The tombstone side is a real file
+    scan, so Catalyst's size estimate is accurate and the small-table
+    broadcast happens on its own — no hint needed (this is NOT the
+    estimate-blind class)."""
     cols = ["g", "cid"] + (["g_pt"] if with_bucket else [])
-    idx = spark.read.parquet(f"{index_dir}/shingle_index").select(*cols)
-    dead_dir = f"{index_dir}/dropped_shingles"
-    if os.path.isdir(dead_dir):
-        idx = idx.join(spark.read.parquet(dead_dir).select("g"), "g", "left_anti")
+    idx = _union_delta(spark, index_dir, "shingle_index", cols)
+    dead = _dead_shingles(spark, index_dir)
+    if dead is not None:
+        idx = idx.join(dead, "g", "left_anti")
     return idx
 
 
 def read_dedup_fingerprints(spark: SparkSession, index_dir: str) -> DataFrame:
-    """(fp, fp_pt). May contain cross-batch duplicates until a fold —
-    callers use it as a semi-join side, where duplicates are harmless;
-    set-shaped consumers must ``.distinct()``."""
-    return spark.read.parquet(f"{index_dir}/fingerprints")
+    """(fp, fp_pt), main ∪ streamed delta. May contain cross-batch
+    duplicates until a fold — callers use it as a semi-join side, where
+    duplicates are harmless; set-shaped consumers must ``.distinct()``."""
+    return _union_delta(spark, index_dir, "fingerprints", ["fp", "fp_pt"])
 
 
 def read_dedup_doc_sizes(spark: SparkSession, index_dir: str) -> DataFrame:
-    """(doc_id, n) distinct-shingle counts for every indexed doc."""
-    return spark.read.parquet(f"{index_dir}/doc_sizes")
+    """(doc_id, n) distinct-shingle counts for every indexed doc
+    (main ∪ streamed delta)."""
+    return _union_delta(spark, index_dir, "doc_sizes", ["doc_id", "n"])
 
 
 def _swap_in(df: DataFrame, path: str, partition_by=None) -> None:
@@ -262,12 +410,38 @@ def _swap_in(df: DataFrame, path: str, partition_by=None) -> None:
 
 
 def fold_dedup_index(spark: SparkSession, index_dir: str) -> None:
-    """Maintenance fold: apply tombstones physically to the postings,
+    """Maintenance fold: absorb any streamed delta batches into the
+    main relations, apply tombstones physically to the postings,
     collapse per-append stats rows to one (g, df), dedupe the
-    fingerprint set, and clear ``dropped_shingles`` — after which reads
-    are bare scans again. O(store) at maintenance cadence, exactly like
-    `fold_index_delta` / `compact_index_cells` for the ANN stores."""
+    fingerprint set, and clear every tombstone/delta dir — after which
+    reads are bare scans again. O(store) at maintenance cadence,
+    exactly like `fold_index_delta` / `compact_index_cells` for the
+    ANN stores (same append-before-delete crash caveat as
+    `fold_index_delta`)."""
     _, _, n_buckets = _read_meta(spark, index_dir)
+    for rel, cols, pby in (
+        ("shingle_index", ["g", "cid", "g_pt"], ["g_pt"]),
+        ("shingle_df", ["g", "df", "g_pt"], ["g_pt"]),
+        ("fingerprints", ["fp", "fp_pt"], ["fp_pt"]),
+        ("doc_sizes", ["doc_id", "n"], None),
+    ):
+        droot = f"{index_dir}/{rel}_delta"
+        if _has_batches(droot):
+            write_table(
+                spark.read.parquet(droot).select(*cols),
+                f"{index_dir}/{rel}",
+                partition_by=pby,
+                mode="append",
+            )
+            shutil.rmtree(droot)
+    ddelta = f"{index_dir}/dropped_shingles_delta"
+    if _has_batches(ddelta):
+        write_table(
+            spark.read.parquet(ddelta).select("g"),
+            f"{index_dir}/dropped_shingles",
+            mode="append",
+        )
+        shutil.rmtree(ddelta)
     idx = read_dedup_shingle_index(spark, index_dir, with_bucket=True)
     _swap_in(idx, f"{index_dir}/shingle_index", partition_by=["g_pt"])
     stats = (
@@ -457,6 +631,44 @@ def dedup_index_append_roundtrip(spark, sf_dir):
         cap=_APPEND_CAP,
     )
     append_to_dedup_index(spark, docs.where(_is_batch()), out)
+    return _index_aggregate(spark, out)
+
+
+@query(
+    "documents_stream_index_append",
+    oracle=_agg_oracle(_APPEND_CAP, _CORPUS_PRED),
+)
+def documents_stream_index_append(spark, sf_dir):
+    """Streaming corpus ingestion with live dedup-index maintenance:
+    build on 2/3 of the corpus, drain the remaining 1/3 as a document
+    STREAM through `stream_append_to_dedup_index` (exactly-once,
+    lineage-addressed delta batches; cap-crossings decided against
+    main + prior deltas), then aggregate the main ∪ delta serving view
+    with tombstones applied. Same FULL-REBUILD oracle as the batch
+    append roundtrip — the hash compare proves the streamed landing is
+    value-equal to a from-scratch rebuild on the union, exactly the
+    guarantee `embeddings_stream_index_append` gives the ANN store."""
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % _INC_MOD != 0
+    )
+    out = build_dedup_index(
+        spark,
+        docs.where(~_is_batch()),
+        tempfile.mkdtemp(prefix="dedupidx_stream_"),
+        cap=_APPEND_CAP,
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .where((F.col("doc_id") % _INC_MOD != 0) & _is_batch())
+        .select("doc_id", "text")
+    )
+    stream_append_to_dedup_index(
+        spark, stream, out, tempfile.mkdtemp(prefix="ck_dedup_append_")
+    )
     return _index_aggregate(spark, out)
 
 
