@@ -32,8 +32,8 @@ FLAGSHIP = "top_nations_by_orders"
 #: (degree-oriented wedge join — hub-skew fix),
 #: `ann_index_maintenance_roundtrip` (policy-driven delta fold wired
 #: in), and the three merge-backed queries (bounded key broadcast +
-#: null-partition rejection in merge_upsert); (c) 38 of the 45 r8 rows
-#: (oldest tranche; the remaining 7 MUST rotate in r14 — they hit the
+#: null-partition rejection in merge_upsert); (c) 35 of the 45 r8 rows
+#: (oldest tranche; the remaining 10 MUST rotate in r14 — they hit the
 #: capacity-derived staleness bound current−(⌈N/50⌉+1) then).
 SHOWCASE = [
     # (a) new this round
@@ -42,6 +42,9 @@ SHOWCASE = [
     "dedup_index_fold_roundtrip",
     "documents_stream_index_append",
     "corpus_examples_packed",
+    "corpus_examples_packed_served",
+    "bpe_encode_served",
+    "bpe_encode_incremental",
     "corpus_importance_served",
     # (b) plan changed this round
     "documents_stream_dedup_status",
@@ -50,7 +53,7 @@ SHOWCASE = [
     "merge_upsert_roundtrip",
     "cdc_apply_roundtrip",
     "orders_stream_cdc_apply",
-    # (c) the oldest r8 tranche (39 of 45)
+    # (c) the oldest r8 tranche (35 of 45)
     "doc_tfidf_top_terms",
     "centroid_classifier_confusion",
     "multimodal_frame_sample",
@@ -86,9 +89,6 @@ SHOWCASE = [
     "nation_balance_full_outer",
     "orders_above_customer_avg",
     "lineitem_price_rank_stats",
-    "fuzzy_part_name_pairs",
-    "region_priority_grid",
-    "order_quantity_vectors",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from udacity_dend_capstone_immigration_spark.functions.text import tokenize
-from udacity_dend_capstone_immigration_spark.workload.base import query, table
+from udacity_dend_capstone_immigration_spark.workload.base import ORACLES, query, table
 from udacity_dend_capstone_immigration_spark.workload.textops import TOKS
 
 # ---------------------------------------------------------------------------
@@ -435,6 +435,177 @@ def bpe_encode_corpus(spark, sf_dir):
     )
 
 
+# --- persisted BPE tokenizer artifacts (r13, completing the
+# train-once tier): a production pipeline trains the tokenizer ONCE
+# and ships two artifacts — the ranked merge table (the tokenizer
+# definition) and the encoded vocabulary (a term -> subtoken-sequence
+# cache). Both persist here; everything downstream (corpus token
+# budgeting, example packing, NEW-text encoding) serves from the
+# read-back tables with zero training rounds in the plan.
+def build_bpe_store(spark, docs, out_dir: str) -> str:
+    """Train `_BPE_ROUNDS` merges on ``docs`` and persist
+    ``merges/`` (merge_round, lft, rgt, merged, cnt — the rank-ordered
+    tokenizer definition, tiny) and ``encoded_vocab/`` (term, cnt,
+    syms — the trained encoding of every corpus word; |V| rows)."""
+    from udacity_dend_capstone_immigration_spark.sources.writers import write_table
+
+    merges, words = _bpe_train(spark, docs)
+    write_table(
+        spark.createDataFrame(
+            merges, "merge_round int, lft string, rgt string, merged string, cnt bigint"
+        ),
+        f"{out_dir}/merges",
+    )
+    write_table(words.select("term", "cnt", "syms"), f"{out_dir}/encoded_vocab")
+    return out_dir
+
+
+_SERVED_BPE: dict[tuple, str] = {}
+
+
+def served_bpe_dir(spark, sf_dir: str, corpus_only: bool = False) -> str:
+    """Cached store per (sf_dir, corpus fingerprint, slice):
+    ``corpus_only=True`` trains on the doc_id % 7 != 0 slice — the
+    frozen-tokenizer-meets-new-text setting `bpe_encode_incremental`
+    exercises."""
+    import os
+    import tempfile
+
+    from udacity_dend_capstone_immigration_spark.workload.vectors import (
+        _corpus_fingerprint,
+    )
+
+    key = (sf_dir, corpus_only, _corpus_fingerprint(sf_dir, "documents"))
+    d = _SERVED_BPE.get(key)
+    if d is None or not os.path.isdir(f"{d}/encoded_vocab"):
+        docs = table(spark, sf_dir, "documents")
+        if corpus_only:
+            docs = docs.where(F.col("doc_id") % 7 != 0)
+        d = build_bpe_store(spark, docs, tempfile.mkdtemp(prefix="bpe_store_"))
+        _SERVED_BPE[key] = d
+    return d
+
+
+def encode_vocab_with_merges(spark, words, merges_df):
+    """Apply a STORED merge table (rank order) to a fresh (term, cnt,
+    syms) vocab — the BPE encode of text the trainer never saw. The
+    merge table is rank-collected driver-side (bounded: |rounds| rows,
+    the eager-decision contract) and each merge is the trainer's own
+    greedy stage (`bpe_apply_merge`), so encode ≡ train-state by
+    construction for known words and standard BPE encode for new ones."""
+    ranked = sorted(
+        merges_df.select("merge_round", "lft", "rgt").collect(),
+        key=lambda r: r["merge_round"],
+    )
+    for r in ranked:
+        words = bpe_apply_merge(words, r["lft"], r["rgt"])
+    return words
+
+
+@query("bpe_encode_served", oracle=ORACLES["bpe_encode_corpus"])
+def bpe_encode_served(spark, sf_dir):
+    """`bpe_encode_corpus` from the PERSISTED encoded vocabulary: one
+    scan + explode + aggregate — no merge rounds, no argmax collects,
+    no corpus tokenize anywhere in the plan. Same oracle: the stored
+    vocab IS the training end-state, and the hash compare proves the
+    persisted syms are exactly the trained ones (the build half of the
+    tokenizer's train-once/serve-many contract)."""
+    d = served_bpe_dir(spark, sf_dir)
+    words = spark.read.parquet(f"{d}/encoded_vocab")
+    enc = words.select("term", "cnt", F.explode("syms").alias("token"))
+    return enc.groupBy("token").agg(
+        F.sum("cnt").cast("bigint").alias("total_cnt"),
+        F.countDistinct("term").cast("bigint").alias("n_terms"),
+    )
+
+
+def _bpe_apply_cte(r: int, best: str) -> str:
+    """Oracle CTE chain applying ``best`` (a 1-row merge CTE) to the
+    batch vocab ``bw{r}`` -> ``bw{r+1}`` — the kp gaps-and-islands
+    greedy merge, parametrized by an EXTERNAL merge row instead of the
+    vocab's own argmax (the frozen-tokenizer encode)."""
+    return f"""
+    abe{r} AS (
+        SELECT term, cnt, i AS pos, syms[i] AS sym
+        FROM bw{r}, UNNEST(generate_series(1, len(syms))) u(i)
+    ),
+    amk{r} AS (
+        SELECT e.term, e.cnt, e.pos, e.sym, b.lft, b.rgt,
+               CASE WHEN e.sym = b.lft
+                         AND lead(e.sym) OVER (PARTITION BY e.term ORDER BY e.pos) = b.rgt
+                    THEN 1 ELSE 0 END AS m
+        FROM abe{r} e CROSS JOIN {best} b
+    ),
+    akp{r} AS (
+        SELECT *, CASE WHEN m = 1 AND (ROW_NUMBER() OVER (
+                            PARTITION BY term, m, isl ORDER BY pos) % 2) = 1
+                       THEN 1 ELSE 0 END AS kept
+        FROM (SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY term, m ORDER BY pos) AS isl
+              FROM amk{r})
+    ),
+    bw{r + 1} AS (
+        SELECT term, cnt,
+               list(ns ORDER BY pos) FILTER (WHERE ns IS NOT NULL) AS syms
+        FROM (
+            SELECT term, cnt, pos,
+                   CASE WHEN kept = 1 THEN lft || rgt
+                        WHEN lag(kept) OVER (PARTITION BY term ORDER BY pos) = 1 THEN NULL
+                        ELSE sym END AS ns
+            FROM akp{r}
+        ) GROUP BY term, cnt
+    )"""
+
+
+@query(
+    "bpe_encode_incremental",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({TOKS}) AS term FROM documents
+                 WHERE doc_id % 7 != 0),
+    w0 AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt,
+               list_transform(generate_series(1, len(term)),
+                              i -> substring(term, i, 1)) AS syms
+        FROM tok GROUP BY term
+    ),
+    {",".join(_bpe_round_ctes(r) for r in range(_BPE_ROUNDS))},
+    btok AS (SELECT unnest({TOKS}) AS term FROM documents
+             WHERE doc_id % 7 = 0),
+    bw0 AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt,
+               list_transform(generate_series(1, len(term)),
+                              i -> substring(term, i, 1)) AS syms
+        FROM btok GROUP BY term
+    ),
+    {",".join(_bpe_apply_cte(r, f"best{r}") for r in range(_BPE_ROUNDS))},
+    enc AS (SELECT term, cnt, u.token AS token
+            FROM bw{_BPE_ROUNDS}, UNNEST(syms) u(token))
+    SELECT token, CAST(SUM(cnt) AS BIGINT) AS total_cnt,
+           CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms
+    FROM enc GROUP BY token
+    """,
+)
+def bpe_encode_incremental(spark, sf_dir):
+    """NEW text under a FROZEN tokenizer — the ingestion-time encode
+    every serving pipeline runs (and the claim `bpe_encode_corpus`'s
+    docstring only asserted): the arriving batch (doc_id % 7 = 0) is
+    tokenized to a fresh vocab and encoded by the STORED merge table
+    trained on the corpus slice only, via the trainer's own greedy
+    stage per stored rank. Words the trainer never saw take standard
+    BPE encode (merge what matches, keep the rest as chars). Output is
+    the batch token histogram; the oracle unrolls the corpus training
+    chain and then applies each learned merge to the batch vocab chain
+    — so the hash compare proves frozen-encode semantics end to end."""
+    d = served_bpe_dir(spark, sf_dir, corpus_only=True)
+    merges_df = spark.read.parquet(f"{d}/merges")
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    words = encode_vocab_with_merges(spark, _bpe_vocab(docs), merges_df)
+    enc = words.select("term", "cnt", F.explode("syms").alias("token"))
+    return enc.groupBy("token").agg(
+        F.sum("cnt").cast("bigint").alias("total_cnt"),
+        F.countDistinct("term").cast("bigint").alias("n_terms"),
+    )
+
+
 # --- the pipeline's actual OUTPUT artifact (r12 verdict item 3):
 # per-DOCUMENT encoding under the trained tokenizer, token ids
 # assigned, documents packed whole into fixed-budget training examples.
@@ -506,10 +677,27 @@ def corpus_examples_packed(spark, sf_dir):
     (`pack_by_token_budget` → `grouped_running_sum`, the shape-adaptive
     prefix-sum operator), overrun ≤ 1 doc — the streaming-chunker
     convention every pack stage here uses."""
+    _, words = _bpe_train(spark, table(spark, sf_dir, "documents"))
+    return _packed_examples(spark, sf_dir, words)
+
+
+@query("corpus_examples_packed_served", oracle=ORACLES["corpus_examples_packed"])
+def corpus_examples_packed_served(spark, sf_dir):
+    """The packed-examples artifact from the PERSISTED tokenizer store:
+    the encoded vocabulary is a bare parquet scan (no merge rounds in
+    the plan — the expensive stage of the inline twin), and everything
+    downstream is identical, so the oracle is shared. This is the query
+    a production pipeline actually re-runs per corpus snapshot; the
+    trainer runs at tokenizer-release cadence."""
+    d = served_bpe_dir(spark, sf_dir)
+    words = spark.read.parquet(f"{d}/encoded_vocab")
+    return _packed_examples(spark, sf_dir, words)
+
+
+def _packed_examples(spark, sf_dir, words):
     from udacity_dend_capstone_immigration_spark.operators.curation import pack_by_token_budget
     from pyspark.sql import Window
 
-    _, words = _bpe_train(spark, table(spark, sf_dir, "documents"))
     toks = words.select(F.explode("syms").alias("token")).distinct()
     tokids = toks.withColumn(
         "tok_id", F.row_number().over(Window.orderBy("token")).cast("bigint")
