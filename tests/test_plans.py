@@ -392,6 +392,13 @@ def test_no_static_broadcast_of_estimate_blind_relations(spark):
         # totals (the pair⋈pair join itself is merge-hinted)
         "dedup_minhash_recall",
         "dedup_simhash_recall",         # same one-row aggregate shape
+        # the token-id rank table (distinct TRAINED tokens: ≤ alphabet
+        # + _BPE_ROUNDS merges — a tokenizer-config constant, not SF)
+        # broadcast into the vocab-stats join; it sits behind the syms
+        # explode, hence estimate-blind. The corpus-sized word⋈vstats
+        # join right after it is merge-hinted.
+        "corpus_examples_packed",
+        "corpus_examples_packed_served",
         "centroid_classifier_confusion",  # |labels| x 64 centroid cells
         "immigration_etl_fact",         # SAS label dims (local collections)
         "events_cohort_retention",      # one row per cohort week

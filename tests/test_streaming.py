@@ -382,16 +382,14 @@ def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
 
 
 def test_stream_dedup_batch_finish_scan_count(spark):
-    # Pin the CHOSEN batch-finish shape (r11 A/B of r10's "What's wrong
-    # #2"): ONE documents.parquet scan in the final plan — the
-    # new-batch status base. The set-size table z is checkpointed (its
-    # za/zb consumers are different subtrees, so un-materialized it
-    # tokenized the full corpus TWICE — measured, 3 scans). The zero-
-    # rescan alternative (derive corpus sizes from a checkpointed
-    # UNCAPPED shingle index) measured 11% slower at the 100x corpus
-    # (159.6s vs 144.2s): materializing and re-exploding the
-    # mega-bucket lists costs more than one map-side-aggregating
-    # tokenize scan.
+    # Pin the r13 SERVED batch-finish shape: the corpus is NEVER
+    # scanned in the final plan — corpus set sizes come from the
+    # persisted store's doc_sizes relation, so the only
+    # documents.parquet scans are BATCH-side (status base + arriving-
+    # batch set sizes, both under the pushed doc_id%7=0 filter). The
+    # r11-era z-checkpoint (one full-corpus tokenize) is gone with the
+    # inline rebuild itself; tests/test_dedupstore.py additionally
+    # pins no collect_list (no inline index build) in this plan.
     from udacity_dend_capstone_immigration_spark.workload import QUERIES
 
     df = QUERIES["documents_stream_dedup_status"](spark, "/root/testdata/sf0.001")
@@ -401,7 +399,8 @@ def test_stream_dedup_batch_finish_scan_count(spark):
         for ln in plan.splitlines()
         if "FileScan" in ln and "documents.parquet" in ln
     ]
-    assert len(scans) == 1, plan
+    assert len(scans) == 2, plan
+    assert "doc_sizes" in plan, plan
 
 
 def test_incremental_agg_merge_across_batches(spark, event_dir, tmp_path):
