@@ -186,3 +186,38 @@ def test_stream_append_two_waves_cross_wave_crossing_and_fold(spark, tmp_path):
     # sizes and fingerprints folded in for every doc
     sizes = {r["doc_id"] for r in read_dedup_doc_sizes(spark, d).collect()}
     assert sizes == {1, 2, 3, 4}
+
+
+def test_dedup_maintenance_policy(spark, tmp_path):
+    from udacity_dend_capstone_immigration_spark.workload.dedupstore import (
+        dedup_maintenance_due,
+        run_dedup_maintenance,
+        stream_append_to_dedup_index,
+    )
+
+    d = str(tmp_path / "pidx")
+    build_dedup_index(spark, _docs(spark, CORPUS), d, cap=3)
+    assert dedup_maintenance_due(d) == {
+        "due": False, "crossing": [], "pending_tombstones": False, "files": {},
+    }
+    # land one streamed wave (creates deltas + a cross-wave tombstone
+    # is NOT triggered here: df 'a b c' goes 3 -> 4 == crossing)
+    src = tmp_path / "w"
+    src.mkdir()
+    _docs(spark, BATCH).coalesce(1).write.parquet(str(src / "docs"))
+    stream_append_to_dedup_index(
+        spark,
+        spark.readStream.schema("doc_id long, text string").parquet(str(src / "docs")),
+        d,
+        str(tmp_path / "ck"),
+    )
+    # below the file threshold the deltas would stay — but the
+    # tombstone pressure makes the fold due regardless (text tombstones
+    # are folded, not compacted)
+    r = dedup_maintenance_due(d, min_delta_files=99)
+    assert r["due"] and r["pending_tombstones"] and r["crossing"] == []
+    assert run_dedup_maintenance(spark, d, min_delta_files=99) is True
+    assert dedup_maintenance_due(d, min_delta_files=99) == {
+        "due": False, "crossing": [], "pending_tombstones": False, "files": {},
+    }
+    assert run_dedup_maintenance(spark, d, min_delta_files=99) is False

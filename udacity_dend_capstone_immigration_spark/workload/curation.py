@@ -11,9 +11,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from udacity_dend_capstone_immigration_spark.functions.text import (
+    STOPWORDS,
     punct_ratio,
     stopword_ratio,
     token_count,
+    tokenize,
 )
 from udacity_dend_capstone_immigration_spark.operators.curation import (
     containment_pairs,
@@ -576,4 +578,185 @@ def corpus_epoch_shuffle(spark, sf_dir):
         keyed.withColumn("shard", shard)
         .withColumn("pos_in_shard", F.row_number().over(w).cast("int"))
         .select("epoch", "doc_id", "shard", "pos_in_shard")
+    )
+
+
+# --- in-engine TRAINED quality classifier (r13): the model-based
+# filtering step of a curation pipeline, trained distributively with
+# nothing but DataFrame aggregates. Algorithm: BATCH perceptron
+# (Rosenblatt updates summed over the full misclassified set per
+# iteration) — chosen over logistic regression deliberately: no
+# learning rate, no exp/log (libm transcendentals are not bit-portable
+# across engines; the repo bans them from oracle surfaces), and with
+# INTEGER features + ±1 labels every weight stays an exact BIGINT, so
+# the driver's hash compare can pin the whole training trajectory.
+# Batch (not online) updates make training order-independent — the
+# property that lets each iteration be ONE map-side-combinable
+# aggregate over the corpus at any scale; the per-iteration collect is
+# a single row (the bounded eager-decision contract, same as the BPE
+# argmax). Labels = the quality-funnel cascade verdict; features are
+# the funnel's raw integer signals, so the classifier learns the
+# filter it will replace (the standard bootstrap for model-based
+# filtering: heuristic labels -> cheap linear model -> apply at scale).
+_PCT_ITERS = 4
+def _sql_feats(pred: str) -> str:
+    return f"""
+    SELECT doc_id,
+           CAST(len({TOKS}) AS BIGINT) AS x1,
+           CAST(len(list_filter({TOKS},
+                t -> list_contains(['the','a','of','and','is','to','in'], t)))
+                AS BIGINT) AS x2,
+           CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                AS BIGINT) AS x3,
+           CASE WHEN {_P_LEN} AND {_P_PUNCT} AND {_P_STOP}
+                THEN 1 ELSE -1 END AS y
+    FROM documents WHERE {pred}
+"""
+
+
+def _sql_pct_round(t: int) -> str:
+    # every CTE is MATERIALIZED: DuckDB inlines CTE references by
+    # default, and with wt{t} referenced from both mis{t} and wt{t+1}
+    # the unrolled chain re-evaluates the whole prefix EXPONENTIALLY
+    # (measured: 181s at sf0.01 inlined vs ~1s materialized). The
+    # update is join-shaped (one aggregate row cross-joined onto the
+    # prior weights), not scalar-subquery-shaped, for the same reason.
+    pred = f"(CASE WHEN w.b + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 > 0 THEN 1 ELSE -1 END)"
+    return f"""
+    mis{t} AS MATERIALIZED (SELECT f.* FROM f, wt{t} w WHERE {pred} != f.y),
+    up{t} AS MATERIALIZED (
+        SELECT CAST(COUNT(*) AS BIGINT) AS errors,
+               COALESCE(SUM(y), 0) AS dy, COALESCE(SUM(y * x1), 0) AS d1,
+               COALESCE(SUM(y * x2), 0) AS d2, COALESCE(SUM(y * x3), 0) AS d3
+        FROM mis{t}
+    ),
+    wt{t + 1} AS MATERIALIZED (
+        SELECT CAST(w.b + u.dy AS BIGINT) AS b, CAST(w.w1 + u.d1 AS BIGINT) AS w1,
+               CAST(w.w2 + u.d2 AS BIGINT) AS w2, CAST(w.w3 + u.d3 AS BIGINT) AS w3
+        FROM wt{t} w CROSS JOIN up{t} u
+    )"""
+
+
+_PCT_TRAIN_CTES = (
+    f"f AS MATERIALIZED ({_sql_feats('doc_id % 4 != 0')}),\n"
+    "wt0 AS (SELECT CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS w1,"
+    " CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),"
+    + ",".join(_sql_pct_round(t) for t in range(_PCT_ITERS))
+)
+
+
+def _pct_features(docs):
+    toks = tokenize(F.col("text"))
+    x1 = F.size(toks).cast("long")
+    x2 = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
+    x3 = F.length(
+        F.regexp_replace(F.lower(F.col("text")), "[a-z0-9 ]", "")
+    ).cast("long")
+    p_len = token_count("text") >= 5
+    p_punct = punct_ratio(F.col("text")) <= 0.25
+    p_stop = stopword_ratio(F.col("text")) >= 0.01
+    y = F.when(p_len & p_punct & p_stop, F.lit(1)).otherwise(F.lit(-1))
+    return docs.select(
+        "doc_id", x1.alias("x1"), x2.alias("x2"), x3.alias("x3"), y.alias("y")
+    )
+
+
+def _pct_train(spark, feats):
+    """Run the fixed batch-perceptron iterations; returns the per-
+    iteration trajectory [(iter, b, w1, w2, w3, errors_at_start), ...]
+    and the final weights. One aggregate job per iteration; weights
+    live driver-side as exact python ints (bounded: 4 scalars)."""
+    feats = feats.localCheckpoint(eager=True)
+    b = w1 = w2 = w3 = 0
+    rows = []
+    for t in range(_PCT_ITERS):
+        score = (
+            F.lit(b)
+            + F.lit(w1) * F.col("x1")
+            + F.lit(w2) * F.col("x2")
+            + F.lit(w3) * F.col("x3")
+        )
+        pred = F.when(score > 0, F.lit(1)).otherwise(F.lit(-1))
+        mis = F.col("y") != pred
+        agg = feats.agg(
+            F.count(F.when(mis, 1)).alias("errors"),
+            F.sum(F.when(mis, F.col("y"))).alias("dy"),
+            F.sum(F.when(mis, F.col("y") * F.col("x1"))).alias("d1"),
+            F.sum(F.when(mis, F.col("y") * F.col("x2"))).alias("d2"),
+            F.sum(F.when(mis, F.col("y") * F.col("x3"))).alias("d3"),
+        ).collect()[0]
+        errors = int(agg["errors"])
+        b += int(agg["dy"] or 0)
+        w1 += int(agg["d1"] or 0)
+        w2 += int(agg["d2"] or 0)
+        w3 += int(agg["d3"] or 0)
+        rows.append((t + 1, b, w1, w2, w3, errors))
+    return rows, (b, w1, w2, w3)
+
+
+@query(
+    "quality_perceptron_train",
+    oracle=f"""
+    WITH {_PCT_TRAIN_CTES}
+    {" UNION ALL ".join(
+        f"SELECT {t + 1} AS iteration, b, w1 AS w_len, w2 AS w_stop,"
+        f" w3 AS w_punct, (SELECT errors FROM up{t}) AS train_errors FROM wt{t + 1}"
+        for t in range(_PCT_ITERS)
+    )}
+    """,
+)
+def quality_perceptron_train(spark, sf_dir):
+    """The full training TRAJECTORY (weights after each update + the
+    misclassification count each update saw) on the doc_id % 4 != 0
+    slice — hash-pinned exactly, iteration by iteration, against the
+    oracle's unrolled update chain."""
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 != 0)
+    rows, _ = _pct_train(spark, _pct_features(docs))
+    return spark.createDataFrame(
+        rows,
+        "iteration int, b bigint, w_len bigint, w_stop bigint,"
+        " w_punct bigint, train_errors bigint",
+    )
+
+
+@query(
+    "quality_perceptron_eval",
+    oracle=f"""
+    WITH {_PCT_TRAIN_CTES},
+    ev AS ({_sql_feats("doc_id % 4 = 0")})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(COUNT(*) FILTER (
+               (CASE WHEN w.b + w.w1*ev.x1 + w.w2*ev.x2 + w.w3*ev.x3 > 0
+                     THEN 1 ELSE -1 END) = ev.y) AS BIGINT) AS correct,
+           CAST(COUNT(*) FILTER (
+               (CASE WHEN w.b + w.w1*ev.x1 + w.w2*ev.x2 + w.w3*ev.x3 > 0
+                     THEN 1 ELSE -1 END) = ev.y) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS accuracy
+    FROM ev, wt{_PCT_ITERS} w
+    """,
+)
+def quality_perceptron_eval(spark, sf_dir):
+    """Held-out (doc_id % 4 = 0) accuracy of the trained filter — the
+    number that decides whether the cheap linear model can replace the
+    cascade at the 100 TB apply stage. The apply itself is one codegen
+    map over the holdout with the 4 collected weights as literals."""
+    docs = table(spark, sf_dir, "documents")
+    rows, (b, w1, w2, w3) = _pct_train(
+        spark, _pct_features(docs.where(F.col("doc_id") % 4 != 0))
+    )
+    ev = _pct_features(docs.where(F.col("doc_id") % 4 == 0))
+    score = (
+        F.lit(b)
+        + F.lit(w1) * F.col("x1")
+        + F.lit(w2) * F.col("x2")
+        + F.lit(w3) * F.col("x3")
+    )
+    pred = F.when(score > 0, F.lit(1)).otherwise(F.lit(-1))
+    return ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.count(F.when(pred == F.col("y"), 1)).cast("bigint").alias("correct"),
+        (
+            F.count(F.when(pred == F.col("y"), 1)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("accuracy"),
     )

@@ -702,3 +702,52 @@ def dedup_index_fold_roundtrip(spark, sf_dir):
     return _index_aggregate(spark, out, distinct_fp=False).withColumn(
         "pending_tombstones", F.lit(pending).cast("int")
     )
+
+
+# --- maintenance trigger (the vectors.maintenance_due twin for this
+# store): the fold unit here is the WHOLE delta set — fold_dedup_index
+# absorbs every relation's batches and applies tombstones in one pass —
+# so the policy reports one fold decision, due when ANY relation's
+# delta file count crosses max(min_delta_files, ratio × its main
+# files) OR tombstones are pending (text tombstones are folded, not
+# compacted, so unlike the ANN stores they DO drive the fold here).
+DEDUP_DELTA_RELS = ("shingle_index", "shingle_df", "fingerprints", "doc_sizes")
+
+
+def dedup_maintenance_due(
+    index_dir: str,
+    delta_file_ratio: float = 0.25,
+    min_delta_files: int = 4,
+) -> dict:
+    """Filesystem-metadata fold trigger for the text-dedup store (no
+    Spark job — pollable every ingest batch for free)."""
+    from udacity_dend_capstone_immigration_spark.workload.vectors import _parquet_file_count
+
+    files = {}
+    crossing = []
+    for rel in DEDUP_DELTA_RELS:
+        droot = f"{index_dir}/{rel}_delta"
+        if not _has_batches(droot):
+            continue
+        m = _parquet_file_count(f"{index_dir}/{rel}")
+        d = _parquet_file_count(droot)
+        files[rel] = (m, d)
+        if d >= max(min_delta_files, delta_file_ratio * m):
+            crossing.append(rel)
+    tomb = os.path.isdir(f"{index_dir}/dropped_shingles") or _has_batches(
+        f"{index_dir}/dropped_shingles_delta"
+    )
+    return {
+        "due": bool(crossing) or tomb,
+        "crossing": crossing,
+        "pending_tombstones": tomb,
+        "files": files,
+    }
+
+
+def run_dedup_maintenance(spark: SparkSession, index_dir: str, **thresholds) -> bool:
+    """Fold when due; returns whether a fold ran."""
+    if dedup_maintenance_due(index_dir, **thresholds)["due"]:
+        fold_dedup_index(spark, index_dir)
+        return True
+    return False
