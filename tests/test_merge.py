@@ -268,3 +268,79 @@ def test_large_key_batch_falls_back_to_shuffled_join(spark, store, monkeypatch):
     assert (2, "B", 21.0, "p1") in rows and (3, "C", 31.0, "p1") in rows
     assert (9, "new", 90.0, "p2") in rows
     assert not any(r[0] == 3 and r[3] == "p2" for r in rows)
+
+
+# ---- SCD2 apply ----
+
+
+def _scd2_store(spark, tmp_path):
+    import datetime as dt
+
+    from udacity_dend_capstone_immigration_spark.sources.writers import write_parquet
+
+    base = spark.createDataFrame(
+        [
+            (1, "A", dt.date(1992, 1, 1), None, True, 1992),
+            (2, "B", dt.date(1993, 6, 1), None, True, 1993),
+            (3, "C", dt.date(1994, 2, 1), None, True, 1994),
+        ],
+        "k long, attr string, valid_from date, valid_to date,"
+        " is_current boolean, valid_yr int",
+    )
+    store = str(tmp_path / "scd2")
+    write_parquet(base, store, partition_by=("valid_yr",))
+    return store
+
+
+def test_scd2_multi_change_chain_and_untouched_partition(spark, tmp_path):
+    import datetime as dt
+
+    from udacity_dend_capstone_immigration_spark.sources.merge import scd2_apply
+
+    store = _scd2_store(spark, tmp_path)
+    before_1994 = _snapshot_dir(store, "valid_yr=1994")
+    changes = spark.createDataFrame(
+        [
+            (1, "A2", dt.date(1995, 3, 1)),   # two changes for key 1 in
+            (1, "A3", dt.date(1996, 7, 1)),   # ONE batch -> chained
+            (9, "NEW", dt.date(1995, 5, 5)),  # brand-new key: insert only
+        ],
+        "k long, attr string, ts date",
+    )
+    touched = scd2_apply(spark, store, changes, ("k",), "ts")
+    assert touched == [1992, 1995, 1996]  # 1993/1994 never rewritten
+    rows = {
+        (r["k"], r["attr"], str(r["valid_from"]), str(r["valid_to"]), r["is_current"])
+        for r in spark.read.parquet(store).collect()
+    }
+    assert (1, "A", "1992-01-01", "1995-03-01", False) in rows   # closed
+    assert (1, "A2", "1995-03-01", "1996-07-01", False) in rows  # chained
+    assert (1, "A3", "1996-07-01", "None", True) in rows         # current
+    assert (9, "NEW", "1995-05-05", "None", True) in rows        # new key
+    assert (2, "B", "1993-06-01", "None", True) in rows          # untouched
+    assert (3, "C", "1994-02-01", "None", True) in rows
+    # exactly one current row per key
+    cur = [r for r in rows if r[4]]
+    assert sorted(k for k, *_ in cur) == [1, 2, 3, 9]
+    # the untouched partition's files are byte-identical (same mtimes)
+    assert _snapshot_dir(store, "valid_yr=1994") == before_1994
+
+
+def _snapshot_dir(store, part):
+    d = os.path.join(store, part)
+    return {
+        f: os.path.getmtime(os.path.join(d, f))
+        for f in os.listdir(d)
+        if not f.startswith(("_", "."))
+    }
+
+
+def test_scd2_null_ts_rejected(spark, tmp_path):
+    from udacity_dend_capstone_immigration_spark.sources.merge import scd2_apply
+
+    store = _scd2_store(spark, tmp_path)
+    changes = spark.createDataFrame(
+        [(1, "X", None)], "k long, attr string, ts date"
+    )
+    with pytest.raises(ValueError, match="NULL value in partition column"):
+        scd2_apply(spark, store, changes, ("k",), "ts")

@@ -237,3 +237,94 @@ def apply_cdc(
     return merge_upsert(
         spark, store_dir, ups, key_cols, partition_col, deletes=dels
     )
+
+
+def scd2_apply(
+    spark: SparkSession,
+    store_dir: str,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    partition_col: str = "valid_yr",
+) -> list:
+    """MERGE's SCD TYPE-2 pattern on the partitioned store: each change
+    CLOSES the key's current version (valid_to = the change's ts,
+    is_current = false) and INSERTS a new version row — history is
+    never overwritten, and the rewrite touches only the partitions
+    holding affected current rows or receiving new versions (no
+    partition ever moves or empties here: closing edits a row in
+    place, history rows are untouched, new versions only add).
+
+    Store contract: key_cols + attribute columns + ``valid_from``
+    (date), ``valid_to`` (date, null on the current row),
+    ``is_current`` (boolean), ``partition_col`` = year(valid_from) —
+    exactly one is_current row per key. ``changes`` carries key_cols +
+    the attribute columns + ``ts_col``; (key, ts) must be unique
+    (pre-aggregate upstream — multiple same-key changes in ONE batch
+    are legal and chain into consecutive versions by ts order).
+
+    Returns the touched partition values. Same bounded-broadcast
+    discipline as :func:`merge_upsert`: the changed-key set is counted
+    before the store probes broadcast it."""
+    from pyspark.sql import Window
+
+    base = spark.read.parquet(store_dir)
+    attr_cols = [
+        c
+        for c in changes.columns
+        if c not in set(key_cols) and c != ts_col
+    ]
+    w = Window.partitionBy(*key_cols).orderBy("valid_from")
+    vers = (
+        changes.select(*key_cols, *attr_cols, F.col(ts_col).alias("valid_from"))
+        .withColumn("valid_to", F.lead("valid_from").over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .withColumn(partition_col, F.year("valid_from"))
+    )
+    keys = (
+        changes.select(*key_cols).distinct().localCheckpoint(eager=True)
+    )
+    probe = (
+        F.broadcast(keys)
+        if keys.count() <= MAX_BROADCAST_MERGE_KEYS
+        else keys.hint("merge")
+    )
+    first_ts = changes.groupBy(*key_cols).agg(F.min(ts_col).alias("_first_ts"))
+    closed = (
+        base.where(F.col("is_current"))
+        .join(first_ts.hint("merge"), list(key_cols))
+        .withColumn("valid_to", F.col("_first_ts"))
+        .withColumn("is_current", F.lit(False))
+        .drop("_first_ts")
+        .select(*base.columns)
+    )
+    parts = closed.select(F.col(partition_col).alias("p")).unionByName(
+        vers.select(F.col(partition_col).alias("p"))
+    )
+    touched = sorted(
+        _check_no_null_partition(
+            {r["p"] for r in parts.distinct().collect()}, partition_col
+        )
+    )
+    tp = base.where(F.col(partition_col).isin(touched))
+    # three-valued-logic guard: _hit is NULL for unchanged keys (left
+    # join miss) — coalesce BEFORE negating, or NOT(true AND NULL) =
+    # NULL silently drops every unchanged current row from the rewrite
+    kept = (
+        tp.join(probe.withColumn("_hit", F.lit(1)), list(key_cols), "left")
+        .where(~(F.col("is_current") & (F.coalesce(F.col("_hit"), F.lit(0)) == 1)))
+        .drop("_hit")
+        .select(*base.columns)
+    )
+    out = (
+        kept.unionByName(closed)
+        .unionByName(vers.select(*base.columns))
+        .localCheckpoint(eager=True)
+    )
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        write_parquet(out, store_dir, partition_by=[partition_col], mode="overwrite")
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+    return touched

@@ -1584,3 +1584,87 @@ def dq_constraint_report(spark, sf_dir):
             ("orderkey_unique", "uniqueness", F.col("o_orderkey"), 1.0),
         ],
     )
+
+
+# --- MERGE's SCD TYPE-2 pattern (close-and-insert versioning): the
+# dimension-history op every warehouse runs — Delta documents it as
+# the flagship MERGE recipe; here it is delivered on plain partitioned
+# parquet (`sources/merge.py:scd2_apply`) with the same
+# touched-partitions-only rewrite bound as the SCD1 upsert. The
+# roundtrip seeds a customer-segment dim (one 1992 version per
+# customer), applies a MULTI-version change batch (each customer's
+# order dates/priorities — several changes per key chain into
+# consecutive versions in ONE apply), reads the store back and
+# aggregates the full interval table; the oracle derives the expected
+# history directly with a lead() chain, so the hash compare proves
+# close/insert/chain semantics, interval endpoints, and current-flag
+# placement all at once. (events_scd2_intervals DERIVES intervals from
+# an event log; this is the other half — MAINTAINING a versioned store
+# under change batches.)
+@query(
+    "scd2_merge_roundtrip",
+    oracle="""
+    WITH chg AS (
+        SELECT o_custkey AS k, o_orderdate AS ts, MAX(o_orderpriority) AS attr
+        FROM orders WHERE o_orderkey % 11 = 0 GROUP BY o_custkey, o_orderdate
+    ),
+    allv AS (
+        SELECT c_custkey AS k, c_mktsegment AS attr,
+               DATE '1992-01-01' AS vf, 0 AS src
+        FROM customer
+        UNION ALL
+        SELECT k, attr, ts AS vf, 1 AS src FROM chg
+    ),
+    v AS (
+        SELECT k, attr, vf,
+               lead(vf) OVER (PARTITION BY k ORDER BY vf, src) AS vt
+        FROM allv
+    )
+    SELECT attr, CAST(COUNT(*) AS BIGINT) AS n_versions,
+           CAST(COUNT(*) FILTER (vt IS NULL) AS BIGINT) AS n_current,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(SUM(date_diff('day', DATE '1970-01-01', vf)) AS BIGINT)
+               AS from_days_sum,
+           CAST(SUM(COALESCE(date_diff('day', DATE '1970-01-01', vt), -1))
+               AS BIGINT) AS to_days_sum
+    FROM v GROUP BY attr
+    """,
+)
+def scd2_merge_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from udacity_dend_capstone_immigration_spark.sources.merge import scd2_apply
+    from udacity_dend_capstone_immigration_spark.sources.writers import write_parquet
+
+    cust = table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("attr"),
+        F.to_date(F.lit("1992-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+        F.year(F.to_date(F.lit("1992-01-01"))).alias("valid_yr"),
+    )
+    store = tempfile.mkdtemp(prefix="scd2_store_")
+    write_parquet(base, store, partition_by=("valid_yr",))
+    orders = table(spark, sf_dir, "orders")
+    changes = (
+        orders.where(F.col("o_orderkey") % 11 == 0)
+        .groupBy(
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderdate").alias("ts"),
+        )
+        .agg(F.max("o_orderpriority").alias("attr"))
+    )
+    scd2_apply(spark, store, changes, ("k",), "ts")
+    final = spark.read.parquet(store)
+    epoch = F.to_date(F.lit("1970-01-01"))
+    return final.groupBy("attr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_versions"),
+        F.count(F.when(F.col("is_current"), 1)).cast("bigint").alias("n_current"),
+        F.sum("k").cast("bigint").alias("key_sum"),
+        F.sum(F.datediff(F.col("valid_from"), epoch)).cast("bigint").alias("from_days_sum"),
+        F.sum(
+            F.coalesce(F.datediff(F.col("valid_to"), epoch), F.lit(-1))
+        ).cast("bigint").alias("to_days_sum"),
+    )
