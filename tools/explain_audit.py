@@ -29,6 +29,11 @@ SKIP = {
     "doc_pagerank_near_dup",
     "immigration_etl_fact",
     "immigration_etl_city_demographics",
+    # r13 executing roundtrips (store builds/appends run at plan time)
+    "dedup_index_build_roundtrip",
+    "dedup_index_append_roundtrip",
+    "dedup_index_fold_roundtrip",
+    "documents_stream_index_append",
 }
 
 
