@@ -32,8 +32,8 @@ FLAGSHIP = "top_nations_by_orders"
 #: (degree-oriented wedge join — hub-skew fix),
 #: `ann_index_maintenance_roundtrip` (policy-driven delta fold wired
 #: in), and the three merge-backed queries (bounded key broadcast +
-#: null-partition rejection in merge_upsert); (c) 32 of the 45 r8 rows
-#: (oldest tranche; the remaining 13 MUST rotate in r14 — they hit the
+#: null-partition rejection in merge_upsert); (c) 31 of the 45 r8 rows
+#: (oldest tranche; the remaining 14 MUST rotate in r14 — they hit the
 #: capacity-derived staleness bound current−(⌈N/50⌉+1) then).
 SHOWCASE = [
     # (a) new this round
@@ -49,6 +49,7 @@ SHOWCASE = [
     "quality_perceptron_train",
     "quality_perceptron_eval",
     "scd2_merge_roundtrip",
+    "dedup_incremental_status_served",
     # (b) plan changed this round
     "documents_stream_dedup_status",
     "dedup_triangle_cohesion",
@@ -56,7 +57,7 @@ SHOWCASE = [
     "merge_upsert_roundtrip",
     "cdc_apply_roundtrip",
     "orders_stream_cdc_apply",
-    # (c) the oldest r8 tranche (32 of 45)
+    # (c) the oldest r8 tranche (31 of 45)
     "doc_tfidf_top_terms",
     "centroid_classifier_confusion",
     "multimodal_frame_sample",
@@ -88,7 +89,6 @@ SHOWCASE = [
     "source_temperature_mixture",
     "customer_spend_quartiles",
     "orders_metrics_unpivot",
-    "doc_top_terms",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round

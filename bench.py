@@ -59,6 +59,12 @@ from udacity_dend_capstone_immigration_spark.workload import QUERIES
 #: one number) and knn_ivf_filtered_served (metadata-filtered serving
 #: from the attribute-carrying store; the warmup pre-builds its
 #: flat_label layout too); nothing out.
+#: Rotated r13: corpus_examples_packed_served in (the tokenizer
+#: store's production artifact — packed examples with zero training
+#: rounds; warmup pre-builds the BPE store) and
+#: dedup_incremental_status_served in (batch classify against the
+#: persisted text-dedup store — the serving path the r13 store tier
+#: exists for); nothing out.
 #: Suite totals are NOT comparable across rotations — BASELINE.md
 #: records the discontinuity.
 HEADLINE = [
@@ -90,6 +96,8 @@ HEADLINE = [
     "knn_sq8_served",
     "retrieval_hybrid_rrf",
     "knn_ivf_filtered_served",
+    "corpus_examples_packed_served",
+    "dedup_incremental_status_served",
 ]
 
 
@@ -219,6 +227,9 @@ def main() -> None:
     from udacity_dend_capstone_immigration_spark.workload.dedupstore import served_dedup_index_dir
 
     served_dedup_index_dir(spark, sf_dir)
+    from udacity_dend_capstone_immigration_spark.workload.pretrain import served_bpe_dir
+
+    served_bpe_dir(spark, sf_dir)
 
     # Min-of-REPS per headliner (r10 verdict "What's wrong #3"): a
     # single reading is 1.25-1.55x the min-of-3 protocol the records

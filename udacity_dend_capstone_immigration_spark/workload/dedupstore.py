@@ -672,6 +672,82 @@ def documents_stream_index_append(spark, sf_dir):
     return _index_aggregate(spark, out)
 
 
+def _register_served_status():
+    from udacity_dend_capstone_immigration_spark.workload.base import ORACLES
+
+    @query(
+        "dedup_incremental_status_served",
+        oracle=ORACLES["documents_stream_dedup_status"],
+    )
+    def dedup_incremental_status_served(spark, sf_dir):
+        """BATCH classification of an arriving batch against the
+        PERSISTED dedup index — the backfill twin of
+        `documents_stream_dedup_status` (same oracle, same store, no
+        micro-batch machinery): exact via fingerprint semi-join, near
+        via batch-shingles ⋈ capped postings → one (nid, cid)
+        intersection count → Jaccard against store doc sizes. Every
+        static side is a bare store scan; the only corpus-table work is
+        the batch (pushed doc_id%7=0 filter). This is the path a
+        reprocessing job takes when the stream checkpoint is gone —
+        value-identical by construction, hash-proven by the shared
+        oracle."""
+        from udacity_dend_capstone_immigration_spark.functions.text import doc_fingerprint
+
+        docs = table(spark, sf_dir, "documents")
+        is_new = F.col("doc_id") % _INC_MOD == 0
+        idx_dir = served_dedup_index_dir(spark, sf_dir)
+        cke = read_dedup_shingle_index(spark, idx_dir)
+        corp_fp = read_dedup_fingerprints(spark, idx_dir).select("fp")
+        batch = docs.where(is_new)
+        exact = (
+            batch.select("doc_id", doc_fingerprint("text").alias("fp"))
+            .join(corp_fp, "fp", "leftsemi")
+            .select("doc_id")
+            .withColumn("_exact", F.lit(1))
+        )
+        ne = shingle_rows(batch, "doc_id", "text", 3).withColumnRenamed(
+            "shingle", "g"
+        )
+        inter = (
+            ne.select(F.col("doc_id").alias("nid"), "g")
+            .join(cke, "g")
+            .groupBy("nid", "cid")
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
+        za = (
+            ne.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("na"))
+            .withColumnRenamed("doc_id", "nid")
+        )
+        zb = read_dedup_doc_sizes(spark, idx_dir).select(
+            F.col("doc_id").alias("cid"), F.col("n").alias("nb")
+        )
+        jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+        near = (
+            inter.join(za.hint("merge"), "nid")
+            .join(zb, "cid")
+            .where(jac >= 0.5)
+            .select(F.col("nid").alias("doc_id"))
+            .distinct()
+            .withColumn("_near", F.lit(1))
+        )
+        return (
+            batch.select("doc_id")
+            .join(exact.hint("merge"), "doc_id", "left")
+            .join(near.hint("merge"), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("_exact") == 1, F.lit("exact_dup"))
+                .when(F.col("_near") == 1, F.lit("near_dup"))
+                .otherwise(F.lit("unique"))
+                .alias("status"),
+            )
+        )
+
+
+_register_served_status()
+
+
 @query(
     "dedup_index_fold_roundtrip",
     oracle=_agg_oracle(
