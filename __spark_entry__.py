@@ -32,8 +32,8 @@ FLAGSHIP = "top_nations_by_orders"
 #: (degree-oriented wedge join — hub-skew fix),
 #: `ann_index_maintenance_roundtrip` (policy-driven delta fold wired
 #: in), and the three merge-backed queries (bounded key broadcast +
-#: null-partition rejection in merge_upsert); (c) 31 of the 45 r8 rows
-#: (oldest tranche; the remaining 14 MUST rotate in r14 — they hit the
+#: null-partition rejection in merge_upsert); (c) 30 of the 45 r8 rows
+#: (oldest tranche; the remaining 15 MUST rotate in r14 — they hit the
 #: capacity-derived staleness bound current−(⌈N/50⌉+1) then).
 SHOWCASE = [
     # (a) new this round
@@ -50,6 +50,7 @@ SHOWCASE = [
     "quality_perceptron_eval",
     "scd2_merge_roundtrip",
     "dedup_incremental_status_served",
+    "dim_stream_scd2_apply",
     # (b) plan changed this round
     "documents_stream_dedup_status",
     "dedup_triangle_cohesion",
@@ -57,7 +58,7 @@ SHOWCASE = [
     "merge_upsert_roundtrip",
     "cdc_apply_roundtrip",
     "orders_stream_cdc_apply",
-    # (c) the oldest r8 tranche (31 of 45)
+    # (c) the oldest r8 tranche (30 of 45)
     "doc_tfidf_top_terms",
     "centroid_classifier_confusion",
     "multimodal_frame_sample",
@@ -88,7 +89,6 @@ SHOWCASE = [
     "corpus_nucleus_sample",
     "source_temperature_mixture",
     "customer_spend_quartiles",
-    "orders_metrics_unpivot",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round

@@ -42,6 +42,7 @@ _EXECUTING = frozenset(
         "dedup_triangle_cohesion",
         "entity_resolution_parts",
         "orders_stream_cdc_apply",
+        "dim_stream_scd2_apply",
         "doc_pagerank_near_dup",
         "immigration_etl_fact",
         "immigration_etl_city_demographics",

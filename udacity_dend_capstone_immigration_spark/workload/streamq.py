@@ -1602,3 +1602,97 @@ def _register_stream_cdc():
 
 
 _register_stream_cdc()
+
+
+def _register_stream_scd2():
+    from udacity_dend_capstone_immigration_spark.workload.base import ORACLES, table
+
+    @query("dim_stream_scd2_apply", oracle=ORACLES["scd2_merge_roundtrip"])
+    def dim_stream_scd2_apply(spark, sf_dir):
+        """SCD2 maintained FROM A CHANGE STREAM: the same change feed
+        `scd2_merge_roundtrip` applies in one batch arrives as two
+        date-ordered waves (every wave-1 ts precedes every wave-2 ts
+        per key — the in-order delivery a CDC change feed provides),
+        each micro-batch landing through `scd2_apply` in foreachBatch.
+        Sequential apply ≡ one-shot apply under ts-ordered waves: the
+        store's current row is always the key's latest version, so
+        wave 2 closes exactly the row wave 1 left current, at the same
+        ts the one-shot chain would use — proven by SHARING the batch
+        roundtrip's oracle. Completes the stream→lake matrix: every
+        maintenance op (SCD1 upsert, CDC resolve, SCD2 versioning) now
+        has both a batch and a streaming entry point."""
+        import os
+
+        from udacity_dend_capstone_immigration_spark.sources.merge import scd2_apply
+        from udacity_dend_capstone_immigration_spark.sources.writers import (
+            write_parquet,
+        )
+        from udacity_dend_capstone_immigration_spark.streaming import read_stream
+        from udacity_dend_capstone_immigration_spark.streaming.windows import (
+            _await_or_raise,
+        )
+
+        cust = table(spark, sf_dir, "customer")
+        base = cust.select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_mktsegment").alias("attr"),
+            F.to_date(F.lit("1992-01-01")).alias("valid_from"),
+            F.lit(None).cast("date").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+            F.year(F.to_date(F.lit("1992-01-01"))).alias("valid_yr"),
+        )
+        store = tempfile.mkdtemp(prefix="scd2_stream_store_") + "/dim"
+        write_parquet(base, store, partition_by=("valid_yr",))
+        orders = table(spark, sf_dir, "orders")
+        changes = (
+            orders.where(F.col("o_orderkey") % 11 == 0)
+            .groupBy(
+                F.col("o_custkey").alias("k"),
+                F.col("o_orderdate").alias("ts"),
+            )
+            .agg(F.max("o_orderpriority").alias("attr"))
+        )
+        split = F.col("ts") < F.to_date(F.lit("1995-06-01"))
+        feed = tempfile.mkdtemp(prefix="scd2_feed_")
+        mt = 1_700_000_000
+        for i, (nm, df) in enumerate(
+            (("a_wave1", changes.where(split)), ("b_wave2", changes.where(~split)))
+        ):
+            d = tempfile.mkdtemp()
+            df.coalesce(1).write.mode("overwrite").parquet(d)
+            (part,) = [
+                f
+                for f in os.listdir(d)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            ]
+            os.replace(f"{d}/{part}", f"{feed}/{nm}.parquet")
+            os.utime(f"{feed}/{nm}.parquet", (mt + i * 3600, mt + i * 3600))
+        schema = spark.read.parquet(f"{feed}/a_wave1.parquet").schema
+        stream = read_stream(spark, feed, schema, max_files_per_trigger=1)
+
+        def land(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            scd2_apply(batch_df.sparkSession, store, batch_df, ("k",), "ts")
+
+        q = (
+            stream.writeStream.foreachBatch(land)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_scd2_stream_"))
+            .start()
+        )
+        _await_or_raise(q, 180, "dim_stream_scd2_apply")
+        final = spark.read.parquet(store)
+        epoch = F.to_date(F.lit("1970-01-01"))
+        return final.groupBy("attr").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_versions"),
+            F.count(F.when(F.col("is_current"), 1)).cast("bigint").alias("n_current"),
+            F.sum("k").cast("bigint").alias("key_sum"),
+            F.sum(F.datediff(F.col("valid_from"), epoch)).cast("bigint").alias("from_days_sum"),
+            F.sum(
+                F.coalesce(F.datediff(F.col("valid_to"), epoch), F.lit(-1))
+            ).cast("bigint").alias("to_days_sum"),
+        )
+
+
+_register_stream_scd2()
