@@ -708,8 +708,12 @@ def _register_served_status():
         ne = shingle_rows(batch, "doc_id", "text", 3).withColumnRenamed(
             "shingle", "g"
         )
+        # the batch-shingle side sits behind an explode (estimate-blind)
+        # and is O(batch) — a backfill batch is NOT broadcast-bounded,
+        # so force the sort-merge join the streaming twin gets for free
         inter = (
             ne.select(F.col("doc_id").alias("nid"), "g")
+            .hint("merge")
             .join(cke, "g")
             .groupBy("nid", "cid")
             .agg(F.count(F.lit(1)).alias("i"))
