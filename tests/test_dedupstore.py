@@ -95,8 +95,12 @@ def test_second_append_after_crossing_stays_dead(spark, store):
     append_to_dedup_index(spark, _docs(spark, [(5, "a b c x5 y5")]), store)
     posts = _postings(spark, store)
     assert not any(g == "a b c" for g, _ in posts)
-    dead = {r["g"] for r in spark.read.parquet(f"{store}/dropped_shingles").collect()}
-    assert list(dead).count("a b c") == 1 if "a b c" in dead else False
+    dead_rows = [
+        r["g"] for r in spark.read.parquet(f"{store}/dropped_shingles").collect()
+    ]
+    # exactly ONE tombstone row ever written: the second append sees
+    # df_m already over the cap and must not re-tombstone
+    assert dead_rows.count("a b c") == 1
 
 
 def test_tombstone_antijoin_is_plan_noop_when_absent(spark, store):
@@ -198,7 +202,7 @@ def test_dedup_maintenance_policy(spark, tmp_path):
     d = str(tmp_path / "pidx")
     build_dedup_index(spark, _docs(spark, CORPUS), d, cap=3)
     assert dedup_maintenance_due(d) == {
-        "due": False, "crossing": [], "pending_tombstones": False, "files": {},
+        "due": False, "crossing": [], "pending_tombstones": False, "pending": {},
     }
     # land one streamed wave (creates deltas + a cross-wave tombstone
     # is NOT triggered here: df 'a b c' goes 3 -> 4 == crossing)
@@ -211,13 +215,14 @@ def test_dedup_maintenance_policy(spark, tmp_path):
         d,
         str(tmp_path / "ck"),
     )
-    # below the file threshold the deltas would stay — but the
-    # tombstone pressure makes the fold due regardless (text tombstones
-    # are folded, not compacted)
-    r = dedup_maintenance_due(d, min_delta_files=99)
+    # one pending batch: below the default batch threshold the deltas
+    # would stay — but the tombstone pressure makes the fold due
+    # regardless (text tombstones are folded, not compacted)
+    r = dedup_maintenance_due(d)
+    assert r["pending"]["shingle_index"] == 1
     assert r["due"] and r["pending_tombstones"] and r["crossing"] == []
-    assert run_dedup_maintenance(spark, d, min_delta_files=99) is True
-    assert dedup_maintenance_due(d, min_delta_files=99) == {
-        "due": False, "crossing": [], "pending_tombstones": False, "files": {},
+    assert run_dedup_maintenance(spark, d) is True
+    assert dedup_maintenance_due(d) == {
+        "due": False, "crossing": [], "pending_tombstones": False, "pending": {},
     }
-    assert run_dedup_maintenance(spark, d, min_delta_files=99) is False
+    assert run_dedup_maintenance(spark, d) is False

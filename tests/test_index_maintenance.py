@@ -314,7 +314,7 @@ def test_maintenance_due_threshold_and_auto_fold(spark):
     )
     # no delta at all -> not due, nothing to report
     r0 = V.maintenance_due(idx)
-    assert r0 == {"due": False, "fold": [], "compact_tombstones": False, "files": {}}
+    assert r0 == {"due": False, "fold": [], "compact_tombstones": False, "pending": {}}
 
     # land one streamed batch: a small delta under the default
     # min_delta_files stays in place (fold is not free; leave it)
@@ -328,16 +328,12 @@ def test_maintenance_due_threshold_and_auto_fold(spark):
         idx,
         tempfile.mkdtemp(prefix="ck_policy_"),
     )
-    m, d = V._parquet_file_count(f"{idx}/ivf_vectors"), V._parquet_file_count(
-        f"{idx}/ivf_vectors_delta"
-    )
-    big_min = d + 1
-    below = V.maintenance_due(idx, min_delta_files=big_min, delta_file_ratio=9.9)
-    assert not below["due"] and below["files"]["ivf_vectors"] == (m, d)
-    assert (
-        V.run_due_maintenance(spark, idx, min_delta_files=big_min, delta_file_ratio=9.9)
-        == []
-    )
+    # ONE pending batch: below the default threshold (4 batches) the
+    # delta stays in place — the calibration the batch-count unit
+    # exists for (a file-count ratio fired after the first batch)
+    below = V.maintenance_due(idx)
+    assert not below["due"] and below["pending"]["ivf_vectors"] == 1
+    assert V.run_due_maintenance(spark, idx) == []
     assert os.path.isdir(f"{idx}/ivf_vectors_delta")  # untouched below threshold
 
     served_before = {
@@ -345,9 +341,9 @@ def test_maintenance_due_threshold_and_auto_fold(spark):
         for r in V.read_ivf_flat_store(spark, idx).select("vec_id", "cell").collect()
     }
     # crossing: the same delta against a 1-file minimum is due
-    due = V.maintenance_due(idx, min_delta_files=1)
+    due = V.maintenance_due(idx, min_delta_batches=1)
     assert due["due"] and due["fold"] == ["ivf_vectors"]
-    assert V.run_due_maintenance(spark, idx, min_delta_files=1) == ["ivf_vectors"]
+    assert V.run_due_maintenance(spark, idx, min_delta_batches=1) == ["ivf_vectors"]
     assert not os.path.isdir(f"{idx}/ivf_vectors_delta")
     served_after = {
         (r["vec_id"], r["cell"])
@@ -355,8 +351,8 @@ def test_maintenance_due_threshold_and_auto_fold(spark):
     }
     assert served_after == served_before
     # idempotent once folded
-    assert V.maintenance_due(idx, min_delta_files=1)["due"] is False
-    assert V.run_due_maintenance(spark, idx, min_delta_files=1) == []
+    assert V.maintenance_due(idx, min_delta_batches=1)["due"] is False
+    assert V.run_due_maintenance(spark, idx, min_delta_batches=1) == []
 
 
 def test_maintenance_due_reports_tombstone_pressure(spark):

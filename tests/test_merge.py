@@ -344,3 +344,36 @@ def test_scd2_null_ts_rejected(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="NULL value in partition column"):
         scd2_apply(spark, store, changes, ("k",), "ts")
+
+
+def test_scd2_rejects_out_of_order_change(spark, tmp_path):
+    """Review finding: a change ts BEFORE the key's current valid_from
+    would silently write a negative interval — must raise instead."""
+    import datetime as dt
+
+    from udacity_dend_capstone_immigration_spark.sources.merge import scd2_apply
+
+    store = _scd2_store(spark, tmp_path)  # key 3 current since 1994-02-01
+    late = spark.createDataFrame(
+        [(3, "LATE", dt.date(1993, 1, 1))], "k long, attr string, ts date"
+    )
+    before = {
+        tuple(r) for r in spark.read.parquet(store).select("k", "attr").collect()
+    }
+    with pytest.raises(ValueError, match="late/out-of-order"):
+        scd2_apply(spark, store, late, ("k",), "ts")
+    after = {
+        tuple(r) for r in spark.read.parquet(store).select("k", "attr").collect()
+    }
+    assert after == before  # store untouched
+    # equal ts is LEGAL (zero-length version), not out-of-order
+    same_day = spark.createDataFrame(
+        [(3, "SAME", dt.date(1994, 2, 1))], "k long, attr string, ts date"
+    )
+    scd2_apply(spark, store, same_day, ("k",), "ts")
+    rows = {
+        (r["k"], r["attr"], str(r["valid_to"]), r["is_current"])
+        for r in spark.read.parquet(store).collect()
+    }
+    assert (3, "C", "1994-02-01", False) in rows
+    assert (3, "SAME", "None", True) in rows

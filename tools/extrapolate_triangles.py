@@ -92,8 +92,8 @@ def main() -> None:
         .localCheckpoint(eager=True)
     )
 
-    def audit(src_col):
-        od = ed.groupBy(F.col(src_col).alias("s")).agg(F.count(F.lit(1)).alias("od"))
+    def audit(df, src_col):
+        od = df.groupBy(F.col(src_col).alias("s")).agg(F.count(F.lit(1)).alias("od"))
         r = od.agg(
             F.max("od").alias("max_od"),
             F.sum(F.col("od") * (F.col("od") - 1) / 2).alias("wedges"),
@@ -101,7 +101,7 @@ def main() -> None:
         return {"max_out_degree": int(r["max_od"]), "wedge_pairs": int(r["wedges"])}
 
     # id orientation: src = id_a (rows are canonical a<b)
-    id_audit = audit("id_a")
+    id_audit = audit(ed, "id_a")
     # degree orientation: src = lower-(degree,id) endpoint
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("id_a") < F.col("id_b"))
@@ -109,12 +109,7 @@ def main() -> None:
     ed_deg = ed.withColumn(
         "src", F.when(a_first, F.col("id_a")).otherwise(F.col("id_b"))
     )
-    od = ed_deg.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-    r = od.agg(
-        F.max("od").alias("max_od"),
-        F.sum(F.col("od") * (F.col("od") - 1) / 2).alias("wedges"),
-    ).collect()[0]
-    deg_audit = {"max_out_degree": int(r["max_od"]), "wedge_pairs": int(r["wedges"])}
+    deg_audit = audit(ed_deg, "src")
 
     reps = []
     n_tri_docs = None

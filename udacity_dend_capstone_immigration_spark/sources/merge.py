@@ -41,7 +41,9 @@ from udacity_dend_capstone_immigration_spark.sources.writers import write_parque
 MAX_BROADCAST_MERGE_KEYS = 2_000_000
 
 
-def _check_no_null_partition(values: set, partition_col: str) -> set:
+def _check_no_null_partition(
+    values: set, partition_col: str, caller: str = "merge_upsert"
+) -> set:
     """Dynamic partition overwrite routes NULL partition values to the
     ``__HIVE_DEFAULT_PARTITION__`` directory, which this module's
     ``isin(touched)`` kept-filter and emptied-dir cleanup do not model
@@ -50,7 +52,7 @@ def _check_no_null_partition(values: set, partition_col: str) -> set:
     honest: partition columns in a merge store must be non-null."""
     if any(v is None for v in values):
         raise ValueError(
-            f"merge_upsert: NULL value in partition column {partition_col!r} "
+            f"{caller}: NULL value in partition column {partition_col!r} "
             "— null-partitioned rows are not supported (they map to "
             "__HIVE_DEFAULT_PARTITION__, outside the touched-partition "
             "rewrite model); filter or default them upstream"
@@ -265,7 +267,17 @@ def scd2_apply(
 
     Returns the touched partition values. Same bounded-broadcast
     discipline as :func:`merge_upsert`: the changed-key set is counted
-    before the store probes broadcast it."""
+    before the store probes broadcast it.
+
+    Ordering contract: every change ts must be >= the key's CURRENT
+    valid_from (equal is legal — a zero-length version). A late
+    out-of-order change would otherwise write a negative interval and
+    an is_current row OLDER than its closed predecessor, silently —
+    so it raises instead; route late data through a history REBUILD
+    (derive-intervals, cf. events_scd2_intervals), not the apply path.
+    NOT idempotent: re-applying a batch duplicates versions — callers
+    in at-least-once contexts (foreachBatch) must guard with a
+    batch-id marker (see `dim_stream_scd2_apply`)."""
     from pyspark.sql import Window
 
     base = spark.read.parquet(store_dir)
@@ -275,21 +287,26 @@ def scd2_apply(
         if c not in set(key_cols) and c != ts_col
     ]
     w = Window.partitionBy(*key_cols).orderBy("valid_from")
+    # ONE eager pin of the change-derivation subtree (it can be an
+    # arbitrary upstream pipeline): keys, first-ts, version rows and
+    # the out checkpoint all derive from it — un-pinned, the shared
+    # subtree executed 4x per apply (CLAUDE.md shared-subtree rule)
     vers = (
         changes.select(*key_cols, *attr_cols, F.col(ts_col).alias("valid_from"))
         .withColumn("valid_to", F.lead("valid_from").over(w))
         .withColumn("is_current", F.col("valid_to").isNull())
         .withColumn(partition_col, F.year("valid_from"))
+        .localCheckpoint(eager=True)
     )
-    keys = (
-        changes.select(*key_cols).distinct().localCheckpoint(eager=True)
-    )
+    keys = vers.select(*key_cols).distinct()
     probe = (
         F.broadcast(keys)
         if keys.count() <= MAX_BROADCAST_MERGE_KEYS
         else keys.hint("merge")
     )
-    first_ts = changes.groupBy(*key_cols).agg(F.min(ts_col).alias("_first_ts"))
+    first_ts = vers.groupBy(*key_cols).agg(
+        F.min("valid_from").alias("_first_ts")
+    )
     closed = (
         base.where(F.col("is_current"))
         .join(first_ts.hint("merge"), list(key_cols))
@@ -297,13 +314,23 @@ def scd2_apply(
         .withColumn("is_current", F.lit(False))
         .drop("_first_ts")
         .select(*base.columns)
+        .localCheckpoint(eager=True)  # probed twice: ordering guard +
+        # touched collect; O(changed keys)
     )
+    if closed.where(F.col("valid_to") < F.col("valid_from")).limit(1).count():
+        raise ValueError(
+            "scd2_apply: a change precedes its key's current valid_from "
+            "(late/out-of-order data) — applying would write a negative "
+            "interval; rebuild the key's history instead"
+        )
     parts = closed.select(F.col(partition_col).alias("p")).unionByName(
         vers.select(F.col(partition_col).alias("p"))
     )
     touched = sorted(
         _check_no_null_partition(
-            {r["p"] for r in parts.distinct().collect()}, partition_col
+            {r["p"] for r in parts.distinct().collect()},
+            partition_col,
+            caller="scd2_apply",
         )
     )
     tp = base.where(F.col(partition_col).isin(touched))

@@ -794,25 +794,22 @@ def dedup_index_fold_roundtrip(spark, sf_dir):
 DEDUP_DELTA_RELS = ("shingle_index", "shingle_df", "fingerprints", "doc_sizes")
 
 
-def dedup_maintenance_due(
-    index_dir: str,
-    delta_file_ratio: float = 0.25,
-    min_delta_files: int = 4,
-) -> dict:
+def dedup_maintenance_due(index_dir: str, min_delta_batches: int = 4) -> dict:
     """Filesystem-metadata fold trigger for the text-dedup store (no
-    Spark job — pollable every ingest batch for free)."""
-    from udacity_dend_capstone_immigration_spark.workload.vectors import _parquet_file_count
+    Spark job — pollable every ingest batch for free). Unit = PENDING
+    BATCHES per relation, same calibration rationale as
+    `vectors.maintenance_due` (a file-count ratio fires after one
+    bucketed batch — the delta the trigger should leave in place)."""
+    from udacity_dend_capstone_immigration_spark.workload.vectors import _pending_batches
 
-    files = {}
+    pending = {}
     crossing = []
     for rel in DEDUP_DELTA_RELS:
-        droot = f"{index_dir}/{rel}_delta"
-        if not _has_batches(droot):
+        n = _pending_batches(f"{index_dir}/{rel}_delta")
+        if n == 0:
             continue
-        m = _parquet_file_count(f"{index_dir}/{rel}")
-        d = _parquet_file_count(droot)
-        files[rel] = (m, d)
-        if d >= max(min_delta_files, delta_file_ratio * m):
+        pending[rel] = n
+        if n >= min_delta_batches:
             crossing.append(rel)
     tomb = os.path.isdir(f"{index_dir}/dropped_shingles") or _has_batches(
         f"{index_dir}/dropped_shingles_delta"
@@ -821,7 +818,7 @@ def dedup_maintenance_due(
         "due": bool(crossing) or tomb,
         "crossing": crossing,
         "pending_tombstones": tomb,
-        "files": files,
+        "pending": pending,
     }
 
 

@@ -1670,10 +1670,24 @@ def _register_stream_scd2():
         schema = spark.read.parquet(f"{feed}/a_wave1.parquet").schema
         stream = read_stream(spark, feed, schema, max_files_per_trigger=1)
 
+        # foreachBatch is at-least-once and scd2_apply is NOT
+        # idempotent (re-applying duplicates versions — unlike
+        # apply_cdc's absolute-image rewrites), so each applied batch
+        # leaves a marker; a replayed batch_id is skipped. The marker
+        # is written AFTER the apply: a crash inside that window
+        # re-applies (the documented fold_index_delta caveat class —
+        # full exactly-once needs the WAP pointer pattern).
+        applied = tempfile.mkdtemp(prefix="scd2_applied_")
+
         def land(batch_df, batch_id):
             if batch_df.isEmpty():
                 return
+            marker = f"{applied}/batch_{batch_id}"
+            if os.path.exists(marker):
+                return
             scd2_apply(batch_df.sparkSession, store, batch_df, ("k",), "ts")
+            with open(marker, "w") as fh:
+                fh.write("applied")
 
         q = (
             stream.writeStream.foreachBatch(land)

@@ -1420,46 +1420,51 @@ def _parquet_file_count(d: str) -> int:
     return n
 
 
-def maintenance_due(
-    index_dir: str,
-    delta_file_ratio: float = 0.25,
-    min_delta_files: int = 4,
-) -> dict:
+def _pending_batches(delta_dir: str) -> int:
+    import os
+
+    if not os.path.isdir(delta_dir):
+        return 0
+    return sum(1 for e in os.listdir(delta_dir) if e.startswith("batch_pt="))
+
+
+def maintenance_due(index_dir: str, min_delta_batches: int = 4) -> dict:
     """The LSM stores' maintenance TRIGGER (r12 verdict item 7): the
     fold/compact mechanisms existed without a policy deciding when to
     run them. Pure filesystem-metadata decision — no Spark job, so an
     ingestion scheduler can poll it every batch for free.
 
-    A store's delta is due for folding when its parquet file count
-    reaches ``max(min_delta_files, delta_file_ratio × main files)`` —
-    the small-files pressure signal (each streamed batch adds one file
-    per touched cell; the routed read degrades as the per-cell file
-    list grows). ``min_delta_files`` keeps single-batch deltas cheap
-    to leave in place; the ratio scales the tolerance with the store.
-    Tombstones (``deleted_ids``) are reported as compaction pressure —
-    physical deletes are `compact_index_cells`'s job, a heavier
-    rewrite left to explicit/scheduled invocation.
+    The unit is PENDING BATCHES (``batch_pt=`` dirs in the delta), not
+    raw file counts: every streamed batch writes ~one file per touched
+    cell, so a file-count ratio fires after the very first batch —
+    exactly the single-batch delta the trigger should leave in place
+    (a review finding the first cut of this policy had). A store's
+    delta folds when ``min_delta_batches`` have accumulated — the
+    point where the O(store-append) fold amortizes and the per-cell
+    file list starts degrading the routed read. Tombstones
+    (``deleted_ids``) are reported as compaction pressure — physical
+    deletes are `compact_index_cells`'s job, a heavier rewrite left to
+    explicit/scheduled invocation.
 
     Returns ``{"due": bool, "fold": [store, ...],
-    "compact_tombstones": bool, "files": {store: (main, delta)}}``."""
+    "compact_tombstones": bool, "pending": {store: n_batches}}``."""
     import os
 
     fold = []
-    files = {}
+    pending = {}
     for store in _INDEX_STORES:
-        main_d, delta_d = f"{index_dir}/{store}", f"{index_dir}/{store}_delta"
-        if not os.path.isdir(delta_d):
+        n = _pending_batches(f"{index_dir}/{store}_delta")
+        if n == 0:
             continue
-        m, d = _parquet_file_count(main_d), _parquet_file_count(delta_d)
-        files[store] = (m, d)
-        if d >= max(min_delta_files, delta_file_ratio * m):
+        pending[store] = n
+        if n >= min_delta_batches:
             fold.append(store)
     tomb = os.path.isdir(f"{index_dir}/deleted_ids")
     return {
         "due": bool(fold) or tomb,
         "fold": fold,
         "compact_tombstones": tomb,
-        "files": files,
+        "pending": pending,
     }
 
 
@@ -2092,11 +2097,11 @@ def ann_index_maintenance_roundtrip(spark, sf_dir):
         .partitionBy("cell_pt")
         .parquet(f"{out}/pq_codes_delta/batch_pt=maint-0")
     )
-    # min_delta_files=1: at sf0.01 the one simulated batch is the whole
-    # delta; production polls with the defaults (ratio-scaled)
-    report = maintenance_due(out, min_delta_files=1)
+    # min_delta_batches=1: at sf0.01 the one simulated batch is the
+    # whole delta; production polls with the default (4 batches)
+    report = maintenance_due(out, min_delta_batches=1)
     assert report["due"] and "pq_codes" in report["fold"], report
-    folded = run_due_maintenance(spark, out, min_delta_files=1)
+    folded = run_due_maintenance(spark, out, min_delta_batches=1)
     assert folded == ["pq_codes"], folded
     delete_from_index(
         spark, out, emb.where(F.col("vec_id") % 5 == 2).select("vec_id")
