@@ -32,8 +32,8 @@ FLAGSHIP = "top_nations_by_orders"
 #: (degree-oriented wedge join — hub-skew fix),
 #: `ann_index_maintenance_roundtrip` (policy-driven delta fold wired
 #: in), and the three merge-backed queries (bounded key broadcast +
-#: null-partition rejection in merge_upsert); (c) 30 of the 45 r8 rows
-#: (oldest tranche; the remaining 15 MUST rotate in r14 — they hit the
+#: null-partition rejection in merge_upsert); (c) 29 of the 45 r8 rows
+#: (oldest tranche; the remaining 16 MUST rotate in r14 — they hit the
 #: capacity-derived staleness bound current−(⌈N/50⌉+1) then).
 SHOWCASE = [
     # (a) new this round
@@ -45,6 +45,7 @@ SHOWCASE = [
     "corpus_examples_packed_served",
     "bpe_encode_served",
     "bpe_encode_incremental",
+    "bpe_fertility_report",
     "corpus_importance_served",
     "quality_perceptron_train",
     "quality_perceptron_eval",
@@ -58,7 +59,7 @@ SHOWCASE = [
     "merge_upsert_roundtrip",
     "cdc_apply_roundtrip",
     "orders_stream_cdc_apply",
-    # (c) the oldest r8 tranche (30 of 45)
+    # (c) the oldest r8 tranche (29 of 45)
     "doc_tfidf_top_terms",
     "centroid_classifier_confusion",
     "multimodal_frame_sample",
@@ -88,7 +89,6 @@ SHOWCASE = [
     "corpus_curation_pipeline",
     "corpus_nucleus_sample",
     "source_temperature_mixture",
-    "customer_spend_quartiles",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round

@@ -954,3 +954,61 @@ def retrieval_hybrid_rrf(spark, sf_dir):
         fused.withColumn("rank", F.row_number().over(fuse_w).cast("int"))
         .where(F.col("rank") <= 10)
     )
+
+
+@query(
+    "bpe_fertility_report",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({TOKS}) AS term FROM documents),
+    w0 AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt,
+               list_transform(generate_series(1, len(term)),
+                              i -> substring(term, i, 1)) AS syms
+        FROM tok GROUP BY term
+    ),
+    {",".join(_bpe_round_ctes(r) for r in range(_BPE_ROUNDS))},
+    vlen AS (SELECT term, CAST(len(syms) AS BIGINT) AS enc_len
+             FROM w{_BPE_ROUNDS}),
+    dw AS (SELECT lang, unnest({TOKS}) AS term FROM documents),
+    j AS (SELECT dw.lang, v.enc_len, length(dw.term) AS chars
+          FROM dw JOIN vlen v ON dw.term = v.term)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(enc_len) AS BIGINT) AS n_tokens,
+           CAST(SUM(enc_len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS fertility,
+           CAST(SUM(chars) AS DOUBLE) / CAST(SUM(enc_len) AS DOUBLE)
+               AS chars_per_token
+    FROM j GROUP BY lang
+    """,
+)
+def bpe_fertility_report(spark, sf_dir):
+    """Tokenizer FERTILITY by language (tokens emitted per word, plus
+    chars per token) under the trained merges — the release metric
+    that decides whether a tokenizer underserves a language (high
+    fertility = more sequence budget per sentence; the multilingual-
+    tokenizer fairness number). Served from the persisted encoded
+    vocabulary: per-word encode lengths are a |V|-sized scan, the
+    corpus side joins word OCCURRENCES (never token rows), and the
+    per-lang aggregate combines map-side — the packed-examples scale
+    shape reused for reporting."""
+    d = served_bpe_dir(spark, sf_dir)
+    vlen = (
+        spark.read.parquet(f"{d}/encoded_vocab")
+        .select("term", F.size("syms").cast("long").alias("enc_len"))
+    )
+    docs = table(spark, sf_dir, "documents")
+    dw = docs.select("lang", F.explode(tokenize(F.col("text"))).alias("term"))
+    j = dw.join(vlen.hint("merge"), "term").select(
+        "lang", "enc_len", F.length("term").alias("chars")
+    )
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("enc_len").cast("bigint").alias("n_tokens"),
+        (
+            F.sum("enc_len").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("fertility"),
+        (
+            F.sum("chars").cast("double") / F.sum("enc_len").cast("double")
+        ).alias("chars_per_token"),
+    )
