@@ -248,6 +248,7 @@ def scd2_apply(
     key_cols: Sequence[str],
     ts_col: str,
     partition_col: str = "valid_yr",
+    partition_expr=None,
 ) -> list:
     """MERGE's SCD TYPE-2 pattern on the partitioned store: each change
     CLOSES the key's current version (valid_to = the change's ts,
@@ -291,11 +292,18 @@ def scd2_apply(
     # arbitrary upstream pipeline): keys, first-ts, version rows and
     # the out checkpoint all derive from it — un-pinned, the shared
     # subtree executed 4x per apply (CLAUDE.md shared-subtree rule)
+    # partition granularity is a STORE layout choice: default
+    # year(valid_from); a monthly store passes partition_expr =
+    # year*100+month (exact integer bucketing — CLAUDE.md zorder rule).
+    # Closed rows keep their STORED partition value (history never
+    # moves); only new versions compute one.
+    if partition_expr is None:
+        partition_expr = F.year("valid_from")
     vers = (
         changes.select(*key_cols, *attr_cols, F.col(ts_col).alias("valid_from"))
         .withColumn("valid_to", F.lead("valid_from").over(w))
         .withColumn("is_current", F.col("valid_to").isNull())
-        .withColumn(partition_col, F.year("valid_from"))
+        .withColumn(partition_col, partition_expr)
         .localCheckpoint(eager=True)
     )
     keys = vers.select(*key_cols).distinct()
