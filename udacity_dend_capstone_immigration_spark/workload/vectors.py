@@ -18,8 +18,10 @@ from udacity_dend_capstone_immigration_spark.operators.similarity import (
 )
 from udacity_dend_capstone_immigration_spark.workload.base import (
     ORACLES,
+    davg,
     dsum_expr,
     query,
+    sql_davg,
     sql_dsum_expr,
     table,
 )
@@ -3140,3 +3142,63 @@ def knn_ivf_filtered_served(spark, sf_dir):
         )
     )
     return _ivfpq_topk(emb, cents, store, probes=probes)
+
+
+# --- MRR audit of the serving default (r13): recall@5 says whether
+# the truth set is PRESENT; MRR says where the single true nearest
+# LANDS in the served ranking — the metric a retrieval product
+# actually reports (the user sees position, not set membership).
+# Composes the registered serving query and the exact brute force the
+# way every recall audit does; rr values are single IEEE divisions
+# (1/rank) and the mean is a decimal-cast average, so the one-row
+# result is bit-portable.
+@query(
+    "ann_sq8_mrr",
+    oracle=f"""
+    WITH approx AS ({ORACLES["knn_sq8_served"]}),
+    exact AS ({ORACLES["knn_brute_force"]}),
+    truth AS (SELECT query_id, neighbor_id FROM exact
+              WHERE rank = 1 AND query_id < 10),
+    rr AS (
+        SELECT t.query_id,
+               COALESCE(1.0e0 / CAST(a.rank AS DOUBLE), 0.0e0) AS rr
+        FROM truth t LEFT JOIN approx a
+            ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN rr = 1.0e0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS truth_at_rank1,
+           {sql_davg("rr", "mrr_at_5")}
+    FROM rr
+    """,
+)
+def ann_sq8_mrr(spark, sf_dir):
+    """One-row MRR@5 of `knn_sq8_served` against the exact nearest
+    neighbor: per audit query, the reciprocal of the served rank of
+    the TRUE top-1 (0 when the compressed index misses it entirely).
+    truth_at_rank1 counts queries whose served #1 IS the true #1 —
+    the headline a serving dashboard shows next to recall."""
+    from udacity_dend_capstone_immigration_spark.workload.base import QUERIES
+
+    approx = (
+        QUERIES["knn_sq8_served"](spark, sf_dir)
+        .where(F.col("query_id") < 10)
+        .select("query_id", "neighbor_id", "rank")
+    )
+    truth = (
+        QUERIES["knn_brute_force"](spark, sf_dir)
+        .where((F.col("rank") == 1) & (F.col("query_id") < 10))
+        .select("query_id", "neighbor_id")
+    )
+    rr = truth.join(approx, ["query_id", "neighbor_id"], "left").select(
+        F.coalesce(
+            F.lit(1.0) / F.col("rank").cast("double"), F.lit(0.0)
+        ).alias("rr")
+    )
+    return rr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum(F.when(F.col("rr") == 1.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("truth_at_rank1"),
+        davg(F.col("rr"), "mrr_at_5"),
+    )
