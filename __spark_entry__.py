@@ -32,8 +32,8 @@ FLAGSHIP = "top_nations_by_orders"
 #: (degree-oriented wedge join — hub-skew fix),
 #: `ann_index_maintenance_roundtrip` (policy-driven delta fold wired
 #: in), and the three merge-backed queries (bounded key broadcast +
-#: null-partition rejection in merge_upsert); (c) 28 of the 45 r8 rows
-#: (oldest tranche; the remaining 17 MUST rotate in r14 — they hit the
+#: null-partition rejection in merge_upsert); (c) 27 of the 45 r8 rows
+#: (oldest tranche; the remaining 18 MUST rotate in r14 — they hit the
 #: capacity-derived staleness bound current−(⌈N/50⌉+1) then).
 SHOWCASE = [
     # (a) new this round
@@ -53,6 +53,7 @@ SHOWCASE = [
     "dedup_incremental_status_served",
     "ann_sq8_mrr",
     "dim_stream_scd2_apply",
+    "scd2_store_invariants",
     # (b) plan changed this round
     "documents_stream_dedup_status",
     "dedup_triangle_cohesion",
@@ -60,7 +61,7 @@ SHOWCASE = [
     "merge_upsert_roundtrip",
     "cdc_apply_roundtrip",
     "orders_stream_cdc_apply",
-    # (c) the oldest r8 tranche (28 of 45)
+    # (c) the oldest r8 tranche (27 of 45)
     "doc_tfidf_top_terms",
     "centroid_classifier_confusion",
     "multimodal_frame_sample",
@@ -80,7 +81,6 @@ SHOWCASE = [
     "events_robust_stats",
     "events_equi_depth_histogram",
     "asof_purchase_to_click_30m",
-    "corpus_quota_sample",
     "corpus_token_packing",
     "benchmark_contamination",
     "quality_filter_funnel",

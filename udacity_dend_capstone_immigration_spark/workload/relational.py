@@ -1668,3 +1668,131 @@ def scd2_merge_roundtrip(spark, sf_dir):
             F.coalesce(F.datediff(F.col("valid_to"), epoch), F.lit(-1))
         ).cast("bigint").alias("to_days_sum"),
     )
+
+
+# --- SCD2 store INVARIANTS report (r13, the Deequ-shape DQ pass for
+# the versioned-store tier): after a real multi-version apply, assert
+# the three structural invariants every SCD2 consumer assumes —
+# exactly one current row per key, no negative intervals, and chain
+# continuity (each closed version's valid_to equals the key's next
+# valid_from). The Spark side computes violation counts from the
+# STORE the apply actually wrote; the oracle recomputes them from its
+# independently-derived history — so a store that silently violated
+# an invariant (the class the r13 review found twice: NULL-logic row
+# drops, late-data negative intervals) fails the hash compare here
+# even if downstream aggregates happen to agree.
+@query(
+    "scd2_store_invariants",
+    oracle="""
+    WITH chg AS (
+        SELECT o_custkey AS k, o_orderdate AS ts, MAX(o_orderpriority) AS attr
+        FROM orders WHERE o_orderkey % 11 = 0 GROUP BY o_custkey, o_orderdate
+    ),
+    allv AS (
+        SELECT c_custkey AS k, c_mktsegment AS attr,
+               DATE '1992-01-01' AS vf, 0 AS src
+        FROM customer
+        UNION ALL
+        SELECT k, attr, ts AS vf, 1 AS src FROM chg
+    ),
+    v AS (
+        SELECT k, vf,
+               lead(vf) OVER (PARTITION BY k ORDER BY vf, src) AS vt
+        FROM allv
+    ),
+    chk AS (
+        SELECT k, vf, vt,
+               lead(vf) OVER (PARTITION BY k
+                              ORDER BY vf, vt ASC NULLS LAST) AS next_vf
+        FROM v
+    ),
+    cur AS (SELECT k, COUNT(*) FILTER (vt IS NULL) AS n_cur
+            FROM v GROUP BY k)
+    SELECT CAST((SELECT COUNT(*) FROM cur) AS BIGINT) AS n_keys,
+           CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_versions,
+           CAST((SELECT COUNT(*) FROM cur WHERE n_cur != 1) AS BIGINT)
+               AS multi_current_keys,
+           CAST((SELECT COUNT(*) FROM chk WHERE vt < vf) AS BIGINT)
+               AS negative_intervals,
+           CAST((SELECT COUNT(*) FROM chk
+                 WHERE vt IS NOT NULL AND vt != next_vf) AS BIGINT)
+               AS chain_gaps
+    """,
+)
+def scd2_store_invariants(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from udacity_dend_capstone_immigration_spark.sources.merge import scd2_apply
+    from udacity_dend_capstone_immigration_spark.sources.writers import write_parquet
+
+    cust = table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("attr"),
+        F.to_date(F.lit("1992-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+        F.year(F.to_date(F.lit("1992-01-01"))).alias("valid_yr"),
+    )
+    store = tempfile.mkdtemp(prefix="scd2_inv_store_")
+    write_parquet(base, store, partition_by=("valid_yr",))
+    orders = table(spark, sf_dir, "orders")
+    changes = (
+        orders.where(F.col("o_orderkey") % 11 == 0)
+        .groupBy(F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("ts"))
+        .agg(F.max("o_orderpriority").alias("attr"))
+    )
+    scd2_apply(spark, store, changes, ("k",), "ts")
+    st = spark.read.parquet(store)
+    # tiebreak matters: a zero-length closed version shares valid_from
+    # with its successor — order (valid_from, valid_to NULLS LAST) puts
+    # the closed row first deterministically in BOTH engines
+    w = Window.partitionBy("k").orderBy(
+        F.col("valid_from"), F.col("valid_to").asc_nulls_last()
+    )
+    chk = st.select(
+        "k",
+        "valid_from",
+        "valid_to",
+        "is_current",
+        F.lead("valid_from").over(w).alias("next_vf"),
+    )
+    cur = st.groupBy("k").agg(
+        F.count(F.when(F.col("is_current"), 1)).alias("n_cur")
+    )
+    return (
+        cur.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum(F.when(F.col("n_cur") != 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("multi_current_keys"),
+        )
+        .crossJoin(
+            chk.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_versions"),
+                F.sum(
+                    F.when(F.col("valid_to") < F.col("valid_from"), 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("negative_intervals"),
+                F.sum(
+                    F.when(
+                        F.col("valid_to").isNotNull()
+                        & (F.col("valid_to") != F.col("next_vf")),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("chain_gaps"),
+            )
+        )
+        .select(
+            "n_keys",
+            "n_versions",
+            "multi_current_keys",
+            "negative_intervals",
+            "chain_gaps",
+        )
+    )
