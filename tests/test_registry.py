@@ -43,6 +43,8 @@ _EXECUTING = frozenset(
         "entity_resolution_parts",
         "orders_stream_cdc_apply",
         "dim_stream_scd2_apply",
+        "scd2_merge_roundtrip",
+        "scd2_store_invariants",
         "doc_pagerank_near_dup",
         "immigration_etl_fact",
         "immigration_etl_city_demographics",
