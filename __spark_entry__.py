@@ -32,11 +32,19 @@ FLAGSHIP = "top_nations_by_orders"
 #: (degree-oriented wedge join — hub-skew fix),
 #: `ann_index_maintenance_roundtrip` (policy-driven delta fold wired
 #: in), and the three merge-backed queries (bounded key broadcast +
-#: null-partition rejection in merge_upsert); (c) 27 of the 45 r8 rows
-#: (oldest tranche; the remaining 18 MUST rotate in r14 — they hit the
-#: capacity-derived staleness bound current−(⌈N/50⌉+1) then).
+#: null-partition rejection in merge_upsert); (c) 22 of the 45 r8 rows
+#: (oldest tranche; the remaining 23 MUST rotate across r14/r15 — with
+#: N=251 the capacity-derived staleness bound current−(⌈N/50⌉+1)
+#: reaches r8 at r16). Session 2 added the five remaining TPC-H shapes
+#: (q2/q5/q11/q16/q20 — the full 22-query suite is now covered), which
+#: as new queries displace the last five r8 rows of tranche (c).
 SHOWCASE = [
     # (a) new this round
+    "tpch_q2_min_cost_supplier",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q11_important_part_value",
+    "tpch_q16_supplier_relationship",
+    "tpch_q20_part_promotion_suppliers",
     "dedup_index_build_roundtrip",
     "dedup_index_append_roundtrip",
     "dedup_index_fold_roundtrip",
@@ -84,11 +92,6 @@ SHOWCASE = [
     "corpus_token_packing",
     "benchmark_contamination",
     "quality_filter_funnel",
-    "corpus_stratified_sample",
-    "corpus_weighted_sample",
-    "corpus_curation_pipeline",
-    "corpus_nucleus_sample",
-    "source_temperature_mixture",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round

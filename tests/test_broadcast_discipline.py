@@ -24,6 +24,8 @@ ALLOWED = {
     "n1": "aliased nation copy",
     "n2": "aliased nation copy",
     "region": "5 rows at any SF",
+    "region_nations": "nation⋈region (≤25 rows at any SF)",
+    "nation7": "single-nation filter of the 25-row nation dim",
     # one-row / top-k / per-small-key aggregates
     "top": "top-k output, k fixed",
     "bm_stats": "one-row global BM25 stats aggregate (N, avgdl, per-term df)",

@@ -732,3 +732,338 @@ def tpch_q22_idle_customer_balance(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("numcust"), dsum(F.col("c_acctbal"), "totacctbal"))
         .orderBy("c_nationkey")
     )
+
+
+# --- TPC-H Q5 shape (local supplier volume): revenue from orders
+# where the CUSTOMER's nation equals the lineitem SUPPLIER's nation,
+# one region, one order year. The join graph is cyclic — customer
+# reaches lineitem through orders AND must agree with supplier on
+# nationkey — which Catalyst plans as four equi-joins plus the
+# c_nationkey = s_nationkey residual folded into the supplier join.
+# At 100 TB: the date filter pushes to the orders scan (1 year ≈ 1/7
+# of rows), region⋈nation (25 rows, SF-invariant) broadcasts into
+# supplier BEFORE the big join, so only ~1/5 of suppliers reach the
+# wide lineitem⋈orders exchange; customer/supplier ride AQE.
+@query(
+    "tpch_q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-01-01"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    cust = table(spark, sf_dir, "customer")
+    region_nations = (
+        table(spark, sf_dir, "nation")
+        .join(
+            table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    # nation⋈region is SF-invariant (≤25 rows) → broadcast into
+    # supplier first, pruning suppliers to the region before they meet
+    # the lineitem exchange. The cyclic c_nationkey = s_nationkey
+    # predicate rides the supplier join as an extra equi-condition.
+    supp = table(spark, sf_dir, "supplier").join(
+        F.broadcast(region_nations),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+# --- TPC-H Q2 shape (minimum-cost supplier): for each qualifying
+# part, the region supplier(s) offering the minimum supply cost.
+# The testdata has no partsupp table, so the part↔supplier relation
+# is DERIVED from lineitem: ps_supplycost = MIN(l_extendedprice /
+# l_quantity) per (partkey, suppkey) — double division, IEEE-identical
+# in both engines, and MIN is exact (no accumulation) so the
+# min-equality join-back compares bit-identical doubles. Plan shape:
+# the very selective part filter (5 of 50 sizes × 1 of 6 types)
+# semi-join-prunes lineitem BEFORE the supplycost aggregation — the
+# correlated min is over region suppliers only, so filtering PARTS
+# early cannot change any surviving part's min. The per-part min is a
+# WINDOW min over the partkey partition (one shuffle; the oracle's
+# groupBy+join-back form would execute the eu subtree twice unless
+# ReuseExchange fires). nation⋈region broadcasts; part/supplier ride
+# AQE. At 100 TB the big shuffles are (partkey,suppkey) agg then
+# partkey window — both on pruned input.
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH partsupp AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               MIN(l_extendedprice / l_quantity) AS ps_supplycost
+        FROM lineitem GROUP BY 1, 2
+    ), eu AS (
+        SELECT ps_partkey, ps_supplycost, s_acctbal, s_name, n_name
+        FROM partsupp
+        JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ), best AS (
+        SELECT ps_partkey, MIN(ps_supplycost) AS min_cost FROM eu GROUP BY 1
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+    FROM eu
+    JOIN best ON eu.ps_partkey = best.ps_partkey AND ps_supplycost = min_cost
+    JOIN part ON p_partkey = eu.ps_partkey
+    WHERE p_size IN (5, 15, 25, 35, 45) AND p_type = 'LARGE'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    from pyspark.sql import Window
+
+    part_f = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_size").isin(5, 15, 25, 35, 45) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey", "p_type")
+    )
+    li = table(spark, sf_dir, "lineitem").join(
+        part_f.select("p_partkey"),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost")
+    )
+    region_nations = (
+        table(spark, sf_dir, "nation")
+        .join(
+            table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    region_supp = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(region_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eu = ps.join(region_supp, ps.l_suppkey == region_supp.s_suppkey)
+    w = Window.partitionBy("l_partkey")
+    return (
+        eu.withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .where(F.col("ps_supplycost") == F.col("min_cost"))
+        .join(part_f, F.col("l_partkey") == part_f.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "ps_supplycost"
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --- TPC-H Q11 shape (important stock): per-part value restricted to
+# one nation's suppliers, keeping parts whose value exceeds a fixed
+# fraction of the nation total — an aggregate HAVING'd against a
+# scalar subquery over ITSELF. No partsupp: value = Σ l_extendedprice
+# over the nation's lineitems per part. Scale discipline: the global
+# total is re-aggregated from the SMALL per-part result (|parts| rows,
+# never a second lineitem scan) and broadcast as one row; the
+# threshold compare stays in exact decimal (value_dec × 1000 >
+# total_dec — integer×decimal, no rounding) so the boundary is decided
+# identically in both engines; only the OUTPUT casts to double.
+@query(
+    "tpch_q11_important_part_value",
+    oracle="""
+    WITH val AS (
+        SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS value_dec
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+        GROUP BY l_partkey
+    ), tot AS (
+        SELECT SUM(value_dec) AS total_dec FROM val
+    )
+    SELECT l_partkey, CAST(CAST(value_dec AS VARCHAR) AS DOUBLE) AS part_value
+    FROM val, tot
+    WHERE value_dec * 1000 > total_dec
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def tpch_q11_important_part_value(spark, sf_dir):
+    nation7 = table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    nation7_supp = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation7), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = table(spark, sf_dir, "lineitem").join(
+        nation7_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+    )
+    # val feeds BOTH tot and the threshold join — without a checkpoint
+    # the shared aggregate subtree executes twice (two lineitem scans;
+    # ReuseExchange does not fire across different downstream subtrees).
+    # The checkpointed result is SMALL (|parts| rows) — the documented
+    # eager-decision contract for shared intermediates.
+    val = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(28,10)")).alias("value_dec"))
+        .localCheckpoint(eager=False)
+    )
+    tot = val.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        val.join(F.broadcast(tot))
+        .where(F.col("value_dec") * 1000 > F.col("total_dec"))
+        .select(
+            "l_partkey", F.col("value_dec").cast("double").alias("part_value")
+        )
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+# --- TPC-H Q16 shape (parts/supplier relationship): distinct-supplier
+# counts per (brand, type, size) for qualifying parts, excluding
+# "complaint" suppliers via NOT IN. The part↔supplier relation derives
+# from lineitem (no partsupp); the complaint predicate substitutes
+# s_acctbal < 0 for the spec's comment LIKE (no s_comment column).
+# Plan: the selective part filter joins lineitem FIRST (≈11% of
+# parts survive: 7/50 sizes × 24/25 brands × 5/6 types), the
+# complaint anti-join runs on the pruned rows, distinct-pairs collapse
+# before the final group-agg. brand/type/size are functionally
+# dependent on partkey, so the 5-column distinct equals distinct
+# (partkey, suppkey) pairs. COUNT(DISTINCT) is the exact form — the
+# group space is bounded (brands × types × sizes), so the two-phase
+# distinct aggregate holds at 100 TB.
+@query(
+    "tpch_q16_supplier_relationship",
+    oracle="""
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_relationship(spark, sf_dir):
+    part_f = (
+        table(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#5")
+            & (F.col("p_type") != "MEDIUM")
+            & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    complaints = (
+        table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    pairs = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(part_f, F.col("l_partkey") == F.col("p_partkey"))
+        .join(complaints, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+# --- TPC-H Q20 shape (potential part promotion): suppliers in one
+# region who, for some watched part (name prefix), shipped more of it
+# in 1997 than in all other years combined — the spec's availqty >
+# ½·yearly-demand EXISTS rewritten onto the derived part↔supplier
+# relation: qty97 > ½·qty_all per (partkey, suppkey). Both sums are
+# exact decimals from ONE conditional-aggregate pass (no second scan,
+# no self-join); ×2 keeps the threshold compare in exact decimal.
+# The qualifying (part, supplier) set semi-joins supplier, so the
+# output is supplier-sized however many parts qualify. Part-name
+# prefix prunes lineitem before the agg; nation broadcasts.
+@query(
+    "tpch_q20_part_promotion_suppliers",
+    oracle="""
+    WITH pq AS (
+        SELECT l_suppkey,
+               SUM(CAST(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                              AND l_shipdate <  TIMESTAMP '1998-01-01'
+                             THEN l_quantity ELSE 0 END AS DECIMAL(28,10))) AS qty97,
+               SUM(CAST(l_quantity AS DECIMAL(28,10))) AS qty_all
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'small%'
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_regionkey = 3
+      AND s_suppkey IN (SELECT l_suppkey FROM pq WHERE qty97 * 2 > qty_all)
+    ORDER BY s_name
+    """,
+)
+def tpch_q20_part_promotion_suppliers(spark, sf_dir):
+    watched = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    li = table(spark, sf_dir, "lineitem").join(
+        watched, F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    in97 = (F.col("l_shipdate") >= _ts("1997-01-01")) & (
+        F.col("l_shipdate") < _ts("1998-01-01")
+    )
+    pq = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(
+            F.when(in97, F.col("l_quantity")).otherwise(0).cast("decimal(28,10)")
+        ).alias("qty97"),
+        F.sum(F.col("l_quantity").cast("decimal(28,10)")).alias("qty_all"),
+    )
+    surging = (
+        pq.where(F.col("qty97") * 2 > F.col("qty_all")).select("l_suppkey").distinct()
+    )
+    region_nations = table(spark, sf_dir, "nation").where(F.col("n_regionkey") == 3)
+    supp = table(spark, sf_dir, "supplier").join(
+        F.broadcast(region_nations),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        supp.join(surging, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
