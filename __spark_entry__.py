@@ -36,8 +36,10 @@ FLAGSHIP = "top_nations_by_orders"
 #: (oldest tranche; the remaining 23 MUST rotate across r14/r15 — with
 #: N=251 the capacity-derived staleness bound current−(⌈N/50⌉+1)
 #: reaches r8 at r16). Session 2 added the five remaining TPC-H shapes
-#: (q2/q5/q11/q16/q20 — the full 22-query suite is now covered), which
-#: as new queries displace the last five r8 rows of tranche (c).
+#: (q2/q5/q11/q16/q20 — the full 22-query suite is now covered) and the
+#: split-leakage pair (naive-split near-dup audit + cluster-safe split),
+#: which as new queries displace the last seven r8 rows of tranche (c);
+#: tranche (c) now carries 20 of the 45 r8 rows.
 SHOWCASE = [
     # (a) new this round
     "tpch_q2_min_cost_supplier",
@@ -45,6 +47,8 @@ SHOWCASE = [
     "tpch_q11_important_part_value",
     "tpch_q16_supplier_relationship",
     "tpch_q20_part_promotion_suppliers",
+    "corpus_split_leakage_audit",
+    "corpus_split_cluster_safe",
     "dedup_index_build_roundtrip",
     "dedup_index_append_roundtrip",
     "dedup_index_fold_roundtrip",
@@ -90,8 +94,6 @@ SHOWCASE = [
     "events_equi_depth_histogram",
     "asof_purchase_to_click_30m",
     "corpus_token_packing",
-    "benchmark_contamination",
-    "quality_filter_funnel",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round

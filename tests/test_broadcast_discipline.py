@@ -34,6 +34,7 @@ ALLOWED = {
     "n_docs": "one-row count",
     "ty": "one-row bigram-type total (Kneser-Ney continuation denominator)",
     "tot": "one-row total",
+    "xp": "one-row crossing-pair count (cluster-safe split verification)",
     "ns": "one row per source (bounded key)",
     "agg": "one row per event_type (bounded key)",
     "sizes": "one row per cohort week (bounded by time span)",

@@ -46,6 +46,7 @@ _EXECUTING = frozenset(
         "scd2_merge_roundtrip",
         "scd2_store_invariants",
         "doc_pagerank_near_dup",
+        "corpus_split_cluster_safe",
         "immigration_etl_fact",
         "immigration_etl_city_demographics",
     }

@@ -760,3 +760,182 @@ def quality_perceptron_eval(spark, sf_dir):
             / F.count(F.lit(1)).cast("double")
         ).alias("accuracy"),
     )
+
+
+# --- split-leakage: near-dup pairs straddling the naive doc_id split.
+# The classic contamination failure: a hash split by doc_id puts the
+# two halves of a near-duplicate pair in train AND test, so held-out
+# metrics measure memorization. This audit counts, per (split_a,
+# split_b) cell, the MinHash near-dup pairs (the registry's
+# dedup_minhash_lsh semantics, capped buckets) whose endpoints landed
+# in different splits — the off-diagonal cells are the leak.
+from udacity_dend_capstone_immigration_spark.operators.dedup import (  # noqa: E402
+    connected_components,
+    minhash_lsh_dedup_pairs,
+)
+from udacity_dend_capstone_immigration_spark.workload.base import ORACLES  # noqa: E402
+from udacity_dend_capstone_immigration_spark.workload.textops import (  # noqa: E402
+    _MH_BANDS,
+    _MH_BUCKET_CAP,
+    _MH_N,
+)
+
+_SPLIT_CASE = (
+    f"CASE WHEN {_BUCKET} < {_T_HI} THEN 'train' "
+    f"WHEN {_BUCKET} < {_V_HI} THEN 'valid' ELSE 'test' END"
+)
+
+
+@query(
+    "corpus_split_leakage_audit",
+    oracle=f"""
+    WITH pairs AS ({{MINHASH}}),
+    splits AS (
+        SELECT doc_id, {_SPLIT_CASE} AS split FROM documents
+    )
+    SELECT a.split AS split_a, b.split AS split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT p.id_a) AS BIGINT) AS n_docs_a,
+           CAST(COUNT(DISTINCT p.id_b) AS BIGINT) AS n_docs_b
+    FROM pairs p
+    JOIN splits a ON p.id_a = a.doc_id
+    JOIN splits b ON p.id_b = b.doc_id
+    GROUP BY split_a, split_b
+    ORDER BY split_a, split_b
+    """,
+)
+def corpus_split_leakage_audit(spark, sf_dir):
+    """Near-dup leakage across the naive md5(doc_id) 80/10/10 split.
+
+    Scale: the pair set is the capped grouped LSH output (never a
+    self-equi-join); the split assignment is pure map work on the
+    corpus scan. Both pair-side joins are merge-hinted — the pair
+    relation is an explode descendant whose Catalyst estimate is
+    blind, the static-broadcast trap class."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup_pairs(
+        docs,
+        "doc_id",
+        "text",
+        shingle_n=3,
+        num_hashes=_MH_N,
+        bands=_MH_BANDS,
+        threshold=0.5,
+        max_bucket_df=_MH_BUCKET_CAP,
+    ).select("id_a", "id_b")
+    splits = hash_split(docs.select("doc_id"), "doc_id").select("doc_id", "split")
+    a = splits.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    b = splits.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    joined = pairs.hint("merge").join(a, "id_a").join(b, "id_b")
+    return (
+        joined.groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.count_distinct(F.col("id_a")).cast("bigint").alias("n_docs_a"),
+            F.count_distinct(F.col("id_b")).cast("bigint").alias("n_docs_b"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
+# --- the fix: split by near-dup COMPONENT, not by document. Every doc
+# carries its connected-component representative (min doc_id over the
+# MinHash pair graph) and the 80/10/10 hash keys on THAT, so a cluster
+# can never straddle the split. The report carries the global
+# crossing-pair count as a column — zero by construction, and the
+# oracle recomputes it from scratch, so a wrong component or a wrong
+# key silently showing up would fail the value hash, not just a test.
+@query(
+    "corpus_split_cluster_safe",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({{MINHASH}}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach AS (
+        SELECT doc_id AS id, doc_id AS lab FROM documents
+        UNION
+        SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+    assigned AS (
+        SELECT d.doc_id, d.source, c.cluster_id,
+               CASE WHEN CAST(('0x' || substring(md5('split:' ||
+                        CAST(c.cluster_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                        % 65536 < {_T_HI} THEN 'train'
+                    WHEN CAST(('0x' || substring(md5('split:' ||
+                        CAST(c.cluster_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                        % 65536 < {_V_HI} THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+    ),
+    xp AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS crossing_pairs
+        FROM pairs p
+        JOIN assigned a ON p.id_a = a.doc_id
+        JOIN assigned b ON p.id_b = b.doc_id
+        WHERE a.split <> b.split
+    )
+    SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           crossing_pairs
+    FROM assigned, xp
+    GROUP BY split, source, crossing_pairs
+    ORDER BY split, source
+    """,
+)
+def corpus_split_cluster_safe(spark, sf_dir):
+    """Leakage-free train/valid/test split: hash on the near-dup
+    cluster representative. Executes the iterative min-label
+    propagation (the dedup_clusters machinery), so the query is in the
+    registry's executing set; the crossing-pair verification joins the
+    capped pair set back against the assignment (merge-hinted — the
+    estimate-blind class) and broadcasts its ONE-ROW count into the
+    per-(split, source) rollup."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup_pairs(
+        docs,
+        "doc_id",
+        "text",
+        shingle_n=3,
+        num_hashes=_MH_N,
+        bands=_MH_BANDS,
+        threshold=0.5,
+        max_bucket_df=_MH_BUCKET_CAP,
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs, docs.select("doc_id"), id_col="doc_id")
+    assigned = hash_split(comp, "cluster_id").select("doc_id", "cluster_id", "split")
+    a = assigned.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    b = assigned.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    xp = (
+        pairs.hint("merge")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("crossing_pairs"))
+    )
+    enriched = docs.select("doc_id", "source").join(assigned, "doc_id")
+    return (
+        enriched.groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct(F.col("cluster_id")).cast("bigint").alias("n_clusters"),
+        )
+        .join(F.broadcast(xp))
+        .select("split", "source", "n_docs", "n_clusters", "crossing_pairs")
+        .orderBy("split", "source")
+    )
+
+
+# Late-bind the MinHash pair CTE into both oracles (the dedup_clusters
+# template): ORACLES is populated by the @query decorators above, so
+# substitute after registration.
+ORACLES["corpus_split_leakage_audit"] = ORACLES["corpus_split_leakage_audit"].replace(
+    "{MINHASH}", ORACLES["dedup_minhash_lsh"]
+)
+ORACLES["corpus_split_cluster_safe"] = ORACLES["corpus_split_cluster_safe"].replace(
+    "{MINHASH}", ORACLES["dedup_minhash_lsh"]
+)
