@@ -38,8 +38,9 @@ FLAGSHIP = "top_nations_by_orders"
 #: reaches r8 at r16). Session 2 added the five remaining TPC-H shapes
 #: (q2/q5/q11/q16/q20 — the full 22-query suite is now covered) and the
 #: split-leakage pair (naive-split near-dup audit + cluster-safe split),
-#: which as new queries displace the last seven r8 rows of tranche (c);
-#: tranche (c) now carries 20 of the 45 r8 rows.
+#: plus the incremental cluster maintenance query (condensed seeded CC,
+#: append ≡ rebuild). The eight new queries displace the last eight r8
+#: rows of tranche (c), which now carries 19 of the 45 r8 rows.
 SHOWCASE = [
     # (a) new this round
     "tpch_q2_min_cost_supplier",
@@ -49,6 +50,7 @@ SHOWCASE = [
     "tpch_q20_part_promotion_suppliers",
     "corpus_split_leakage_audit",
     "corpus_split_cluster_safe",
+    "dedup_clusters_incremental",
     "dedup_index_build_roundtrip",
     "dedup_index_append_roundtrip",
     "dedup_index_fold_roundtrip",
@@ -73,7 +75,7 @@ SHOWCASE = [
     "merge_upsert_roundtrip",
     "cdc_apply_roundtrip",
     "orders_stream_cdc_apply",
-    # (c) the oldest r8 tranche (27 of 45)
+    # (c) the oldest r8 tranche (19 of 45)
     "doc_tfidf_top_terms",
     "centroid_classifier_confusion",
     "multimodal_frame_sample",
@@ -93,7 +95,6 @@ SHOWCASE = [
     "events_robust_stats",
     "events_equi_depth_histogram",
     "asof_purchase_to_click_30m",
-    "corpus_token_packing",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round

@@ -65,6 +65,10 @@ from udacity_dend_capstone_immigration_spark.workload import QUERIES
 #: dedup_incremental_status_served in (batch classify against the
 #: persisted text-dedup store — the serving path the r13 store tier
 #: exists for); nothing out.
+#: Rotated r13 session 2: tpch_q2_min_cost_supplier in (the derived-
+#: partsupp correlated-minimum — the heaviest of the five shapes that
+#: completed the 22-query TPC-H suite) and tpch_q5_local_supplier_volume
+#: in (the cyclic join graph); nothing out.
 #: Suite totals are NOT comparable across rotations — BASELINE.md
 #: records the discontinuity.
 HEADLINE = [
@@ -74,6 +78,8 @@ HEADLINE = [
     "tpch_q7_nation_trade_volume",
     "tpch_q9_profit_by_nation_year",
     "tpch_q21_waiting_suppliers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q5_local_supplier_volume",
     "doc_fingerprints",
     "dedup_minhash_lsh",
     "dedup_winnowing_overlap",

@@ -47,6 +47,7 @@ _EXECUTING = frozenset(
         "scd2_store_invariants",
         "doc_pagerank_near_dup",
         "corpus_split_cluster_safe",
+        "dedup_clusters_incremental",
         "immigration_etl_fact",
         "immigration_etl_city_demographics",
     }

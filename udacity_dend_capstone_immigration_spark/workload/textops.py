@@ -2180,3 +2180,109 @@ def source_dup_rate_report(spark, sf_dir):
             "dup_rate"
         ),
     )
+
+
+# --- incremental cluster maintenance: a new batch arrives against an
+# already-clustered corpus; merge it WITHOUT re-running propagation
+# over the old graph. The scalable algorithm is condensation: old
+# clusters contract to their representative (min doc_id — already the
+# cluster label), new-batch edges map through that contraction, and
+# min-label propagation runs on the META-graph only (touched clusters
+# + new docs — tiny next to the corpus). Final labels re-expand
+# through the old assignment. Correctness: contraction preserves the
+# min over every merged component, so the result is BIT-IDENTICAL to
+# a full rebuild — which is exactly what the oracle computes (the
+# dedup_clusters recursive CTE over ALL pairs): append ≡ rebuild, the
+# registry's standing train-once/serve-many proof shape.
+@query(
+    "dedup_clusters_incremental",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({{MINHASH}}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach AS (
+        SELECT doc_id AS id, doc_id AS lab FROM documents
+        UNION
+        SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters_incremental(spark, sf_dir):
+    """Seeded/condensed connected components: doc_id % _INC_MOD == 0
+    plays the incoming batch (the dedup_incremental_status convention).
+    Old clusters come from propagation over corpus-only pairs; the
+    meta-graph carries one node per touched old cluster plus the new
+    docs, so the second propagation is O(batch + touched clusters)
+    regardless of corpus size. The full pair set is computed once and
+    lazily checkpointed — its two class-splits (old/old, new-touching)
+    partition it exactly, so incremental ∪ rebuild see identical
+    evidence."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = (
+        minhash_lsh_dedup_pairs(
+            docs,
+            "doc_id",
+            "text",
+            shingle_n=3,
+            num_hashes=_MH_N,
+            bands=_MH_BANDS,
+            threshold=0.5,
+            max_bucket_df=_MH_BUCKET_CAP,
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    new_a = F.col("id_a") % _INC_MOD == 0
+    new_b = F.col("id_b") % _INC_MOD == 0
+    old_pairs = pairs.where(~new_a & ~new_b)
+    new_edges = pairs.where(new_a | new_b)
+    corpus_nodes = docs.where(F.col("doc_id") % _INC_MOD != 0).select("doc_id")
+    old = connected_components(old_pairs, corpus_nodes, id_col="doc_id").select(
+        F.col("doc_id").alias("old_id"), F.col("cluster_id").alias("old_cid")
+    )
+    old = old.localCheckpoint(eager=False)
+    # Contract: corpus endpoints → their old cluster representative;
+    # new-batch endpoints stay themselves. Both maps are left joins on
+    # the (already materialized) old assignment.
+    mapped = (
+        new_edges.join(
+            old.select(F.col("old_id").alias("id_a"), F.col("old_cid").alias("ca")),
+            "id_a",
+            "left",
+        )
+        .join(
+            old.select(F.col("old_id").alias("id_b"), F.col("old_cid").alias("cb")),
+            "id_b",
+            "left",
+        )
+        .select(
+            F.coalesce("ca", F.col("id_a")).alias("id_a"),
+            F.coalesce("cb", F.col("id_b")).alias("id_b"),
+        )
+    )
+    new_nodes = docs.where(F.col("doc_id") % _INC_MOD == 0).select("doc_id")
+    meta_nodes = old.select(F.col("old_cid").alias("doc_id")).distinct().unionByName(
+        new_nodes
+    )
+    meta = connected_components(mapped, meta_nodes, id_col="doc_id").select(
+        F.col("doc_id").alias("meta_id"), F.col("cluster_id").alias("meta_cid")
+    )
+    # Re-expand: corpus docs through old_cid → meta label; new docs
+    # directly. Every meta node exists in `meta`, so inner joins.
+    corpus_final = old.join(
+        meta, old.old_cid == meta.meta_id
+    ).select(F.col("old_id").alias("doc_id"), F.col("meta_cid").alias("cluster_id"))
+    new_final = new_nodes.join(meta, new_nodes.doc_id == meta.meta_id).select(
+        "doc_id", F.col("meta_cid").alias("cluster_id")
+    )
+    return corpus_final.unionByName(new_final)
+
+
+ORACLES["dedup_clusters_incremental"] = ORACLES["dedup_clusters_incremental"].replace(
+    "{MINHASH}", ORACLES["dedup_minhash_lsh"]
+)
