@@ -766,3 +766,72 @@ def prefix_filter_jaccard_pairs(
         F.array_sort(F.collect_set("shingle")).alias("shingles")
     )
     return jaccard_verified_pairs(cand, sets, id_col, threshold, spread=True)
+
+
+def incremental_components(
+    old_assign: DataFrame,
+    new_edges: DataFrame,
+    new_nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Merge a new batch into an existing clustering WITHOUT
+    re-propagating over the old graph — the condensation algorithm:
+
+    1. contract every old cluster to its representative label
+       (``old_assign``: (id_col, cluster_id), labels = component min
+       ids, i.e. exactly what :func:`connected_components` emits);
+    2. map each ``new_edges`` endpoint through the contraction (old
+       nodes → their cluster_id, new nodes stay themselves);
+    3. run min-label propagation on the META-graph — one node per
+       touched old cluster plus the new batch, O(batch + touched
+       clusters) work regardless of corpus size;
+    4. re-expand: old nodes through cluster_id → meta label, new nodes
+       directly.
+
+    Contraction preserves the minimum over every merged component (a
+    cluster's label IS its min member), so the result is bit-identical
+    to re-running :func:`connected_components` on the union graph —
+    including the case where one new document BRIDGES two old clusters
+    (both contract, the meta-propagation takes the smaller label, and
+    every member of BOTH old clusters re-expands to it).
+
+    ``new_edges`` needs (id_a, id_b) and may reference old and new ids
+    in either position; ``new_nodes`` needs ``id_col`` (edge-less new
+    docs become their own singleton cluster).
+    """
+    old = old_assign.select(
+        F.col(id_col).alias("old_id"), F.col("cluster_id").alias("old_cid")
+    )
+    mapped = (
+        new_edges.select("id_a", "id_b")
+        .join(
+            old.select(F.col("old_id").alias("id_a"), F.col("old_cid").alias("ca")),
+            "id_a",
+            "left",
+        )
+        .join(
+            old.select(F.col("old_id").alias("id_b"), F.col("old_cid").alias("cb")),
+            "id_b",
+            "left",
+        )
+        .select(
+            F.coalesce("ca", F.col("id_a")).alias("id_a"),
+            F.coalesce("cb", F.col("id_b")).alias("id_b"),
+        )
+    )
+    meta_nodes = (
+        old.select(F.col("old_cid").alias(id_col))
+        .distinct()
+        .unionByName(new_nodes.select(id_col))
+    )
+    meta = connected_components(
+        mapped, meta_nodes, id_col=id_col, max_iterations=max_iterations
+    ).select(F.col(id_col).alias("meta_id"), F.col("cluster_id").alias("meta_cid"))
+    old_final = old.join(meta, old.old_cid == meta.meta_id).select(
+        F.col("old_id").alias(id_col), F.col("meta_cid").alias("cluster_id")
+    )
+    new_final = new_nodes.select(id_col).join(
+        meta, F.col(id_col) == meta.meta_id
+    ).select(id_col, F.col("meta_cid").alias("cluster_id"))
+    return old_final.unionByName(new_final)

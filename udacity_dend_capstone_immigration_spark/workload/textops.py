@@ -2237,50 +2237,23 @@ def dedup_clusters_incremental(spark, sf_dir):
         .select("id_a", "id_b")
         .localCheckpoint(eager=False)
     )
+    from udacity_dend_capstone_immigration_spark.operators.dedup import (
+        incremental_components,
+    )
+
     new_a = F.col("id_a") % _INC_MOD == 0
     new_b = F.col("id_b") % _INC_MOD == 0
     old_pairs = pairs.where(~new_a & ~new_b)
     new_edges = pairs.where(new_a | new_b)
     corpus_nodes = docs.where(F.col("doc_id") % _INC_MOD != 0).select("doc_id")
-    old = connected_components(old_pairs, corpus_nodes, id_col="doc_id").select(
-        F.col("doc_id").alias("old_id"), F.col("cluster_id").alias("old_cid")
-    )
+    old = connected_components(old_pairs, corpus_nodes, id_col="doc_id")
     old = old.localCheckpoint(eager=False)
-    # Contract: corpus endpoints → their old cluster representative;
-    # new-batch endpoints stay themselves. Both maps are left joins on
-    # the (already materialized) old assignment.
-    mapped = (
-        new_edges.join(
-            old.select(F.col("old_id").alias("id_a"), F.col("old_cid").alias("ca")),
-            "id_a",
-            "left",
-        )
-        .join(
-            old.select(F.col("old_id").alias("id_b"), F.col("old_cid").alias("cb")),
-            "id_b",
-            "left",
-        )
-        .select(
-            F.coalesce("ca", F.col("id_a")).alias("id_a"),
-            F.coalesce("cb", F.col("id_b")).alias("id_b"),
-        )
-    )
     new_nodes = docs.where(F.col("doc_id") % _INC_MOD == 0).select("doc_id")
-    meta_nodes = old.select(F.col("old_cid").alias("doc_id")).distinct().unionByName(
-        new_nodes
-    )
-    meta = connected_components(mapped, meta_nodes, id_col="doc_id").select(
-        F.col("doc_id").alias("meta_id"), F.col("cluster_id").alias("meta_cid")
-    )
-    # Re-expand: corpus docs through old_cid → meta label; new docs
-    # directly. Every meta node exists in `meta`, so inner joins.
-    corpus_final = old.join(
-        meta, old.old_cid == meta.meta_id
-    ).select(F.col("old_id").alias("doc_id"), F.col("meta_cid").alias("cluster_id"))
-    new_final = new_nodes.join(meta, new_nodes.doc_id == meta.meta_id).select(
-        "doc_id", F.col("meta_cid").alias("cluster_id")
-    )
-    return corpus_final.unionByName(new_final)
+    # The condensation itself (contract → meta-propagate → re-expand)
+    # lives in operators/dedup.py:incremental_components; the
+    # old-cluster MERGE case (absent from this corpus at sf0.01) is
+    # unit-pinned in tests/test_dedup_incremental.py.
+    return incremental_components(old, new_edges, new_nodes, id_col="doc_id")
 
 
 ORACLES["dedup_clusters_incremental"] = ORACLES["dedup_clusters_incremental"].replace(
