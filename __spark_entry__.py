@@ -40,7 +40,9 @@ FLAGSHIP = "top_nations_by_orders"
 #: split-leakage pair (naive-split near-dup audit + cluster-safe split),
 #: plus the incremental cluster maintenance query (condensed seeded CC,
 #: append ≡ rebuild). The eight new queries displace the last eight r8
-#: rows of tranche (c), which now carries 19 of the 45 r8 rows.
+#: rows of tranche (c); the CC merge-hint fix (estimate-blind labels)
+#: additionally plan-changes dedup_clusters / dedup_keep_best /
+#: entity_resolution_parts into (b), so tranche (c) carries 16 r8 rows.
 SHOWCASE = [
     # (a) new this round
     "tpch_q2_min_cost_supplier",
@@ -69,13 +71,16 @@ SHOWCASE = [
     "dim_stream_scd2_apply",
     "scd2_store_invariants",
     # (b) plan changed this round
+    "dedup_clusters",
+    "dedup_keep_best",
+    "entity_resolution_parts",
     "documents_stream_dedup_status",
     "dedup_triangle_cohesion",
     "ann_index_maintenance_roundtrip",
     "merge_upsert_roundtrip",
     "cdc_apply_roundtrip",
     "orders_stream_cdc_apply",
-    # (c) the oldest r8 tranche (19 of 45)
+    # (c) the oldest r8 tranche (16 of 45)
     "doc_tfidf_top_terms",
     "centroid_classifier_confusion",
     "multimodal_frame_sample",
@@ -92,9 +97,6 @@ SHOWCASE = [
     "set_ops_bag_semantics",
     "approx_quantile_accuracy",
     "events_salted_type_totals",
-    "events_robust_stats",
-    "events_equi_depth_histogram",
-    "asof_purchase_to_click_30m",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round
@@ -103,6 +105,12 @@ SHOWCASE = [
 #: asserts these sit inside the window so changed behavior always gets
 #: an official row the round it ships. Update per round.
 PLAN_CHANGED = [
+    # session 2: connected_components' return join now merge-hints its
+    # checkpoint-backed label side (estimate-blind static-broadcast fix)
+    # — every CC-backed query's plan changed; values identical.
+    "dedup_clusters",
+    "dedup_keep_best",
+    "entity_resolution_parts",
     "documents_stream_dedup_status",
     "dedup_triangle_cohesion",
     "ann_index_maintenance_roundtrip",

@@ -433,6 +433,15 @@ def test_no_static_broadcast_of_estimate_blind_relations(spark):
         # (local relation → ExistingRDD); the broadcast IS the point —
         # DPP reuses it as the runtime partition filter
         "events_dpp_partitioned_join",
+        # explicit F.broadcast of the one-row nation-total aggregate,
+        # derived from the lazily-checkpointed per-part value frame
+        # (ExistingRDD), hence the hit — one row at any SF
+        "tpch_q11_important_part_value",
+        # explicit F.broadcast of the one-row crossing-pair count (the
+        # cluster-safe split's self-verification); it aggregates the
+        # merge-hinted pair⋈assignment join, whose LSH-pair inputs sit
+        # behind the explode — one row at any SF
+        "corpus_split_cluster_safe",
     }
 
     def suspects(plan: str) -> list[str]:

@@ -447,9 +447,14 @@ def connected_components(
             "exceeds the bound); pass a larger max_iterations"
         )
     clustered = labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+    # localCheckpoint carries the ORIGIN plan's Catalyst estimate across
+    # the boundary, and the label frame descends from explode-built pair
+    # sets — estimate-blind, so the static planner would broadcast a
+    # corpus-sized label table at any actual size. Merge-hint the
+    # checkpoint-backed side (the CLAUDE.md estimate-blind rule).
     return (
         nodes.select(F.col(id_col))
-        .join(clustered, id_col, "left")
+        .join(clustered.hint("merge"), id_col, "left")
         .select(
             id_col,
             F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
@@ -803,15 +808,21 @@ def incremental_components(
     old = old_assign.select(
         F.col(id_col).alias("old_id"), F.col("cluster_id").alias("old_cid")
     )
+    # Every frame here is SF-scaling AND estimate-blind (the old
+    # assignment is checkpoint-backed, the meta labels come out of the
+    # propagation's checkpoints), so the static planner would happily
+    # broadcast a corpus-sized build — merge-hint every join side.
     mapped = (
         new_edges.select("id_a", "id_b")
         .join(
-            old.select(F.col("old_id").alias("id_a"), F.col("old_cid").alias("ca")),
+            old.select(F.col("old_id").alias("id_a"), F.col("old_cid").alias("ca"))
+            .hint("merge"),
             "id_a",
             "left",
         )
         .join(
-            old.select(F.col("old_id").alias("id_b"), F.col("old_cid").alias("cb")),
+            old.select(F.col("old_id").alias("id_b"), F.col("old_cid").alias("cb"))
+            .hint("merge"),
             "id_b",
             "left",
         )
@@ -828,10 +839,10 @@ def incremental_components(
     meta = connected_components(
         mapped, meta_nodes, id_col=id_col, max_iterations=max_iterations
     ).select(F.col(id_col).alias("meta_id"), F.col("cluster_id").alias("meta_cid"))
-    old_final = old.join(meta, old.old_cid == meta.meta_id).select(
+    old_final = old.join(meta.hint("merge"), old.old_cid == meta.meta_id).select(
         F.col("old_id").alias(id_col), F.col("meta_cid").alias("cluster_id")
     )
     new_final = new_nodes.select(id_col).join(
-        meta, F.col(id_col) == meta.meta_id
+        meta.hint("merge"), F.col(id_col) == meta.meta_id
     ).select(id_col, F.col("meta_cid").alias("cluster_id"))
     return old_final.unionByName(new_final)
