@@ -33,8 +33,8 @@ FLAGSHIP = "top_nations_by_orders"
 #: `ann_index_maintenance_roundtrip` (policy-driven delta fold wired
 #: in), and the three merge-backed queries (bounded key broadcast +
 #: null-partition rejection in merge_upsert); (c) 22 of the 45 r8 rows
-#: (oldest tranche; the remaining 23 MUST rotate across r14/r15 — with
-#: N=251 the capacity-derived staleness bound current−(⌈N/50⌉+1)
+#: (oldest tranche; the remaining 29 MUST rotate across r14/r15 — with
+#: N=254 the capacity-derived staleness bound current−(⌈N/50⌉+1)
 #: reaches r8 at r16). Session 2 added the five remaining TPC-H shapes
 #: (q2/q5/q11/q16/q20 — the full 22-query suite is now covered) and the
 #: split-leakage pair (naive-split near-dup audit + cluster-safe split),

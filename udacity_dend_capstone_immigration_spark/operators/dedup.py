@@ -789,10 +789,12 @@ def incremental_components(
     2. map each ``new_edges`` endpoint through the contraction (old
        nodes → their cluster_id, new nodes stay themselves);
     3. run min-label propagation on the META-graph — one node per
-       touched old cluster plus the new batch, O(batch + touched
-       clusters) work regardless of corpus size;
-    4. re-expand: old nodes through cluster_id → meta label, new nodes
-       directly.
+       TOUCHED old cluster (a mapped-edge endpoint) plus the new batch,
+       O(batch + touched clusters) work regardless of corpus size or
+       total cluster count;
+    4. re-expand: old nodes left-join the meta labels through their
+       cluster_id (untouched clusters coalesce back to their own
+       label), new nodes join directly.
 
     Contraction preserves the minimum over every merged component (a
     cluster's label IS its min member), so the result is bit-identical
@@ -831,16 +833,25 @@ def incremental_components(
             F.coalesce("cb", F.col("id_b")).alias("id_b"),
         )
     )
-    meta_nodes = (
-        old.select(F.col("old_cid").alias(id_col))
+    # The meta-graph carries only TOUCHED old clusters (those reached
+    # by a new edge — i.e. the mapped endpoints) plus the new batch:
+    # untouched clusters never enter the propagation and keep their
+    # label through the left-join coalesce below. This is what makes
+    # the stage O(batch + touched clusters), not O(all clusters).
+    touched = (
+        mapped.select(F.col("id_a").alias(id_col))
+        .unionByName(mapped.select(F.col("id_b").alias(id_col)))
         .distinct()
-        .unionByName(new_nodes.select(id_col))
     )
+    meta_nodes = touched.unionByName(new_nodes.select(id_col)).distinct()
     meta = connected_components(
         mapped, meta_nodes, id_col=id_col, max_iterations=max_iterations
     ).select(F.col(id_col).alias("meta_id"), F.col("cluster_id").alias("meta_cid"))
-    old_final = old.join(meta.hint("merge"), old.old_cid == meta.meta_id).select(
-        F.col("old_id").alias(id_col), F.col("meta_cid").alias("cluster_id")
+    old_final = old.join(
+        meta.hint("merge"), old.old_cid == meta.meta_id, "left"
+    ).select(
+        F.col("old_id").alias(id_col),
+        F.coalesce("meta_cid", "old_cid").alias("cluster_id"),
     )
     new_final = new_nodes.select(id_col).join(
         meta.hint("merge"), F.col(id_col) == meta.meta_id

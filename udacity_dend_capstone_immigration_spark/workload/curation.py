@@ -28,12 +28,29 @@ from udacity_dend_capstone_immigration_spark.workload.base import query, sql_dsu
 from udacity_dend_capstone_immigration_spark.workload.textops import NORM, TOKS
 
 #: DuckDB mirror of operators/curation.py:hash_bucket (salt 'split').
-_BUCKET = (
-    "CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)"
-    " % 65536"
-)
+#: Parameterized by key expression — the ONE source of truth for every
+#: split oracle in this module (doc_id-keyed naive splits AND the
+#: cluster_id-keyed leakage-free split), so a salt/bucket/threshold
+#: change cannot silently diverge between them.
+def _bucket_sql(key: str) -> str:
+    return (
+        f"CAST(('0x' || substring(md5('split:' || CAST({key} AS VARCHAR)), 1, 4))"
+        " AS BIGINT) % 65536"
+    )
+
+
 _T_HI = int(0.8 * 65536)
 _V_HI = int(0.9 * 65536)
+
+
+def _split_case_sql(key: str) -> str:
+    return (
+        f"CASE WHEN {_bucket_sql(key)} < {_T_HI} THEN 'train' "
+        f"WHEN {_bucket_sql(key)} < {_V_HI} THEN 'valid' ELSE 'test' END"
+    )
+
+
+_BUCKET = _bucket_sql("doc_id")
 
 
 # --- deterministic hash split: stable under retries/appends (vs randomSplit).
@@ -43,10 +60,7 @@ _V_HI = int(0.9 * 65536)
     SELECT split, source, COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM (
-        SELECT source, n_chars,
-               CASE WHEN {_BUCKET} < {_T_HI} THEN 'train'
-                    WHEN {_BUCKET} < {_V_HI} THEN 'valid'
-                    ELSE 'test' END AS split
+        SELECT source, n_chars, {_split_case_sql("doc_id")} AS split
         FROM documents
     )
     GROUP BY split, source
@@ -780,10 +794,6 @@ from udacity_dend_capstone_immigration_spark.workload.textops import (  # noqa: 
     _MH_N,
 )
 
-_SPLIT_CASE = (
-    f"CASE WHEN {_BUCKET} < {_T_HI} THEN 'train' "
-    f"WHEN {_BUCKET} < {_V_HI} THEN 'valid' ELSE 'test' END"
-)
 
 
 @query(
@@ -791,7 +801,7 @@ _SPLIT_CASE = (
     oracle=f"""
     WITH pairs AS ({{MINHASH}}),
     splits AS (
-        SELECT doc_id, {_SPLIT_CASE} AS split FROM documents
+        SELECT doc_id, {_split_case_sql("doc_id")} AS split FROM documents
     )
     SELECT a.split AS split_a, b.split AS split_b,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
@@ -809,9 +819,10 @@ def corpus_split_leakage_audit(spark, sf_dir):
 
     Scale: the pair set is the capped grouped LSH output (never a
     self-equi-join); the split assignment is pure map work on the
-    corpus scan. Both pair-side joins are merge-hinted — the pair
-    relation is an explode descendant whose Catalyst estimate is
-    blind, the static-broadcast trap class."""
+    corpus scan. EACH pair-side join carries its own merge hint (hints
+    do not propagate through a join) — the pair relation is an explode
+    descendant whose Catalyst estimate is blind, the static-broadcast
+    trap class."""
     docs = table(spark, sf_dir, "documents")
     pairs = minhash_lsh_dedup_pairs(
         docs,
@@ -826,7 +837,7 @@ def corpus_split_leakage_audit(spark, sf_dir):
     splits = hash_split(docs.select("doc_id"), "doc_id").select("doc_id", "split")
     a = splits.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
     b = splits.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
-    joined = pairs.hint("merge").join(a, "id_a").join(b, "id_b")
+    joined = pairs.join(a.hint("merge"), "id_a").join(b.hint("merge"), "id_b")
     return (
         joined.groupBy("split_a", "split_b")
         .agg(
@@ -863,13 +874,7 @@ def corpus_split_leakage_audit(spark, sf_dir):
     comp AS (SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
     assigned AS (
         SELECT d.doc_id, d.source, c.cluster_id,
-               CASE WHEN CAST(('0x' || substring(md5('split:' ||
-                        CAST(c.cluster_id AS VARCHAR)), 1, 4)) AS BIGINT)
-                        % 65536 < {_T_HI} THEN 'train'
-                    WHEN CAST(('0x' || substring(md5('split:' ||
-                        CAST(c.cluster_id AS VARCHAR)), 1, 4)) AS BIGINT)
-                        % 65536 < {_V_HI} THEN 'valid'
-                    ELSE 'test' END AS split
+               {_split_case_sql("c.cluster_id")} AS split
         FROM documents d JOIN comp c ON d.doc_id = c.doc_id
     ),
     xp AS (
@@ -896,24 +901,31 @@ def corpus_split_cluster_safe(spark, sf_dir):
     estimate-blind class) and broadcasts its ONE-ROW count into the
     per-(split, source) rollup."""
     docs = table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_dedup_pairs(
-        docs,
-        "doc_id",
-        "text",
-        shingle_n=3,
-        num_hashes=_MH_N,
-        bands=_MH_BANDS,
-        threshold=0.5,
-        max_bucket_df=_MH_BUCKET_CAP,
-    ).select("id_a", "id_b")
+    # pairs feeds BOTH the component build (materialized eagerly during
+    # construction) and the crossing-pair verification in the final
+    # plan — lazily checkpoint so the LSH pipeline runs once, not twice
+    # (the shared-subtree rule; the incremental twin does the same).
+    pairs = (
+        minhash_lsh_dedup_pairs(
+            docs,
+            "doc_id",
+            "text",
+            shingle_n=3,
+            num_hashes=_MH_N,
+            bands=_MH_BANDS,
+            threshold=0.5,
+            max_bucket_df=_MH_BUCKET_CAP,
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
     comp = connected_components(pairs, docs.select("doc_id"), id_col="doc_id")
     assigned = hash_split(comp, "cluster_id").select("doc_id", "cluster_id", "split")
     a = assigned.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
     b = assigned.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
     xp = (
-        pairs.hint("merge")
-        .join(a, "id_a")
-        .join(b, "id_b")
+        pairs.join(a.hint("merge"), "id_a")
+        .join(b.hint("merge"), "id_b")
         .where(F.col("split_a") != F.col("split_b"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("crossing_pairs"))
     )

@@ -895,9 +895,13 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
 # over the nation's lineitems per part. Scale discipline: the global
 # total is re-aggregated from the SMALL per-part result (|parts| rows,
 # never a second lineitem scan) and broadcast as one row; the
-# threshold compare stays in exact decimal (value_dec × 1000 >
-# total_dec — integer×decimal, no rounding) so the boundary is decided
-# identically in both engines; only the OUTPUT casts to double.
+# threshold compare stays in exact decimal: the group sum types as
+# DECIMAL(38,10) in both engines, and ×1000 at that width would exceed
+# precision 38 (Spark silently HALF_UP-rounds the product to a reduced
+# scale; DuckDB keeps it exact) — so BOTH sides narrow the sum back to
+# DECIMAL(28,10) first (values are orders of magnitude below the 18
+# integer digits that leaves), making ×1000 exact at width 33 and the
+# boundary decided identically; only the OUTPUT casts to double.
 @query(
     "tpch_q11_important_part_value",
     oracle="""
@@ -913,7 +917,7 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
     )
     SELECT l_partkey, CAST(CAST(value_dec AS VARCHAR) AS DOUBLE) AS part_value
     FROM val, tot
-    WHERE value_dec * 1000 > total_dec
+    WHERE CAST(value_dec AS DECIMAL(28,10)) * 1000 > total_dec
     ORDER BY part_value DESC, l_partkey
     """,
 )
@@ -940,7 +944,9 @@ def tpch_q11_important_part_value(spark, sf_dir):
     tot = val.agg(F.sum("value_dec").alias("total_dec"))
     return (
         val.join(F.broadcast(tot))
-        .where(F.col("value_dec") * 1000 > F.col("total_dec"))
+        .where(
+            F.col("value_dec").cast("decimal(28,10)") * 1000 > F.col("total_dec")
+        )
         .select(
             "l_partkey", F.col("value_dec").cast("double").alias("part_value")
         )
@@ -995,8 +1001,9 @@ def tpch_q16_supplier_relationship(spark, sf_dir):
         .join(part_f, F.col("l_partkey") == F.col("p_partkey"))
         .join(complaints, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .select("p_brand", "p_type", "p_size", "l_suppkey")
-        .distinct()
     )
+    # no pre-distinct: count_distinct already dedups in the two-phase
+    # aggregate — a distinct first would pay a second full exchange
     return (
         pairs.groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
@@ -1010,7 +1017,9 @@ def tpch_q16_supplier_relationship(spark, sf_dir):
 # ½·yearly-demand EXISTS rewritten onto the derived part↔supplier
 # relation: qty97 > ½·qty_all per (partkey, suppkey). Both sums are
 # exact decimals from ONE conditional-aggregate pass (no second scan,
-# no self-join); ×2 keeps the threshold compare in exact decimal.
+# no self-join); the ×2 compare narrows the DECIMAL(38,10) sum back
+# to DECIMAL(28,10) first so the product stays inside precision 38 in
+# both engines (same width argument as tpch_q11).
 # The qualifying (part, supplier) set semi-joins supplier, so the
 # output is supplier-sized however many parts qualify. Part-name
 # prefix prunes lineitem before the agg; nation broadcasts.
@@ -1032,7 +1041,8 @@ def tpch_q16_supplier_relationship(spark, sf_dir):
     FROM supplier
     JOIN nation ON s_nationkey = n_nationkey
     WHERE n_regionkey = 3
-      AND s_suppkey IN (SELECT l_suppkey FROM pq WHERE qty97 * 2 > qty_all)
+      AND s_suppkey IN (SELECT l_suppkey FROM pq
+                        WHERE CAST(qty97 AS DECIMAL(28,10)) * 2 > qty_all)
     ORDER BY s_name
     """,
 )
@@ -1055,7 +1065,9 @@ def tpch_q20_part_promotion_suppliers(spark, sf_dir):
         F.sum(F.col("l_quantity").cast("decimal(28,10)")).alias("qty_all"),
     )
     surging = (
-        pq.where(F.col("qty97") * 2 > F.col("qty_all")).select("l_suppkey").distinct()
+        pq.where(F.col("qty97").cast("decimal(28,10)") * 2 > F.col("qty_all"))
+        .select("l_suppkey")
+        .distinct()
     )
     region_nations = table(spark, sf_dir, "nation").where(F.col("n_regionkey") == 3)
     supp = table(spark, sf_dir, "supplier").join(
