@@ -806,6 +806,14 @@ def incremental_components(
     ``new_edges`` needs (id_a, id_b) and may reference old and new ids
     in either position; ``new_nodes`` needs ``id_col`` (edge-less new
     docs become their own singleton cluster).
+
+    Scope: merging only. Edge RETRACTION (e.g. an LSH bucket-df cap
+    crossing under true streaming, which would invalidate previously
+    emitted pairs) cannot be applied incrementally — removing an edge
+    can SPLIT a component, and split is not expressible as label
+    propagation; rebuild the affected components instead. The driver
+    query sidesteps this by partitioning one full-corpus pair set, so
+    its evidence equals the rebuild's exactly.
     """
     old = old_assign.select(
         F.col(id_col).alias("old_id"), F.col("cluster_id").alias("old_cid")
