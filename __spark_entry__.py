@@ -33,7 +33,7 @@ FLAGSHIP = "top_nations_by_orders"
 #: `ann_index_maintenance_roundtrip` (policy-driven delta fold wired
 #: in), and the three merge-backed queries (bounded key broadcast +
 #: null-partition rejection in merge_upsert); (c) 22 of the 45 r8 rows
-#: (oldest tranche; the remaining 29 MUST rotate across r14/r15 — with
+#: (oldest tranche; the remaining 31 MUST rotate across r14/r15 — with
 #: N=254 the capacity-derived staleness bound current−(⌈N/50⌉+1)
 #: reaches r8 at r16). Session 2 added the five remaining TPC-H shapes
 #: (q2/q5/q11/q16/q20 — the full 22-query suite is now covered) and the
@@ -56,6 +56,8 @@ SHOWCASE = [
     "dedup_index_build_roundtrip",
     "dedup_index_append_roundtrip",
     "dedup_index_fold_roundtrip",
+    "dedup_index_delete_roundtrip",
+    "dedup_index_revive_roundtrip",
     "documents_stream_index_append",
     "corpus_examples_packed",
     "corpus_examples_packed_served",
@@ -80,7 +82,7 @@ SHOWCASE = [
     "merge_upsert_roundtrip",
     "cdc_apply_roundtrip",
     "orders_stream_cdc_apply",
-    # (c) the oldest r8 tranche (16 of 45)
+    # (c) the oldest r8 tranche (14 of 45)
     "doc_tfidf_top_terms",
     "centroid_classifier_confusion",
     "multimodal_frame_sample",
@@ -95,8 +97,6 @@ SHOWCASE = [
     "customers_with_orders_semi",
     "orders_above_avg_price",
     "set_ops_bag_semantics",
-    "approx_quantile_accuracy",
-    "events_salted_type_totals",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round
@@ -105,6 +105,15 @@ SHOWCASE = [
 #: asserts these sit inside the window so changed behavior always gets
 #: an official row the round it ships. Update per round.
 PLAN_CHANGED = [
+    # session 2: the text-dedup store's fingerprint relation now carries
+    # cid (per-doc rows — what makes document DELETES exact) and every
+    # read path anti-joins doc tombstones; all store roundtrips and
+    # served twins re-prove under the new layout.
+    "dedup_index_build_roundtrip",
+    "dedup_index_append_roundtrip",
+    "dedup_index_fold_roundtrip",
+    "documents_stream_index_append",
+    "dedup_incremental_status_served",
     # session 2: connected_components' return join now merge-hints its
     # checkpoint-backed label side (estimate-blind static-broadcast fix)
     # — every CC-backed query's plan changed; values identical.

@@ -226,3 +226,111 @@ def test_dedup_maintenance_policy(spark, tmp_path):
         "due": False, "crossing": [], "pending_tombstones": False, "pending": {},
     }
     assert run_dedup_maintenance(spark, d) is False
+
+
+# --- document delete + reverse cap-crossing (revival) lifecycle.
+# Constructed cases the sf0.01 roundtrips can't isolate: a fingerprint
+# SHARED between a deleted and a live doc, the exact revival membership,
+# revive idempotence under a crash re-run, and the fold's physical
+# delete application.
+
+from udacity_dend_capstone_immigration_spark.workload.dedupstore import (  # noqa: E402
+    delete_from_dedup_index,
+    revive_shingles,
+)
+
+# 'a b c' df=4 > cap=3 at build -> postings never stored. Deleting doc 4
+# drops it to df=3 <= cap -> revival due; docs 1-3 are its survivors.
+# Docs 4 and 5 share identical text (same fingerprint); only 4 dies.
+_DEL_CORPUS = [
+    (1, "a b c x1 y1"),
+    (2, "a b c x2 y2"),
+    (3, "a b c x3 y3"),
+    (4, "a b c q q2 q3"),
+    (5, "a b c q q2 q3"),
+]
+
+
+def test_delete_then_revive_equals_rebuild(spark, tmp_path):
+    d = str(tmp_path / "idx")
+    build_dedup_index(spark, _docs(spark, _DEL_CORPUS), d, cap=3)
+    # 'a b c' has df=5 at build -> absent from postings
+    assert all(g != "a b c" for g, _ in _postings(spark, d))
+    live = [r for r in _DEL_CORPUS if r[0] not in (4, 5)]
+    n_due = delete_from_dedup_index(
+        spark, _docs(spark, [r for r in _DEL_CORPUS if r[0] in (4, 5)]), d
+    )
+    assert n_due == 1  # 'a b c': 5 -> 3 <= cap
+    n_rev = revive_shingles(spark, d, _docs(spark, live))
+    assert n_rev == 3  # survivors 1,2,3
+    rebuilt = str(tmp_path / "rebuilt")
+    build_dedup_index(spark, _docs(spark, live), rebuilt, cap=3)
+    assert _postings(spark, d) == _postings(spark, rebuilt)
+    assert not os.path.isdir(f"{d}/revival_due")
+
+
+def test_shared_fingerprint_survives_partial_delete(spark, tmp_path):
+    d = str(tmp_path / "idx")
+    build_dedup_index(spark, _docs(spark, _DEL_CORPUS), d, cap=3)
+    # delete doc 4 only; doc 5 has the identical text -> fp must survive
+    delete_from_dedup_index(spark, _docs(spark, [_DEL_CORPUS[3]]), d)
+    fps = {r["fp"] for r in read_dedup_fingerprints(spark, d).collect()}
+    from udacity_dend_capstone_immigration_spark.functions.text import doc_fingerprint
+
+    shared = (
+        _docs(spark, [_DEL_CORPUS[4]])
+        .select(doc_fingerprint("text").alias("fp"))
+        .collect()[0]["fp"]
+    )
+    assert shared in fps
+    # but the doc itself is gone from sizes
+    assert 4 not in {
+        r["doc_id"] for r in read_dedup_doc_sizes(spark, d).collect()
+    }
+
+
+def test_revive_rerun_is_idempotent(spark, tmp_path):
+    d = str(tmp_path / "idx")
+    build_dedup_index(spark, _docs(spark, _DEL_CORPUS), d, cap=3)
+    live = [r for r in _DEL_CORPUS if r[0] not in (4, 5)]
+    delete_from_dedup_index(
+        spark, _docs(spark, [r for r in _DEL_CORPUS if r[0] in (4, 5)]), d
+    )
+    revive_shingles(spark, d, _docs(spark, live))
+    before = _postings(spark, d)
+    # simulate a crash re-run: re-record the due set and revive again
+    import shutil as _sh
+
+    _docs(spark, live).sparkSession.createDataFrame(
+        [("a b c",)], "g string"
+    ).write.mode("overwrite").parquet(f"{d}/revival_due")
+    revive_shingles(spark, d, _docs(spark, live))
+    assert _postings(spark, d) == before  # no duplicated postings
+
+
+def test_fold_applies_deletes_physically(spark, tmp_path):
+    d = str(tmp_path / "idx")
+    build_dedup_index(spark, _docs(spark, _DEL_CORPUS), d, cap=3)
+    live = [r for r in _DEL_CORPUS if r[0] not in (4, 5)]
+    delete_from_dedup_index(
+        spark, _docs(spark, [r for r in _DEL_CORPUS if r[0] in (4, 5)]), d
+    )
+    revive_shingles(spark, d, _docs(spark, live))
+    fold_dedup_index(spark, d)
+    assert not os.path.isdir(f"{d}/deleted_docs")
+    # raw relations equal the live rebuild (no logical anti-joins left)
+    rebuilt = str(tmp_path / "rebuilt")
+    build_dedup_index(spark, _docs(spark, live), rebuilt, cap=3)
+    raw = {
+        (r["g"], r["cid"])
+        for r in spark.read.parquet(f"{d}/shingle_index").collect()
+    }
+    assert raw == _postings(spark, rebuilt)
+    raw_sizes = {
+        r["doc_id"] for r in spark.read.parquet(f"{d}/doc_sizes").collect()
+    }
+    assert raw_sizes == {1, 2, 3}
+    raw_fp_cids = {
+        r["cid"] for r in spark.read.parquet(f"{d}/fingerprints").collect()
+    }
+    assert raw_fp_cids == {1, 2, 3}

@@ -36,6 +36,8 @@ _EXECUTING = frozenset(
         "dedup_index_build_roundtrip",
         "dedup_index_append_roundtrip",
         "dedup_index_fold_roundtrip",
+        "dedup_index_delete_roundtrip",
+        "dedup_index_revive_roundtrip",
         "documents_stream_index_append",
         "dedup_clusters",
         "dedup_keep_best",

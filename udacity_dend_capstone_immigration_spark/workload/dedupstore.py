@@ -15,12 +15,24 @@ Store layout (all plain parquet, same lifecycle as the IVF stores):
     shingle_df/g_pt=<b>/      (g, df)       per-shingle df (UNcapped —
                                             the append probe must see
                                             over-cap shingles too)
-    fingerprints/fp_pt=<b>/   (fp)          distinct md5(norm) set
+    fingerprints/fp_pt=<b>/   (fp, cid)     per-doc md5(norm) rows (set
+                                            consumers .distinct(); the
+                                            cid makes doc DELETES exact)
     doc_sizes/                (doc_id, n)   per-doc shingle counts
     dropped_shingles/         (g)           tombstones: shingles whose
                                             df CROSSED the cap via an
                                             append (their main rows
                                             are dead until the fold)
+    deleted_docs/             (cid)         doc tombstones (right-to-be-
+                                            forgotten); reads anti-join,
+                                            fold applies physically
+    revival_due/              (g)           shingles whose df fell BACK
+                                            under the cap via a delete —
+                                            their survivors' postings
+                                            were never stored; re-indexed
+                                            from the live corpus by
+                                            revive_shingles at
+                                            maintenance cadence
     meta/                     (k, cap, n_buckets)
 
 Partition key: ``g_pt = int(md5(g)[:4], 16) % n_buckets`` — md5 so the
@@ -127,9 +139,12 @@ def build_dedup_index(
         .withColumn("g_pt", _bucket(F.col("g"), n_buckets))
     )
     write_table(idx, f"{out_dir}/shingle_index", partition_by=["g_pt"])
+    # per-doc (fp, cid) rows, NOT a distinct set: consumers are
+    # semi-join sides (duplicates harmless; set consumers .distinct())
+    # and the cid is what makes a document DELETE exact — a shared
+    # fingerprint survives while any live doc still carries it.
     fp = (
-        docs.select(doc_fingerprint("text").alias("fp"))
-        .distinct()
+        docs.select(doc_fingerprint("text").alias("fp"), F.col("doc_id").alias("cid"))
         .withColumn("fp_pt", _hex_bucket(F.col("fp"), n_buckets))
     )
     write_table(fp, f"{out_dir}/fingerprints", partition_by=["fp_pt"])
@@ -179,8 +194,9 @@ def append_to_dedup_index(
         mode="append",
     )
     fp_b = (
-        new_docs.select(doc_fingerprint("text").alias("fp"))
-        .distinct()
+        new_docs.select(
+            doc_fingerprint("text").alias("fp"), F.col("doc_id").alias("cid")
+        )
         .withColumn("fp_pt", _hex_bucket(F.col("fp"), n_buckets))
     )
     write_table(
@@ -232,6 +248,143 @@ def _batch_decisions(
         (total > cap) & (F.col("df_m") >= 1) & (F.col("df_m") <= cap)
     ).select("g")
     return gb, new_rows, cross
+
+
+def delete_from_dedup_index(
+    spark: SparkSession, deleted_docs: DataFrame, index_dir: str
+) -> int:
+    """Right-to-be-forgotten: remove documents from the index in
+    O(deleted batch) — the text twin of `delete_from_ivf_index`.
+
+    ``deleted_docs`` must be the (doc_id, text) rows of currently-LIVE
+    indexed docs (the text is required to retract the docs' shingle
+    contributions from the UNcapped df statistics — deleting a doc the
+    store never indexed would corrupt them).
+
+    Writes, in crash-ordered sequence:
+
+    1. NEGATIVE (g, -df) rows into ``shingle_df`` for the deleted
+       docs' shingles — the stats stay sum-exact, so later appends'
+       cap decisions equal a rebuild's;
+    2. ``revival_due/`` rows for every shingle whose df falls from
+       over-cap BACK to (0, cap] — its surviving docs' postings were
+       never stored (capped out at build) or are tombstoned, and only
+       a corpus pass can restore them (:func:`revive_shingles`, at
+       maintenance cadence — the same "deletes don't retrain" scope
+       the ANN store draws);
+    3. ``deleted_docs/`` cid tombstones LAST — serve reads flip to the
+       post-delete view atomically with this write; a crash before it
+       leaves stats conservative (df overcounted → a shingle might cap
+       earlier than a rebuild would) but never serves deleted docs.
+
+    Returns the number of revival-due shingles recorded."""
+    k, cap, n_buckets = _read_meta(spark, index_dir)
+    e_d = shingle_rows(deleted_docs, "doc_id", "text", k).withColumnRenamed(
+        "shingle", "g"
+    )
+    gd = (
+        e_d.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df_d"))
+        .withColumn("g_pt", _bucket(F.col("g"), n_buckets))
+        .localCheckpoint(eager=True)
+    )
+    touched = sorted({r["g_pt"] for r in gd.select("g_pt").distinct().collect()})
+    stats = (
+        _union_delta(spark, index_dir, "shingle_df", ["g", "df", "g_pt"])
+        .where(F.col("g_pt").isin(touched))
+        .groupBy("g")
+        .agg(F.sum("df").alias("df_m"))
+    )
+    joined = gd.join(stats.hint("merge"), "g", "left").localCheckpoint(eager=True)
+    after = F.coalesce("df_m", F.lit(0)) - F.col("df_d")
+    due = joined.where(
+        (F.coalesce("df_m", F.lit(0)) > cap) & (after > 0) & (after <= cap)
+    ).select("g")
+    n_due = due.count()
+    write_table(
+        gd.select("g", (-F.col("df_d")).alias("df"), "g_pt"),
+        f"{index_dir}/shingle_df",
+        partition_by=["g_pt"],
+        mode="append",
+    )
+    if n_due:
+        write_table(due, f"{index_dir}/revival_due", mode="append")
+    write_table(
+        deleted_docs.select(F.col("doc_id").alias("cid")),
+        f"{index_dir}/deleted_docs",
+        mode="append",
+    )
+    return int(n_due)
+
+
+def revive_shingles(
+    spark: SparkSession, index_dir: str, corpus_docs: DataFrame
+) -> int:
+    """Maintenance pass for the reverse cap-crossing: re-index, from
+    the live corpus, every shingle a delete dropped back under the cap
+    (their survivors' postings were never stored). ``corpus_docs`` is
+    the (doc_id, text) LIVE corpus — one tokenize scan restricted to
+    the due shingles, O(corpus) at maintenance cadence like the fold.
+
+    Idempotent under crash re-runs: existing postings for due shingles
+    are physically rewritten away BEFORE the re-indexed rows append,
+    so a re-run lands the identical end state instead of duplicating.
+    Clears the revived shingles from ``dropped_shingles`` (a tombstone
+    would otherwise keep the revived rows dead) and removes
+    ``revival_due``. Returns the number of postings re-indexed."""
+    due_dir = f"{index_dir}/revival_due"
+    if not os.path.isdir(due_dir):
+        return 0
+    k, cap, n_buckets = _read_meta(spark, index_dir)
+    due = spark.read.parquet(due_dir).select("g").distinct().localCheckpoint()
+    # 1. drop any existing (tombstoned/stale) postings for due shingles
+    idx_cols = ["g", "cid", "g_pt"]
+    idx = _union_delta(spark, index_dir, "shingle_index", idx_cols)
+    _swap_in(
+        idx.join(due, "g", "left_anti"),
+        f"{index_dir}/shingle_index",
+        partition_by=["g_pt"],
+    )
+    droot = f"{index_dir}/shingle_index_delta"
+    if _has_batches(droot):
+        shutil.rmtree(droot)
+    # 2. re-index the due shingles from the live corpus
+    e = shingle_rows(corpus_docs, "doc_id", "text", k).withColumnRenamed(
+        "shingle", "g"
+    )
+    gone = _dead_docs(spark, index_dir)
+    if gone is not None:
+        e = e.join(
+            gone.select(F.col("cid").alias("doc_id")), "doc_id", "left_anti"
+        )
+    revived = (
+        e.join(due, "g")
+        .select("g", F.col("doc_id").alias("cid"))
+        .withColumn("g_pt", _bucket(F.col("g"), n_buckets))
+        .localCheckpoint(eager=True)
+    )
+    n = revived.count()
+    write_table(
+        revived, f"{index_dir}/shingle_index", partition_by=["g_pt"], mode="append"
+    )
+    # 3. revived shingles are live again — clear their tombstones
+    dead_dir = f"{index_dir}/dropped_shingles"
+    if os.path.isdir(dead_dir):
+        kept = spark.read.parquet(dead_dir).select("g").join(due, "g", "left_anti")
+        if kept.limit(1).count():
+            _swap_in(kept, dead_dir)
+        else:
+            shutil.rmtree(dead_dir)
+    ddelta = f"{index_dir}/dropped_shingles_delta"
+    if _has_batches(ddelta):
+        kept_d = (
+            spark.read.parquet(ddelta).select("g").join(due, "g", "left_anti")
+        )
+        if kept_d.limit(1).count():
+            write_table(kept_d, f"{index_dir}/dropped_shingles", mode="append")
+        shutil.rmtree(ddelta)
+    shutil.rmtree(due_dir)
+    return int(n)
 
 
 def stream_append_to_dedup_index(
@@ -288,8 +441,9 @@ def stream_append_to_dedup_index(
             .parquet(f"{index_dir}/shingle_df_delta/batch_pt={bpt}")
         )
         fp_b = (
-            df.select(doc_fingerprint("text").alias("fp"))
-            .distinct()
+            df.select(
+                doc_fingerprint("text").alias("fp"), F.col("doc_id").alias("cid")
+            )
             .withColumn("fp_pt", _hex_bucket(F.col("fp"), n_buckets))
         )
         (
@@ -363,6 +517,16 @@ def _dead_shingles(spark: SparkSession, index_dir: str):
     return dead
 
 
+def _dead_docs(spark: SparkSession, index_dir: str):
+    """Document tombstones (right-to-be-forgotten deletes); None when
+    no delete has landed — the same serve-plan no-op contract as
+    `_dead_shingles`."""
+    d = f"{index_dir}/deleted_docs"
+    if not os.path.isdir(d):
+        return None
+    return spark.read.parquet(d).select("cid")
+
+
 def read_dedup_shingle_index(
     spark: SparkSession, index_dir: str, with_bucket: bool = False
 ) -> DataFrame:
@@ -378,20 +542,36 @@ def read_dedup_shingle_index(
     dead = _dead_shingles(spark, index_dir)
     if dead is not None:
         idx = idx.join(dead, "g", "left_anti")
+    gone = _dead_docs(spark, index_dir)
+    if gone is not None:
+        idx = idx.join(gone, "cid", "left_anti")
     return idx
 
 
 def read_dedup_fingerprints(spark: SparkSession, index_dir: str) -> DataFrame:
-    """(fp, fp_pt), main ∪ streamed delta. May contain cross-batch
-    duplicates until a fold — callers use it as a semi-join side, where
-    duplicates are harmless; set-shaped consumers must ``.distinct()``."""
-    return _union_delta(spark, index_dir, "fingerprints", ["fp", "fp_pt"])
+    """(fp, fp_pt), main ∪ streamed delta, deleted docs' rows anti-
+    joined out. Stored per-doc (one row per live doc), so it may
+    contain duplicates — callers use it as a semi-join side, where
+    duplicates are harmless; set-shaped consumers must ``.distinct()``.
+    A fingerprint SHARED by a deleted and a live doc correctly
+    survives: only the deleted doc's row dies."""
+    fp = _union_delta(spark, index_dir, "fingerprints", ["fp", "cid", "fp_pt"])
+    gone = _dead_docs(spark, index_dir)
+    if gone is not None:
+        fp = fp.join(gone, "cid", "left_anti")
+    return fp.select("fp", "fp_pt")
 
 
 def read_dedup_doc_sizes(spark: SparkSession, index_dir: str) -> DataFrame:
-    """(doc_id, n) distinct-shingle counts for every indexed doc
-    (main ∪ streamed delta)."""
-    return _union_delta(spark, index_dir, "doc_sizes", ["doc_id", "n"])
+    """(doc_id, n) distinct-shingle counts for every LIVE indexed doc
+    (main ∪ streamed delta, deleted docs anti-joined out)."""
+    sz = _union_delta(spark, index_dir, "doc_sizes", ["doc_id", "n"])
+    gone = _dead_docs(spark, index_dir)
+    if gone is not None:
+        sz = sz.join(
+            gone.select(F.col("cid").alias("doc_id")), "doc_id", "left_anti"
+        )
+    return sz
 
 
 def _swap_in(df: DataFrame, path: str, partition_by=None) -> None:
@@ -444,18 +624,38 @@ def fold_dedup_index(spark: SparkSession, index_dir: str) -> None:
         shutil.rmtree(ddelta)
     idx = read_dedup_shingle_index(spark, index_dir, with_bucket=True)
     _swap_in(idx, f"{index_dir}/shingle_index", partition_by=["g_pt"])
+    # negative delete-retraction rows sum away here; a shingle whose
+    # live df reached 0 drops its stats row entirely (rebuild parity)
     stats = (
         spark.read.parquet(f"{index_dir}/shingle_df")
         .groupBy("g", "g_pt")
         .agg(F.sum("df").cast("long").alias("df"))
+        .where(F.col("df") != 0)
         .select("g", "df", "g_pt")
     )
     _swap_in(stats, f"{index_dir}/shingle_df", partition_by=["g_pt"])
-    fp = spark.read.parquet(f"{index_dir}/fingerprints").distinct()
-    _swap_in(fp, f"{index_dir}/fingerprints", partition_by=["fp_pt"])
+    gone = _dead_docs(spark, index_dir)
+    fp = spark.read.parquet(f"{index_dir}/fingerprints").select(
+        "fp", "cid", "fp_pt"
+    )
+    if gone is not None:
+        fp = fp.join(gone, "cid", "left_anti")
+    _swap_in(fp.distinct(), f"{index_dir}/fingerprints", partition_by=["fp_pt"])
+    if gone is not None:
+        sizes = spark.read.parquet(f"{index_dir}/doc_sizes").select("doc_id", "n")
+        sizes = sizes.join(
+            gone.select(F.col("cid").alias("doc_id")), "doc_id", "left_anti"
+        )
+        _swap_in(sizes, f"{index_dir}/doc_sizes")
     dead_dir = f"{index_dir}/dropped_shingles"
     if os.path.isdir(dead_dir):
         shutil.rmtree(dead_dir)
+    # doc tombstones are applied physically above; pending revival_due
+    # (if any) still needs revive_shingles + the live corpus — fold
+    # cannot resolve it (no texts in the store)
+    gone_dir = f"{index_dir}/deleted_docs"
+    if os.path.isdir(gone_dir):
+        shutil.rmtree(gone_dir)
 
 
 # --- served-store cache (same contract as vectors.served_index_dir):
@@ -490,7 +690,10 @@ def served_dedup_index_dir(spark: SparkSession, sf_dir: str) -> str:
 _H8 = "CAST(('0x' || substring({x}, 1, 8)) AS BIGINT)"
 
 
-def _agg_oracle(cap: int, corpus_pred: str, extra_cols: str = "") -> str:
+def _agg_oracle(
+    cap: int, corpus_pred: str, extra_cols: str = "", fp_per_doc: bool = False
+) -> str:
+    fp_distinct = "" if fp_per_doc else "DISTINCT "
     return f"""
     WITH sh AS ({SHINGLES}),
     e AS (SELECT doc_id, unnest(shingles) AS g FROM sh WHERE {corpus_pred}),
@@ -503,7 +706,7 @@ def _agg_oracle(cap: int, corpus_pred: str, extra_cols: str = "") -> str:
                   CAST(SUM({_H8.format(x='md5(g)')}) AS BIGINT) AS idx_gsum,
                   CAST(SUM(cid) AS BIGINT) AS idx_cidsum
            FROM idx GROUP BY 1),
-    fps AS (SELECT DISTINCT md5({NORM}) AS fp FROM documents WHERE {corpus_pred}),
+    fps AS (SELECT {fp_distinct}md5({NORM}) AS fp FROM documents WHERE {corpus_pred}),
     fa AS (SELECT CAST(CAST(('0x' || substring(fp, 1, 4)) AS BIGINT)
                        % {N_SHINGLE_BUCKETS} AS INT) AS part,
                   CAST(COUNT(*) AS BIGINT) AS fp_rows,
@@ -758,13 +961,15 @@ _register_served_status()
         _APPEND_CAP,
         _CORPUS_PRED,
         extra_cols=", CAST(0 AS INT) AS pending_tombstones",
+        fp_per_doc=True,
     ),
 )
 def dedup_index_fold_roundtrip(spark, sf_dir):
     """Append then FOLD, and aggregate the raw store with NO logical
     tombstone application and NO fingerprint distinct — same oracle as
-    the append roundtrip, so the compare proves the fold applied every
-    tombstone physically and collapsed the fingerprint duplicates; the
+    the append roundtrip (fp side per-LIVE-doc, the post-delete-tier
+    layout), so the compare proves the fold applied every tombstone
+    physically and left exactly one (fp, cid) row per live doc; the
     pending_tombstones column pins that the tombstone table itself was
     cleared (plan no-op restored for serves)."""
     docs = table(spark, sf_dir, "documents").where(
@@ -781,6 +986,81 @@ def dedup_index_fold_roundtrip(spark, sf_dir):
     pending = 1 if os.path.isdir(f"{out}/dropped_shingles") else 0
     return _index_aggregate(spark, out, distinct_fp=False).withColumn(
         "pending_tombstones", F.lit(pending).cast("int")
+    )
+
+
+_SURVIVOR_PRED = f"{_CORPUS_PRED} AND doc_id % 5 != 1"
+
+
+@query(
+    "dedup_index_delete_roundtrip",
+    oracle=_agg_oracle(
+        _NGRAM_SHINGLE_CAP,
+        _SURVIVOR_PRED,
+        extra_cols=", CAST(0 AS INT) AS pending_revivals",
+    ),
+)
+def dedup_index_delete_roundtrip(spark, sf_dir):
+    """Right-to-be-forgotten roundtrip: build the store on the corpus,
+    DELETE one doc in five, aggregate the serving view. The oracle is
+    the FULL-REBUILD aggregation over the SURVIVORS — the hash compare
+    proves postings, per-doc fingerprints (a fingerprint shared with a
+    live doc survives; one held only by deleted docs disappears) and
+    doc sizes all equal a store that never saw the deleted docs. At the
+    production cap no shingle df exceeds the cap on this corpus, so no
+    reverse crossing is possible — pending_revivals pins that the
+    delete recorded none (the revival path has its own roundtrip)."""
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % _INC_MOD != 0
+    )
+    out = build_dedup_index(
+        spark, docs, tempfile.mkdtemp(prefix="dedupidx_delete_")
+    )
+    delete_from_dedup_index(
+        spark, docs.where(F.col("doc_id") % 5 == 1).select("doc_id", "text"), out
+    )
+    pending = 1 if os.path.isdir(f"{out}/revival_due") else 0
+    return _index_aggregate(spark, out).withColumn(
+        "pending_revivals", F.lit(pending).cast("int")
+    )
+
+
+@query(
+    "dedup_index_revive_roundtrip",
+    oracle=_agg_oracle(
+        _APPEND_CAP,
+        _SURVIVOR_PRED,
+        extra_cols=", CAST(0 AS INT) AS pending_revivals",
+    ),
+)
+def dedup_index_revive_roundtrip(spark, sf_dir):
+    """The REVERSE cap-crossing closed: at the tight roundtrip cap the
+    corpus has shingles over the cap (postings never stored), and
+    deleting one doc in five drops some of them back inside it — their
+    SURVIVORS' postings exist nowhere in the store and only a corpus
+    pass can restore them. delete records them in revival_due;
+    revive_shingles re-indexes exactly those shingles from the live
+    corpus (idempotent under crash re-runs). Oracle = full rebuild on
+    the survivors at the same cap, so the hash compare proves
+    delete + revive ≡ rebuild INCLUDING the revived postings — the
+    mirror image of the append roundtrip's forward-crossing proof."""
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % _INC_MOD != 0
+    )
+    out = build_dedup_index(
+        spark,
+        docs,
+        tempfile.mkdtemp(prefix="dedupidx_revive_"),
+        cap=_APPEND_CAP,
+    )
+    live = docs.where(F.col("doc_id") % 5 != 1)
+    delete_from_dedup_index(
+        spark, docs.where(F.col("doc_id") % 5 == 1).select("doc_id", "text"), out
+    )
+    revive_shingles(spark, out, live.select("doc_id", "text"))
+    pending = 1 if os.path.isdir(f"{out}/revival_due") else 0
+    return _index_aggregate(spark, out).withColumn(
+        "pending_revivals", F.lit(pending).cast("int")
     )
 
 
