@@ -86,3 +86,57 @@ def test_new_label_can_become_the_representative(spark):
     )
     assert got == {0: 0, 5: 0, 6: 0}
     assert got == _rebuild(spark, [(5, 6), (0, 6)], [5, 6, 0])
+
+
+# --- delete-side (delete_from_components): splits and relabels the
+# propagation-based paths cannot express.
+
+from udacity_dend_capstone_immigration_spark.operators.dedup import (  # noqa: E402
+    delete_from_components,
+)
+
+
+def test_deleting_cut_vertex_splits_cluster(spark):
+    # path 1-2-3: deleting the middle doc splits {1,2,3} into {1},{3}
+    edges = [(1, 2), (2, 3), (5, 6)]
+    ids = [1, 2, 3, 5, 6]
+    assign = connected_components(_edges(spark, edges), _ids(spark, ids), id_col="doc_id")
+    got = _assign(
+        delete_from_components(assign, _edges(spark, edges), _ids(spark, [2]), id_col="doc_id")
+    )
+    assert got == {1: 1, 3: 3, 5: 5, 6: 5}
+    assert got == _rebuild(spark, [(5, 6)], [1, 3, 5, 6])
+
+
+def test_deleting_representative_relabels_survivors(spark):
+    # 1 is the min label of {1,2,3}; deleting it relabels to 2
+    edges = [(1, 2), (2, 3), (1, 3)]
+    assign = connected_components(_edges(spark, edges), _ids(spark, [1, 2, 3]), id_col="doc_id")
+    got = _assign(
+        delete_from_components(assign, _edges(spark, edges), _ids(spark, [1]), id_col="doc_id")
+    )
+    assert got == {2: 2, 3: 2}
+    assert got == _rebuild(spark, [(2, 3)], [2, 3])
+
+
+def test_untouched_clusters_pass_through_delete(spark):
+    # deleting a singleton leaves other clusters' rows untouched
+    edges = [(1, 2)]
+    ids = [1, 2, 9]
+    assign = connected_components(_edges(spark, edges), _ids(spark, ids), id_col="doc_id")
+    got = _assign(
+        delete_from_components(assign, _edges(spark, edges), _ids(spark, [9]), id_col="doc_id")
+    )
+    assert got == {1: 1, 2: 1}
+    assert got == _rebuild(spark, edges, [1, 2])
+
+
+def test_delete_whole_cluster_leaves_no_orphans(spark):
+    edges = [(1, 2), (5, 6)]
+    ids = [1, 2, 5, 6]
+    assign = connected_components(_edges(spark, edges), _ids(spark, ids), id_col="doc_id")
+    got = _assign(
+        delete_from_components(assign, _edges(spark, edges), _ids(spark, [1, 2]), id_col="doc_id")
+    )
+    assert got == {5: 5, 6: 5}
+    assert got == _rebuild(spark, [(5, 6)], [5, 6])

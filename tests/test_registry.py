@@ -50,6 +50,7 @@ _EXECUTING = frozenset(
         "doc_pagerank_near_dup",
         "corpus_split_cluster_safe",
         "dedup_clusters_incremental",
+        "dedup_clusters_delete",
         "immigration_etl_fact",
         "immigration_etl_city_demographics",
     }

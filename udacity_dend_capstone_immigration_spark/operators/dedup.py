@@ -865,3 +865,60 @@ def incremental_components(
         meta.hint("merge"), F.col(id_col) == meta.meta_id
     ).select(id_col, F.col("meta_cid").alias("cluster_id"))
     return old_final.unionByName(new_final)
+
+
+def delete_from_components(
+    assign: DataFrame,
+    edges: DataFrame,
+    deleted: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Remove nodes from an existing clustering, handling SPLITS — the
+    delete-side complement of :func:`incremental_components`.
+
+    Deleting a node is edge retraction: a removed cut vertex splits
+    its component, which label propagation cannot express — but a
+    localized REBUILD can, because vertex deletion only ever affects
+    the deleted nodes' own components. So: (1) the affected clusters
+    are the deleted nodes' clusters (one semi-join on the assignment);
+    (2) their LIVE members re-cluster from scratch on the
+    survivor-restricted edge subgraph — O(affected clusters), not
+    O(corpus), since components are edge-closed by construction;
+    (3) every other assignment row passes through untouched. A deleted
+    representative relabels its survivors to the new min id; a deleted
+    cut vertex yields one cluster per surviving piece.
+
+    ``assign``: (id_col, cluster_id) — the stored clustering;
+    ``edges``: (id_a, id_b) — the pair evidence the clustering was
+    built from (the component "store" keeps it for exactly this);
+    ``deleted``: (id_col). All three are SF-scaling and typically
+    checkpoint/explode-descended (estimate-blind) — every join below
+    carries a merge hint."""
+    dels = deleted.select(id_col)
+    affected = (
+        assign.join(dels.hint("merge"), id_col)
+        .select("cluster_id")
+        .distinct()
+    )
+    aff_members = assign.join(affected.hint("merge"), "cluster_id")
+    live_aff = aff_members.join(dels.hint("merge"), id_col, "left_anti").select(
+        id_col
+    )
+    untouched = assign.join(affected.hint("merge"), "cluster_id", "left_anti")
+    live_edges = (
+        edges.select("id_a", "id_b")
+        .join(dels.select(F.col(id_col).alias("id_a")).hint("merge"), "id_a", "left_anti")
+        .join(dels.select(F.col(id_col).alias("id_b")).hint("merge"), "id_b", "left_anti")
+    )
+    # components are edge-closed, so restricting by ONE endpoint's
+    # membership keeps exactly the affected clusters' surviving edges
+    aff_edges = live_edges.join(
+        live_aff.select(F.col(id_col).alias("id_a")).hint("merge"),
+        "id_a",
+        "left_semi",
+    )
+    re = connected_components(
+        aff_edges, live_aff, id_col=id_col, max_iterations=max_iterations
+    )
+    return untouched.select(id_col, "cluster_id").unionByName(re)

@@ -2259,3 +2259,70 @@ def dedup_clusters_incremental(spark, sf_dir):
 ORACLES["dedup_clusters_incremental"] = ORACLES["dedup_clusters_incremental"].replace(
     "{MINHASH}", ORACLES["dedup_minhash_lsh"]
 )
+
+
+# --- cluster-store delete: the edge-retraction case the incremental
+# docstring names as the no-go for label propagation, closed the way
+# it prescribes — a LOCALIZED rebuild. Deleting docs only affects
+# their own components (edge-closure), so the live members of touched
+# clusters re-cluster on the survivor-restricted subgraph (O(affected),
+# not O(corpus)) while every other assignment passes through; a
+# deleted cut vertex SPLITS its cluster, a deleted representative
+# relabels survivors to the new min. Oracle: full CC rebuild over the
+# pair set restricted to surviving endpoints — delete ≡ rebuild.
+@query(
+    "dedup_clusters_delete",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({{MINHASH}}),
+    live_pairs AS (
+        SELECT id_a, id_b FROM pairs WHERE id_a % 9 != 4 AND id_b % 9 != 4
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM live_pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM live_pairs
+    ),
+    reach AS (
+        SELECT doc_id AS id, doc_id AS lab FROM documents WHERE doc_id % 9 != 4
+        UNION
+        SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters_delete(spark, sf_dir):
+    """doc_id % 9 == 4 plays the right-to-be-forgotten batch. The
+    stored clustering and its pair evidence build once (lazy-
+    checkpointed pair set — assignment and delete path see identical
+    evidence); `delete_from_components` then removes the batch with
+    split handling. Constructed split/relabel cases are unit-pinned in
+    tests/test_dedup_incremental.py (the sf0.01 graph may not contain
+    a cut vertex)."""
+    from udacity_dend_capstone_immigration_spark.operators.dedup import (
+        delete_from_components,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = (
+        minhash_lsh_dedup_pairs(
+            docs,
+            "doc_id",
+            "text",
+            shingle_n=3,
+            num_hashes=_MH_N,
+            bands=_MH_BANDS,
+            threshold=0.5,
+            max_bucket_df=_MH_BUCKET_CAP,
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    assign = connected_components(pairs, docs.select("doc_id"), id_col="doc_id")
+    deleted = docs.where(F.col("doc_id") % 9 == 4).select("doc_id")
+    return delete_from_components(assign, pairs, deleted, id_col="doc_id")
+
+
+ORACLES["dedup_clusters_delete"] = ORACLES["dedup_clusters_delete"].replace(
+    "{MINHASH}", ORACLES["dedup_minhash_lsh"]
+)
