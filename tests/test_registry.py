@@ -51,6 +51,8 @@ _EXECUTING = frozenset(
         "corpus_split_cluster_safe",
         "dedup_clusters_incremental",
         "dedup_clusters_delete",
+        "cluster_store_build_roundtrip",
+        "cluster_store_delete_served",
         "immigration_etl_fact",
         "immigration_etl_city_demographics",
     }

@@ -2326,3 +2326,215 @@ def dedup_clusters_delete(spark, sf_dir):
 ORACLES["dedup_clusters_delete"] = ORACLES["dedup_clusters_delete"].replace(
     "{MINHASH}", ORACLES["dedup_minhash_lsh"]
 )
+
+
+# --- the cluster tier persisted (assignments + their pair evidence),
+# completing the store trilogy: text-dedup index, ANN index, and now
+# the clustering itself. The edges are PART of the store because they
+# are what make document deletes exact (delete_from_components needs
+# the survivor subgraph) — an assignment-only store could never split
+# a cluster. Both relations partition by an md5 bucket of cluster_id,
+# so maintenance on a touched cluster prunes to its partitions.
+N_CLUSTER_BUCKETS = 32
+
+
+def _cluster_bucket(col):
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast("bigint")
+        % N_CLUSTER_BUCKETS
+    ).cast("int")
+
+
+def build_cluster_store(spark, assign, edges, out_dir: str) -> str:
+    """Persist a clustering: assignments (doc_id, cluster_id) and the
+    component-tagged edge evidence, both partitioned by the md5 bucket
+    of cluster_id. Edges carry their component's id (closed by
+    construction: both endpoints share it), so a delete's localized
+    rebuild reads ONLY the touched clusters' partitions."""
+    from udacity_dend_capstone_immigration_spark.sources.writers import write_table
+
+    a = assign.select("doc_id", "cluster_id").withColumn(
+        "c_pt", _cluster_bucket(F.col("cluster_id"))
+    )
+    write_table(a, f"{out_dir}/assignments", partition_by=["c_pt"])
+    tagged = (
+        edges.select("id_a", "id_b")
+        .join(
+            assign.select(
+                F.col("doc_id").alias("id_a"), F.col("cluster_id")
+            ).hint("merge"),
+            "id_a",
+        )
+        .withColumn("c_pt", _cluster_bucket(F.col("cluster_id")))
+    )
+    write_table(tagged, f"{out_dir}/edges", partition_by=["c_pt"])
+    return out_dir
+
+
+_H8C = "CAST(('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+_CPT = (
+    "CAST(CAST(('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 4)) AS BIGINT)"
+    f" % {N_CLUSTER_BUCKETS} AS INT)"
+)
+
+
+@query(
+    "cluster_store_build_roundtrip",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({{MINHASH}}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach AS (
+        SELECT doc_id AS id, doc_id AS lab FROM documents
+        UNION
+        SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+    aa AS (
+        SELECT {_CPT} AS part, CAST(COUNT(*) AS BIGINT) AS a_rows,
+               CAST(SUM(doc_id) AS BIGINT) AS a_docsum,
+               CAST(SUM({_H8C}) AS BIGINT) AS a_csum
+        FROM comp GROUP BY 1
+    ),
+    te AS (
+        SELECT p.id_a, p.id_b, c.cluster_id FROM pairs p
+        JOIN comp c ON p.id_a = c.doc_id
+    ),
+    ea AS (
+        SELECT {_CPT} AS part, CAST(COUNT(*) AS BIGINT) AS e_rows,
+               CAST(SUM(id_a + id_b) AS BIGINT) AS e_absum
+        FROM te GROUP BY 1
+    )
+    SELECT part, a_rows, a_docsum, a_csum,
+           COALESCE(e_rows, 0) AS e_rows, COALESCE(e_absum, 0) AS e_absum
+    FROM aa LEFT JOIN ea USING (part)
+    ORDER BY part
+    """,
+)
+def cluster_store_build_roundtrip(spark, sf_dir):
+    """Persist the corpus clustering (assignments + component-tagged
+    edges) into a fresh store and aggregate every read-back relation
+    per PERSISTED bucket — the standing layout proof: a row in the
+    wrong cluster partition fails the hash compare, not just a wrong
+    value. The oracle recomputes components, tags, buckets and
+    checksums from the pair CTE."""
+    import tempfile
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = (
+        minhash_lsh_dedup_pairs(
+            docs,
+            "doc_id",
+            "text",
+            shingle_n=3,
+            num_hashes=_MH_N,
+            bands=_MH_BANDS,
+            threshold=0.5,
+            max_bucket_df=_MH_BUCKET_CAP,
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    assign = connected_components(pairs, docs.select("doc_id"), id_col="doc_id")
+    out = build_cluster_store(
+        spark, assign, pairs, tempfile.mkdtemp(prefix="cluster_store_")
+    )
+    a = spark.read.parquet(f"{out}/assignments")
+    aa = a.groupBy(F.col("c_pt").cast("int").alias("part")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("a_rows"),
+        F.sum("doc_id").cast("bigint").alias("a_docsum"),
+        F.sum(
+            F.conv(
+                F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 8), 16, 10
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("a_csum"),
+    )
+    e = spark.read.parquet(f"{out}/edges")
+    ea = e.groupBy(F.col("c_pt").cast("int").alias("part")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("e_rows"),
+        F.sum(F.col("id_a") + F.col("id_b")).cast("bigint").alias("e_absum"),
+    )
+    return (
+        aa.join(ea, "part", "left")
+        .fillna({"e_rows": 0, "e_absum": 0})
+        .orderBy("part")
+    )
+
+
+@query(
+    "cluster_store_delete_served",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({{MINHASH}}),
+    live_pairs AS (
+        SELECT id_a, id_b FROM pairs WHERE id_a % 9 != 4 AND id_b % 9 != 4
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM live_pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM live_pairs
+    ),
+    reach AS (
+        SELECT doc_id AS id, doc_id AS lab FROM documents WHERE doc_id % 9 != 4
+        UNION
+        SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def cluster_store_delete_served(spark, sf_dir):
+    """The serving win the persisted edges buy: a right-to-be-forgotten
+    delete WITHOUT re-running any pair generation. Build the store
+    once, then the delete path operates purely on read-back parquet —
+    assignments locate the touched clusters, their stored edges feed
+    the localized rebuild (splits handled), untouched clusters pass
+    through. Same survivor-restricted full-rebuild oracle as the
+    in-engine twin (`dedup_clusters_delete`), so the hash proves the
+    store roundtrip loses nothing the delete needs."""
+    import tempfile
+
+    from udacity_dend_capstone_immigration_spark.operators.dedup import (
+        delete_from_components,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = (
+        minhash_lsh_dedup_pairs(
+            docs,
+            "doc_id",
+            "text",
+            shingle_n=3,
+            num_hashes=_MH_N,
+            bands=_MH_BANDS,
+            threshold=0.5,
+            max_bucket_df=_MH_BUCKET_CAP,
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    assign = connected_components(pairs, docs.select("doc_id"), id_col="doc_id")
+    out = build_cluster_store(
+        spark, assign, pairs, tempfile.mkdtemp(prefix="cluster_store_del_")
+    )
+    stored_assign = spark.read.parquet(f"{out}/assignments").select(
+        "doc_id", "cluster_id"
+    )
+    stored_edges = spark.read.parquet(f"{out}/edges").select("id_a", "id_b")
+    deleted = docs.where(F.col("doc_id") % 9 == 4).select("doc_id")
+    return delete_from_components(
+        stored_assign, stored_edges, deleted, id_col="doc_id"
+    )
+
+
+ORACLES["cluster_store_build_roundtrip"] = ORACLES[
+    "cluster_store_build_roundtrip"
+].replace("{MINHASH}", ORACLES["dedup_minhash_lsh"])
+ORACLES["cluster_store_delete_served"] = ORACLES[
+    "cluster_store_delete_served"
+].replace("{MINHASH}", ORACLES["dedup_minhash_lsh"])
