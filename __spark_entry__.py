@@ -33,8 +33,8 @@ FLAGSHIP = "top_nations_by_orders"
 #: `ann_index_maintenance_roundtrip` (policy-driven delta fold wired
 #: in), and the three merge-backed queries (bounded key broadcast +
 #: null-partition rejection in merge_upsert); (c) 22 of the 45 r8 rows
-#: (oldest tranche; the remaining 34 MUST rotate across r14/r15 — with
-#: N=259 the capacity-derived staleness bound current−(⌈N/50⌉+1)
+#: (oldest tranche; the remaining 35 MUST rotate across r14/r15 — with
+#: N=260 the capacity-derived staleness bound current−(⌈N/50⌉+1)
 #: reaches r8 at r16). Session 2 added the five remaining TPC-H shapes
 #: (q2/q5/q11/q16/q20 — the full 22-query suite is now covered) and the
 #: split-leakage pair (naive-split near-dup audit + cluster-safe split),
@@ -56,6 +56,7 @@ SHOWCASE = [
     "dedup_clusters_delete",
     "cluster_store_build_roundtrip",
     "cluster_store_delete_served",
+    "cluster_store_append_served",
     "dedup_index_build_roundtrip",
     "dedup_index_append_roundtrip",
     "dedup_index_fold_roundtrip",
@@ -85,7 +86,7 @@ SHOWCASE = [
     "merge_upsert_roundtrip",
     "cdc_apply_roundtrip",
     "orders_stream_cdc_apply",
-    # (c) the oldest r8 tranche (11 of 45)
+    # (c) the oldest r8 tranche (10 of 45)
     "doc_tfidf_top_terms",
     "centroid_classifier_confusion",
     "multimodal_frame_sample",
@@ -96,7 +97,6 @@ SHOWCASE = [
     "set_ops_customer_keys",
     "range_join_event_counts",
     "cube_order_summary",
-    "grouping_sets_revenue",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round

@@ -53,6 +53,7 @@ _EXECUTING = frozenset(
         "dedup_clusters_delete",
         "cluster_store_build_roundtrip",
         "cluster_store_delete_served",
+        "cluster_store_append_served",
         "immigration_etl_fact",
         "immigration_etl_city_demographics",
     }
