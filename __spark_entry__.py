@@ -45,6 +45,12 @@ FLAGSHIP = "top_nations_by_orders"
 #: entity_resolution_parts into (b), so tranche (c) carries 16 r8 rows.
 SHOWCASE = [
     # (a) new this round
+    # session 3: the lifecycle/feature tier — CDF-style snapshot diff
+    # over the WAP store, k-anonymity/l-diversity privacy audit, and
+    # leakage-free point-in-time feature assembly
+    "publish_version_diff",
+    "events_k_anonymity_audit",
+    "events_pit_feature_assembly",
     "tpch_q2_min_cost_supplier",
     "tpch_q5_local_supplier_volume",
     "tpch_q11_important_part_value",
@@ -86,7 +92,7 @@ SHOWCASE = [
     "merge_upsert_roundtrip",
     "cdc_apply_roundtrip",
     "orders_stream_cdc_apply",
-    # (c) the oldest r8 tranche (10 of 45)
+    # (c) the oldest r8 tranche (7 of 45; session 3 displaced three)
     "doc_tfidf_top_terms",
     "centroid_classifier_confusion",
     "multimodal_frame_sample",
@@ -94,9 +100,6 @@ SHOWCASE = [
     "asof_purchase_to_click",
     "lineitem_rollup",
     "value_percentiles_by_type",
-    "set_ops_customer_keys",
-    "range_join_event_counts",
-    "cube_order_summary",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round

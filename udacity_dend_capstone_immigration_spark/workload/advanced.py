@@ -1074,3 +1074,64 @@ def events_approx_top_k_users(spark, sf_dir):
         "kth_cnt",
         (F.col("has_10") & (F.col("all_heavy") == 1)).alias("sketch_is_valid_topk"),
     )
+
+
+# --- k-anonymity / l-diversity audit (privacy compliance gate for
+# training-data release): bucket every row by its quasi-identifier
+# tuple (event_type, hour-of-day, value band), then report — per event
+# type — how many QI groups exist, the smallest group, how many groups
+# fall under k=5 (re-identifiable cohorts), how many rows sit in them,
+# and how many groups fail l-diversity (< 2 distinct users — the
+# group's sensitive attribute is fully determined). Two hash
+# aggregates, both map-side combinable; the group space is the QI
+# domain (type × 24 h × value bands), corpus-size-free, so the audit
+# is one linear scan at any SF. The value band uses floor(value/50) —
+# double division then floor is the same IEEE op in both engines
+# (exact-integer `%` bucketing is for bigints; value is a double).
+@query(
+    "events_k_anonymity_audit",
+    oracle="""
+    WITH qi AS (
+        SELECT event_type,
+               EXTRACT(hour FROM ts) AS hod,
+               FLOOR(value / 50.0e0) AS band,
+               COUNT(*) AS group_size,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY event_type, EXTRACT(hour FROM ts), FLOOR(value / 50.0e0)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(group_size) AS BIGINT) AS min_group_size,
+           CAST(SUM(CASE WHEN group_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS small_groups,
+           CAST(SUM(CASE WHEN group_size < 5 THEN group_size ELSE 0 END)
+               AS BIGINT) AS rows_at_risk,
+           CAST(SUM(CASE WHEN n_users < 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS low_diversity_groups
+    FROM qi GROUP BY event_type
+    """,
+)
+def events_k_anonymity_audit(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    qi = ev.groupBy(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        F.floor(F.col("value") / F.lit(50.0)).alias("band"),
+    ).agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    return qi.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("group_size").cast("bigint").alias("min_group_size"),
+        F.sum(F.when(F.col("group_size") < 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("small_groups"),
+        F.sum(F.when(F.col("group_size") < 5, F.col("group_size")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        F.sum(F.when(F.col("n_users") < 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("low_diversity_groups"),
+    )

@@ -1796,3 +1796,125 @@ def scd2_store_invariants(spark, sf_dir):
             "chain_gaps",
         )
     )
+
+
+# --- snapshot version diff (change-data-feed shape): classify every
+# row that changed between the previous and current published versions
+# of the WAP store as insert / update / delete, with per-class value
+# checksums. Delta's CDF / Iceberg's changelog scan done over the
+# retention window: both snapshots come back off the STORE (never the
+# in-memory frames — the diff proves what readers would see), full-outer
+# joined on the key. Neither side broadcasts — both scale with SF — so
+# the plan is the key-partitioned SMJ a 100 TB snapshot diff wants (at
+# that scale both snapshots bucket by the key and the exchange
+# disappears entirely; unchanged rows die in the join's own filter, so
+# nothing downstream carries them). The oracle recomputes both days'
+# states from `orders`, proving the store roundtrip AND the
+# classification (insert = key absent before, delete = absent after,
+# update = any column IS DISTINCT FROM its predecessor) value-exact.
+@query(
+    "publish_version_diff",
+    oracle=f"""
+    WITH prev AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DOUBLE) AS p, o_orderpriority
+        FROM orders
+    ),
+    cur AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 3 THEN p + 100.0e0 ELSE p END AS p,
+               CASE WHEN o_orderkey % 14 = 3 THEN '1-URGENT'
+                    ELSE o_orderpriority END AS o_orderpriority
+        FROM prev WHERE o_orderkey % 11 != 4
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'N', 42.0e0, '5-LOW'
+        FROM prev WHERE o_orderkey % 97 = 0
+    ),
+    diff AS (
+        SELECT COALESCE(n.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
+               CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                    WHEN n.o_orderkey IS NULL THEN 'delete'
+                    ELSE 'update' END AS change_type,
+               o.p AS old_p, n.p AS new_p
+        FROM prev o FULL OUTER JOIN cur n ON o.o_orderkey = n.o_orderkey
+        WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+           OR n.p IS DISTINCT FROM o.p
+           OR n.o_orderstatus IS DISTINCT FROM o.o_orderstatus
+           OR n.o_orderpriority IS DISTINCT FROM o.o_orderpriority
+    )
+    SELECT change_type, o_orderstatus, COUNT(*) AS n_rows,
+           {sql_dsum("old_p", "old_total")}, {sql_dsum("new_p", "new_total")}
+    FROM diff GROUP BY change_type, o_orderstatus
+    """,
+)
+def publish_version_diff(spark, sf_dir):
+    import tempfile
+
+    from udacity_dend_capstone_immigration_spark.sources.publish import (
+        publish_table,
+        read_published,
+    )
+
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    day2 = (
+        base.where(F.col("o_orderkey") % 11 != 4)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % 7 == 3, F.col("o_totalprice") + F.lit(100.0)
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            F.when(F.col("o_orderkey") % 14 == 3, F.lit("1-URGENT"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("o_orderpriority"),
+        )
+        .unionByName(
+            base.where(F.col("o_orderkey") % 97 == 0).select(
+                (F.col("o_orderkey") + F.lit(10000000)).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.lit(42.0).alias("o_totalprice"),
+                F.lit("5-LOW").alias("o_orderpriority"),
+            )
+        )
+    )
+    root = tempfile.mkdtemp(prefix="versiondiff_")
+    publish_table(base, root)
+    publish_table(day2, root)
+
+    prev = read_published(spark, root, version=-1).alias("o")
+    cur = read_published(spark, root).alias("n")
+    op, np_ = F.col("o.o_totalprice"), F.col("n.o_totalprice")
+    changed = (
+        ~np_.eqNullSafe(op)
+        | ~F.col("n.o_orderstatus").eqNullSafe(F.col("o.o_orderstatus"))
+        | ~F.col("n.o_orderpriority").eqNullSafe(F.col("o.o_orderpriority"))
+    )
+    diff = (
+        prev.join(cur, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+        .where(
+            F.col("o.o_orderkey").isNull() | F.col("n.o_orderkey").isNull() | changed
+        )
+        .select(
+            F.coalesce(F.col("n.o_orderstatus"), F.col("o.o_orderstatus")).alias(
+                "o_orderstatus"
+            ),
+            F.when(F.col("o.o_orderkey").isNull(), F.lit("insert"))
+            .when(F.col("n.o_orderkey").isNull(), F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("change_type"),
+            op.alias("old_p"),
+            np_.alias("new_p"),
+        )
+    )
+    return diff.groupBy("change_type", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("old_p"), "old_total"),
+        dsum(F.col("new_p"), "new_total"),
+    )

@@ -526,3 +526,74 @@ def events_ohlc_bars(spark, sf_dir):
         F.max_by("value", "ok").alias("close"),
         F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
     )
+
+
+# --- point-in-time feature assembly (the feature-store correctness
+# op): for every 'purchase' row (the label event), training features
+# computed from the user's history STRICTLY BEFORE the label timestamp
+# — prior click/view counts, prior value mass, and recency — so the
+# assembled training set can never leak the label row or anything after
+# it. All four features ride ONE (user_id)-keyed window pass: the
+# conditional counts and the decimal value sum share a cumulative
+# unbounded-preceding-to-1-preceding frame (linear per partition — the
+# O(rows × frame) re-scoring trap is bounded-RANGE frames, not
+# cumulative ones), and recency is a lag over the same sort. Filtering
+# to the label rows happens AFTER the window, so the features see the
+# full history; nothing downstream of the single exchange shuffles
+# again. Recency is an exact microsecond bigint (unix_micros both
+# sides — second-granularity diffs truncate vs DuckDB's boundary
+# counting on fractional-second data).
+@query(
+    "events_pit_feature_assembly",
+    oracle="""
+    WITH feats AS (
+        SELECT event_id, user_id, ts, event_type,
+               CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+                    OVER w AS BIGINT) AS n_clicks_before,
+               CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+                    OVER w AS BIGINT) AS n_views_before,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) OVER w
+                    AS VARCHAR) AS DOUBLE) AS vsum,
+               lag(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, ts, n_clicks_before, n_views_before,
+           COALESCE(vsum, 0.0e0) AS value_sum_before,
+           epoch_us(ts) - epoch_us(prev_ts) AS micros_since_prev
+    FROM feats WHERE event_type = 'purchase'
+    """,
+)
+def events_pit_feature_assembly(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wl = Window.partitionBy("user_id").orderBy(*order)
+    feats = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .over(w)
+        .cast("bigint")
+        .alias("n_clicks_before"),
+        F.count(F.when(F.col("event_type") == "view", 1))
+        .over(w)
+        .cast("bigint")
+        .alias("n_views_before"),
+        F.coalesce(
+            F.sum(F.col("value").cast("decimal(28,10)")).over(w).cast("double"),
+            F.lit(0.0),
+        ).alias("value_sum_before"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(wl))).alias(
+            "micros_since_prev"
+        ),
+    )
+    return feats.where(F.col("event_type") == "purchase").drop("event_type")
