@@ -64,6 +64,8 @@ ALLOWED = {
     "cuts": "one row per source (exact per-source quantile cutoffs)",
     "epochs": "2-row literal epoch frame",
     "kth": "one-row exact k-th-count aggregate (top-k boundary)",
+    "cand_rel": "retrieval candidates — |queries| × top-k rows (query set "
+    "MAX_BROADCAST_QUERY_ROWS-gated upstream, k fixed)",
     # counted-at-runtime bounds
     "keys": "merge key set — COUNTED ≤ MAX_BROADCAST_MERGE_KEYS (2M) "
     "before broadcasting; larger batches fall back to a merge-hinted "

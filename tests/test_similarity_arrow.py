@@ -388,3 +388,52 @@ def test_grouped_diverse_reps_match_components_pick(spark):
     }
     assert got == expected
     assert len(got) == len(set(comp.values()))
+
+
+def test_mmr_select_diversity_beats_plain_topk(spark):
+    """Constructed case where MMR must diverge from relevance order:
+    candidates 2 and 3 are near-clones of the top pick (sim ~1), so
+    after picking id 1 the penalty pushes the orthogonal id 4 ahead of
+    them; plain top-k would return 1,2,3. Also pins the tie rule
+    (equal score -> smaller id) and the step-score arithmetic."""
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        mmr_select_grouped,
+    )
+
+    # unit vectors in 4-d: 1,2,3 identical direction; 4 orthogonal
+    rows = [
+        (7, 1, 0.99, [1.0, 0.0, 0.0, 0.0]),
+        (7, 2, 0.98, [1.0, 0.0, 0.0, 0.0]),
+        (7, 3, 0.97, [1.0, 0.0, 0.0, 0.0]),
+        (7, 4, 0.60, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, rel double, embedding array<double>"
+    )
+    got = {
+        r["sel_rank"]: (r["vec_id"], r["mmr_score"])
+        for r in mmr_select_grouped(df, k=3).collect()
+    }
+    assert got[1] == (1, 0.99)
+    # step 2: clones score 0.7*rel - 0.3*1.0 = .386/.379; id 4 scores
+    # 0.7*0.6 - 0.3*0.0 = 0.42 and leapfrogs them
+    assert got[2][0] == 4 and abs(got[2][1] - 0.42) < 1e-12
+    # step 3: id 4 gone; clones penalized by maxsim=1.0, id 2 first
+    assert got[3][0] == 2 and abs(got[3][1] - (0.7 * 0.98 - 0.3)) < 1e-12
+
+
+def test_mmr_select_tiebreak_smaller_id(spark):
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        mmr_select_grouped,
+    )
+
+    rows = [
+        (1, 9, 0.9, [1.0, 0.0]),
+        (1, 5, 0.9, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, rel double, embedding array<double>"
+    )
+    out = mmr_select_grouped(df, k=2).collect()
+    first = [r for r in out if r["sel_rank"] == 1][0]
+    assert first["vec_id"] == 5

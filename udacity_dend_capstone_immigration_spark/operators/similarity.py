@@ -928,3 +928,68 @@ def brute_force_knn_arrow(
         order_by=[F.desc("cosine_sim"), F.asc("neighbor_id")],
         k=k,
     )
+
+
+def mmr_select_grouped(
+    cands: DataFrame,
+    group_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rel_col: str = "rel",
+    k: int = 5,
+    lam: float = 0.7,
+    mu: float = 0.3,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein):
+    greedily pick ``k`` of each group's candidates maximizing
+    ``lam·relevance − mu·max_sim_to_already_selected`` — the diversity
+    selection every RAG retrieval stack runs between ANN and the
+    context window.
+
+    Greedy selection is inherently sequential in ``k`` but embarrassingly
+    parallel across queries, so the kernel is one ``applyInPandas`` over
+    the (bounded-by-construction: |candidates| = upstream top-k) group:
+    one |g|×|g| BLAS gram matrix, then k argmax passes over ≤|g| floats.
+    Candidate-pair sims are ``np.round(…, 6)`` — the established
+    matches-after-rounding contract vs DuckDB's sequential fold — and
+    the step score is a fixed two-multiply-one-subtract double tree over
+    those rounded inputs, so scores are bit-identical to an oracle
+    computing the same unrolled greedy chain. ``mu`` is an explicit
+    literal (NOT ``1-lam``: 1-0.7 is 0.30000000000000004 in binary —
+    one ulp off the oracle's 0.3e0). Ties break toward the smaller id
+    at every step, mirroring the oracle's ROW_NUMBER order.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def greedy(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        rel = pdf[rel_col].to_numpy(dtype=np.float64)
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(mat, axis=1)
+        sims = (mat @ mat.T) / np.outer(nrm, nrm)
+        np.round(sims, 6, out=sims)
+        n = len(ids)
+        remaining = np.ones(n, dtype=bool)
+        maxsim = np.full(n, -np.inf)
+        picks: list[int] = []
+        scores: list[float] = []
+        for step in range(min(k, n)):
+            cur = rel if step == 0 else lam * rel - mu * maxsim
+            idx = np.nonzero(remaining)[0]
+            best = idx[np.lexsort((ids[idx], -cur[idx]))[0]]
+            picks.append(best)
+            scores.append(cur[best])
+            remaining[best] = False
+            np.maximum(maxsim, sims[:, best], out=maxsim)
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col].iloc[0],
+                "sel_rank": np.arange(1, len(picks) + 1, dtype=np.int32),
+                "vec_id": ids[picks],
+                "mmr_score": np.array(scores, dtype=np.float64),
+            }
+        )
+
+    return cands.groupBy(group_col).applyInPandas(
+        greedy, f"{group_col} long, sel_rank int, vec_id long, mmr_score double"
+    )

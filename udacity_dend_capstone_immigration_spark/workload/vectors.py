@@ -3202,3 +3202,99 @@ def ann_sq8_mrr(spark, sf_dir):
         .alias("truth_at_rank1"),
         davg(F.col("rr"), "mrr_at_5"),
     )
+
+
+# --- MMR diversified retrieval (Carbonell & Goldstein): re-rank each
+# query's dense top-20 down to 5 results greedily maximizing
+# 0.7·relevance − 0.3·max-sim-to-already-picked — the diversity pass a
+# RAG stack runs between ANN retrieval and the context window, so near
+# duplicate passages don't crowd out coverage. Candidate generation is
+# the proven Arrow top-k scan; the greedy stage is per-query
+# (`operators/similarity.py:mmr_select_grouped` — one 20×20 gram per
+# group, k argmax passes), parallel across queries and O(k·topk) per
+# query, so reranking cost is decoupled from corpus size entirely. The
+# oracle unrolls the greedy chain (k−1 MATERIALIZED selection steps —
+# un-materialized, DuckDB re-inlines the 25M-sim candidate CTE per
+# step); scores are fixed two-multiply-one-subtract double trees over
+# 6dp-rounded sims, so the hash pins the whole selection trajectory.
+def _mmr_oracle(k: int = 5) -> str:
+    psim = (
+        "round(list_sum(list_transform(generate_series(1, 64), "
+        "i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm), 6)"
+    )
+    steps = []
+    for s in range(2, k + 1):
+        steps.append(f"""
+    s{s} AS MATERIALIZED (SELECT query_id, neighbor_id, score FROM (
+        SELECT c.query_id, c.neighbor_id,
+               0.7e0 * c.rel - 0.3e0 * mx.m AS score,
+               ROW_NUMBER() OVER (PARTITION BY c.query_id
+                   ORDER BY 0.7e0 * c.rel - 0.3e0 * mx.m DESC,
+                            c.neighbor_id ASC) AS rn
+        FROM cand c
+        JOIN (SELECT p.query_id, p.i, MAX(p.s) AS m
+              FROM ps p JOIN sel{s - 1} t
+                ON t.query_id = p.query_id AND t.neighbor_id = p.j
+              GROUP BY p.query_id, p.i) mx
+          ON mx.query_id = c.query_id AND mx.i = c.neighbor_id
+        LEFT JOIN sel{s - 1} d
+          ON d.query_id = c.query_id AND d.neighbor_id = c.neighbor_id
+        WHERE d.neighbor_id IS NULL
+    ) WHERE rn = 1),
+    sel{s} AS MATERIALIZED (SELECT * FROM sel{s - 1}
+        UNION ALL SELECT query_id, neighbor_id FROM s{s})""")
+    union = " UNION ALL ".join(
+        f"SELECT query_id, {s} AS sel_rank, neighbor_id AS vec_id, "
+        f"score AS mmr_score FROM s{s}"
+        for s in range(1, k + 1)
+    )
+    return f"""
+    WITH n AS MATERIALIZED ({_NORMED}),
+    cand AS MATERIALIZED (
+        SELECT query_id, neighbor_id, rel FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {_COS} AS rel,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY {_COS} DESC, c.vec_id ASC) AS rnk
+            FROM n q JOIN n c ON q.vec_id != c.vec_id
+            WHERE q.vec_id < 10
+        ) WHERE rnk <= 20
+    ),
+    ps AS MATERIALIZED (
+        SELECT a.query_id, a.neighbor_id AS i, b.neighbor_id AS j,
+               {psim} AS s
+        FROM cand a
+        JOIN cand b ON a.query_id = b.query_id
+                   AND a.neighbor_id != b.neighbor_id
+        JOIN n x ON x.vec_id = a.neighbor_id
+        JOIN n y ON y.vec_id = b.neighbor_id
+    ),
+    s1 AS MATERIALIZED (SELECT query_id, neighbor_id, rel AS score FROM (
+        SELECT query_id, neighbor_id, rel,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY rel DESC, neighbor_id ASC) AS rn
+        FROM cand) WHERE rn = 1),
+    sel1 AS MATERIALIZED (SELECT query_id, neighbor_id FROM s1),
+    {",".join(steps)}
+    {union}
+    """
+
+
+@query("retrieval_mmr_diverse", oracle=_mmr_oracle())
+def retrieval_mmr_diverse(spark, sf_dir):
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        brute_force_knn_arrow,
+        mmr_select_grouped,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qs = emb.where(F.col("vec_id") < 10)
+    cand_rel = brute_force_knn_arrow(qs, emb, "vec_id", k=20).select(
+        "query_id", "neighbor_id", F.col("cosine_sim").alias("rel")
+    )
+    # bounded by construction: |queries| × top-k rows (10 × 20 here;
+    # the query side is already MAX_BROADCAST_QUERY_ROWS-gated upstream)
+    withemb = F.broadcast(cand_rel).join(
+        emb, cand_rel["neighbor_id"] == emb["vec_id"]
+    ).select("query_id", "neighbor_id", "rel", "embedding")
+    return mmr_select_grouped(withemb)
