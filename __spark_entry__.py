@@ -52,6 +52,7 @@ SHOWCASE = [
     "events_k_anonymity_audit",
     "events_pit_feature_assembly",
     "retrieval_mmr_diverse",
+    "ann_silhouette_audit",
     "tpch_q2_min_cost_supplier",
     "tpch_q5_local_supplier_volume",
     "tpch_q11_important_part_value",
@@ -93,13 +94,12 @@ SHOWCASE = [
     "merge_upsert_roundtrip",
     "cdc_apply_roundtrip",
     "orders_stream_cdc_apply",
-    # (c) the oldest r8 tranche (6 of 45; session 3 displaced four)
+    # (c) the oldest r8 tranche (5 of 45; session 3 displaced five)
     "doc_tfidf_top_terms",
     "centroid_classifier_confusion",
     "multimodal_frame_sample",
     "multimodal_features",
     "asof_purchase_to_click",
-    "lineitem_rollup",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round

@@ -437,3 +437,38 @@ def test_mmr_select_tiebreak_smaller_id(spark):
     out = mmr_select_grouped(df, k=2).collect()
     first = [r for r in out if r["sel_rank"] == 1][0]
     assert first["vec_id"] == 5
+
+
+def test_assign_emit_second_runner_up(spark):
+    """emit_second returns the nearest-OTHER centroid: best/second are
+    the top-2 of the rounded sim row, ties to the lowest cent_id."""
+    import numpy as np
+
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        Codebook,
+        assign_nearest_arrow,
+    )
+
+    cb = Codebook(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0]),
+            (2, [1.0, 1.0, 0.0]),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(10, [1.0, 0.2, 0.0]), (11, [0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in assign_nearest_arrow(
+            df, cb, "vec_id", emit_sim=True, emit_second=True
+        ).collect()
+    }
+    # vec 10: sims = (0.980581, 0.196116, 0.832050) -> best 0, second 2
+    assert out[10]["cell"] == 0 and out[10]["second_cell"] == 2
+    assert abs(out[10]["second_sim"] - np.round(1.2 / (np.sqrt(1.04) * np.sqrt(2)), 6)) < 1e-12
+    # vec 11 orthogonal to all: sims all 0.0 -> tie chain picks 0 then 1
+    assert out[11]["cell"] == 0 and out[11]["second_cell"] == 1
+    assert out[11]["cent_sim"] == 0.0 and out[11]["second_sim"] == 0.0

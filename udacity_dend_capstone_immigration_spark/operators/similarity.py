@@ -452,6 +452,7 @@ def assign_nearest_arrow(
     metric: str = "cosine",
     emit_residual: bool = False,
     passthrough: tuple = (),
+    emit_second: bool = False,
 ) -> DataFrame:
     """Nearest-centroid assignment as ONE Arrow map stage: each batch
     computes a BLAS (chunk × cells) cosine block against the in-closure
@@ -477,7 +478,11 @@ def assign_nearest_arrow(
     an oracle's ``n.v[i] - ce.cv[i]`` bit-for-bit. ``passthrough``
     names input columns copied verbatim onto the output (original
     dtype) — how attribute columns (filtered-search metadata) ride the
-    assignment scan into a persisted store without a corpus re-join."""
+    assignment scan into a persisted store without a corpus re-join.
+    ``emit_second`` (cosine only) adds the runner-up centroid and its
+    rounded sim — the nearest-OTHER-cluster leg of a simplified
+    silhouette, for free inside the same BLAS block (mask the argmax
+    column, argmax again; ties to the lowest cent_id both times)."""
     import numpy as np
     import pandas as pd
 
@@ -486,6 +491,7 @@ def assign_nearest_arrow(
         f"{id_col} long, cell long"
         + (f", embedding {emb_type}" if keep_embedding else "")
         + (", cent_sim double" if emit_sim else "")
+        + (", second_cell long, second_sim double" if emit_second else "")
         + (", residual array<double>" if emit_residual else "")
         + "".join(
             f", {c} {df.schema[c].dataType.simpleString()}" for c in passthrough
@@ -503,6 +509,11 @@ def assign_nearest_arrow(
             cells = np.empty(len(ids), dtype=np.int64)
             best = np.empty(len(ids), dtype=np.float64)
             args = np.empty(len(ids), dtype=np.int64)
+            if emit_second:
+                if metric != "cosine":
+                    raise ValueError("emit_second supports cosine only")
+                cells2 = np.empty(len(ids), dtype=np.int64)
+                best2 = np.empty(len(ids), dtype=np.float64)
             for lo in range(0, len(ids), chunk_rows):
                 hi = min(lo + chunk_rows, len(ids))
                 if metric == "l2":
@@ -529,11 +540,20 @@ def assign_nearest_arrow(
                 cells[lo:hi] = cb.ids[arg]
                 best[lo:hi] = sims[np.arange(hi - lo), arg]
                 args[lo:hi] = arg
+                if emit_second:
+                    rows = np.arange(hi - lo)
+                    sims[rows, arg] = -np.inf
+                    arg2 = np.argmax(sims, axis=1)
+                    cells2[lo:hi] = cb.ids[arg2]
+                    best2[lo:hi] = sims[rows, arg2]
             out = {id_col: ids, "cell": cells}
             if keep_embedding:
                 out["embedding"] = pdf["embedding"]
             if emit_sim:
                 out["cent_sim"] = best
+            if emit_second:
+                out["second_cell"] = cells2
+                out["second_sim"] = best2
             if emit_residual:
                 out["residual"] = list(mat - cb.mat[args])
             for c in passthrough:

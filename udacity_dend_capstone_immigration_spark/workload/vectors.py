@@ -3298,3 +3298,73 @@ def retrieval_mmr_diverse(spark, sf_dir):
         emb, cand_rel["neighbor_id"] == emb["vec_id"]
     ).select("query_id", "neighbor_id", "rel", "embedding")
     return mmr_select_grouped(withemb)
+
+
+# --- cluster-quality audit: simplified silhouette per IVF cell. For
+# each vector, a = cosine distance to its OWN centroid, b = distance to
+# the nearest OTHER centroid; s = (b − a) / max(a, b) ∈ [0, 1] (argmax
+# assignment keeps a ≤ b), averaged per cell. The audit that tells you
+# whether the trained partitioning actually separates the corpus —
+# low-silhouette cells are where IVF probe recall leaks (pair this with
+# `ann_ivf_recall` the way cell_profile pairs with skew). Both legs
+# come out of the SAME Arrow assignment scan (`emit_second`: mask the
+# argmax column of the BLAS block, argmax again — no second corpus
+# pass, no n×N_CELLS join), so the audit costs exactly one scan plus a
+# 16-group aggregate at any corpus size. Silhouette arithmetic is a
+# fixed per-row double tree over 6dp-rounded sims; means are decimal
+# sums (davg) — hash-portable end to end.
+@query(
+    "ann_silhouette_audit",
+    oracle=f"""
+    WITH n AS ({_NORMED}),
+    {_IVF_TRAIN_CTES},
+    ranked AS (
+        SELECT n.vec_id, ce.cent_id, {_CSIM} AS csim,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                                  ORDER BY {_CSIM} DESC, ce.cent_id ASC) AS rn
+        FROM n JOIN ce ON TRUE
+    ),
+    two AS (
+        SELECT vec_id,
+               MAX(CASE WHEN rn = 1 THEN cent_id END) AS cell,
+               MAX(CASE WHEN rn = 1 THEN csim END) AS a_sim,
+               MAX(CASE WHEN rn = 2 THEN csim END) AS b_sim
+        FROM ranked WHERE rn <= 2 GROUP BY vec_id
+    ),
+    sil AS (
+        SELECT cell,
+               CASE WHEN GREATEST(1.0e0 - a_sim, 1.0e0 - b_sim) = 0.0e0
+                    THEN 0.0e0
+                    ELSE ((1.0e0 - b_sim) - (1.0e0 - a_sim))
+                         / GREATEST(1.0e0 - a_sim, 1.0e0 - b_sim) END AS s
+        FROM two
+    )
+    SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+           {sql_davg("s", "mean_silhouette")},
+           MIN(s) AS min_silhouette
+    FROM sil GROUP BY cell
+    """,
+)
+def ann_silhouette_audit(spark, sf_dir):
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        assign_nearest_arrow,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    _, cb = _ivf_train(emb)
+    a = assign_nearest_arrow(
+        emb, cb, "vec_id", emit_sim=True, emit_second=True
+    )
+    ad = F.lit(1.0) - F.col("cent_sim")
+    bd = F.lit(1.0) - F.col("second_sim")
+    denom = F.greatest(ad, bd)
+    s = F.when(denom == F.lit(0.0), F.lit(0.0)).otherwise((bd - ad) / denom)
+    return (
+        a.select(F.col("cell"), s.alias("s"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            davg(F.col("s"), "mean_silhouette"),
+            F.min("s").alias("min_silhouette"),
+        )
+    )
