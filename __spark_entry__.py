@@ -53,6 +53,7 @@ SHOWCASE = [
     "events_pit_feature_assembly",
     "retrieval_mmr_diverse",
     "ann_silhouette_audit",
+    "retrieval_hard_negatives",
     "tpch_q2_min_cost_supplier",
     "tpch_q5_local_supplier_volume",
     "tpch_q11_important_part_value",
@@ -94,12 +95,11 @@ SHOWCASE = [
     "merge_upsert_roundtrip",
     "cdc_apply_roundtrip",
     "orders_stream_cdc_apply",
-    # (c) the oldest r8 tranche (5 of 45; session 3 displaced five)
+    # (c) the oldest r8 tranche (4 of 45; session 3 displaced six)
     "doc_tfidf_top_terms",
     "centroid_classifier_confusion",
     "multimodal_frame_sample",
     "multimodal_features",
-    "asof_purchase_to_click",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round

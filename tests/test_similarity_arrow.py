@@ -472,3 +472,26 @@ def test_assign_emit_second_runner_up(spark):
     # vec 11 orthogonal to all: sims all 0.0 -> tie chain picks 0 then 1
     assert out[11]["cell"] == 0 and out[11]["second_cell"] == 1
     assert out[11]["cent_sim"] == 0.0 and out[11]["second_sim"] == 0.0
+
+
+def test_hard_negative_knn_masks_inside_kernel(spark):
+    """A query whose entire near neighborhood shares its label: top-k
+    then filter would return nothing useful; the masked scan must
+    surface the best DIFFERENT-label rows exactly."""
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        hard_negative_knn_arrow,
+    )
+
+    rows = [(0, 1, [1.0, 0.0])]
+    # ids 1..20: label 1, nearly parallel to the query (same label -> masked)
+    rows += [(i, 1, [1.0, 0.001 * i]) for i in range(1, 21)]
+    # ids 30/31: label 2, further away but the only legal negatives
+    rows += [(30, 2, [0.7, 0.7]), (31, 2, [0.0, 1.0])]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    out = hard_negative_knn_arrow(
+        emb.where(F.col("vec_id") == 0), emb, "vec_id", "label", k=5
+    ).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [30, 31]
+    assert all(r["neighbor_id"] not in range(1, 21) for r in out)

@@ -3368,3 +3368,51 @@ def ann_silhouette_audit(spark, sf_dir):
             F.min("s").alias("min_silhouette"),
         )
     )
+
+
+# --- hard-negative mining (contrastive-training data prep): per query,
+# the 5 most-similar corpus vectors with a DIFFERENT label — the
+# near-miss negatives that sharpen an embedding model, vs
+# `negative_sampling_pairs`' random in-bucket negatives. The label mask
+# sits INSIDE the Arrow kernel (`operators/similarity.py:
+# hard_negative_knn_arrow`): a top-k-then-filter composition can't
+# bound how deep to rank when a query's whole neighborhood shares its
+# label, while the masked scan is exact at k and stays one linear
+# corpus pass with a broadcast query matrix — the same 100 TB shape as
+# the brute-force scan. At fleet scale the query side is the training
+# batch (bounded); mining the full corpus × corpus regime goes through
+# the IVF store's probe routing instead.
+@query(
+    "retrieval_hard_negatives",
+    oracle="""
+    WITH n AS (
+        SELECT vec_id, label, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM (SELECT vec_id, label,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings)
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_sum(list_transform(generate_series(1, 64),
+                     i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cosine_sim
+        FROM n q JOIN n c
+          ON q.vec_id != c.vec_id AND q.label != c.label
+        WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine_sim DESC, neighbor_id ASC) AS INT)
+                  AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def retrieval_hard_negatives(spark, sf_dir):
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        hard_negative_knn_arrow,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    qs = emb.where(F.col("vec_id") < 10)
+    return hard_negative_knn_arrow(qs, emb, "vec_id", "label", k=5)
