@@ -54,6 +54,8 @@ SHOWCASE = [
     "retrieval_mmr_diverse",
     "ann_silhouette_audit",
     "retrieval_hard_negatives",
+    "feature_store_build_roundtrip",
+    "features_pit_served",
     "tpch_q2_min_cost_supplier",
     "tpch_q5_local_supplier_volume",
     "tpch_q11_important_part_value",
@@ -95,11 +97,9 @@ SHOWCASE = [
     "merge_upsert_roundtrip",
     "cdc_apply_roundtrip",
     "orders_stream_cdc_apply",
-    # (c) the oldest r8 tranche (4 of 45; session 3 displaced six)
+    # (c) the oldest r8 tranche (2 of 45; session 3 displaced eight)
     "doc_tfidf_top_terms",
     "centroid_classifier_confusion",
-    "multimodal_frame_sample",
-    "multimodal_features",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round

@@ -597,3 +597,152 @@ def events_pit_feature_assembly(spark, sf_dir):
         ),
     )
     return feats.where(F.col("event_type") == "purchase").drop("event_type")
+
+
+#: Shared oracle CTEs for the materialized feature store: per-user
+#: per-day aggregates, then cumulative through each active day.
+_FS_SNAP_CTES = """
+    daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS c,
+               COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS v,
+               SUM(CAST(value AS DECIMAL(28,10))) AS vs
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    snap AS (
+        SELECT user_id, d,
+               CAST(SUM(c) OVER w AS BIGINT) AS clicks_cum,
+               CAST(SUM(v) OVER w AS BIGINT) AS views_cum,
+               CAST(CAST(SUM(vs) OVER w AS VARCHAR) AS DOUBLE) AS vsum_cum
+        FROM daily
+        WINDOW w AS (PARTITION BY user_id ORDER BY d)
+    )
+"""
+
+
+def build_feature_store(spark, sf_dir: str, store_dir: str | None = None) -> str:
+    """Materialize the daily per-user feature snapshots (cumulative
+    click/view counts + decimal-exact value mass through each ACTIVE
+    day), partitioned by ``feature_date`` — the offline half of a
+    feature store. One day-grain aggregate (map-combinable; group
+    domain |users|×|days|, far below event volume) then one user-keyed
+    cumulative window; the store is date-partitioned so a PIT probe
+    for a label range prunes to the days it can legally see."""
+    import tempfile
+
+    from udacity_dend_capstone_immigration_spark.sources.writers import write_parquet
+
+    store = store_dir or tempfile.mkdtemp(prefix="featstore_")
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("c"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("v"),
+        F.sum(F.col("value").cast("decimal(28,10)")).alias("vs"),
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    snap = daily.select(
+        "user_id",
+        F.sum("c").over(w).cast("bigint").alias("clicks_cum"),
+        F.sum("v").over(w).cast("bigint").alias("views_cum"),
+        F.sum("vs").over(w).cast("double").alias("vsum_cum"),
+        F.col("d").cast("string").alias("feature_date"),
+    )
+    write_parquet(snap, store, partition_by=("feature_date",))
+    return store
+
+
+# --- feature-store build roundtrip: the snapshots come BACK off the
+# partitioned store and aggregate per PERSISTED partition value, so a
+# layout error (row in the wrong date partition, partition-column
+# round-trip loss) fails the hash, not just a value error. The oracle
+# recomputes every snapshot from `events` — write ≡ recompute.
+@query(
+    "feature_store_build_roundtrip",
+    oracle=f"""
+    WITH {_FS_SNAP_CTES}
+    SELECT CAST(d AS VARCHAR) AS feature_date,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(clicks_cum) AS BIGINT) AS clicks_checksum,
+           CAST(SUM(views_cum) AS BIGINT) AS views_checksum,
+           CAST(CAST(SUM(CAST(vsum_cum AS DECIMAL(28,10))) AS VARCHAR)
+                AS DOUBLE) AS vsum_checksum
+    FROM snap GROUP BY d
+    """,
+)
+def feature_store_build_roundtrip(spark, sf_dir):
+    from udacity_dend_capstone_immigration_spark.workload.base import dsum
+
+    store = build_feature_store(spark, sf_dir)
+    back = spark.read.parquet(store)
+    return back.groupBy("feature_date").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("clicks_cum").cast("bigint").alias("clicks_checksum"),
+        F.sum("views_cum").cast("bigint").alias("views_checksum"),
+        dsum(F.col("vsum_cum"), "vsum_checksum"),
+    )
+
+
+# --- PIT serving from the materialized store: every 'purchase' label
+# event picks up the NEWEST snapshot STRICTLY BEFORE its day (as-of on
+# asof_day = label_day − 1; the union-tag window join — one shuffle,
+# no per-entity range blowup). Daily materialization trades event-level
+# freshness (`events_pit_feature_assembly` is the exact-recency twin)
+# for O(1) serve-time work per label at any event volume — the
+# standard online/offline feature-store split. Missing history
+# (first-day labels) surfaces as zeros, matching the assembly query's
+# empty-frame semantics. The serve plan's feature side is a bare store
+# scan (training-free); the oracle recomputes the snapshots and
+# ASOF-joins them, so the hash proves store + as-of semantics together.
+@query(
+    "features_pit_served",
+    oracle=f"""
+    WITH {_FS_SNAP_CTES},
+    lab AS (
+        SELECT event_id, user_id, ts, CAST(ts AS DATE) AS d
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.event_id, l.user_id, l.ts,
+           COALESCE(s.clicks_cum, 0) AS clicks_cum,
+           COALESCE(s.views_cum, 0) AS views_cum,
+           COALESCE(s.vsum_cum, 0.0e0) AS vsum_cum
+    FROM lab l ASOF LEFT JOIN snap s
+        ON l.user_id = s.user_id AND l.d > s.d
+    """,
+)
+def features_pit_served(spark, sf_dir):
+    from udacity_dend_capstone_immigration_spark.operators.asof import asof_join
+
+    store = build_feature_store(spark, sf_dir)
+    snaps = spark.read.parquet(store).select(
+        "user_id",
+        F.to_date("feature_date").alias("fd"),
+        "clicks_cum",
+        "views_cum",
+        "vsum_cum",
+    )
+    ev = table(spark, sf_dir, "events")
+    labels = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.date_sub(F.col("ts").cast("date"), 1).alias("asof_day"),
+    )
+    joined = asof_join(
+        labels,
+        snaps,
+        "user_id",
+        "user_id",
+        "asof_day",
+        "fd",
+        payload=["clicks_cum", "views_cum", "vsum_cum"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce("clicks_cum", F.lit(0).cast("bigint")).alias("clicks_cum"),
+        F.coalesce("views_cum", F.lit(0).cast("bigint")).alias("views_cum"),
+        F.coalesce("vsum_cum", F.lit(0.0)).alias("vsum_cum"),
+    )
