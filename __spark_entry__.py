@@ -56,6 +56,7 @@ SHOWCASE = [
     "retrieval_hard_negatives",
     "feature_store_build_roundtrip",
     "features_pit_served",
+    "feature_store_append_roundtrip",
     "tpch_q2_min_cost_supplier",
     "tpch_q5_local_supplier_volume",
     "tpch_q11_important_part_value",
@@ -97,9 +98,8 @@ SHOWCASE = [
     "merge_upsert_roundtrip",
     "cdc_apply_roundtrip",
     "orders_stream_cdc_apply",
-    # (c) the oldest r8 tranche (2 of 45; session 3 displaced eight)
+    # (c) the oldest r8 tranche (1 of 45; session 3 displaced nine)
     "doc_tfidf_top_terms",
-    "centroid_classifier_confusion",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round

@@ -125,3 +125,44 @@ def test_weighted_priority_sample_rejects_nonpositive_weight(spark):
     )
     with _pytest.raises(Exception, match="weight > 0"):
         weighted_priority_sample(df, "grp", "doc_id", "w", k=1).collect()
+
+
+def test_feature_store_append_latest_semantics(spark):
+    """After an append, `latest` must show: active users advanced to the
+    new cumulative state, inactive users untouched, first-day users
+    bootstrapped — and the appended snapshot partition must equal the
+    one-shot build's partition for that day."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from udacity_dend_capstone_immigration_spark.workload.timeseries import (
+        append_feature_day,
+        build_feature_store,
+        _fs_daily,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    days = sorted(r[0] for r in _fs_daily(spark, sf).select("d").distinct().collect())
+    cutoff, day = str(days[-2]), str(days[-1])
+    inc = tempfile.mkdtemp(prefix="fs_inc_")
+    full = tempfile.mkdtemp(prefix="fs_full_")
+    build_feature_store(spark, sf, store_dir=inc, cutoff=cutoff)
+    append_feature_day(spark, inc, sf, day)
+    build_feature_store(spark, sf, store_dir=full)
+
+    def state(root, sub):
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(f"{root}/{sub}")
+                .select("user_id", "clicks_cum", "views_cum", "vs_cum_dec"
+                        if sub == "latest" else "vsum_cum")
+                .collect(),
+            )
+        )
+
+    assert state(inc, "latest") == state(full, "latest")
+    assert state(inc, f"snapshots/feature_date={day}") == state(
+        full, f"snapshots/feature_date={day}"
+    )

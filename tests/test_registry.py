@@ -55,6 +55,10 @@ _EXECUTING = frozenset(
         "cluster_store_delete_served",
         "cluster_store_append_served",
         "immigration_etl_fact",
+        "feature_store_build_roundtrip",
+        "features_pit_served",
+        "feature_store_append_roundtrip",
+        "publish_version_diff",
         "immigration_etl_city_demographics",
     }
 )

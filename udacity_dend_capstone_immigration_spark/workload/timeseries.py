@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from udacity_dend_capstone_immigration_spark.workload.base import query, table
+from udacity_dend_capstone_immigration_spark.workload.base import ORACLES, query, table
 
 #: 1 hour in microseconds — Spark's rangeBetween needs a numeric order
 #: key; unix_micros keeps full event-time precision so the inclusive
@@ -620,37 +620,149 @@ _FS_SNAP_CTES = """
 """
 
 
-def build_feature_store(spark, sf_dir: str, store_dir: str | None = None) -> str:
+_FS_BUCKETS = 16
+
+
+def _fs_daily(spark, sf_dir):
+    """Per-(user, active day) aggregates — the feature store's unit of
+    ingest. Decimal value mass keeps the cumulative chain exact across
+    incremental appends (double accumulation would order-depend)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("c"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("v"),
+        F.sum(F.col("value").cast("decimal(28,10)")).alias("vs"),
+    )
+
+
+def _fs_write_latest(latest, store: str, bootstrap: bool):
+    """The compacted per-user current-state table (SCD1), bucketed by
+    user so incremental appends merge O(touched buckets), never the
+    whole table. vs_cum_dec stays DECIMAL — the exactness carrier the
+    snapshot partitions' serve-facing doubles are derived from."""
+    from udacity_dend_capstone_immigration_spark.sources.merge import merge_upsert
+    from udacity_dend_capstone_immigration_spark.sources.writers import write_parquet
+
+    rows = latest.withColumn("pt", F.pmod(F.col("user_id"), F.lit(_FS_BUCKETS)))
+    if bootstrap:
+        write_parquet(rows, f"{store}/latest", partition_by=("pt",))
+    else:
+        # a user's bucket never changes -> the stable-partition fast
+        # path: zero store scans beyond the touched buckets
+        merge_upsert(
+            latest.sparkSession,
+            f"{store}/latest",
+            rows,
+            ("user_id",),
+            "pt",
+            assume_stable_partitions=True,
+        )
+
+
+def build_feature_store(
+    spark, sf_dir: str, store_dir: str | None = None, cutoff: str | None = None
+) -> str:
     """Materialize the daily per-user feature snapshots (cumulative
     click/view counts + decimal-exact value mass through each ACTIVE
-    day), partitioned by ``feature_date`` — the offline half of a
-    feature store. One day-grain aggregate (map-combinable; group
-    domain |users|×|days|, far below event volume) then one user-keyed
-    cumulative window; the store is date-partitioned so a PIT probe
-    for a label range prunes to the days it can legally see."""
+    day) under ``<store>/snapshots``, partitioned by ``feature_date`` —
+    the offline half of a feature store; a PIT probe for a label range
+    prunes to the days it can legally see. Alongside, ``<store>/latest``
+    keeps ONE current row per user (decimal cumulative state) so a
+    day-over-day append (:func:`append_feature_day`) is O(day batch +
+    touched user buckets), never a history rescan. One day-grain
+    aggregate (map-combinable; group domain |users|×|days|, far below
+    event volume), one user-keyed cumulative window. ``cutoff``
+    (ISO date string) bounds the build to days ≤ cutoff — the
+    backfill/append split."""
     import tempfile
 
     from udacity_dend_capstone_immigration_spark.sources.writers import write_parquet
 
     store = store_dir or tempfile.mkdtemp(prefix="featstore_")
-    ev = table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "user_id", F.col("ts").cast("date").alias("d")
-    ).agg(
-        F.count(F.when(F.col("event_type") == "click", 1)).alias("c"),
-        F.count(F.when(F.col("event_type") == "view", 1)).alias("v"),
-        F.sum(F.col("value").cast("decimal(28,10)")).alias("vs"),
-    )
+    daily = _fs_daily(spark, sf_dir)
+    if cutoff is not None:
+        daily = daily.where(F.col("d") <= F.lit(cutoff).cast("date"))
     w = Window.partitionBy("user_id").orderBy("d")
-    snap = daily.select(
+    cum = daily.select(
         "user_id",
+        "d",
         F.sum("c").over(w).cast("bigint").alias("clicks_cum"),
         F.sum("v").over(w).cast("bigint").alias("views_cum"),
-        F.sum("vs").over(w).cast("double").alias("vsum_cum"),
+        F.sum("vs").over(w).alias("vs_cum_dec"),
+    )
+    snap = cum.select(
+        "user_id",
+        "clicks_cum",
+        "views_cum",
+        F.col("vs_cum_dec").cast("double").alias("vsum_cum"),
         F.col("d").cast("string").alias("feature_date"),
     )
-    write_parquet(snap, store, partition_by=("feature_date",))
+    write_parquet(snap, f"{store}/snapshots", partition_by=("feature_date",))
+    wl = Window.partitionBy("user_id").orderBy(F.col("d").desc())
+    latest = (
+        cum.withColumn("rn", F.row_number().over(wl))
+        .where(F.col("rn") == 1)
+        .select("user_id", "d", "clicks_cum", "views_cum", "vs_cum_dec")
+    )
+    _fs_write_latest(latest, store, bootstrap=True)
     return store
+
+
+def append_feature_day(spark, store: str, sf_dir: str, day: str) -> None:
+    """Ingest ONE day into the feature store incrementally: the day's
+    per-user aggregates join the |users|-sized ``latest`` table (never
+    the history), the new cumulative rows land as the day's snapshot
+    partition (dynamic single-partition overwrite via the bucketed
+    merge path is unnecessary — the partition is batch-addressed by
+    construction) and ``latest`` merges O(touched user buckets).
+    Decimal state makes append ≡ rebuild EXACT: double(cum) + day
+    would drift one ulp per append; decimal + decimal is associative.
+    Cost is O(day batch + |active users' buckets|) at any history
+    length — the property the append roundtrip's full-rebuild oracle
+    certifies."""
+    from udacity_dend_capstone_immigration_spark.sources.writers import write_parquet
+
+    dayagg = _fs_daily(spark, sf_dir).where(
+        F.col("d") == F.lit(day).cast("date")
+    )
+    latest = spark.read.parquet(f"{store}/latest").select(
+        "user_id",
+        F.col("clicks_cum").alias("p_clicks"),
+        F.col("views_cum").alias("p_views"),
+        F.col("vs_cum_dec").alias("p_vs"),
+    )
+    zero_dec = F.lit(0).cast("decimal(38,10)")
+    new_cum = (
+        dayagg.join(latest, "user_id", "left")
+        .select(
+            "user_id",
+            "d",
+            (F.coalesce(F.col("p_clicks"), F.lit(0)) + F.col("c"))
+            .cast("bigint")
+            .alias("clicks_cum"),
+            (F.coalesce(F.col("p_views"), F.lit(0)) + F.col("v"))
+            .cast("bigint")
+            .alias("views_cum"),
+            (F.coalesce(F.col("p_vs"), zero_dec) + F.col("vs"))
+            .cast("decimal(38,10)")
+            .alias("vs_cum_dec"),
+        )
+        .localCheckpoint()  # cut lineage off the latest store being merged
+    )
+    snap = new_cum.select(
+        "user_id",
+        "clicks_cum",
+        "views_cum",
+        F.col("vs_cum_dec").cast("double").alias("vsum_cum"),
+        F.col("d").cast("string").alias("feature_date"),
+    )
+    # batch-addressed partition write: the column is the directory
+    write_parquet(snap.drop("feature_date"), f"{store}/snapshots/feature_date={day}")
+    _fs_write_latest(
+        new_cum.select("user_id", "d", "clicks_cum", "views_cum", "vs_cum_dec"),
+        store,
+        bootstrap=False,
+    )
 
 
 # --- feature-store build roundtrip: the snapshots come BACK off the
@@ -675,7 +787,7 @@ def feature_store_build_roundtrip(spark, sf_dir):
     from udacity_dend_capstone_immigration_spark.workload.base import dsum
 
     store = build_feature_store(spark, sf_dir)
-    back = spark.read.parquet(store)
+    back = spark.read.parquet(f"{store}/snapshots")
     return back.groupBy("feature_date").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.sum("clicks_cum").cast("bigint").alias("clicks_checksum"),
@@ -715,7 +827,7 @@ def features_pit_served(spark, sf_dir):
     from udacity_dend_capstone_immigration_spark.operators.asof import asof_join
 
     store = build_feature_store(spark, sf_dir)
-    snaps = spark.read.parquet(store).select(
+    snaps = spark.read.parquet(f"{store}/snapshots").select(
         "user_id",
         F.to_date("feature_date").alias("fd"),
         "clicks_cum",
@@ -745,4 +857,38 @@ def features_pit_served(spark, sf_dir):
         F.coalesce("clicks_cum", F.lit(0).cast("bigint")).alias("clicks_cum"),
         F.coalesce("views_cum", F.lit(0).cast("bigint")).alias("views_cum"),
         F.coalesce("vsum_cum", F.lit(0.0)).alias("vsum_cum"),
+    )
+
+
+# --- incremental day-over-day append, proven against the FULL-REBUILD
+# oracle (append ≡ rebuild — the standing store-lifecycle proof shape):
+# the store is built through cutoff = max_day − 3, the last three days
+# land one `append_feature_day` at a time (each O(day batch + touched
+# user buckets) — the day joins the |users|-sized latest table, never
+# the history), and the roundtrip aggregates the read-back snapshot
+# partitions with the SAME oracle as the one-shot build. Decimal
+# cumulative state in `latest` is what makes the hash achievable:
+# double accumulation would drift one ulp per append. The distinct-day
+# collect is bounded by the data's ~30-day span (eager-decision
+# contract).
+@query(
+    "feature_store_append_roundtrip",
+    oracle=ORACLES["feature_store_build_roundtrip"],
+)
+def feature_store_append_roundtrip(spark, sf_dir):
+    from udacity_dend_capstone_immigration_spark.workload.base import dsum
+
+    days = sorted(
+        r[0] for r in _fs_daily(spark, sf_dir).select("d").distinct().collect()
+    )
+    cutoff, tail = days[-4], days[-3:]
+    store = build_feature_store(spark, sf_dir, cutoff=str(cutoff))
+    for day in tail:
+        append_feature_day(spark, store, sf_dir, str(day))
+    back = spark.read.parquet(f"{store}/snapshots")
+    return back.groupBy("feature_date").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("clicks_cum").cast("bigint").alias("clicks_checksum"),
+        F.sum("views_cum").cast("bigint").alias("views_checksum"),
+        dsum(F.col("vsum_cum"), "vsum_checksum"),
     )
