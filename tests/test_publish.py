@@ -135,3 +135,57 @@ def test_time_travel_window_and_errors(spark, tmp_path):
         read_published(spark, root, version="v_nonexistent")
     with pytest.raises(ValueError):
         read_published(spark, root, version=1)
+
+
+def test_compatible_publish_allows_added_nullable_column(spark, tmp_path):
+    from udacity_dend_capstone_immigration_spark.sources.publish import (
+        compatible_publish,
+        read_published,
+    )
+
+    root = str(tmp_path / "contract")
+    df1 = spark.createDataFrame([(1, "a")], "k long, s string")
+    compatible_publish(df1, root)
+    df2 = spark.createDataFrame([(1, "a", 2.0)], "k long, s string, extra double")
+    compatible_publish(df2, root)
+    assert set(read_published(spark, root).columns) == {"k", "s", "extra"}
+
+
+def test_compatible_publish_rejects_drop_and_retype(spark, tmp_path):
+    import pytest as _pytest
+
+    from udacity_dend_capstone_immigration_spark.sources.publish import (
+        SchemaCompatibilityError,
+        compatible_publish,
+        current_version,
+    )
+
+    root = str(tmp_path / "contract2")
+    df1 = spark.createDataFrame([(1, "a", 2.0)], "k long, s string, v double")
+    v1 = compatible_publish(df1, root)
+    # dropped column s AND retyped v -> both violations listed
+    bad = spark.createDataFrame([(1, 2)], "k long, v int")
+    with _pytest.raises(SchemaCompatibilityError) as ei:
+        compatible_publish(bad, root)
+    msg = str(ei.value)
+    assert "column dropped: s" in msg and "column retyped: v" in msg
+    # the failed publish left the previous version live (WAP veto)
+    assert current_version(root) == v1
+
+
+def test_compatible_publish_rejects_non_nullable_addition(spark, tmp_path):
+    import pytest as _pytest
+
+    from udacity_dend_capstone_immigration_spark.sources.publish import (
+        SchemaCompatibilityError,
+        compatible_publish,
+    )
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "contract3")
+    df1 = spark.createDataFrame([(1,)], "k long")
+    compatible_publish(df1, root)
+    df2 = df1.withColumn("req", F.lit(1))  # literal -> non-nullable
+    assert not df2.schema["req"].nullable
+    with _pytest.raises(SchemaCompatibilityError, match="non-nullable column added"):
+        compatible_publish(df2, root)

@@ -175,3 +175,55 @@ def _prune_versions(root: str, keep: int) -> None:
     for d in ordered[: -max(keep, 1)]:
         if d != live:
             shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+
+class SchemaCompatibilityError(RuntimeError):
+    """The staged snapshot's schema would break existing readers."""
+
+
+def check_backward_compatible(prev, new) -> None:
+    """Data-contract gate for :func:`publish_table`'s audit hook: a new
+    snapshot may ADD nullable columns, but dropping a column, changing
+    a column's type, or adding a non-nullable column breaks readers
+    that resolved the previous version's contract — reject those at
+    publish time, before the pointer swap makes them live.
+
+    ``prev`` / ``new`` are StructTypes. Raises
+    :class:`SchemaCompatibilityError` listing every violation (one
+    pass, all findings — a contract CI check, not a fail-fast parse).
+    Nullability changes on EXISTING columns pass either way: on plain
+    parquet readers see values, not constraints, so only type identity
+    is read compatibility — matching Delta/Iceberg evolution rules."""
+    prev_fields = {f.name: f for f in prev.fields}
+    new_fields = {f.name: f for f in new.fields}
+    problems: list[str] = []
+    for name, pf in prev_fields.items():
+        nf = new_fields.get(name)
+        if nf is None:
+            problems.append(f"column dropped: {name} ({pf.dataType.simpleString()})")
+        elif nf.dataType != pf.dataType:
+            problems.append(
+                f"column retyped: {name} "
+                f"{pf.dataType.simpleString()} -> {nf.dataType.simpleString()}"
+            )
+    for name, nf in new_fields.items():
+        if name not in prev_fields and not nf.nullable:
+            problems.append(f"non-nullable column added: {name}")
+    if problems:
+        raise SchemaCompatibilityError("; ".join(sorted(problems)))
+
+
+def compatible_publish(df: DataFrame, root: str, **kwargs) -> str:
+    """:func:`publish_table` with the backward-compatibility contract
+    enforced against the CURRENT published version (first publish is
+    unconstrained). The schema gate runs BEFORE staging — nothing is
+    written on a contract violation; a caller ``audit`` in ``kwargs``
+    still runs against the staged read-back as usual."""
+    v = current_version(root)
+    if v is not None:
+        prev_schema = df.sparkSession.read.parquet(os.path.join(root, v)).schema
+        # checked on the INPUT frame's schema, before any write: the
+        # parquet round trip force-nullables every column, so the
+        # staged read-back can't see an added column's non-nullability
+        check_backward_compatible(prev_schema, df.schema)
+    return publish_table(df, root, **kwargs)
