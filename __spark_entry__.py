@@ -57,6 +57,7 @@ SHOWCASE = [
     "feature_store_build_roundtrip",
     "features_pit_served",
     "feature_store_append_roundtrip",
+    "events_stream_feature_updates",
     "tpch_q2_min_cost_supplier",
     "tpch_q5_local_supplier_volume",
     "tpch_q11_important_part_value",
@@ -98,8 +99,6 @@ SHOWCASE = [
     "merge_upsert_roundtrip",
     "cdc_apply_roundtrip",
     "orders_stream_cdc_apply",
-    # (c) the oldest r8 tranche (1 of 45; session 3 displaced nine)
-    "doc_tfidf_top_terms",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round

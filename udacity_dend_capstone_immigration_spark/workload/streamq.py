@@ -1710,3 +1710,99 @@ def _register_stream_scd2():
 
 
 _register_stream_scd2()
+
+
+def _register_stream_features():
+    from udacity_dend_capstone_immigration_spark.workload.base import ORACLES, read_events
+
+    @query(
+        "events_stream_feature_updates",
+        oracle=ORACLES["feature_store_build_roundtrip"],
+    )
+    def events_stream_feature_updates(spark, sf_dir):
+        """The feature store maintained FROM THE EVENT STREAM: the
+        backfill builds through max_day − 3, then the last three days
+        arrive as date-ordered micro-batches (one file per day,
+        max_files_per_trigger=1 — the in-order daily drop a warehouse
+        landing zone provides), each landing through
+        `append_feature_dayagg` in foreachBatch: day-grain aggregate
+        inside the batch, join to the |users|-sized latest table,
+        batch-addressed snapshot partition + O(touched buckets) latest
+        merge. Sequential day appends ≡ one-shot rebuild (decimal
+        cumulative state is associative) — proven by SHARING the build
+        roundtrip's full-rebuild oracle. Appends are NOT idempotent
+        (a replayed batch would double-count latest), so applied
+        batch_ids leave markers, same as the SCD2 stream; a day
+        straddling two files would merge into one batch-side aggregate
+        per day (the handler loops batch days in order)."""
+        import os
+
+        from udacity_dend_capstone_immigration_spark.streaming import read_stream
+        from udacity_dend_capstone_immigration_spark.streaming.windows import (
+            _await_or_raise,
+        )
+        from udacity_dend_capstone_immigration_spark.workload.timeseries import (
+            _fs_daily_from,
+            append_feature_dayagg,
+            build_feature_store,
+        )
+
+        ev = read_events(spark, sf_dir)
+        days = sorted(
+            r[0]
+            for r in ev.select(F.col("ts").cast("date").alias("d"))
+            .distinct()
+            .collect()
+        )
+        cutoff, tail = days[-4], days[-3:]
+        store = build_feature_store(spark, sf_dir, cutoff=str(cutoff))
+
+        feed = tempfile.mkdtemp(prefix="fs_feed_")
+        mt = 1_700_000_000
+        for i, day in enumerate(tail):
+            d = tempfile.mkdtemp()
+            ev.where(F.col("ts").cast("date") == F.lit(str(day)).cast("date")) \
+                .coalesce(1).write.mode("overwrite").parquet(d)
+            (part,) = [
+                f
+                for f in os.listdir(d)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            ]
+            os.replace(f"{d}/{part}", f"{feed}/day_{i}.parquet")
+            os.utime(f"{feed}/day_{i}.parquet", (mt + i * 3600, mt + i * 3600))
+        schema = spark.read.parquet(f"{feed}/day_0.parquet").schema
+        stream = read_stream(spark, feed, schema, max_files_per_trigger=1)
+        applied = tempfile.mkdtemp(prefix="fs_applied_")
+
+        def land(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            marker = f"{applied}/batch_{batch_id}"
+            if os.path.exists(marker):
+                return
+            s = batch_df.sparkSession
+            agg = _fs_daily_from(batch_df).localCheckpoint()
+            for (day,) in sorted(agg.select("d").distinct().collect()):
+                append_feature_dayagg(
+                    s, store, agg.where(F.col("d") == F.lit(day)), str(day)
+                )
+            with open(marker, "w") as fh:
+                fh.write("applied")
+
+        q = (
+            stream.writeStream.foreachBatch(land)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_fs_stream_"))
+            .start()
+        )
+        _await_or_raise(q, 180, "events_stream_feature_updates")
+        back = spark.read.parquet(f"{store}/snapshots")
+        return back.groupBy("feature_date").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("clicks_cum").cast("bigint").alias("clicks_checksum"),
+            F.sum("views_cum").cast("bigint").alias("views_checksum"),
+            dsum(F.col("vsum_cum"), "vsum_checksum"),
+        )
+
+
+_register_stream_features()

@@ -623,16 +623,20 @@ _FS_SNAP_CTES = """
 _FS_BUCKETS = 16
 
 
-def _fs_daily(spark, sf_dir):
-    """Per-(user, active day) aggregates — the feature store's unit of
-    ingest. Decimal value mass keeps the cumulative chain exact across
+def _fs_daily_from(ev):
+    """Per-(user, active day) aggregates over an events frame — the
+    feature store's unit of ingest (batch table or stream micro-batch).
+    Decimal value mass keeps the cumulative chain exact across
     incremental appends (double accumulation would order-depend)."""
-    ev = table(spark, sf_dir, "events")
     return ev.groupBy("user_id", F.col("ts").cast("date").alias("d")).agg(
         F.count(F.when(F.col("event_type") == "click", 1)).alias("c"),
         F.count(F.when(F.col("event_type") == "view", 1)).alias("v"),
         F.sum(F.col("value").cast("decimal(28,10)")).alias("vs"),
     )
+
+
+def _fs_daily(spark, sf_dir):
+    return _fs_daily_from(table(spark, sf_dir, "events"))
 
 
 def _fs_write_latest(latest, store: str, bootstrap: bool):
@@ -720,11 +724,20 @@ def append_feature_day(spark, store: str, sf_dir: str, day: str) -> None:
     Cost is O(day batch + |active users' buckets|) at any history
     length — the property the append roundtrip's full-rebuild oracle
     certifies."""
-    from udacity_dend_capstone_immigration_spark.sources.writers import write_parquet
-
     dayagg = _fs_daily(spark, sf_dir).where(
         F.col("d") == F.lit(day).cast("date")
     )
+    append_feature_dayagg(spark, store, dayagg, day)
+
+
+def append_feature_dayagg(spark, store: str, dayagg, day: str) -> None:
+    """The micro-batch form of :func:`append_feature_day`: ``dayagg``
+    is the (user_id, d, c, v, vs) aggregate of exactly one day (what a
+    streaming foreachBatch hands over after its own day-grain
+    aggregate). Not idempotent — callers on at-least-once channels gate
+    replays (batch-id markers), like the SCD2 stream."""
+    from udacity_dend_capstone_immigration_spark.sources.writers import write_parquet
+
     latest = spark.read.parquet(f"{store}/latest").select(
         "user_id",
         F.col("clicks_cum").alias("p_clicks"),
