@@ -22,27 +22,22 @@ FLAGSHIP = "top_nations_by_orders"
 
 #: The driver's CORRECTNESS record keeps only the first 50 entries of
 #: ``queries()``. Round-13 window, built by the ROLLING rotation rule
-#: (tests/test_registry.py): (a) every query NEW this round — the
-#: persisted text-dedup index lifecycle (build/append/fold roundtrips,
-#: with the append oracle being the full-rebuild aggregation: append ≡
-#: rebuild incl. cap-crossing tombstones), BPE-encoded packed training
-#: examples, and the persisted-DSIR-heads serve twin; (b) PLAN_CHANGED
-#: — `documents_stream_dedup_status` (now SERVED from the persisted
-#: store; 124s → 26.5s at the 100× corpus), `dedup_triangle_cohesion`
-#: (degree-oriented wedge join — hub-skew fix),
-#: `ann_index_maintenance_roundtrip` (policy-driven delta fold wired
-#: in), and the three merge-backed queries (bounded key broadcast +
-#: null-partition rejection in merge_upsert); (c) 22 of the 45 r8 rows
-#: (oldest tranche; the remaining 35 MUST rotate across r14/r15 — with
-#: N=260 the capacity-derived staleness bound current−(⌈N/50⌉+1)
-#: reaches r8 at r16). Session 2 added the five remaining TPC-H shapes
-#: (q2/q5/q11/q16/q20 — the full 22-query suite is now covered) and the
-#: split-leakage pair (naive-split near-dup audit + cluster-safe split),
-#: plus the incremental cluster maintenance query (condensed seeded CC,
-#: append ≡ rebuild). The eight new queries displace the last eight r8
-#: rows of tranche (c); the CC merge-hint fix (estimate-blind labels)
-#: additionally plan-changes dedup_clusters / dedup_keep_best /
-#: entity_resolution_parts into (b), so tranche (c) carries 16 r8 rows.
+#: (tests/test_registry.py): (a) every query NEW this round — sessions
+#: 1/2 shipped the persisted text-dedup index + cluster-store
+#: lifecycles, BPE store + packed examples, DSIR serve twin, perceptron
+#: classifier, SCD2 (batch + stream + invariants), the five remaining
+#: TPC-H shapes, and the split-leakage pair; session 3 adds the
+#: lifecycle/feature tier (snapshot version diff, k-anonymity audit,
+#: PIT feature assembly, MMR rerank, silhouette audit, hard-negative
+#: mining, feature store build/append/serve + its streaming twin) —
+#: those ten displaced the remaining r8 tranche entirely; (b)
+#: PLAN_CHANGED (see below). ROTATION DEBT for r14/r15: the ~35 r8-row
+#: tranche NOT in this window (asof_purchase_to_click, lineitem_rollup,
+#: cube_order_summary, doc_tfidf_top_terms, multimodal_frame_sample /
+#: _features, centroid_classifier_confusion, set_ops_customer_keys,
+#: range_join_event_counts, value_percentiles_by_type, …) — with N=270
+#: the capacity-derived staleness bound current−(⌈N/50⌉+1) reaches r8
+#: at r16, so they MUST rotate across the next two windows.
 SHOWCASE = [
     # (a) new this round
     # session 3: the lifecycle/feature tier — CDF-style snapshot diff

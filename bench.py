@@ -69,6 +69,13 @@ from udacity_dend_capstone_immigration_spark.workload import QUERIES
 #: partsupp correlated-minimum — the heaviest of the five shapes that
 #: completed the 22-query TPC-H suite) and tpch_q5_local_supplier_volume
 #: in (the cyclic join graph); nothing out.
+#: Rotated r13 session 3: retrieval_mmr_diverse in (the RAG diversity
+#: rerank between ANN and the context window — corpus-size-free greedy
+#: stage over the Arrow top-k), publish_version_diff in (CDF-style
+#: snapshot diff over the WAP store: two publishes + a key-partitioned
+#: full-outer SMJ, the lake-maintenance shape), and
+#: events_pit_feature_assembly in (leakage-free PIT feature assembly —
+#: one cumulative user window over the full event table); nothing out.
 #: Suite totals are NOT comparable across rotations — BASELINE.md
 #: records the discontinuity.
 HEADLINE = [
@@ -104,6 +111,9 @@ HEADLINE = [
     "knn_ivf_filtered_served",
     "corpus_examples_packed_served",
     "dedup_incremental_status_served",
+    "retrieval_mmr_diverse",
+    "publish_version_diff",
+    "events_pit_feature_assembly",
 ]
 
 

@@ -134,8 +134,6 @@ def test_feature_store_append_latest_semantics(spark):
     one-shot build's partition for that day."""
     import tempfile
 
-    from pyspark.sql import functions as F
-
     from udacity_dend_capstone_immigration_spark.workload.timeseries import (
         append_feature_day,
         build_feature_store,

@@ -189,3 +189,23 @@ def test_compatible_publish_rejects_non_nullable_addition(spark, tmp_path):
     assert not df2.schema["req"].nullable
     with _pytest.raises(SchemaCompatibilityError, match="non-nullable column added"):
         compatible_publish(df2, root)
+
+
+def test_compatible_publish_schema_identical_republish(spark, tmp_path):
+    """The two spurious-veto classes from review: (a) nested element
+    nullability is force-nullabled by the parquet round trip, (b) an
+    inferred partition column retypes (string day -> date). The schema
+    manifest makes an unchanged-frame republish always legal."""
+    from pyspark.sql import functions as F
+
+    from udacity_dend_capstone_immigration_spark.sources.publish import (
+        compatible_publish,
+    )
+
+    root = str(tmp_path / "repub")
+    df = spark.createDataFrame([(1, "2024-01-05")], "k long, day string").withColumn(
+        "arr", F.array(F.lit(1.0))
+    )
+    assert not df.schema["arr"].dataType.containsNull
+    compatible_publish(df, root, partition_by=["day"])
+    compatible_publish(df, root, partition_by=["day"])  # must not raise

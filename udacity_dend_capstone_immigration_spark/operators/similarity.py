@@ -486,6 +486,14 @@ def assign_nearest_arrow(
     import numpy as np
     import pandas as pd
 
+    if emit_second:
+        if metric != "cosine":
+            raise ValueError("emit_second supports cosine only")
+        if len(codebook.ids) < 2:
+            raise ValueError(
+                "emit_second needs >= 2 centroids (the runner-up of a "
+                "1-cell codebook would be the same cell at -inf)"
+            )
     emb_type = df.schema["embedding"].dataType.simpleString()
     out_schema = (
         f"{id_col} long, cell long"
@@ -510,8 +518,6 @@ def assign_nearest_arrow(
             best = np.empty(len(ids), dtype=np.float64)
             args = np.empty(len(ids), dtype=np.int64)
             if emit_second:
-                if metric != "cosine":
-                    raise ValueError("emit_second supports cosine only")
                 cells2 = np.empty(len(ids), dtype=np.int64)
                 best2 = np.empty(len(ids), dtype=np.float64)
             for lo in range(0, len(ids), chunk_rows):
@@ -874,6 +880,7 @@ def brute_force_knn_arrow(
     corpus: DataFrame,
     id_col: str = "vec_id",
     k: int = 10,
+    label_col: str | None = None,
 ) -> DataFrame:
     """Arrow/numpy fast path for exact cosine top-k.
 
@@ -887,6 +894,12 @@ def brute_force_knn_arrow(
     id tiebreak); ~3-4× faster at sf0.1 and the gap grows with corpus
     size. This is the shape a 100 TB similarity scan wants: broadcast the
     tiny side as a matrix, keep the big side columnar end-to-end.
+
+    ``label_col`` turns the scan into hard-negative mining: only corpus
+    rows whose label DIFFERS from the query's count — the mask lives
+    inside the kernel because a top-k-then-filter composition can't
+    bound how deep to rank when a query's whole neighborhood shares its
+    label, while the masked scan is exact at k.
     """
     import numpy as np
     import pandas as pd
@@ -899,29 +912,39 @@ def brute_force_knn_arrow(
             f"{MAX_BROADCAST_QUERY_ROWS}-row contract. Use knn_lsh_bucketed "
             f"or ivf_knn for large query sets."
         )
-    q_rows = queries.select(id_col, "embedding").collect()
+    q_cols = [id_col] + ([label_col] if label_col else []) + ["embedding"]
+    q_rows = queries.select(*q_cols).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_lab = (
+        np.array([r[1] for r in q_rows], dtype=np.int64) if label_col else None
+    )
+    q_mat = np.array([r[-1] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
     spark = queries.sparkSession
-    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
+    bc = spark.sparkContext.broadcast((q_ids, q_lab, q_mat, q_norm))
 
     out_schema = (
         f"query_id {'long'}, neighbor_id long, cosine_sim double"
     )
 
     def score(batches):
-        q_ids_, q_mat_, q_norm_ = bc.value
+        q_ids_, q_lab_, q_mat_, q_norm_ = bc.value
         for pdf in batches:
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_lab = (
+                pdf[label_col].to_numpy(dtype=np.int64) if label_col else None
+            )
             c_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             c_norm = np.linalg.norm(c_mat, axis=1)
             sims = (q_mat_ @ c_mat.T) / np.outer(q_norm_, c_norm)
             np.round(sims, 6, out=sims)
-            # self-match mask + per-batch partial top-k per query
+            # self-match (and different-label) mask + per-batch partial
+            # top-k per query
             for qi in range(len(q_ids_)):
                 row = sims[qi]
                 mask = c_ids != q_ids_[qi]
+                if c_lab is not None:
+                    mask &= c_lab != q_lab_[qi]
                 ids, vals = c_ids[mask], row[mask]
                 if len(ids) == 0:
                     continue
@@ -941,12 +964,96 @@ def brute_force_knn_arrow(
     # corpus sizes outweighs the BLAS parallelism (measured 0.6 -> 1.3s
     # when round-robin'd to 32 partitions); a multi-split corpus at real
     # scale parallelizes naturally
-    partial = corpus.select(id_col, "embedding").mapInPandas(score, out_schema)
+    c_cols = [id_col] + ([label_col] if label_col else []) + ["embedding"]
+    partial = corpus.select(*c_cols).mapInPandas(score, out_schema)
     return top_k_per_group(
         partial,
         partition_by=["query_id"],
         order_by=[F.desc("cosine_sim"), F.asc("neighbor_id")],
         k=k,
+    )
+
+
+def mmr_select_grouped(
+    cands: DataFrame,
+    group_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rel_col: str = "rel",
+    k: int = 5,
+    lam: float = 0.7,
+    mu: float = 0.3,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein):
+    greedily pick ``k`` of each group's candidates maximizing
+    ``lam·relevance − mu·max_sim_to_already_selected`` — the diversity
+    selection every RAG retrieval stack runs between ANN and the
+    context window.
+
+    Greedy selection is inherently sequential in ``k`` but embarrassingly
+    parallel across queries, so the kernel is one ``applyInPandas`` over
+    the (bounded-by-construction: |candidates| = upstream top-k) group:
+    one |g|×|g| BLAS gram matrix, then k argmax passes over ≤|g| floats.
+    Candidate-pair sims are ``np.round(…, 6)`` — the established
+    matches-after-rounding contract vs DuckDB's sequential fold — and
+    the step score is a fixed two-multiply-one-subtract double tree over
+    those rounded inputs, so scores are bit-identical to an oracle
+    computing the same unrolled greedy chain. ``mu`` is an explicit
+    literal (NOT ``1-lam``: 1-0.7 is 0.30000000000000004 in binary —
+    one ulp off the oracle's 0.3e0). Ties break toward the smaller id
+    at every step, mirroring the oracle's ROW_NUMBER order.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def greedy(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        rel = pdf[rel_col].to_numpy(dtype=np.float64)
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(mat, axis=1)
+        sims = (mat @ mat.T) / np.outer(nrm, nrm)
+        np.round(sims, 6, out=sims)
+        n = len(ids)
+        remaining = np.ones(n, dtype=bool)
+        maxsim = np.full(n, -np.inf)
+        picks: list[int] = []
+        scores: list[float] = []
+        for step in range(min(k, n)):
+            cur = rel if step == 0 else lam * rel - mu * maxsim
+            idx = np.nonzero(remaining)[0]
+            best = idx[np.lexsort((ids[idx], -cur[idx]))[0]]
+            picks.append(best)
+            scores.append(cur[best])
+            remaining[best] = False
+            np.maximum(maxsim, sims[:, best], out=maxsim)
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col].iloc[0],
+                "sel_rank": np.arange(1, len(picks) + 1, dtype=np.int32),
+                "vec_id": ids[picks],
+                "mmr_score": np.array(scores, dtype=np.float64),
+            }
+        )
+
+    return cands.groupBy(group_col).applyInPandas(
+        greedy, f"{group_col} long, sel_rank int, vec_id long, mmr_score double"
+    )
+
+
+def hard_negative_knn_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training: per
+    query, the top-k most-similar corpus vectors whose ``label_col``
+    DIFFERS from the query's — :func:`brute_force_knn_arrow` with the
+    label mask (see its docstring for why the mask must live inside
+    the kernel). One linear corpus pass at any SF; at corpus × corpus
+    mining scale, route per IVF/LSH bucket instead."""
+    return brute_force_knn_arrow(
+        queries, corpus, id_col=id_col, k=k, label_col=label_col
     )
 
 

@@ -181,6 +181,27 @@ class SchemaCompatibilityError(RuntimeError):
     """The staged snapshot's schema would break existing readers."""
 
 
+_SCHEMA_MANIFEST = "_contract_schema.json"
+
+
+def _canon_type(dt):
+    """Nullability-insensitive type identity: the parquet round trip
+    force-nullables every column AND nested element (array<double NOT
+    NULL> reads back containsNull=true), so read compatibility compares
+    types with all nullability flags normalized true."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(dt, StructType):
+        return StructType(
+            [StructField(f.name, _canon_type(f.dataType), True) for f in dt.fields]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_canon_type(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(_canon_type(dt.keyType), _canon_type(dt.valueType), True)
+    return dt
+
+
 def check_backward_compatible(prev, new) -> None:
     """Data-contract gate for :func:`publish_table`'s audit hook: a new
     snapshot may ADD nullable columns, but dropping a column, changing
@@ -201,7 +222,7 @@ def check_backward_compatible(prev, new) -> None:
         nf = new_fields.get(name)
         if nf is None:
             problems.append(f"column dropped: {name} ({pf.dataType.simpleString()})")
-        elif nf.dataType != pf.dataType:
+        elif _canon_type(nf.dataType) != _canon_type(pf.dataType):
             problems.append(
                 f"column retyped: {name} "
                 f"{pf.dataType.simpleString()} -> {nf.dataType.simpleString()}"
@@ -219,11 +240,29 @@ def compatible_publish(df: DataFrame, root: str, **kwargs) -> str:
     unconstrained). The schema gate runs BEFORE staging — nothing is
     written on a contract violation; a caller ``audit`` in ``kwargs``
     still runs against the staged read-back as usual."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
     v = current_version(root)
     if v is not None:
-        prev_schema = df.sparkSession.read.parquet(os.path.join(root, v)).schema
+        # prefer the schema MANIFEST the previous compatible_publish
+        # left beside its snapshot — the exact logical input schema.
+        # The parquet read-back fallback force-nullables everything and
+        # retypes inferred partition columns (string day -> date), so
+        # manifest-less comparisons are nullability-insensitive by
+        # construction (_canon_type) but can still mis-see a partition
+        # column's logical type.
+        manifest = os.path.join(root, v, _SCHEMA_MANIFEST)
+        if os.path.exists(manifest):
+            with open(manifest) as fh:
+                prev_schema = StructType.fromJson(_json.load(fh))
+        else:
+            prev_schema = df.sparkSession.read.parquet(os.path.join(root, v)).schema
         # checked on the INPUT frame's schema, before any write: the
-        # parquet round trip force-nullables every column, so the
         # staged read-back can't see an added column's non-nullability
         check_backward_compatible(prev_schema, df.schema)
-    return publish_table(df, root, **kwargs)
+    version = publish_table(df, root, **kwargs)
+    with open(os.path.join(root, version, _SCHEMA_MANIFEST), "w") as fh:
+        _json.dump(df.schema.jsonValue(), fh)
+    return version

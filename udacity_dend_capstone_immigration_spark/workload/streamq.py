@@ -1796,13 +1796,11 @@ def _register_stream_features():
             .start()
         )
         _await_or_raise(q, 180, "events_stream_feature_updates")
-        back = spark.read.parquet(f"{store}/snapshots")
-        return back.groupBy("feature_date").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_users"),
-            F.sum("clicks_cum").cast("bigint").alias("clicks_checksum"),
-            F.sum("views_cum").cast("bigint").alias("views_checksum"),
-            dsum(F.col("vsum_cum"), "vsum_checksum"),
+        from udacity_dend_capstone_immigration_spark.workload.timeseries import (
+            fs_roundtrip_agg,
         )
+
+        return fs_roundtrip_agg(spark, store)
 
 
 _register_stream_features()

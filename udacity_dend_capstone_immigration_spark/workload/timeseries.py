@@ -663,6 +663,22 @@ def _fs_write_latest(latest, store: str, bootstrap: bool):
         )
 
 
+def fs_roundtrip_agg(spark, store: str):
+    """The per-persisted-partition checksum aggregate every feature-
+    store lifecycle query returns — ONE definition, because the build /
+    append / streaming queries all share the build roundtrip's oracle
+    and must stay bit-identical to keep append ≡ rebuild provable."""
+    from udacity_dend_capstone_immigration_spark.workload.base import dsum
+
+    back = spark.read.parquet(f"{store}/snapshots")
+    return back.groupBy("feature_date").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("clicks_cum").cast("bigint").alias("clicks_checksum"),
+        F.sum("views_cum").cast("bigint").alias("views_checksum"),
+        dsum(F.col("vsum_cum"), "vsum_checksum"),
+    )
+
+
 def build_feature_store(
     spark, sf_dir: str, store_dir: str | None = None, cutoff: str | None = None
 ) -> str:
@@ -756,7 +772,11 @@ def append_feature_dayagg(spark, store: str, dayagg, day: str) -> None:
             (F.coalesce(F.col("p_views"), F.lit(0)) + F.col("v"))
             .cast("bigint")
             .alias("views_cum"),
-            (F.coalesce(F.col("p_vs"), zero_dec) + F.col("vs"))
+            # vs is NULL when every event that day carried a NULL value
+            # (the rebuild's window SUM skips those days — P + NULL would
+            # instead poison the cumulative chain forever)
+            (F.coalesce(F.col("p_vs"), zero_dec)
+             + F.coalesce(F.col("vs"), F.lit(0).cast("decimal(28,10)")))
             .cast("decimal(38,10)")
             .alias("vs_cum_dec"),
         )
@@ -797,16 +817,8 @@ def append_feature_dayagg(spark, store: str, dayagg, day: str) -> None:
     """,
 )
 def feature_store_build_roundtrip(spark, sf_dir):
-    from udacity_dend_capstone_immigration_spark.workload.base import dsum
-
     store = build_feature_store(spark, sf_dir)
-    back = spark.read.parquet(f"{store}/snapshots")
-    return back.groupBy("feature_date").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_users"),
-        F.sum("clicks_cum").cast("bigint").alias("clicks_checksum"),
-        F.sum("views_cum").cast("bigint").alias("views_checksum"),
-        dsum(F.col("vsum_cum"), "vsum_checksum"),
-    )
+    return fs_roundtrip_agg(spark, store)
 
 
 # --- PIT serving from the materialized store: every 'purchase' label
@@ -889,8 +901,6 @@ def features_pit_served(spark, sf_dir):
     oracle=ORACLES["feature_store_build_roundtrip"],
 )
 def feature_store_append_roundtrip(spark, sf_dir):
-    from udacity_dend_capstone_immigration_spark.workload.base import dsum
-
     days = sorted(
         r[0] for r in _fs_daily(spark, sf_dir).select("d").distinct().collect()
     )
@@ -898,10 +908,4 @@ def feature_store_append_roundtrip(spark, sf_dir):
     store = build_feature_store(spark, sf_dir, cutoff=str(cutoff))
     for day in tail:
         append_feature_day(spark, store, sf_dir, str(day))
-    back = spark.read.parquet(f"{store}/snapshots")
-    return back.groupBy("feature_date").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_users"),
-        F.sum("clicks_cum").cast("bigint").alias("clicks_checksum"),
-        F.sum("views_cum").cast("bigint").alias("views_checksum"),
-        dsum(F.col("vsum_cum"), "vsum_checksum"),
-    )
+    return fs_roundtrip_agg(spark, store)
