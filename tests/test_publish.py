@@ -209,3 +209,37 @@ def test_compatible_publish_schema_identical_republish(spark, tmp_path):
     assert not df.schema["arr"].dataType.containsNull
     compatible_publish(df, root, partition_by=["day"])
     compatible_publish(df, root, partition_by=["day"])  # must not raise
+
+
+def test_rollback_restores_previous_snapshot(spark, tmp_path):
+    from udacity_dend_capstone_immigration_spark.sources.publish import (
+        current_version,
+        publish_table,
+        read_published,
+        rollback,
+    )
+
+    root = str(tmp_path / "rb")
+    publish_table(spark.createDataFrame([(1,)], "k long"), root)
+    v2 = publish_table(spark.createDataFrame([(1,), (2,)], "k long"), root)
+    target = rollback(root)
+    assert target != v2 and current_version(root) == target
+    assert read_published(spark, root).count() == 1
+    # rolled-to version is the newest history entry: a fresh publish
+    # then time-travel -1 resolves IT, not the rolled-away v2
+    publish_table(spark.createDataFrame([(9,), (8,), (7,)], "k long"), root)
+    assert read_published(spark, root, version=-1).count() == 1
+
+
+def test_rollback_without_previous_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from udacity_dend_capstone_immigration_spark.sources.publish import (
+        publish_table,
+        rollback,
+    )
+
+    root = str(tmp_path / "rb2")
+    publish_table(spark.createDataFrame([(1,)], "k long"), root)
+    with _pytest.raises(FileNotFoundError, match="no previous"):
+        rollback(root)

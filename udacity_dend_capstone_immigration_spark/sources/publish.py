@@ -266,3 +266,32 @@ def compatible_publish(df: DataFrame, root: str, **kwargs) -> str:
     with open(os.path.join(root, version, _SCHEMA_MANIFEST), "w") as fh:
         _json.dump(df.schema.jsonValue(), fh)
     return version
+
+
+def rollback(root: str) -> str:
+    """Repoint ``_CURRENT`` at the previous published version — the
+    incident lever time travel exists for (a bad publish that passed
+    its audit). The same atomic pointer swap as publish; the rolled-to
+    version is re-appended to the history so it becomes the newest
+    entry (a subsequent rollback steps back again, and retention counts
+    it as live). Raises if there is no previous version inside the
+    retention window — rollback reaches exactly as far as time travel,
+    by design."""
+    window = published_versions(root)
+    live = current_version(root)
+    if live in window:
+        window = window[: window.index(live) + 1]
+    if len(window) < 2:
+        raise FileNotFoundError(
+            f"no previous published version to roll back to under {root!r}"
+        )
+    target = window[-2]
+    tmp = os.path.join(root, f".{_POINTER}.{target}")
+    with open(tmp, "w") as f:
+        f.write(target + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(root, _POINTER))
+    with open(os.path.join(root, _LOG), "a") as f:
+        f.write(target + "\n")
+    return target
