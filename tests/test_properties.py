@@ -204,3 +204,107 @@ def test_chunk_windows_matches_reference(spark, texts, chunk_size, stride):
         for idx, toks in ref_chunks(text, chunk_size, stride):
             want[(i, idx)] = (len(toks), " ".join(toks))
     assert got == want
+
+
+# --- schema-contract properties (pure StructType logic, no Spark jobs)
+
+_ATOMS = ["long", "int", "double", "string", "date", "boolean"]
+
+
+def _schema(cols):
+    # direct type constructors — _parse_datatype_string needs a live
+    # SparkContext, and these properties must stay JVM-free to afford
+    # 200 examples each
+    from pyspark.sql import types as T
+
+    atoms = {
+        "long": T.LongType(),
+        "int": T.IntegerType(),
+        "double": T.DoubleType(),
+        "string": T.StringType(),
+        "date": T.DateType(),
+        "boolean": T.BooleanType(),
+    }
+    return T.StructType(
+        [T.StructField(n, atoms[t], nullable) for n, t, nullable in cols]
+    )
+
+
+_col = st.tuples(
+    st.text(alphabet="abcdef", min_size=1, max_size=4),
+    st.sampled_from(_ATOMS),
+    st.booleans(),
+)
+
+
+@st.composite
+def _distinct_cols(draw, min_size=1, max_size=6):
+    cols = draw(st.lists(_col, min_size=min_size, max_size=max_size))
+    seen, out = set(), []
+    for n, t, nl in cols:
+        if n not in seen:
+            seen.add(n)
+            out.append((n, t, nl))
+    return out
+
+
+@given(_distinct_cols())
+@settings(max_examples=200, deadline=None)
+def test_contract_reflexive(cols):
+    """Any schema is backward-compatible with itself (the republish
+    case the manifest exists for)."""
+    from udacity_dend_capstone_immigration_spark.sources.publish import check_backward_compatible
+
+    s = _schema(cols)
+    check_backward_compatible(s, s)
+
+
+@given(_distinct_cols(min_size=2))
+@settings(max_examples=200, deadline=None)
+def test_contract_rejects_any_drop(cols):
+    from udacity_dend_capstone_immigration_spark.sources.publish import (
+        SchemaCompatibilityError,
+        check_backward_compatible,
+    )
+
+    prev = _schema(cols)
+    new = _schema(cols[:-1])
+    with pytest.raises(SchemaCompatibilityError, match="column dropped"):
+        check_backward_compatible(prev, new)
+
+
+@given(_distinct_cols(), st.sampled_from(_ATOMS))
+@settings(max_examples=200, deadline=None)
+def test_contract_added_column_nullability_decides(cols, t):
+    """Adding a column: nullable passes, non-nullable is vetoed —
+    regardless of the rest of the schema."""
+    from udacity_dend_capstone_immigration_spark.sources.publish import (
+        SchemaCompatibilityError,
+        check_backward_compatible,
+    )
+
+    prev = _schema(cols)
+    fresh = "zz_new"
+    check_backward_compatible(prev, _schema(cols + [(fresh, t, True)]))
+    with pytest.raises(SchemaCompatibilityError, match="non-nullable"):
+        check_backward_compatible(prev, _schema(cols + [(fresh, t, False)]))
+
+
+@given(_distinct_cols(min_size=1))
+@settings(max_examples=200, deadline=None)
+def test_contract_nullability_flip_passes_retype_fails(cols):
+    """Flipping nullability on an existing column is read-compatible on
+    parquet (values, not constraints); changing its type never is."""
+    from udacity_dend_capstone_immigration_spark.sources.publish import (
+        SchemaCompatibilityError,
+        check_backward_compatible,
+    )
+
+    prev = _schema(cols)
+    flipped = _schema([(n, t, not nl) for n, t, nl in cols])
+    check_backward_compatible(prev, flipped)
+    n0, t0, nl0 = cols[0]
+    other = "string" if t0 != "string" else "long"
+    retyped = _schema([(n0, other, nl0)] + cols[1:])
+    with pytest.raises(SchemaCompatibilityError, match="column retyped"):
+        check_backward_compatible(prev, retyped)
