@@ -495,3 +495,47 @@ def test_hard_negative_knn_masks_inside_kernel(spark):
     ).collect()
     assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [30, 31]
     assert all(r["neighbor_id"] not in range(1, 21) for r in out)
+
+
+def test_mmr_invariants_random_groups(spark):
+    """Randomized invariants over the greedy kernel (deterministic
+    seed; one Spark job for all groups): per group, exactly min(k, n)
+    rows, unique ids drawn from the group's candidates, sel_rank dense
+    from 1, and rank 1 = argmax relevance with the smaller-id tie
+    rule."""
+    import numpy as np
+
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        mmr_select_grouped,
+    )
+
+    rng = np.random.default_rng(7)
+    rows, expect_n = [], {}
+    for g in range(12):
+        n = int(rng.integers(1, 9))
+        expect_n[g] = min(5, n)
+        rel = np.round(rng.random(n), 6)
+        for i in range(n):
+            rows.append(
+                (g, int(g * 100 + i), float(rel[i]), [float(x) for x in rng.random(4)])
+            )
+    df = spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, rel double, embedding array<double>"
+    )
+    out = mmr_select_grouped(df, k=5).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["query_id"], []).append(r)
+    cands = {}
+    for g, nid, rel, _ in rows:
+        cands.setdefault(g, {})[nid] = rel
+    assert set(by_g) == set(expect_n)
+    for g, rs in by_g.items():
+        assert len(rs) == expect_n[g]
+        ids = [r["vec_id"] for r in sorted(rs, key=lambda r: r["sel_rank"])]
+        assert len(set(ids)) == len(ids)
+        assert set(ids) <= set(cands[g])
+        assert sorted(r["sel_rank"] for r in rs) == list(range(1, len(rs) + 1))
+        best_rel = max(cands[g].values())
+        expected_first = min(i for i, v in cands[g].items() if v == best_rel)
+        assert ids[0] == expected_first
