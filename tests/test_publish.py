@@ -243,3 +243,55 @@ def test_rollback_without_previous_raises(spark, tmp_path):
     publish_table(spark.createDataFrame([(1,)], "k long"), root)
     with _pytest.raises(FileNotFoundError, match="no previous"):
         rollback(root)
+
+
+def test_publish_incident_drill_end_to_end(spark, tmp_path):
+    """The full lifecycle in one sequence: good publish -> contract-
+    vetoed publish (nothing staged, pointer intact) -> audit-vetoed
+    publish (staged dir removed) -> good publish -> rollback -> the
+    rolled-to state serves reads and the next publish builds on it."""
+    import os
+
+    import pytest as _pytest
+
+    from udacity_dend_capstone_immigration_spark.sources.publish import (
+        AuditFailedError,
+        SchemaCompatibilityError,
+        compatible_publish,
+        current_version,
+        read_published,
+        rollback,
+    )
+
+    root = str(tmp_path / "drill")
+    v1 = compatible_publish(spark.createDataFrame([(1, "a")], "k long, s string"), root)
+
+    with _pytest.raises(SchemaCompatibilityError):
+        compatible_publish(spark.createDataFrame([(1,)], "k long"), root)
+    assert current_version(root) == v1
+
+    def veto(df):
+        raise ValueError("dq failed")
+
+    with _pytest.raises(AuditFailedError):
+        compatible_publish(
+            spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"),
+            root,
+            audit=veto,
+        )
+    assert current_version(root) == v1
+    # the vetoed stage is gone: only v1's dir remains
+    dirs = [d for d in os.listdir(root) if d.startswith("v_")]
+    assert dirs == [v1]
+
+    v2 = compatible_publish(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"), root
+    )
+    assert read_published(spark, root).count() == 2
+    assert rollback(root) == v1
+    assert read_published(spark, root).count() == 1
+    v3 = compatible_publish(
+        spark.createDataFrame([(9, "z")], "k long, s string"), root
+    )
+    assert current_version(root) == v3 and v3 not in (v1, v2)
+    assert read_published(spark, root, version=-1).count() == 1
