@@ -1,0 +1,53 @@
+"""Privacy-mechanism operators (r14 staging — see operators/privacy.py)."""
+
+from pyspark.sql import functions as F
+
+from udacity_dend_capstone_immigration_spark.operators.privacy import (
+    randomized_response,
+    rr_debias,
+    suppress_small_groups,
+)
+
+
+def test_randomized_response_deterministic_and_in_domain(spark):
+    cats = ["a", "b", "c"]
+    df = spark.range(2000).select(
+        F.col("id"), F.lit("a").alias("v")
+    )
+    out = df.select(
+        "id", randomized_response(F.col("v"), cats, F.col("id")).alias("r")
+    )
+    rows1 = {r["id"]: r["r"] for r in out.collect()}
+    rows2 = {r["id"]: r["r"] for r in out.collect()}
+    assert rows1 == rows2  # deterministic replay
+    assert set(rows1.values()) <= set(cats)
+    kept = sum(1 for v in rows1.values() if v == "a")
+    # keep=800/1000 plus uniform draws landing on 'a': E[frac] ~ 0.8+0.2/3
+    assert 0.82 <= kept / 2000 <= 0.91
+
+
+def test_rr_debias_recovers_expectation_exactly(spark):
+    """On EXACT expected reported counts the estimator inverts the
+    mechanism algebraically: n_hat == n_c for every class."""
+    k, keep = 4, 800
+    n = 10_000
+    true = {"a": 4000, "b": 3000, "c": 2000, "d": 1000}
+    rows = []
+    for c, n_c in true.items():
+        reported = n_c * (keep / 1000) + n * ((1 - keep / 1000) / k)
+        rows.append((c, float(reported)))
+    df = spark.createDataFrame(rows, "cat string, reported double")
+    est = df.select(
+        "cat",
+        rr_debias(F.col("reported"), F.lit(n), k, keep).alias("n_hat"),
+    ).collect()
+    for r in est:
+        assert abs(r["n_hat"] - true[r["cat"]]) < 1e-6
+
+
+def test_suppress_small_groups_drops_exactly_the_small(spark):
+    rows = [("x", i) for i in range(7)] + [("y", i) for i in range(3)]
+    df = spark.createDataFrame(rows, "g string, i long")
+    out = suppress_small_groups(df, ["g"], k=5).collect()
+    assert {r["g"] for r in out} == {"x"}
+    assert len(out) == 7
