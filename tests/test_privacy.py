@@ -51,3 +51,38 @@ def test_suppress_small_groups_drops_exactly_the_small(spark):
     out = suppress_small_groups(df, ["g"], k=5).collect()
     assert {r["g"] for r in out} == {"x"}
     assert len(out) == 7
+
+
+def test_randomized_response_duckdb_replicable(spark):
+    """The r14 oracle stage-gate: DuckDB reproduces the Spark release
+    bit-for-bit from the same md5-derived coins (the mechanism is a
+    pure function of (seed, salt) — what makes a driver oracle
+    possible)."""
+    import duckdb
+
+    cats = ["click", "error", "purchase", "signup", "view"]
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet").select("event_id", "event_type")
+    got = {
+        r["event_id"]: r["rr"]
+        for r in ev.select(
+            "event_id",
+            randomized_response(
+                F.col("event_type"), cats, F.col("event_id")
+            ).alias("rr"),
+        ).collect()
+    }
+    arr = "[" + ", ".join(f"'{c}'" for c in cats) + "]"
+    want = dict(
+        duckdb.sql(
+            f"""
+        SELECT event_id,
+               CASE WHEN ('0x' || substring(md5('rr:keep:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < 800
+                    THEN event_type
+                    ELSE {arr}[CAST(('0x' || substring(md5('rr:draw:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 5 AS INT) + 1]
+               END AS rr
+        FROM read_parquet('{sf}/events.parquet')
+        """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 900
