@@ -86,3 +86,53 @@ def test_randomized_response_duckdb_replicable(spark):
         ).fetchall()
     )
     assert got == want and len(got) > 900
+
+
+def test_suppression_release_duckdb_replicable(spark):
+    """r14 stage-gate for `events_k_anonymity_release`: the suppressed
+    release's per-type surviving rows/groups match DuckDB's HAVING
+    form exactly (same QI tuple as the audit query)."""
+    import duckdb
+
+    from udacity_dend_capstone_immigration_spark.workload.base import read_events
+
+    sf = "/root/testdata/sf0.001"
+    # read_events, never a raw parquet read — the ts physical type
+    # varies by testdata generation (CLAUDE.md events-ingest rule)
+    ev = read_events(spark, sf).select(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        F.floor(F.col("value") / F.lit(50.0)).alias("band"),
+        "user_id",
+    )
+    rel = suppress_small_groups(ev, ["event_type", "hod", "band"], k=5)
+    got = sorted(
+        map(
+            tuple,
+            rel.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.countDistinct("hod", "band").cast("bigint").alias("n_groups"),
+            )
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            duckdb.sql(
+                f"""
+        WITH qi AS (
+            SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+                   FLOOR(value / 50.0e0) AS band, COUNT(*) AS gsz
+            FROM read_parquet('{sf}/events.parquet')
+            GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5
+        )
+        SELECT event_type, CAST(SUM(gsz) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_groups
+        FROM qi GROUP BY event_type
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want and len(got) >= 3
