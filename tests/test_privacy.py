@@ -136,3 +136,28 @@ def test_suppression_release_duckdb_replicable(spark):
         )
     )
     assert got == want and len(got) >= 3
+
+
+def test_hash_kfold_stable_and_duckdb_replicable(spark):
+    """r14 stage-gate for a kfold query: fold assignment is stable
+    across runs and DuckDB reproduces it from the same md5 buckets."""
+    import duckdb
+
+    from udacity_dend_capstone_immigration_spark.operators.curation import hash_kfold
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+    out = hash_kfold(docs, "doc_id", folds=5)
+    got = {r["doc_id"]: r["fold"] for r in out.collect()}
+    again = {r["doc_id"]: r["fold"] for r in out.collect()}
+    assert got == again and set(got.values()) == set(range(5))
+    want = dict(
+        duckdb.sql(
+            f"""
+        SELECT doc_id,
+               CAST(('0x' || substring(md5('kfold:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 1000 % 5 AS INT) AS fold
+        FROM read_parquet('{sf}/documents.parquet')
+        """
+        ).fetchall()
+    )
+    assert got == want

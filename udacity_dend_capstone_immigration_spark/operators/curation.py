@@ -209,3 +209,22 @@ def weighted_priority_sample(
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
     )
+
+
+def hash_kfold(
+    df: DataFrame, key_col: str, folds: int = 5, salt: str = "kfold"
+) -> DataFrame:
+    """Deterministic k-fold assignment by hashed key (r14 staging —
+    registration deferred, window full): ``fold`` ∈ [0, folds) via the
+    same md5-bucket discipline as :func:`hash_split`, so folds are
+    stable under retries/appends and every (train=folds−1, eval=1)
+    rotation is reproducible — the cross-validation twin of the
+    train/test split. Pure map work, no shuffle; combine with the
+    cluster-representative key (corpus_split_cluster_safe) when
+    near-dup leakage across folds matters."""
+    b = hash_bucket(F.col(key_col), salt)
+    return (
+        df.withColumn("bucket", b)
+        .withColumn("fold", (F.col("bucket") % folds).cast("int"))
+        .drop("bucket")
+    )
