@@ -447,3 +447,39 @@ def test_filtered_served_never_returns_filtered_out_labels(spark):
         for r in table(spark, SF_DIR, "embeddings").select("vec_id", "label").collect()
     }
     assert all(labels[r["neighbor_id"]] < 5 for r in res)
+
+
+def test_centroid_drift_report_flags_shifted_appends(spark, tmp_path):
+    """r14 staging gate: the drift report reads ONLY the store, covers
+    every cell, starts near the Lloyd fixed point (small drift), and a
+    strongly-shifted frozen-codebook append pushes the touched cells'
+    drift up — the retrain trigger firing exactly when the O(batch)
+    append contract stops being quality-free."""
+    from pyspark.sql import functions as F
+
+    from udacity_dend_capstone_immigration_spark.workload.vectors import (
+        append_to_ivf_flat_index,
+        build_ivf_flat_index,
+        centroid_drift_report,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "drift_idx")
+    build_ivf_flat_index(spark, sf, idx)
+    before = {r["cell"]: r for r in centroid_drift_report(spark, idx).collect()}
+    assert len(before) >= 8  # every (non-empty) cell reported
+    assert all(0.0 <= r["drift"] <= 2.0 for r in before.values())
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select("vec_id", "embedding")
+    shifted = emb.limit(200).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x * F.lit(-1.0)).cast("float")
+        ).alias("embedding"),
+    )
+    append_to_ivf_flat_index(spark, shifted, idx)
+    after = {r["cell"]: r for r in centroid_drift_report(spark, idx).collect()}
+    assert max(r["drift"] for r in after.values()) > max(
+        r["drift"] for r in before.values()
+    )
+    assert any(r["retrain_due"] for r in after.values())

@@ -3416,3 +3416,59 @@ def retrieval_hard_negatives(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     qs = emb.where(F.col("vec_id") < 10)
     return hard_negative_knn_arrow(qs, emb, "vec_id", "label", k=5)
+
+
+def centroid_drift_report(spark, index_dir: str, threshold: float = 0.02):
+    """Retrain-trigger audit for the persisted IVF stores (r14 staging —
+    registration deferred, window full): per cell, the cosine gap
+    between the STORED (frozen-at-train) centroid and the cell's
+    CURRENT mean vector. Frozen-codebook appends are O(batch) precisely
+    because they never retrain — this report is the other half of that
+    contract: when drift exceeds the threshold, the assignment quality
+    the recall audits certified no longer holds and `run_due_
+    maintenance`-style retraining is due. One store scan: posexplode →
+    (cell, dim)-keyed decimal mean (the label_centroids exchange shape
+    — N_CELLS×dim cells at any corpus size) → array reassembly → one
+    cosine per cell against the tiny centroid table. Report-only
+    arithmetic (exact decimal means, 6dp-rounded cosine) so an r14
+    oracle can mirror it."""
+    from udacity_dend_capstone_immigration_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from udacity_dend_capstone_immigration_spark.workload.base import dsum_expr
+
+    vecs = spark.read.parquet(f"{index_dir}/ivf_vectors").select(
+        "cell", F.posexplode(F.col("embedding")).alias("dim", "val")
+    )
+    means = (
+        vecs.groupBy("cell", "dim")
+        .agg(
+            (dsum_expr(F.col("val").cast("double")) / F.count(F.lit(1)).cast("double")).alias("m"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("m")))
+            ).alias("dv"),
+            F.first("n").alias("n_vectors"),
+        )
+        .select(
+            "cell",
+            F.col("dv.m").alias("mean_emb"),
+            F.col("n_vectors").cast("bigint").alias("n_vectors"),
+        )
+    )
+    cents = spark.read.parquet(f"{index_dir}/ivf_centroids").select(
+        F.col("cent_id").alias("cell"),
+        F.col("cent_emb").cast("array<double>").alias("cent_emb"),
+    )
+    drift = F.round(
+        F.lit(1.0) - cosine_similarity(F.col("mean_emb"), F.col("cent_emb")), 6
+    )
+    return means.join(cents, "cell").select(
+        "cell",
+        "n_vectors",
+        drift.alias("drift"),
+        (drift > F.lit(float(threshold))).alias("retrain_due"),
+    )
