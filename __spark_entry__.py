@@ -31,13 +31,29 @@ FLAGSHIP = "top_nations_by_orders"
 #: PIT feature assembly, MMR rerank, silhouette audit, hard-negative
 #: mining, feature store build/append/serve + its streaming twin) —
 #: those ten displaced the remaining r8 tranche entirely; (b)
-#: PLAN_CHANGED (see below). ROTATION DEBT for r14/r15: the ~35 r8-row
-#: tranche NOT in this window (asof_purchase_to_click, lineitem_rollup,
-#: cube_order_summary, doc_tfidf_top_terms, multimodal_frame_sample /
-#: _features, centroid_classifier_confusion, set_ops_customer_keys,
-#: range_join_event_counts, value_percentiles_by_type, …) — with N=270
-#: the capacity-derived staleness bound current−(⌈N/50⌉+1) reaches r8
-#: at r16, so they MUST rotate across the next two windows.
+#: PLAN_CHANGED (see below). ROTATION DEBT for r14 (measured at s3
+#: close): exactly 45 queries whose newest official row is r8 —
+#: approx_quantile_accuracy, asof_purchase_to_click(+_30m),
+#: benchmark_contamination, bm25_scores, bpe_merge_candidates,
+#: centroid_classifier_confusion, corpus_{curation_pipeline, nucleus/
+#: quota/stratified/weighted_sample, token_packing, train_test_split},
+#: cube_order_summary, customer_spend_quartiles,
+#: customers_with_orders_semi, doc_{tfidf_top_terms, top_terms},
+#: events_{cohort_retention, equi_depth_histogram, hourly_gap_fill,
+#: latest_per_key, robust_stats, salted_type_totals, scd2_intervals},
+#: fuzzy_part_name_pairs, grouping_sets_revenue, lineitem_{price_rank_
+#: stats, rollup}, multimodal_{features, frame_sample},
+#: nation_balance_full_outer, negative_sampling_pairs,
+#: order_quantity_vectors, orders_{above_avg_price,
+#: above_customer_avg, metrics_unpivot}, quality_filter_funnel,
+#: range_join_event_counts, region_priority_grid, set_ops_{bag_
+#: semantics, customer_keys}, source_temperature_mixture,
+#: value_percentiles_by_type. The r14 window (~46 slots after the four
+#: staged registrations: events_randomized_response,
+#: events_k_anonymity_release, corpus_kfold_assignment,
+#: ann_centroid_drift_report) fits ALL of them — rotate the lot; with
+#: N≈274 the staleness bound reaches r8 at r16, so r14 clears the
+#: debt a round early.
 SHOWCASE = [
     # (a) new this round
     # session 3: the lifecycle/feature tier — CDF-style snapshot diff
