@@ -497,6 +497,31 @@ def test_hard_negative_knn_masks_inside_kernel(spark):
     assert all(r["neighbor_id"] not in range(1, 21) for r in out)
 
 
+def test_hard_negative_knn_tie_breaks_to_smaller_id(spark):
+    """Pin the masked path's tie rule (r14: hard_negative_knn_arrow now
+    delegates to brute_force_knn_arrow's label_col kernel — the rule
+    must not drift): corpus rows at IDENTICAL rounded cosine rank by
+    ascending id, and ranking is stable across the per-batch partial
+    top-k and the final reducing window."""
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        hard_negative_knn_arrow,
+    )
+
+    # four different-label negatives, all exactly parallel to the query
+    # (cosine 1.0 after 6dp rounding) plus one strictly worse
+    rows = [(0, 1, [1.0, 0.0])]
+    rows += [(i, 2, [2.0, 0.0]) for i in (7, 3, 11, 5)]
+    rows += [(4, 2, [0.0, 1.0])]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    out = hard_negative_knn_arrow(
+        emb.where(F.col("vec_id") == 0), emb, "vec_id", "label", k=3
+    ).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [3, 5, 7]
+    assert all(r["cosine_sim"] == 1.0 for r in out)
+
+
 def test_mmr_invariants_random_groups(spark):
     """Randomized invariants over the greedy kernel (deterministic
     seed; one Spark job for all groups): per group, exactly min(k, n)

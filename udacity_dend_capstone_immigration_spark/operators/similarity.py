@@ -1055,137 +1055,3 @@ def hard_negative_knn_arrow(
     return brute_force_knn_arrow(
         queries, corpus, id_col=id_col, k=k, label_col=label_col
     )
-
-
-def mmr_select_grouped(
-    cands: DataFrame,
-    group_col: str = "query_id",
-    id_col: str = "neighbor_id",
-    rel_col: str = "rel",
-    k: int = 5,
-    lam: float = 0.7,
-    mu: float = 0.3,
-) -> DataFrame:
-    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein):
-    greedily pick ``k`` of each group's candidates maximizing
-    ``lam·relevance − mu·max_sim_to_already_selected`` — the diversity
-    selection every RAG retrieval stack runs between ANN and the
-    context window.
-
-    Greedy selection is inherently sequential in ``k`` but embarrassingly
-    parallel across queries, so the kernel is one ``applyInPandas`` over
-    the (bounded-by-construction: |candidates| = upstream top-k) group:
-    one |g|×|g| BLAS gram matrix, then k argmax passes over ≤|g| floats.
-    Candidate-pair sims are ``np.round(…, 6)`` — the established
-    matches-after-rounding contract vs DuckDB's sequential fold — and
-    the step score is a fixed two-multiply-one-subtract double tree over
-    those rounded inputs, so scores are bit-identical to an oracle
-    computing the same unrolled greedy chain. ``mu`` is an explicit
-    literal (NOT ``1-lam``: 1-0.7 is 0.30000000000000004 in binary —
-    one ulp off the oracle's 0.3e0). Ties break toward the smaller id
-    at every step, mirroring the oracle's ROW_NUMBER order.
-    """
-    import numpy as np
-    import pandas as pd
-
-    def greedy(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        ids = pdf[id_col].to_numpy(dtype=np.int64)
-        rel = pdf[rel_col].to_numpy(dtype=np.float64)
-        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        nrm = np.linalg.norm(mat, axis=1)
-        sims = (mat @ mat.T) / np.outer(nrm, nrm)
-        np.round(sims, 6, out=sims)
-        n = len(ids)
-        remaining = np.ones(n, dtype=bool)
-        maxsim = np.full(n, -np.inf)
-        picks: list[int] = []
-        scores: list[float] = []
-        for step in range(min(k, n)):
-            cur = rel if step == 0 else lam * rel - mu * maxsim
-            idx = np.nonzero(remaining)[0]
-            best = idx[np.lexsort((ids[idx], -cur[idx]))[0]]
-            picks.append(best)
-            scores.append(cur[best])
-            remaining[best] = False
-            np.maximum(maxsim, sims[:, best], out=maxsim)
-        return pd.DataFrame(
-            {
-                group_col: pdf[group_col].iloc[0],
-                "sel_rank": np.arange(1, len(picks) + 1, dtype=np.int32),
-                "vec_id": ids[picks],
-                "mmr_score": np.array(scores, dtype=np.float64),
-            }
-        )
-
-    return cands.groupBy(group_col).applyInPandas(
-        greedy, f"{group_col} long, sel_rank int, vec_id long, mmr_score double"
-    )
-
-
-def hard_negative_knn_arrow(
-    queries: DataFrame,
-    corpus: DataFrame,
-    id_col: str = "vec_id",
-    label_col: str = "label",
-    k: int = 5,
-) -> DataFrame:
-    """Hard-negative mining for contrastive retrieval training: per
-    query, the top-k most-similar corpus vectors whose ``label_col``
-    DIFFERS from the query's — the negatives that actually move an
-    embedding model, mined with the same broadcast-query-matrix / BLAS
-    corpus-scan shape as :func:`brute_force_knn_arrow`. The label mask
-    lives INSIDE the kernel: a top-k-then-filter composition would have
-    to guess how deep to rank (a query whose whole neighborhood shares
-    its label needs the full ranking), where the masked scan is exact
-    at k. Same determinism contract: sims ``np.round(…, 6)``, ties to
-    the smaller id; one linear corpus pass at any SF."""
-    import numpy as np
-    import pandas as pd
-
-    n_queries = queries.count()
-    if n_queries > MAX_BROADCAST_QUERY_ROWS:
-        raise ValueError(
-            f"hard_negative_knn_arrow broadcasts the query set; "
-            f"{n_queries} rows exceeds the {MAX_BROADCAST_QUERY_ROWS}-row "
-            f"contract — mine per LSH/IVF bucket for larger query sets."
-        )
-    q_rows = queries.select(id_col, label_col, "embedding").collect()
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    q_lab = np.array([r[1] for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r[2] for r in q_rows], dtype=np.float64)
-    q_norm = np.linalg.norm(q_mat, axis=1)
-    bc = queries.sparkSession.sparkContext.broadcast((q_ids, q_lab, q_mat, q_norm))
-
-    def score(batches):
-        q_ids_, q_lab_, q_mat_, q_norm_ = bc.value
-        for pdf in batches:
-            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            c_lab = pdf[label_col].to_numpy(dtype=np.int64)
-            c_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            c_norm = np.linalg.norm(c_mat, axis=1)
-            sims = (q_mat_ @ c_mat.T) / np.outer(q_norm_, c_norm)
-            np.round(sims, 6, out=sims)
-            for qi in range(len(q_ids_)):
-                mask = (c_lab != q_lab_[qi]) & (c_ids != q_ids_[qi])
-                ids, vals = c_ids[mask], sims[qi][mask]
-                if len(ids) == 0:
-                    continue
-                take = min(k, len(ids))
-                order = np.lexsort((ids, -vals))[:take]
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.full(take, q_ids_[qi]),
-                        "neighbor_id": ids[order],
-                        "cosine_sim": vals[order],
-                    }
-                )
-
-    partial = corpus.select(id_col, label_col, "embedding").mapInPandas(
-        score, "query_id long, neighbor_id long, cosine_sim double"
-    )
-    return top_k_per_group(
-        partial,
-        partition_by=["query_id"],
-        order_by=[F.desc("cosine_sim"), F.asc("neighbor_id")],
-        k=k,
-    )
