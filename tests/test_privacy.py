@@ -53,6 +53,27 @@ def test_suppress_small_groups_drops_exactly_the_small(spark):
     assert len(out) == 7
 
 
+def test_suppress_small_groups_null_qi_survives(spark):
+    """HAVING semantics for NULL quasi-identifiers (r13 advice): GROUP
+    BY folds NULLs into one group, so a NULL-keyed group with >= k rows
+    survives the release — a plain inner equi-join dropped it."""
+    rows = (
+        [(None, "x", i) for i in range(6)]
+        + [(None, "y", i) for i in range(2)]
+        + [("a", None, i) for i in range(5)]
+        + [("a", "z", i) for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "g1 string, g2 string, i long")
+    out = suppress_small_groups(df, ["g1", "g2"], k=5).collect()
+    got = {(r["g1"], r["g2"]) for r in out}
+    assert got == {(None, "x"), ("a", None)}
+    assert len(out) == 11
+    # and the broadcast-ability of the size side is preserved: the
+    # join keys are null-safe EQUI keys, not a theta join
+    plan = suppress_small_groups(df, ["g1", "g2"], k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def test_randomized_response_duckdb_replicable(spark):
     """The r14 oracle stage-gate: DuckDB reproduces the Spark release
     bit-for-bit from the same md5-derived coins (the mechanism is a

@@ -79,10 +79,25 @@ def suppress_small_groups(
     The enforcement half of the k-anonymity audit: release = the
     surviving rows. One hash aggregate over the QI domain, joined back
     (the aggregate side is group-domain-sized; Catalyst broadcasts it
-    when bounded, AQE decides otherwise)."""
+    when bounded, AQE decides otherwise). The join is NULL-SAFE per QI
+    column (``eqNullSafe`` — still an equi-join key, hash-joinable):
+    GROUP BY treats NULLs as one group, so a NULL-keyed group with
+    >= k rows must SURVIVE the release exactly as a DuckDB HAVING
+    oracle keeps it; a plain inner equi-join silently dropped every
+    NULL-QI row regardless of size (r13 advice)."""
+    import functools
+    import operator
+
     sizes = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("_gsz"))
+    keyed = sizes.select(
+        *[F.col(c).alias(f"_qi_{c}") for c in qi_cols], "_gsz"
+    )
+    cond = functools.reduce(
+        operator.and_,
+        [df[c].eqNullSafe(keyed[f"_qi_{c}"]) for c in qi_cols],
+    )
     return (
-        df.join(sizes, list(qi_cols))
+        df.join(keyed, cond)
         .where(F.col("_gsz") >= F.lit(int(k)))
-        .drop("_gsz")
+        .drop("_gsz", *[f"_qi_{c}" for c in qi_cols])
     )
