@@ -1135,3 +1135,120 @@ def events_k_anonymity_audit(spark, sf_dir):
         .cast("bigint")
         .alias("low_diversity_groups"),
     )
+
+
+# --- randomized response (Warner's local-DP mechanism) release audit:
+# privatize every event's type with the deterministic md5-coin
+# mechanism (`operators/privacy.py` — keep w.p. 0.8, else uniform over
+# the closed 5-category domain), then report, per category, the
+# released count next to the true count and the unbiased debiased
+# estimate n̂ = (reported − n·(1−keep)/k)/keep. Everything is one
+# map-stage expression + two map-combinable counts; the release is a
+# pure function of (seed, event_id) so retries, backfills, and the
+# DuckDB oracle reproduce the exact same coins (the r13 stage-gate
+# proved the per-row release bit-for-bit; this registers the audit).
+# The debias arithmetic is a fixed-order double tree over exact
+# integer counts — no libm, portable (CLAUDE.md float rules).
+_RR_CATS = ["click", "error", "purchase", "signup", "view"]
+_RR_SQL_ARR = "[" + ", ".join(f"'{c}'" for c in _RR_CATS) + "]"
+
+
+@query(
+    "events_randomized_response",
+    oracle=f"""
+    WITH rel AS (
+        SELECT CASE WHEN ('0x' || substring(md5('rr:keep:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < 800
+                    THEN event_type
+                    ELSE {_RR_SQL_ARR}[CAST(('0x' || substring(md5('rr:draw:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 5 AS INT) + 1]
+               END AS event_type
+        FROM events
+    ),
+    rep AS (
+        SELECT event_type, COUNT(*) AS reported_cnt,
+               SUM(COUNT(*)) OVER () AS tot
+        FROM rel GROUP BY event_type
+    ),
+    tru AS (SELECT event_type, COUNT(*) AS true_cnt FROM events GROUP BY event_type)
+    SELECT r.event_type,
+           CAST(r.reported_cnt AS BIGINT) AS reported_cnt,
+           CAST(t.true_cnt AS BIGINT) AS true_cnt,
+           (CAST(r.reported_cnt AS DOUBLE) - CAST(r.tot AS DOUBLE)
+                * ((1.0e0 - CAST(800 AS DOUBLE) / 1000.0e0) / 5.0e0))
+               / (CAST(800 AS DOUBLE) / 1000.0e0) AS n_hat
+    FROM rep r JOIN tru t ON r.event_type = t.event_type
+    """,
+)
+def events_randomized_response(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from udacity_dend_capstone_immigration_spark.operators.privacy import (
+        randomized_response,
+        rr_debias,
+    )
+
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type")
+    rel = ev.select(
+        randomized_response(
+            F.col("event_type"), _RR_CATS, F.col("event_id")
+        ).alias("event_type")
+    )
+    # total BEFORE the join (a category absent from either side must
+    # not change n); 5-row post-aggregate global window — bounded
+    rep = rel.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("reported_cnt")
+    ).withColumn("tot", F.sum("reported_cnt").over(Window.partitionBy()))
+    tru = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("true_cnt"))
+    return rep.join(tru, "event_type").select(
+        "event_type",
+        F.col("reported_cnt").cast("bigint").alias("reported_cnt"),
+        F.col("true_cnt").cast("bigint").alias("true_cnt"),
+        rr_debias(
+            F.col("reported_cnt"), F.col("tot"), k=len(_RR_CATS)
+        ).alias("n_hat"),
+    )
+
+
+# --- k-anonymity RELEASE (the enforcement twin of the audit above):
+# suppress every row whose (event_type, hour, value-band) QI group
+# holds < 5 members (`operators/privacy.py:suppress_small_groups`,
+# null-safe per QI column), then aggregate the released rows per
+# event type and per surviving group — the oracle is DuckDB's HAVING
+# form, so the hash compare proves the release keeps exactly the
+# >= k groups with exactly their row counts. The row-level release is
+# the artifact; this registers its layout-keyed aggregation (the
+# store-roundtrip proof pattern).
+@query(
+    "events_k_anonymity_release",
+    oracle="""
+    WITH qi AS (
+        SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+               FLOOR(value / 50.0e0) AS band, COUNT(*) AS gsz
+        FROM events
+        GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5
+    )
+    SELECT event_type, CAST(SUM(gsz) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(gsz) AS BIGINT) AS min_group_size
+    FROM qi GROUP BY event_type
+    """,
+)
+def events_k_anonymity_release(spark, sf_dir):
+    from udacity_dend_capstone_immigration_spark.operators.privacy import (
+        suppress_small_groups,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        F.floor(F.col("value") / F.lit(50.0)).alias("band"),
+        "user_id",
+    )
+    rel = suppress_small_groups(ev, ["event_type", "hod", "band"], k=5)
+    grp = rel.groupBy("event_type", "hod", "band").agg(
+        F.count(F.lit(1)).alias("gsz")
+    )
+    return grp.groupBy("event_type").agg(
+        F.sum("gsz").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("gsz").cast("bigint").alias("min_group_size"),
+    )

@@ -951,3 +951,27 @@ ORACLES["corpus_split_leakage_audit"] = ORACLES["corpus_split_leakage_audit"].re
 ORACLES["corpus_split_cluster_safe"] = ORACLES["corpus_split_cluster_safe"].replace(
     "{MINHASH}", ORACLES["dedup_minhash_lsh"]
 )
+
+
+# --- deterministic k-fold assignment (the cross-validation twin of
+# hash_split): fold = md5-bucket(doc_id) % 5, stable under retries and
+# appends, so every (train = 4 folds, eval = 1) rotation is
+# reproducible across engines and runs. Pure map work — zero shuffle
+# at any SF; the fold predicate pushes into the scan when a consumer
+# filters one fold. Oracle: 65536 is NOT a multiple of 5 but the
+# 16-bit bucket is the raw prefix value (mod 65536 is identity), so
+# DuckDB takes the prefix % 5 directly. Per-doc rows pin every single
+# assignment, not just fold sizes.
+@query(
+    "corpus_kfold_assignment",
+    oracle="""
+    SELECT doc_id,
+           CAST(('0x' || substring(md5('kfold:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 5 AS INT) AS fold
+    FROM documents
+    """,
+)
+def corpus_kfold_assignment(spark, sf_dir):
+    from udacity_dend_capstone_immigration_spark.operators.curation import hash_kfold
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return hash_kfold(docs, "doc_id", folds=5)
