@@ -368,3 +368,51 @@ def test_maintenance_due_reports_tombstone_pressure(spark):
     # the policy reports compaction pressure but does NOT auto-compact
     assert V.run_due_maintenance(spark, idx) == []
     assert os.path.isdir(f"{idx}/deleted_ids")
+
+
+def test_maintenance_due_quality_trigger_fires_on_drift_only(spark):
+    """r14: the policy's QUALITY half — maintenance_due(spark=...) adds
+    retrain_due/max_drift from the drift report. A fresh store sits
+    near the Lloyd fixed point (no retrain), a strongly-shifted
+    frozen-codebook append fires the trigger; the metadata-only form
+    (no spark) never pays the scan and never carries the keys."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    idx = V.build_ivf_flat_index(
+        spark, SF_DIR, tempfile.mkdtemp(prefix="ivfflat_drift_pol_"), emb=emb
+    )
+    meta_only = V.maintenance_due(idx)
+    assert "retrain_due" not in meta_only and "max_drift" not in meta_only
+    # threshold is a policy knob: calibrate it just above the fresh
+    # store's residual drift (the tiny sf0.001 corpus is NOT at the
+    # Lloyd fixed point after 2 iterations) so the assertions pin
+    # trigger SEMANTICS, not corpus convergence
+    fresh0 = V.maintenance_due(idx, spark=spark)
+    assert 0.0 <= fresh0["max_drift"] <= 2.0
+    # a threshold just above the fresh residual: no retrain pressure
+    fresh = V.maintenance_due(
+        idx, spark=spark, drift_threshold=fresh0["max_drift"] + 1e-6
+    )
+    assert fresh["retrain_due"] is False and fresh["due"] is False
+
+    shifted = emb.limit(200).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x * F.lit(-1.0)).cast("float")
+        ).alias("embedding"),
+    )
+    V.append_to_ivf_flat_index(spark, shifted, idx)
+    drifted0 = V.maintenance_due(idx, spark=spark)
+    assert drifted0["max_drift"] > fresh0["max_drift"]
+    # any threshold strictly between the two maxima fires post-append
+    thr = (fresh0["max_drift"] + drifted0["max_drift"]) / 2
+    drifted = V.maintenance_due(idx, spark=spark, drift_threshold=thr)
+    assert drifted["retrain_due"] is True and drifted["due"] is True
+    # ... and an unreachable threshold never does
+    calm = V.maintenance_due(idx, spark=spark, drift_threshold=2.5)
+    assert calm["retrain_due"] is False and calm["due"] is False
+    # reporting only: nothing folds, nothing rebuilds
+    assert V.run_due_maintenance(spark, idx) == []

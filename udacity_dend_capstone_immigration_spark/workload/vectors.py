@@ -1430,7 +1430,12 @@ def _pending_batches(delta_dir: str) -> int:
     return sum(1 for e in os.listdir(delta_dir) if e.startswith("batch_pt="))
 
 
-def maintenance_due(index_dir: str, min_delta_batches: int = 4) -> dict:
+def maintenance_due(
+    index_dir: str,
+    min_delta_batches: int = 4,
+    spark=None,
+    drift_threshold: float = 0.02,
+) -> dict:
     """The LSM stores' maintenance TRIGGER (r12 verdict item 7): the
     fold/compact mechanisms existed without a policy deciding when to
     run them. Pure filesystem-metadata decision — no Spark job, so an
@@ -1449,7 +1454,20 @@ def maintenance_due(index_dir: str, min_delta_batches: int = 4) -> dict:
     explicit/scheduled invocation.
 
     Returns ``{"due": bool, "fold": [store, ...],
-    "compact_tombstones": bool, "pending": {store: n_batches}}``."""
+    "compact_tombstones": bool, "pending": {store: n_batches}}``.
+
+    Passing ``spark`` adds the QUALITY half of the policy (r13 verdict
+    item 5): for an IVF-flat store (``ivf_centroids`` + ``ivf_vectors``
+    present) the report gains ``retrain_due`` / ``max_drift`` from
+    :func:`centroid_drift_report` — frozen-codebook appends are free
+    until the appended mass moves a cell's mean off its stored
+    centroid, and past ``drift_threshold`` the recall the audits
+    certified no longer holds. This leg runs one store scan (a Spark
+    job), so it is opt-in: schedulers poll the metadata-only form every
+    batch and the drift form at maintenance cadence. Like tombstone
+    compaction, retraining itself is reported, never auto-run — a
+    rebuild invalidates every persisted code row and belongs in an
+    explicit reindex window."""
     import os
 
     fold = []
@@ -1462,12 +1480,22 @@ def maintenance_due(index_dir: str, min_delta_batches: int = 4) -> dict:
         if n >= min_delta_batches:
             fold.append(store)
     tomb = os.path.isdir(f"{index_dir}/deleted_ids")
-    return {
+    report = {
         "due": bool(fold) or tomb,
         "fold": fold,
         "compact_tombstones": tomb,
         "pending": pending,
     }
+    if spark is not None and os.path.isdir(f"{index_dir}/ivf_centroids") and os.path.isdir(
+        f"{index_dir}/ivf_vectors"
+    ):
+        drifts = centroid_drift_report(
+            spark, index_dir, threshold=drift_threshold
+        ).select("drift", "retrain_due").collect()
+        report["max_drift"] = max((r["drift"] for r in drifts), default=0.0)
+        report["retrain_due"] = any(r["retrain_due"] for r in drifts)
+        report["due"] = report["due"] or report["retrain_due"]
+    return report
 
 
 def run_due_maintenance(spark, index_dir: str, **thresholds) -> list:
@@ -3419,31 +3447,36 @@ def retrieval_hard_negatives(spark, sf_dir):
 
 
 def centroid_drift_report(spark, index_dir: str, threshold: float = 0.02):
-    """Retrain-trigger audit for the persisted IVF stores (r14 staging —
-    registration deferred, window full): per cell, the cosine gap
-    between the STORED (frozen-at-train) centroid and the cell's
-    CURRENT mean vector. Frozen-codebook appends are O(batch) precisely
-    because they never retrain — this report is the other half of that
-    contract: when drift exceeds the threshold, the assignment quality
-    the recall audits certified no longer holds and `run_due_
-    maintenance`-style retraining is due. One store scan: posexplode →
-    (cell, dim)-keyed decimal mean (the label_centroids exchange shape
-    — N_CELLS×dim cells at any corpus size) → array reassembly → one
-    cosine per cell against the tiny centroid table. Report-only
-    arithmetic (exact decimal means, 6dp-rounded cosine) so an r14
-    oracle can mirror it."""
+    """Retrain-trigger audit for the persisted IVF stores: per cell,
+    the cosine gap between the STORED (frozen-at-train) centroid and
+    the cell's CURRENT mean vector. Frozen-codebook appends are
+    O(batch) precisely because they never retrain — this report is the
+    other half of that contract: when drift exceeds the threshold, the
+    assignment quality the recall audits certified no longer holds and
+    retraining is due (`maintenance_due(spark=...)` surfaces it beside
+    fold/compaction pressure). One store scan: posexplode →
+    (cell, dim)-keyed mean (the label_centroids exchange shape —
+    N_CELLS×dim cells at any corpus size) → array reassembly → one
+    cosine per cell against the tiny centroid table. The mean uses the
+    SAME 2^24 quantization as the Lloyd trainer (exact bigint sum of
+    floor(x·2^24) — bit-identical across engines by construction, the
+    `label_centroids` portability note), and the cosine is 6dp-rounded,
+    so the r14 oracle mirrors it exactly."""
     from udacity_dend_capstone_immigration_spark.functions.vectors import (
         cosine_similarity,
     )
-    from udacity_dend_capstone_immigration_spark.workload.base import dsum_expr
 
     vecs = spark.read.parquet(f"{index_dir}/ivf_vectors").select(
         "cell", F.posexplode(F.col("embedding")).alias("dim", "val")
     )
+    q = F.floor(F.col("val").cast("double") * F.lit(16777216.0)).cast("long")
     means = (
         vecs.groupBy("cell", "dim")
         .agg(
-            (dsum_expr(F.col("val").cast("double")) / F.count(F.lit(1)).cast("double")).alias("m"),
+            (
+                F.sum(q).cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(16777216.0))
+            ).alias("m"),
             F.count(F.lit(1)).alias("n"),
         )
         .groupBy("cell")
@@ -3472,3 +3505,90 @@ def centroid_drift_report(spark, index_dir: str, threshold: float = 0.02):
         drift.alias("drift"),
         (drift > F.lit(float(threshold))).alias("retrain_due"),
     )
+
+
+# --- registered drift audit (r14, the staged query): build the flat
+# store on the full corpus, append a STRONGLY-SHIFTED batch (the
+# vec_id % 9 slice, negated, re-keyed +10M — the adversarial case for
+# frozen-codebook appends), then report per-cell drift. The oracle
+# retrains the same index (_IVF_TRAIN_CTES), frozen-assigns the
+# shifted batch (_APPEND_NCSIM — the append roundtrip's contract),
+# recomputes each cell's 2^24-quantized mean over corpus ∪ batch, and
+# takes the 6dp cosine gap — so the hash compare proves the report
+# reads exactly what the store holds AND that the policy's quality
+# trigger (`maintenance_due(spark=...)`, asserted in-query) fires on
+# real drift. Untouched cells stay near the Lloyd fixed point;
+# shifted cells cross the 0.02 threshold.
+@query(
+    "ann_centroid_drift_report",
+    oracle=f"""
+    WITH allv AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM allv),
+    {_IVF_TRAIN_CTES},
+    nn AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM (SELECT vec_id + 10000000 AS vec_id,
+                     list_transform(v, x -> -x) AS v
+              FROM allv WHERE vec_id % 9 = 0)
+    ),
+    nassign AS (
+        SELECT vec_id, cent_id AS cell FROM (
+            SELECT nn.vec_id, ce.cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY nn.vec_id
+                                      ORDER BY {_APPEND_NCSIM} DESC, ce.cent_id ASC) AS rn
+            FROM nn JOIN ce ON TRUE
+        ) WHERE rn = 1
+    ),
+    member AS (
+        SELECT a.cell, n.v FROM assign a JOIN n ON n.vec_id = a.vec_id
+        UNION ALL
+        SELECT a.cell, nn.v FROM nassign a JOIN nn ON nn.vec_id = a.vec_id
+    ),
+    md AS (
+        SELECT cell, i AS dim,
+               CAST(SUM(CAST(floor(v[i + 1] * 16777216.0) AS BIGINT)) AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * 16777216.0) AS m,
+               COUNT(*) AS nv
+        FROM member, range(64) t(i)
+        GROUP BY cell, i
+    ),
+    mv AS (
+        SELECT cell, list(m ORDER BY dim) AS mean_v, MIN(nv) AS n_vectors
+        FROM md GROUP BY cell
+    ),
+    dr AS (
+        SELECT mv.cell, mv.n_vectors,
+               round(1.0e0 - list_sum(list_transform(generate_series(1, 64),
+                         i -> mv.mean_v[i] * ce.cv[i]))
+                   / (sqrt(list_sum(list_transform(mv.mean_v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(ce.cv, x -> x * x)))),
+                     6) AS drift
+        FROM mv JOIN ce ON ce.cent_id = mv.cell
+    )
+    SELECT cell, CAST(n_vectors AS BIGINT) AS n_vectors, drift,
+           drift > 2.0e-2 AS retrain_due
+    FROM dr
+    """,
+)
+def ann_centroid_drift_report(spark, sf_dir):
+    import tempfile
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = build_ivf_flat_index(
+        spark, sf_dir, tempfile.mkdtemp(prefix="ivfflat_drift_")
+    )
+    shifted = emb.where(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x * F.lit(-1.0)).cast("float")
+        ).alias("embedding"),
+    )
+    append_to_ivf_flat_index(spark, shifted, idx)
+    # the POLICY wiring: the quality trigger rides the same report
+    policy = maintenance_due(idx, spark=spark)
+    assert policy["retrain_due"] and policy["due"], policy
+    return centroid_drift_report(spark, idx)
