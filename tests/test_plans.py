@@ -343,6 +343,28 @@ def test_tfidf_has_no_term_window(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_pipeline_served_plan_is_training_free(spark):
+    """r14: the end-to-end composition must read ONLY persisted
+    artifacts. The returned frame's plan (the post-checkpoint subtree —
+    the survivor/selection decisions materialize eagerly during
+    construction) scans the BPE store's encoded vocabulary, never
+    builds an index inline (no collect_list anywhere), and touches
+    documents.parquet only for the selected docs' own tokenization —
+    no corpus-wide KN or merge-round training subtree."""
+    from udacity_dend_capstone_immigration_spark.workload import QUERIES
+
+    df = QUERIES["corpus_pipeline_served"](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "encoded_vocab" in plan          # tokenizer served from store
+    assert "collect_list" not in plan       # no inline index build
+    assert "pkn_" not in plan               # KN heads consumed pre-checkpoint
+    scans = plan.count("documents.parquet")
+    assert scans <= 2, f"{scans} documents scans in the serve plan"
+
+
 def test_no_static_broadcast_of_estimate_blind_relations(spark):
     """Catalyst's size estimate does not grow through explode fan-out
     or checkpoint boundaries (measured: 120 KB estimated vs 260k actual
@@ -399,6 +421,11 @@ def test_no_static_broadcast_of_estimate_blind_relations(spark):
         # join right after it is merge-hinted.
         "corpus_examples_packed",
         "corpus_examples_packed_served",
+        # same token-id rank broadcast, composed end-of-pipeline (the
+        # survivor/selection frames are checkpointed ExistingRDDs and
+        # stay on merge-hinted SMJ sides; only the ≤|alphabet|+merges
+        # rank table broadcasts)
+        "corpus_pipeline_served",
         "centroid_classifier_confusion",  # |labels| x 64 centroid cells
         "immigration_etl_fact",         # SAS label dims (local collections)
         "events_cohort_retention",      # one row per cohort week

@@ -55,6 +55,8 @@ _EXECUTING = frozenset(
         "cluster_store_delete_served",
         "cluster_store_append_served",
         "immigration_etl_fact",
+        "ann_centroid_drift_report",
+        "corpus_pipeline_served",
         "feature_store_build_roundtrip",
         "features_pit_served",
         "feature_store_append_roundtrip",

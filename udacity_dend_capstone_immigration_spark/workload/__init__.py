@@ -27,4 +27,7 @@ from udacity_dend_capstone_immigration_spark.workload import tpch  # noqa: F401
 from udacity_dend_capstone_immigration_spark.workload import pretrain  # noqa: F401
 from udacity_dend_capstone_immigration_spark.workload import dedupstore  # noqa: F401
 
+# pipeline splices the textops/pretrain/dedupstore oracles — import last
+from udacity_dend_capstone_immigration_spark.workload import pipeline  # noqa: F401
+
 __all__ = ["QUERIES", "ORACLES"]

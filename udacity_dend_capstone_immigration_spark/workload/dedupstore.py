@@ -875,6 +875,69 @@ def documents_stream_index_append(spark, sf_dir):
     return _index_aggregate(spark, out)
 
 
+def classify_batch_against_index(
+    spark: SparkSession, index_dir: str, batch: DataFrame
+) -> DataFrame:
+    """Classify ``batch`` (doc_id, text, ...) against the PERSISTED
+    dedup index: exact via fingerprint semi-join, near via
+    batch-shingles ⋈ capped postings → one (nid, cid) intersection
+    count → Jaccard against store doc sizes. Every static side is a
+    bare store scan; the only corpus-table work is the batch. Returns
+    (doc_id, status ∈ exact_dup|near_dup|unique). Shared by the
+    backfill serve twin below and the end-to-end pipeline composition
+    (`workload/pipeline.py`)."""
+    cke = read_dedup_shingle_index(spark, index_dir)
+    corp_fp = read_dedup_fingerprints(spark, index_dir).select("fp")
+    exact = (
+        batch.select("doc_id", doc_fingerprint("text").alias("fp"))
+        .join(corp_fp, "fp", "leftsemi")
+        .select("doc_id")
+        .withColumn("_exact", F.lit(1))
+    )
+    ne = shingle_rows(batch, "doc_id", "text", 3).withColumnRenamed(
+        "shingle", "g"
+    )
+    # the batch-shingle side sits behind an explode (estimate-blind)
+    # and is O(batch) — a backfill batch is NOT broadcast-bounded,
+    # so force the sort-merge join the streaming twin gets for free
+    inter = (
+        ne.select(F.col("doc_id").alias("nid"), "g")
+        .hint("merge")
+        .join(cke, "g")
+        .groupBy("nid", "cid")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    za = (
+        ne.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("na"))
+        .withColumnRenamed("doc_id", "nid")
+    )
+    zb = read_dedup_doc_sizes(spark, index_dir).select(
+        F.col("doc_id").alias("cid"), F.col("n").alias("nb")
+    )
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    near = (
+        inter.join(za.hint("merge"), "nid")
+        .join(zb, "cid")
+        .where(jac >= 0.5)
+        .select(F.col("nid").alias("doc_id"))
+        .distinct()
+        .withColumn("_near", F.lit(1))
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact.hint("merge"), "doc_id", "left")
+        .join(near.hint("merge"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_exact") == 1, F.lit("exact_dup"))
+            .when(F.col("_near") == 1, F.lit("near_dup"))
+            .otherwise(F.lit("unique"))
+            .alias("status"),
+        )
+    )
+
+
 def _register_served_status():
     from udacity_dend_capstone_immigration_spark.workload.base import ORACLES
 
@@ -886,70 +949,14 @@ def _register_served_status():
         """BATCH classification of an arriving batch against the
         PERSISTED dedup index — the backfill twin of
         `documents_stream_dedup_status` (same oracle, same store, no
-        micro-batch machinery): exact via fingerprint semi-join, near
-        via batch-shingles ⋈ capped postings → one (nid, cid)
-        intersection count → Jaccard against store doc sizes. Every
-        static side is a bare store scan; the only corpus-table work is
-        the batch (pushed doc_id%7=0 filter). This is the path a
-        reprocessing job takes when the stream checkpoint is gone —
-        value-identical by construction, hash-proven by the shared
-        oracle."""
-        from udacity_dend_capstone_immigration_spark.functions.text import doc_fingerprint
-
+        micro-batch machinery): `classify_batch_against_index` over
+        the pushed doc_id%7=0 slice. This is the path a reprocessing
+        job takes when the stream checkpoint is gone — value-identical
+        by construction, hash-proven by the shared oracle."""
         docs = table(spark, sf_dir, "documents")
-        is_new = F.col("doc_id") % _INC_MOD == 0
+        batch = docs.where(F.col("doc_id") % _INC_MOD == 0)
         idx_dir = served_dedup_index_dir(spark, sf_dir)
-        cke = read_dedup_shingle_index(spark, idx_dir)
-        corp_fp = read_dedup_fingerprints(spark, idx_dir).select("fp")
-        batch = docs.where(is_new)
-        exact = (
-            batch.select("doc_id", doc_fingerprint("text").alias("fp"))
-            .join(corp_fp, "fp", "leftsemi")
-            .select("doc_id")
-            .withColumn("_exact", F.lit(1))
-        )
-        ne = shingle_rows(batch, "doc_id", "text", 3).withColumnRenamed(
-            "shingle", "g"
-        )
-        # the batch-shingle side sits behind an explode (estimate-blind)
-        # and is O(batch) — a backfill batch is NOT broadcast-bounded,
-        # so force the sort-merge join the streaming twin gets for free
-        inter = (
-            ne.select(F.col("doc_id").alias("nid"), "g")
-            .hint("merge")
-            .join(cke, "g")
-            .groupBy("nid", "cid")
-            .agg(F.count(F.lit(1)).alias("i"))
-        )
-        za = (
-            ne.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("na"))
-            .withColumnRenamed("doc_id", "nid")
-        )
-        zb = read_dedup_doc_sizes(spark, idx_dir).select(
-            F.col("doc_id").alias("cid"), F.col("n").alias("nb")
-        )
-        jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
-        near = (
-            inter.join(za.hint("merge"), "nid")
-            .join(zb, "cid")
-            .where(jac >= 0.5)
-            .select(F.col("nid").alias("doc_id"))
-            .distinct()
-            .withColumn("_near", F.lit(1))
-        )
-        return (
-            batch.select("doc_id")
-            .join(exact.hint("merge"), "doc_id", "left")
-            .join(near.hint("merge"), "doc_id", "left")
-            .select(
-                "doc_id",
-                F.when(F.col("_exact") == 1, F.lit("exact_dup"))
-                .when(F.col("_near") == 1, F.lit("near_dup"))
-                .otherwise(F.lit("unique"))
-                .alias("status"),
-            )
-        )
+        return classify_batch_against_index(spark, idx_dir, batch)
 
 
 _register_served_status()

@@ -1,0 +1,153 @@
+"""End-to-end STORE-SERVED pipeline composition (r13 verdict item 7).
+
+Every expensive artifact in this repo trains once and serves many —
+but until r14 each leg was proven individually. `corpus_pipeline_served`
+chains them into the query a production ingest actually runs per corpus
+snapshot, reading ONLY persisted artifacts:
+
+    dedup store  --classify-->  survivors (status = unique)
+    DSIR heads   --score----->  head-25%-per-source selection
+    BPE store    --encode---->  fixed-budget packed training examples
+
+Training-free by construction: the dedup index, both KN head tables,
+and the encoded vocabulary are bare parquet scans — no shingle-index
+build, no Kneser-Ney aggregates, no merge rounds anywhere in the plan
+(`tests/test_plans.py::test_pipeline_served_plan_is_training_free`).
+The two tiny decision frames (survivor ids, selected ids) are EAGERLY
+localCheckpoint'ed: each feeds 2-3 downstream subtrees, and without the
+barrier the batch-classification join tree would execute once per
+consumer (the CLAUDE.md shared-subtree rule; both frames are O(batch)
+rows).
+
+The oracle is literally the component oracles' CTE chains spliced
+together (status → surv, DSIR select over survivors, packed examples
+over the selection) — asserted splices, so a drift in any component
+oracle breaks this module loudly at import.
+
+No counterpart in the reference (etl.py is a single-pass star ETL);
+this is the beyond-reference LLM-pipeline tier's capstone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from udacity_dend_capstone_immigration_spark.workload.base import ORACLES, query, table
+
+# ---------------------------------------------------------------------------
+# Oracle assembly: splice the three component oracles' CTE chains.
+
+
+def _spliced_pipeline_oracle() -> str:
+    def _cut(s: str, marker: str) -> tuple[str, str]:
+        assert s.count(marker) == 1, f"splice marker drifted: {marker!r}"
+        head, tail = s.split(marker, 1)
+        return head, tail
+
+    # -- stage 1: batch classification -> survivors ---------------------
+    status = ORACLES["documents_stream_dedup_status"]
+    head, tail = _cut(status, " SELECT doc_id, CASE")
+    stage1 = (
+        head[len("WITH ") :]
+        + ", status AS (SELECT doc_id, CASE"
+        + tail
+        + "), surv AS (SELECT doc_id FROM status WHERE status = 'unique')"
+    )
+
+    # -- stage 2: DSIR selection over survivors (frozen full-corpus
+    # heads: pknC/pknT CTEs unchanged; only the SCORED set shrinks) ----
+    dsir = ORACLES["corpus_importance_sample"]
+    dsir = dsir[len("WITH ") :]
+    marker = ", bgcC AS"
+    assert dsir.count(marker) == 1
+    dsir = dsir.replace(
+        marker,
+        ", bgs AS (SELECT bg.* FROM bg JOIN surv USING (doc_id))" + marker,
+        1,
+    )
+    for h in ("pknC", "pknT"):
+        m = f"FROM bg JOIN {h} USING (bigram)"
+        assert dsir.count(m) == 1, m
+        dsir = dsir.replace(m, f"FROM bgs bg JOIN {h} USING (bigram)", 1)
+    head, tail = _cut(dsir, " SELECT doc_id, source, importance,")
+    stage2 = (
+        head
+        + ", dsel AS (SELECT doc_id, source, importance,"
+        + tail
+        + "), sel AS (SELECT doc_id FROM dsel)"
+    )
+
+    # -- stage 3: packed examples over the selection --------------------
+    packed = ORACLES["corpus_examples_packed"]
+    packed = packed[len("WITH ") :]
+    m = "AS term FROM documents) d JOIN vstats v USING (term)"
+    assert packed.count(m) == 1
+    stage3 = packed.replace(
+        m,
+        "AS term FROM documents) d JOIN sel s ON s.doc_id = d.doc_id "
+        "JOIN vstats v USING (term)",
+        1,
+    )
+
+    return "WITH " + stage1 + ", " + stage2 + ", " + stage3
+
+
+# ---------------------------------------------------------------------------
+
+
+@query("corpus_pipeline_served", oracle=_spliced_pipeline_oracle())
+def corpus_pipeline_served(spark, sf_dir):
+    """The per-snapshot production run: classify the arriving batch
+    (doc_id % 7 = 0, mirroring the incremental-dedup convention)
+    against the persisted dedup index, keep the unique survivors,
+    DSIR-select the head 25% token mass per source with the persisted
+    KN heads, encode + pack the selection into 512-token examples with
+    the persisted tokenizer. Output = the packed-examples aggregate
+    (source, example_id, counts, token-id checksum, doc bounds), so
+    the hash compare pins every stage's membership decision AND the
+    final artifact's exact token ids."""
+    from udacity_dend_capstone_immigration_spark.workload.dedupstore import (
+        _INC_MOD,
+        classify_batch_against_index,
+        served_dedup_index_dir,
+    )
+    from udacity_dend_capstone_immigration_spark.workload.pretrain import (
+        _packed_examples,
+        served_bpe_dir,
+    )
+    from udacity_dend_capstone_immigration_spark.workload.textops import (
+        _doc_bigrams,
+        _dsir_select,
+        served_dsir_dir,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % _INC_MOD == 0)
+
+    # stage 1: dedup-store classify -> survivors. Eager checkpoint:
+    # the survivor set feeds the two head joins AND the packer; lazy,
+    # the whole classification join tree re-executes per consumer.
+    idx = served_dedup_index_dir(spark, sf_dir)
+    status = classify_batch_against_index(spark, idx, batch)
+    surv_ids = (
+        status.where(F.col("status") == "unique")
+        .select("doc_id")
+        .localCheckpoint()
+    )
+    surv = docs.join(surv_ids, "doc_id", "leftsemi")
+
+    # stage 2: DSIR score/select from the persisted heads (bare scans)
+    d = served_dsir_dir(spark, sf_dir)
+    scored_c = spark.read.parquet(f"{d}/pkn_corpus").select("bigram", "p_kn")
+    scored_t = spark.read.parquet(f"{d}/pkn_target").select("bigram", "p_kn")
+    sel_ids = (
+        _dsir_select(surv, _doc_bigrams(surv), scored_c, scored_t)
+        .select("doc_id")
+        .localCheckpoint()
+    )
+
+    # stage 3: encode + pack with the persisted tokenizer
+    b = served_bpe_dir(spark, sf_dir)
+    words = spark.read.parquet(f"{b}/encoded_vocab")
+    selected = docs.join(sel_ids, "doc_id", "leftsemi")
+    return _packed_examples(spark, sf_dir, words, docs=selected)

@@ -694,7 +694,7 @@ def corpus_examples_packed_served(spark, sf_dir):
     return _packed_examples(spark, sf_dir, words)
 
 
-def _packed_examples(spark, sf_dir, words):
+def _packed_examples(spark, sf_dir, words, docs=None):
     from udacity_dend_capstone_immigration_spark.operators.curation import pack_by_token_budget
     from pyspark.sql import Window
 
@@ -711,7 +711,8 @@ def _packed_examples(spark, sf_dir, words):
             F.sum("tok_id").cast("bigint").alias("enc_sum"),
         )
     )
-    docs = table(spark, sf_dir, "documents")
+    if docs is None:
+        docs = table(spark, sf_dir, "documents")
     dw = docs.select("doc_id", "source", F.explode(tokenize(F.col("text"))).alias("term"))
     dt = (
         dw.join(vstats.hint("merge"), "term")
