@@ -1,0 +1,126 @@
+"""Feature-store snapshot retention (r14): fold-then-expire keeps PIT
+serving exact inside the window and loud outside it."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from udacity_dend_capstone_immigration_spark.operators.asof import asof_join
+from udacity_dend_capstone_immigration_spark.workload.base import table
+from udacity_dend_capstone_immigration_spark.workload.timeseries import (
+    build_feature_store,
+    feature_retention_floor,
+    prune_feature_snapshots,
+    read_feature_snapshots,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _pit(spark, snaps_df, sf_dir):
+    """The features_pit_served join shape over an explicit snapshot
+    frame (store path vs pruned store comparisons)."""
+    snaps = snaps_df.select(
+        "user_id",
+        F.to_date("feature_date").alias("fd"),
+        "clicks_cum",
+        "views_cum",
+        "vsum_cum",
+    )
+    ev = table(spark, sf_dir, "events")
+    labels = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.date_sub(F.col("ts").cast("date"), 1).alias("asof_day"),
+    )
+    out = asof_join(
+        labels,
+        snaps,
+        "user_id",
+        "user_id",
+        "asof_day",
+        "fd",
+        payload=["clicks_cum", "views_cum", "vsum_cum"],
+    )
+    return {
+        r["event_id"]: (r["clicks_cum"], r["views_cum"], r["vsum_cum"])
+        for r in out.collect()
+    }
+
+
+def test_prune_folds_history_and_pit_inside_window_is_exact(spark):
+    store = build_feature_store(spark, SF_DIR)
+    snap_dir = f"{store}/snapshots"
+    days = sorted(
+        e.split("=", 1)[1]
+        for e in os.listdir(snap_dir)
+        if e.startswith("feature_date=")
+    )
+    assert len(days) > 6
+    before = _pit(spark, spark.read.parquet(snap_dir), SF_DIR)
+    users_before = {
+        r["user_id"]
+        for r in spark.read.parquet(snap_dir).select("user_id").distinct().collect()
+    }
+    assert feature_retention_floor(spark, store) is None
+
+    dropped = prune_feature_snapshots(spark, store, keep_days=5)
+    assert dropped == days[:-5]
+    floor = days[-5]
+    assert feature_retention_floor(spark, store) == floor
+    left = sorted(
+        e.split("=", 1)[1]
+        for e in os.listdir(snap_dir)
+        if e.startswith("feature_date=")
+    )
+    assert left == days[-5:]
+
+    # every user present before survives the fold (carried into floor)
+    floor_users = {
+        r["user_id"]
+        for r in spark.read.parquet(f"{snap_dir}/feature_date={floor}")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    assert users_before == floor_users
+
+    # PIT probes whose as-of day is at-or-after the floor are
+    # BIT-IDENTICAL to the un-pruned store; earlier labels are the
+    # unanswerable set the reader refuses
+    after = _pit(spark, spark.read.parquet(snap_dir), SF_DIR)
+    ev = table(spark, SF_DIR, "events")
+    in_window = {
+        r["event_id"]
+        for r in ev.where(F.col("event_type") == "purchase")
+        .where(F.date_sub(F.col("ts").cast("date"), 1) >= F.lit(floor).cast("date"))
+        .select("event_id")
+        .collect()
+    }
+    assert in_window  # the window actually covers probes
+    for eid in in_window:
+        assert after[eid] == before[eid]
+
+    # idempotent re-run: nothing left to drop
+    assert prune_feature_snapshots(spark, store, keep_days=5) == []
+
+
+def test_read_feature_snapshots_refuses_pre_floor_probes(spark):
+    store = build_feature_store(spark, SF_DIR)
+    snap_dir = f"{store}/snapshots"
+    days = sorted(
+        e.split("=", 1)[1]
+        for e in os.listdir(snap_dir)
+        if e.startswith("feature_date=")
+    )
+    prune_feature_snapshots(spark, store, keep_days=3)
+    floor = days[-3]
+    # inside (and exactly at) the floor: served
+    assert read_feature_snapshots(spark, store, min_asof_day=floor).count() > 0
+    # before the floor: loud
+    with pytest.raises(ValueError, match="retention floor"):
+        read_feature_snapshots(spark, store, min_asof_day=days[0])
+    # an unpruned store never raises
+    fresh = build_feature_store(spark, SF_DIR)
+    assert read_feature_snapshots(spark, fresh, min_asof_day=days[0]).count() > 0

@@ -798,6 +798,104 @@ def append_feature_dayagg(spark, store: str, dayagg, day: str) -> None:
     )
 
 
+def feature_retention_floor(spark, store: str):
+    """The store's retention floor date (ISO string) or None if the
+    store has never been pruned. One-row read — eager-decision
+    contract."""
+    import os
+
+    d = f"{store}/retention"
+    if not os.path.isdir(d):
+        return None
+    return spark.read.parquet(d).collect()[0]["floor"]
+
+
+def prune_feature_snapshots(spark, store: str, keep_days: int) -> list:
+    """Retention for the snapshot history (r13 verdict item 6 — the WAP
+    store prunes versions and the ANN/dedup stores fold; the feature
+    store accumulated one partition per day forever). Keeps the newest
+    ``keep_days`` ACTIVE-day partitions and FOLDS everything older into
+    the floor partition first: snapshots are sparse (a user only has
+    rows on their active days), so naively dropping old partitions
+    would silently zero the PIT features of any user inactive since the
+    floor. The fold carries each user's newest state at-or-before the
+    floor INTO the floor partition — exactly what un-pruned strict-
+    before as-of would have served for every probe day > floor — so a
+    PIT probe inside the window is bit-identical to the un-pruned store
+    (`tests/test_feature_retention.py` pins it). Probes at-or-before
+    the floor are unanswerable by construction; the floor lands in
+    ``<store>/retention`` and :func:`read_feature_snapshots` raises on
+    them (loud, never silently-zero). ``latest`` is untouched — it
+    carries full cumulative state, so appends are unaffected.
+
+    Crash ordering mirrors the lake pattern: fold-write the floor
+    partition, THEN drop older directories, THEN advance the marker —
+    a crash leaves extra history, never a hole; re-running is
+    idempotent. Returns the dropped partition values."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window as W
+
+    from udacity_dend_capstone_immigration_spark.sources.writers import write_parquet
+
+    snap_dir = f"{store}/snapshots"
+    days = sorted(
+        e.split("=", 1)[1]
+        for e in os.listdir(snap_dir)
+        if e.startswith("feature_date=")
+    )
+    if len(days) <= keep_days:
+        return []
+    floor = days[-keep_days]
+    old = [d for d in days if d < floor]
+    back = spark.read.parquet(snap_dir).where(
+        F.col("feature_date") <= F.lit(floor)
+    )
+    wl = W.partitionBy("user_id").orderBy(F.col("feature_date").desc())
+    folded = (
+        back.withColumn("rn", F.row_number().over(wl))
+        .where(F.col("rn") == 1)
+        .select("user_id", "clicks_cum", "views_cum", "vsum_cum")
+        # cut lineage: the fold reads the partition it overwrites
+        .localCheckpoint()
+    )
+    write_parquet(folded, f"{snap_dir}/feature_date={floor}")
+    esc = (
+        spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName
+    )
+    for d in old:
+        p = os.path.join(snap_dir, f"feature_date={esc(d)}")
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+    write_parquet(
+        spark.createDataFrame([(floor,)], "floor string"), f"{store}/retention"
+    )
+    return old
+
+
+def read_feature_snapshots(spark, store: str, min_asof_day=None):
+    """Serve-side snapshot scan with the retention contract: when the
+    store carries a floor and the caller's earliest as-of probe day
+    PRECEDES it, raise — an as-of at or after the floor is answered
+    exactly (the fold carried every user's state into the floor
+    partition), one before it would need the pruned history and would
+    otherwise silently read as first-day zeros. Pass ``min_asof_day``
+    (ISO string or date) from the label frame's bounded min; omit it
+    for maintenance scans."""
+    if min_asof_day is not None:
+        floor = feature_retention_floor(spark, store)
+        if floor is not None and str(min_asof_day) < floor:
+            raise ValueError(
+                f"PIT probe at as-of day {min_asof_day} precedes the "
+                f"store's retention floor {floor}: the snapshots that "
+                "could answer it were pruned. Rebuild with a longer "
+                "window or serve from a store with deeper retention."
+            )
+    return spark.read.parquet(f"{store}/snapshots")
+
+
 # --- feature-store build roundtrip: the snapshots come BACK off the
 # partitioned store and aggregate per PERSISTED partition value, so a
 # layout error (row in the wrong date partition, partition-column
