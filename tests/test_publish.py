@@ -295,3 +295,55 @@ def test_publish_incident_drill_end_to_end(spark, tmp_path):
     )
     assert current_version(root) == v3 and v3 not in (v1, v2)
     assert read_published(spark, root, version=-1).count() == 1
+
+
+def test_manifest_lands_in_staged_dir_before_swap(spark, tmp_path):
+    """r13 advice: the schema manifest must ride the staged version
+    through the pointer swap — a post-swap write left a crash window
+    where the live version was manifest-less and the next contract
+    check fell back to the lossy read-back schema. Pin it: the pointer
+    swap itself observes the manifest already in place, and a failing
+    stage hook vetoes the publish like a failed audit."""
+    import json
+    import os
+
+    import pytest
+
+    from udacity_dend_capstone_immigration_spark.sources import publish as P
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+
+    seen = {}
+    real_replace = os.replace
+
+    def spying_replace(src, dst):
+        if os.path.basename(dst) == P._POINTER:
+            with open(src) as fh:
+                v = fh.read().strip()
+            seen["manifest_at_swap"] = os.path.exists(
+                os.path.join(root, v, P._SCHEMA_MANIFEST)
+            )
+        return real_replace(src, dst)
+
+    os.replace = spying_replace
+    try:
+        v1 = P.compatible_publish(df, root)
+    finally:
+        os.replace = real_replace
+    assert seen["manifest_at_swap"] is True
+    with open(os.path.join(root, v1, P._SCHEMA_MANIFEST)) as fh:
+        assert json.load(fh)["type"] == "struct"
+
+    # a stage-hook failure vetoes: staged dir removed, live untouched
+    def boom(staged_dir):
+        raise RuntimeError("sidecar write failed")
+
+    with pytest.raises(P.AuditFailedError, match="stage hook"):
+        P.publish_table(df, root, stage_hook=boom)
+    assert P.current_version(root) == v1
+    orphans = [
+        d for d in os.listdir(root)
+        if d.startswith("v_") and d != v1 and os.path.isdir(os.path.join(root, d))
+    ]
+    assert orphans == []

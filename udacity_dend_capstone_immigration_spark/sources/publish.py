@@ -116,13 +116,21 @@ def publish_table(
     partition_by: Sequence[str] | None = None,
     audit: Callable[[DataFrame], None] | None = None,
     keep_versions: int = 2,
+    stage_hook: Callable[[str], None] | None = None,
 ) -> str:
     """WAP-publish ``df`` as the new current version of the table at
     ``root``; returns the version name. ``audit`` receives the staged
     READ-BACK DataFrame and raises to veto (any exception → staged dir
     removed, :class:`AuditFailedError` re-raised, live version
-    untouched). A crash anywhere before the final ``os.replace`` leaves
-    the previous version live."""
+    untouched). ``stage_hook`` (if given) receives the STAGED DIRECTORY
+    PATH after the audit passes and before the pointer swap — the slot
+    for sidecar artifacts that must exist the instant a version goes
+    live (compatible_publish's schema manifest; an r13-advice fix: a
+    manifest written after the swap leaves a crash window where the
+    live version is manifest-less and the next contract check falls
+    back to the lossy parquet read-back schema). A hook failure vetoes
+    like an audit failure. A crash anywhere before the final
+    ``os.replace`` leaves the previous version live."""
     spark = df.sparkSession
     os.makedirs(root, exist_ok=True)
     version = f"v_{uuid.uuid4().hex[:12]}"
@@ -135,6 +143,14 @@ def publish_table(
             shutil.rmtree(staged, ignore_errors=True)
             raise AuditFailedError(
                 f"audit vetoed staged version {version}: {e}"
+            ) from e
+    if stage_hook is not None:
+        try:
+            stage_hook(staged)
+        except Exception as e:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise AuditFailedError(
+                f"stage hook failed for staged version {version}: {e}"
             ) from e
     # atomic pointer swap: temp file + rename, never an in-place write
     tmp = os.path.join(root, f".{_POINTER}.{version}")
@@ -262,10 +278,13 @@ def compatible_publish(df: DataFrame, root: str, **kwargs) -> str:
         # checked on the INPUT frame's schema, before any write: the
         # staged read-back can't see an added column's non-nullability
         check_backward_compatible(prev_schema, df.schema)
-    version = publish_table(df, root, **kwargs)
-    with open(os.path.join(root, version, _SCHEMA_MANIFEST), "w") as fh:
-        _json.dump(df.schema.jsonValue(), fh)
-    return version
+    # the manifest lands in the STAGED dir before the pointer swap, so
+    # a live version always carries it (crash-window fix, r13 advice)
+    def _write_manifest(staged_dir: str) -> None:
+        with open(os.path.join(staged_dir, _SCHEMA_MANIFEST), "w") as fh:
+            _json.dump(df.schema.jsonValue(), fh)
+
+    return publish_table(df, root, stage_hook=_write_manifest, **kwargs)
 
 
 def rollback(root: str) -> str:
