@@ -23,7 +23,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE_SF_DIR = "/root/testdata/sf0.1"
 OUT_ROOT = "/tmp/orders_extrap"
-KEY_STRIDE = 1_000_000  # > max sf0.1 o_orderkey; keeps replicas disjoint
+#: Replica spacing. Two constraints (r13 advice — the old 1M stride
+#: collided at x100): replicas must be disjoint (STRIDE > the base key
+#: span, 150k at sf0.1), AND the query's FIXED +10,000,000 insert
+#: offset must never map a replicated key onto another replica —
+#: i.e. both 10M mod STRIDE and STRIDE − (10M mod STRIDE) must exceed
+#: the span (10M mod 1.3M = 900k, 1.3M − 900k = 400k, span 150k: no
+#: integer replica index lands inside any shifted range). Asserted in
+#: the generator, per the check-id-headroom-at-extrapolation-scale rule.
+KEY_STRIDE = 1_300_000
+INSERT_OFFSET = 10_000_000  # publish_version_diff's o_orderkey + 10M
 
 
 def generate(scale: int) -> str:
@@ -45,6 +54,25 @@ def generate(scale: int) -> str:
         f"SELECT * FROM read_parquet('{BASE_SF_DIR}/orders.parquet')"
     )
     duckdb.sql(f"COPY ({reps}) TO '{dst}' (FORMAT PARQUET, ROW_GROUP_SIZE 131072)")
+    # key-disjointness guarantees: unique keys, and the query's +10M
+    # insert shift never lands on a real key (else the x-scale 'cur'
+    # snapshot holds duplicate o_orderkey values and the diff measures
+    # a semantically different workload)
+    dup, coll = duckdb.sql(
+        f"""
+        SELECT (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey)
+                FROM read_parquet('{dst}')),
+               (SELECT COUNT(*)
+                FROM read_parquet('{dst}') a
+                JOIN read_parquet('{dst}') b
+                  ON a.o_orderkey + {INSERT_OFFSET} = b.o_orderkey
+                WHERE a.o_orderkey % 97 = 0)
+        """
+    ).fetchone()
+    assert dup == 0 and coll == 0, (
+        f"x{scale} generator key collision: {dup} duplicate keys, "
+        f"{coll} insert-shift collisions — retune KEY_STRIDE"
+    )
     return out_dir
 
 
