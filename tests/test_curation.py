@@ -164,3 +164,34 @@ def test_feature_store_append_latest_semantics(spark):
     assert state(inc, f"snapshots/feature_date={day}") == state(
         full, f"snapshots/feature_date={day}"
     )
+
+
+def test_kfold_cluster_safe_stage_gate(spark):
+    """r15 stage-gate (query staged r14, window full): the cluster-safe
+    k-fold report matches its DuckDB oracle value-for-value at sf0.001,
+    folds are cluster-atomic (crossing_pairs == 0 recomputed by BOTH
+    engines), and every doc lands in exactly one fold."""
+    import duckdb
+
+    from udacity_dend_capstone_immigration_spark.workload import ORACLES
+    from udacity_dend_capstone_immigration_spark.workload.curation import (
+        _KFOLD_CLUSTER_SAFE_ORACLE,
+        corpus_kfold_cluster_safe,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        map(tuple, corpus_kfold_cluster_safe(spark, sf).collect())
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    sql = _KFOLD_CLUSTER_SAFE_ORACLE.replace(
+        "{MINHASH}", ORACLES["dedup_minhash_lsh"]
+    )
+    want = sorted(map(tuple, con.sql(sql).fetchall()))
+    assert got == want
+    assert all(r[4] == 0 for r in got)  # crossing_pairs zero everywhere
+    n_docs = sum(r[2] for r in got)
+    assert n_docs == spark.read.parquet(f"{sf}/documents.parquet").count()

@@ -975,3 +975,97 @@ def corpus_kfold_assignment(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
     return hash_kfold(docs, "doc_id", folds=5)
+
+
+# --- STAGED for r15 (r14 window carries the full r8 rotation + five
+# new registrations; tests/test_privacy.py-style stage-gate below
+# proves the oracle cross-engine now): leakage-safe k-FOLD — the
+# cross-validation twin of corpus_split_cluster_safe. hash_kfold keys
+# on the near-dup cluster representative, so a near-dup cluster never
+# straddles folds and k-fold eval never scores a train-set near-duplicate;
+# the report carries the recomputed crossing-pair count (zero by
+# construction, recomputed by the oracle too).
+_KFOLD_CLUSTER_SAFE_ORACLE = """
+    WITH RECURSIVE
+    pairs AS ({MINHASH}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach AS (
+        SELECT doc_id AS id, doc_id AS lab FROM documents
+        UNION
+        SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+    assigned AS (
+        SELECT d.doc_id, d.source, c.cluster_id,
+               CAST(('0x' || substring(md5('kfold:' || CAST(c.cluster_id AS VARCHAR)), 1, 4))::BIGINT % 5 AS INT) AS fold
+        FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+    ),
+    xp AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS crossing_pairs
+        FROM pairs p
+        JOIN assigned a ON p.id_a = a.doc_id
+        JOIN assigned b ON p.id_b = b.doc_id
+        WHERE a.fold <> b.fold
+    )
+    SELECT fold, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           crossing_pairs
+    FROM assigned, xp
+    GROUP BY fold, source, crossing_pairs
+    ORDER BY fold, source
+"""
+
+
+def corpus_kfold_cluster_safe(spark, sf_dir):
+    """Deterministic k-fold on the near-dup cluster representative —
+    fold membership is cluster-atomic, so every (train = 4 folds,
+    eval = 1) rotation is leakage-free by construction. Same executing
+    shape as corpus_split_cluster_safe: lazily checkpointed LSH pairs
+    feed the component build once, the crossing-pair verification
+    re-joins the capped pair set (merge-hinted, estimate-blind class)
+    and broadcasts its ONE-ROW count into the per-(fold, source)
+    rollup."""
+    from udacity_dend_capstone_immigration_spark.operators.curation import hash_kfold
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = (
+        minhash_lsh_dedup_pairs(
+            docs,
+            "doc_id",
+            "text",
+            shingle_n=3,
+            num_hashes=_MH_N,
+            bands=_MH_BANDS,
+            threshold=0.5,
+            max_bucket_df=_MH_BUCKET_CAP,
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    comp = connected_components(pairs, docs.select("doc_id"), id_col="doc_id")
+    assigned = hash_kfold(comp, "cluster_id", folds=5).select(
+        "doc_id", "cluster_id", "fold"
+    )
+    a = assigned.select(F.col("doc_id").alias("id_a"), F.col("fold").alias("fold_a"))
+    b = assigned.select(F.col("doc_id").alias("id_b"), F.col("fold").alias("fold_b"))
+    xp = (
+        pairs.join(a.hint("merge"), "id_a")
+        .join(b.hint("merge"), "id_b")
+        .where(F.col("fold_a") != F.col("fold_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("crossing_pairs"))
+    )
+    enriched = docs.select("doc_id", "source").join(assigned, "doc_id")
+    return (
+        enriched.groupBy("fold", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct(F.col("cluster_id")).cast("bigint").alias("n_clusters"),
+        )
+        .join(F.broadcast(xp))
+        .select("fold", "source", "n_docs", "n_clusters", "crossing_pairs")
+        .orderBy("fold", "source")
+    )
