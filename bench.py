@@ -76,6 +76,11 @@ from udacity_dend_capstone_immigration_spark.workload import QUERIES
 #: full-outer SMJ, the lake-maintenance shape), and
 #: events_pit_feature_assembly in (leakage-free PIT feature assembly —
 #: one cumulative user window over the full event table); nothing out.
+#: Rotated r14: corpus_pipeline_served in (the end-to-end store-served
+#: composition — dedup-store classify -> DSIR select -> BPE encode+pack
+#: with zero training in the plan; its three stores are shared with
+#: the other served headliners, so min-of-reps reads pure serve cost);
+#: nothing out.
 #: Suite totals are NOT comparable across rotations — BASELINE.md
 #: records the discontinuity.
 HEADLINE = [
@@ -114,6 +119,7 @@ HEADLINE = [
     "retrieval_mmr_diverse",
     "publish_version_diff",
     "events_pit_feature_assembly",
+    "corpus_pipeline_served",
 ]
 
 
