@@ -151,3 +151,107 @@ def corpus_pipeline_served(spark, sf_dir):
     words = spark.read.parquet(f"{b}/encoded_vocab")
     selected = docs.join(sel_ids, "doc_id", "leftsemi")
     return _packed_examples(spark, sf_dir, words, docs=selected)
+
+
+# --- STAGED for r15 (stage-gate: tests/test_pipeline_stream.py): the
+# STREAMING twin — score on ingest, select at snapshot. The expensive
+# corpus-touching stages (dedup-store classify, frozen-head DSIR
+# scoring) are PER-DOC against frozen stores, so each arriving
+# micro-batch pays O(batch) and lands its (doc_id, source, mass,
+# importance, status) rows batch-addressed (overwrite-own-batch_pt —
+# replay exactly-once, the CLAUDE.md streaming-append rule). Selection
+# and packing are GLOBAL decisions over the snapshot's mass
+# distribution, so they run once at snapshot time over the accumulated
+# score table — |batch docs| rows, no text. Sequential ≡ one-shot by
+# construction (classify has no batch-internal interactions; scoring
+# is per-doc under frozen heads; select/pack see the same score set),
+# so the streamed twin SHARES the batch pipeline's spliced oracle.
+def corpus_pipeline_streamed(spark, sf_dir, n_waves: int = 3):
+    """`corpus_pipeline_served` with the arriving snapshot drained as a
+    document STREAM (n_waves staged files, oldest-first by mtime, one
+    file per micro-batch) through foreachBatch score-on-ingest; returns
+    the identical packed-examples aggregate."""
+    import os
+    import tempfile
+
+    from udacity_dend_capstone_immigration_spark.streaming.windows import (
+        _await_or_raise,
+        read_stream,
+    )
+    from udacity_dend_capstone_immigration_spark.workload.dedupstore import (
+        _INC_MOD,
+        classify_batch_against_index,
+        served_dedup_index_dir,
+    )
+    from udacity_dend_capstone_immigration_spark.workload.pretrain import (
+        _packed_examples,
+        served_bpe_dir,
+    )
+    from udacity_dend_capstone_immigration_spark.workload.textops import (
+        _doc_bigrams,
+        _dsir_scores,
+        _dsir_select_from_scores,
+        served_dsir_dir,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    batch_slice = docs.where(F.col("doc_id") % _INC_MOD == 0)
+
+    idx = served_dedup_index_dir(spark, sf_dir)
+    dsir = served_dsir_dir(spark, sf_dir)
+    bpe = served_bpe_dir(spark, sf_dir)
+
+    # stage the snapshot as n_waves files, oldest-first (the file
+    # source processes by mtime; one file per trigger = real batches)
+    feed = tempfile.mkdtemp(prefix="pipe_feed_")
+    mt = 1_700_000_000
+    for i in range(n_waves):
+        d = tempfile.mkdtemp()
+        batch_slice.where(F.pmod(F.col("doc_id"), F.lit(n_waves)) == i).coalesce(
+            1
+        ).write.mode("overwrite").parquet(d)
+        (part,) = [
+            f
+            for f in os.listdir(d)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+        os.replace(f"{d}/{part}", f"{feed}/w{i}.parquet")
+        os.utime(f"{feed}/w{i}.parquet", (mt + i * 3600, mt + i * 3600))
+
+    scores = tempfile.mkdtemp(prefix="pipe_scores_") + "/scores"
+    schema = spark.read.parquet(f"{feed}/w0.parquet").schema
+    stream = read_stream(spark, feed, schema, max_files_per_trigger=1)
+
+    def score_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        bspark = batch_df.sparkSession
+        status = classify_batch_against_index(bspark, idx, batch_df)
+        surv = batch_df.join(
+            status.where(F.col("status") == "unique").select("doc_id"),
+            "doc_id",
+            "leftsemi",
+        )
+        scored_c = bspark.read.parquet(f"{dsir}/pkn_corpus").select("bigram", "p_kn")
+        scored_t = bspark.read.parquet(f"{dsir}/pkn_target").select("bigram", "p_kn")
+        w = _dsir_scores(surv, _doc_bigrams(surv), scored_c, scored_t)
+        # batch-addressed landing: replay OVERWRITES its own dir
+        w.repartition(1).write.mode("overwrite").parquet(
+            f"{scores}/batch_pt={batch_id}"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(score_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_pipe_stream_"))
+        .start()
+    )
+    _await_or_raise(q, 300, "corpus_pipeline_streamed")
+
+    w_all = spark.read.parquet(scores).select(
+        "doc_id", "source", "n_bigrams", "importance"
+    )
+    sel_ids = _dsir_select_from_scores(w_all).select("doc_id").localCheckpoint()
+    words = spark.read.parquet(f"{bpe}/encoded_vocab")
+    selected = docs.join(sel_ids, "doc_id", "leftsemi")
+    return _packed_examples(spark, sf_dir, words, docs=selected)

@@ -1976,10 +1976,15 @@ def _dsir_train_heads(bi):
 def _dsir_select(docs, bi, scored_c, scored_t):
     """Score + nucleus-select from TRAINED head score tables — shared
     by the inline query above and the persisted-head serve twin."""
-    from udacity_dend_capstone_immigration_spark.operators.cumsum import (
-        grouped_running_sum,
-    )
+    return _dsir_select_from_scores(_dsir_scores(docs, bi, scored_c, scored_t))
 
+
+def _dsir_scores(docs, bi, scored_c, scored_t):
+    """The SCORE half (r14 split, for the streaming pipeline twin):
+    per-doc (doc_id, source, n_bigrams, importance) from the frozen
+    heads — pure per-doc work, so a micro-batch scored at ingest is
+    bit-identical to the same docs scored in one shot (what makes the
+    score-on-ingest / select-at-snapshot decomposition provable)."""
     score_c = (
         bi.join(scored_c.hint("merge"), "bigram")
         .groupBy("doc_id")
@@ -1993,7 +1998,7 @@ def _dsir_select(docs, bi, scored_c, scored_t):
         .groupBy("doc_id")
         .agg(davg(F.col("p_kn"), "avg_t"))
     )
-    w = (
+    return (
         score_c.join(score_t.hint("merge"), "doc_id")
         .join(docs.select("doc_id", "source"), "doc_id")
         .select(
@@ -2003,6 +2008,17 @@ def _dsir_select(docs, bi, scored_c, scored_t):
             (F.col("avg_t") / F.col("avg_c")).alias("importance"),
         )
     )
+
+
+def _dsir_select_from_scores(w):
+    """The SELECT half: head-25% token mass per source over an
+    already-scored frame (global decision — it needs the WHOLE
+    snapshot's mass distribution, which is why the streamed twin
+    accumulates scores and selects once at snapshot time)."""
+    from udacity_dend_capstone_immigration_spark.operators.cumsum import (
+        grouped_running_sum,
+    )
+
     cum = grouped_running_sum(
         w,
         "source",
