@@ -202,7 +202,9 @@ def test_dedup_maintenance_policy(spark, tmp_path):
     d = str(tmp_path / "pidx")
     build_dedup_index(spark, _docs(spark, CORPUS), d, cap=3)
     assert dedup_maintenance_due(d) == {
-        "due": False, "crossing": [], "pending_tombstones": False, "pending": {},
+        "due": False, "crossing": [], "pending_tombstones": False,
+        "pending_doc_tombstones": False, "pending_revival": False,
+        "pending": {},
     }
     # land one streamed wave (creates deltas + a cross-wave tombstone
     # is NOT triggered here: df 'a b c' goes 3 -> 4 == crossing)
@@ -223,7 +225,9 @@ def test_dedup_maintenance_policy(spark, tmp_path):
     assert r["due"] and r["pending_tombstones"] and r["crossing"] == []
     assert run_dedup_maintenance(spark, d) is True
     assert dedup_maintenance_due(d) == {
-        "due": False, "crossing": [], "pending_tombstones": False, "pending": {},
+        "due": False, "crossing": [], "pending_tombstones": False,
+        "pending_doc_tombstones": False, "pending_revival": False,
+        "pending": {},
     }
     assert run_dedup_maintenance(spark, d) is False
 
@@ -306,6 +310,33 @@ def test_revive_rerun_is_idempotent(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{d}/revival_due")
     revive_shingles(spark, d, _docs(spark, live))
     assert _postings(spark, d) == before  # no duplicated postings
+
+
+def test_policy_reports_doc_tombstones_and_revival(spark, tmp_path):
+    """r14: the policy's delete-side signals — doc tombstones count
+    toward due (the fold applies them physically), pending revivals are
+    REPORT-ONLY (revive_shingles needs the live corpus, scheduled
+    explicitly like ANN tombstone compaction)."""
+    from udacity_dend_capstone_immigration_spark.workload.dedupstore import (
+        dedup_maintenance_due,
+        run_dedup_maintenance,
+    )
+
+    d = str(tmp_path / "idx")
+    build_dedup_index(spark, _docs(spark, _DEL_CORPUS), d, cap=3)
+    live = [r for r in _DEL_CORPUS if r[0] not in (4, 5)]
+    delete_from_dedup_index(
+        spark, _docs(spark, [r for r in _DEL_CORPUS if r[0] in (4, 5)]), d
+    )
+    r = dedup_maintenance_due(d)
+    assert r["pending_doc_tombstones"] and r["pending_revival"] and r["due"]
+    # the fold clears the doc tombstones; the revival stays pending
+    assert run_dedup_maintenance(spark, d) is True
+    r2 = dedup_maintenance_due(d)
+    assert not r2["pending_doc_tombstones"]
+    assert r2["pending_revival"] and not r2["due"]
+    revive_shingles(spark, d, _docs(spark, live))
+    assert dedup_maintenance_due(d)["pending_revival"] is False
 
 
 def test_fold_applies_deletes_physically(spark, tmp_path):

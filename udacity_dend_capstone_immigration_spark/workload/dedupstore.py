@@ -1101,10 +1101,22 @@ def dedup_maintenance_due(index_dir: str, min_delta_batches: int = 4) -> dict:
     tomb = os.path.isdir(f"{index_dir}/dropped_shingles") or _has_batches(
         f"{index_dir}/dropped_shingles_delta"
     )
+    # doc tombstones (right-to-be-forgotten deletes): the fold applies
+    # them physically, so they count toward due exactly like shingle
+    # tombstones (r14 — the policy previously missed them)
+    doc_tomb = os.path.isdir(f"{index_dir}/deleted_docs") or _has_batches(
+        f"{index_dir}/deleted_docs_delta"
+    )
+    # reverse cap-crossings awaiting re-index: REPORT-ONLY — clearing
+    # them (`revive_shingles`) needs the live corpus, a job the poller
+    # schedules explicitly, like ANN tombstone compaction
+    revival = os.path.isdir(f"{index_dir}/revival_due")
     return {
-        "due": bool(crossing) or tomb,
+        "due": bool(crossing) or tomb or doc_tomb,
         "crossing": crossing,
         "pending_tombstones": tomb,
+        "pending_doc_tombstones": doc_tomb,
+        "pending_revival": revival,
         "pending": pending,
     }
 
