@@ -146,7 +146,11 @@ def corpus_pipeline_served(spark, sf_dir):
         .localCheckpoint()
     )
 
-    # stage 3: encode + pack with the persisted tokenizer
+    # stage 3: encode + pack with the persisted tokenizer. sel_ids has
+    # ONE consumer, so its checkpoint is not a re-execution guard like
+    # surv_ids' — an r14 A/B at sf0.1 read a wash (5.4/5.9s with vs
+    # 6.2/5.2s without); kept because it also keeps the RETURNED plan
+    # bare of the scoring subtree (the training-free plan pin).
     b = served_bpe_dir(spark, sf_dir)
     words = spark.read.parquet(f"{b}/encoded_vocab")
     selected = docs.join(sel_ids, "doc_id", "leftsemi")
