@@ -124,3 +124,31 @@ def test_read_feature_snapshots_refuses_pre_floor_probes(spark):
     # an unpruned store never raises
     fresh = build_feature_store(spark, SF_DIR)
     assert read_feature_snapshots(spark, fresh, min_asof_day=days[0]).count() > 0
+
+
+def test_retention_marker_lands_before_history_drops(spark, tmp_path, monkeypatch):
+    """r14 review fix: the floor marker must be on disk before any old
+    partition directory is removed — the marker-last order had a crash
+    window where history was gone but the floor unrecorded, and a
+    re-run (seeing <= keep_days partitions) would never write it,
+    silently disabling the loud-floor contract."""
+    import shutil
+
+    store = build_feature_store(spark, SF_DIR)
+    seen = {}
+    real_rmtree = shutil.rmtree
+
+    def spying_rmtree(path, *a, **k):
+        if "feature_date=" in str(path):
+            seen.setdefault(
+                "marker_at_first_drop",
+                feature_retention_floor(spark, store) is not None,
+            )
+        return real_rmtree(path, *a, **k)
+
+    # prune imports shutil inside the function, so patching the module
+    # attribute is what its local import resolves
+    monkeypatch.setattr(shutil, "rmtree", spying_rmtree)
+    dropped = prune_feature_snapshots(spark, store, keep_days=4)
+    assert dropped
+    assert seen["marker_at_first_drop"] is True

@@ -416,3 +416,45 @@ def test_maintenance_due_quality_trigger_fires_on_drift_only(spark):
     assert calm["retrain_due"] is False and calm["due"] is False
     # reporting only: nothing folds, nothing rebuilds
     assert V.run_due_maintenance(spark, idx) == []
+
+
+def test_drift_report_sees_unfolded_delta_batches(spark, tmp_path):
+    """r14 review fix: drift scans the SERVED view (main ∪ delta), so a
+    poll with pending streamed appends sees the appended mass — the
+    main-only scan understated exactly the drift the trigger exists to
+    catch."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    idx = V.build_ivf_flat_index(
+        spark, SF_DIR, tempfile.mkdtemp(prefix="ivfflat_deltadrift_"), emb=emb
+    )
+    fresh = V.maintenance_due(idx, spark=spark)
+    # land a strongly-shifted batch as an UNFOLDED streamed-shape delta
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        Codebook,
+    )
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        assign_nearest_arrow,
+    )
+
+    shifted = emb.limit(200).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x * F.lit(-1.0)).cast("float")
+        ).alias("embedding"),
+    )
+    cents = spark.read.parquet(f"{idx}/ivf_centroids").collect()
+    cb = Codebook([(r["cent_id"], r["cent_emb"]) for r in cents])
+    assigned = assign_nearest_arrow(shifted, cb, "vec_id", keep_embedding=True)
+    (
+        assigned.withColumn("cell_pt", F.col("cell"))
+        .repartition(1)
+        .write.mode("overwrite")
+        .partitionBy("cell_pt")
+        .parquet(f"{idx}/ivf_vectors_delta/batch_pt=drift-0")
+    )
+    polled = V.maintenance_due(idx, spark=spark)
+    assert polled["max_drift"] > fresh["max_drift"]

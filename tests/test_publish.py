@@ -347,3 +347,29 @@ def test_manifest_lands_in_staged_dir_before_swap(spark, tmp_path):
         if d.startswith("v_") and d != v1 and os.path.isdir(os.path.join(root, d))
     ]
     assert orphans == []
+
+
+def test_compatible_publish_chains_caller_stage_hook(spark, tmp_path):
+    """r14 review fix: compatible_publish claims the stage_hook slot
+    for its manifest — a caller's own sidecar hook must CHAIN (after
+    the manifest write), not TypeError on the duplicate keyword."""
+    import os
+
+    from udacity_dend_capstone_immigration_spark.sources import publish as P
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    calls = {}
+
+    def sidecar(staged_dir):
+        # the manifest is already in place when the caller hook runs
+        calls["manifest_first"] = os.path.exists(
+            os.path.join(staged_dir, P._SCHEMA_MANIFEST)
+        )
+        with open(os.path.join(staged_dir, "_sidecar"), "w") as fh:
+            fh.write("x")
+
+    v = P.compatible_publish(df, root, stage_hook=sidecar)
+    assert calls["manifest_first"] is True
+    assert os.path.exists(os.path.join(root, v, "_sidecar"))
+    assert os.path.exists(os.path.join(root, v, P._SCHEMA_MANIFEST))

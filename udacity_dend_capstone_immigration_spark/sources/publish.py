@@ -279,10 +279,16 @@ def compatible_publish(df: DataFrame, root: str, **kwargs) -> str:
         # staged read-back can't see an added column's non-nullability
         check_backward_compatible(prev_schema, df.schema)
     # the manifest lands in the STAGED dir before the pointer swap, so
-    # a live version always carries it (crash-window fix, r13 advice)
+    # a live version always carries it (crash-window fix, r13 advice).
+    # A caller's own stage_hook CHAINS after the manifest write instead
+    # of colliding with the claimed keyword (r14 review fix).
+    caller_hook = kwargs.pop("stage_hook", None)
+
     def _write_manifest(staged_dir: str) -> None:
         with open(os.path.join(staged_dir, _SCHEMA_MANIFEST), "w") as fh:
             _json.dump(df.schema.jsonValue(), fh)
+        if caller_hook is not None:
+            caller_hook(staged_dir)
 
     return publish_table(df, root, stage_hook=_write_manifest, **kwargs)
 

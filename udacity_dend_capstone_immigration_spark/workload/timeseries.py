@@ -828,10 +828,15 @@ def prune_feature_snapshots(spark, store: str, keep_days: int) -> list:
     them (loud, never silently-zero). ``latest`` is untouched — it
     carries full cumulative state, so appends are unaffected.
 
-    Crash ordering mirrors the lake pattern: fold-write the floor
-    partition, THEN drop older directories, THEN advance the marker —
-    a crash leaves extra history, never a hole; re-running is
-    idempotent. Returns the dropped partition values."""
+    Crash ordering (r14 review fix): fold-write the floor partition,
+    ADVANCE THE MARKER, then drop older directories. A crash between
+    marker and drops leaves the marker plus extra history —
+    conservative-correct (pre-floor probes raise even though the
+    history could still answer them); the original marker-last order
+    had a window where history was gone but the floor was unrecorded,
+    and a re-run (seeing <= keep_days partitions) would never write
+    it, silently disabling the loud-floor contract. Re-running is
+    idempotent either way. Returns the dropped partition values."""
     import os
     import shutil
 
@@ -861,6 +866,11 @@ def prune_feature_snapshots(spark, store: str, keep_days: int) -> list:
         .localCheckpoint()
     )
     write_parquet(folded, f"{snap_dir}/feature_date={floor}")
+    # marker BEFORE the drops: a crash here is conservative (marker +
+    # extra history), never a silent hole (history gone, no marker)
+    write_parquet(
+        spark.createDataFrame([(floor,)], "floor string"), f"{store}/retention"
+    )
     esc = (
         spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .escapePathName
@@ -869,9 +879,6 @@ def prune_feature_snapshots(spark, store: str, keep_days: int) -> list:
         p = os.path.join(snap_dir, f"feature_date={esc(d)}")
         if os.path.isdir(p):
             shutil.rmtree(p)
-    write_parquet(
-        spark.createDataFrame([(floor,)], "floor string"), f"{store}/retention"
-    )
     return old
 
 

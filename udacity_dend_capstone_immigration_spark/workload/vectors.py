@@ -3461,14 +3461,19 @@ def centroid_drift_report(spark, index_dir: str, threshold: float = 0.02):
     SAME 2^24 quantization as the Lloyd trainer (exact bigint sum of
     floor(x·2^24) — bit-identical across engines by construction, the
     `label_centroids` portability note), and the cosine is 6dp-rounded,
-    so the r14 oracle mirrors it exactly."""
+    so the r14 oracle mirrors it exactly. The scan is the SERVED view
+    (main ∪ pending delta batches, tombstones anti-joined — both plan
+    no-ops when absent): drift must see exactly the rows queries see,
+    or a poll with unfolded streamed appends understates the very
+    drift the trigger exists to catch (r14 review fix, delta-drift
+    unit-pinned)."""
     from udacity_dend_capstone_immigration_spark.functions.vectors import (
         cosine_similarity,
     )
 
-    vecs = spark.read.parquet(f"{index_dir}/ivf_vectors").select(
-        "cell", F.posexplode(F.col("embedding")).alias("dim", "val")
-    )
+    vecs = apply_tombstones(
+        spark, index_dir, read_ivf_flat_store(spark, index_dir)
+    ).select("cell", F.posexplode(F.col("embedding")).alias("dim", "val"))
     q = F.floor(F.col("val").cast("double") * F.lit(16777216.0)).cast("long")
     means = (
         vecs.groupBy("cell", "dim")
@@ -3588,7 +3593,14 @@ def ann_centroid_drift_report(spark, sf_dir):
         ).alias("embedding"),
     )
     append_to_ivf_flat_index(spark, shifted, idx)
-    # the POLICY wiring: the quality trigger rides the same report
-    policy = maintenance_due(idx, spark=spark)
-    assert policy["retrain_due"] and policy["due"], policy
-    return centroid_drift_report(spark, idx)
+    # ONE O(store) report scan (r14 review fix: asserting via
+    # maintenance_due(spark=...) and then returning the lazy frame ran
+    # the identical scan twice). Collect once — N_CELLS rows, the
+    # eager-decision contract — assert the trigger predicate the
+    # policy's drift leg computes from this same report (the wiring
+    # itself is unit-pinned in test_index_maintenance), and return the
+    # bounded rows as a local relation.
+    report = centroid_drift_report(spark, idx)
+    rows = report.collect()
+    assert any(r["retrain_due"] for r in rows), rows
+    return spark.createDataFrame(rows, report.schema)
