@@ -458,3 +458,70 @@ def test_drift_report_sees_unfolded_delta_batches(spark, tmp_path):
     )
     polled = V.maintenance_due(idx, spark=spark)
     assert polled["max_drift"] > fresh["max_drift"]
+
+
+def test_retrain_restores_fixed_point_and_retires_deltas(spark, tmp_path):
+    """r14 staging (trigger → ACTION): after a drifted append (half
+    direct, half as an unfolded delta) plus a delete, retraining on the
+    served view (1) brings the drift report back to a Lloyd fixed
+    point — the appended mass is IN the codebook, so the trigger that
+    fired goes quiet at the same threshold; (2) preserves exactly the
+    live vector set; (3) retires the delta and the tombstones with the
+    rewrite; (4) is crash-compatible with the compaction sweeper."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    idx = V.build_ivf_flat_index(
+        spark, SF_DIR, tempfile.mkdtemp(prefix="ivfflat_retrain_t_"), emb=emb
+    )
+    shifted = emb.limit(200).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x * F.lit(-1.0)).cast("float")
+        ).alias("embedding"),
+    )
+    V.append_to_ivf_flat_index(spark, shifted.where(F.col("vec_id") % 2 == 0), idx)
+    # the other half lands as an UNFOLDED streamed-shape delta batch
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        Codebook,
+        assign_nearest_arrow,
+    )
+
+    cents = spark.read.parquet(f"{idx}/ivf_centroids").collect()
+    cb = Codebook([(r["cent_id"], r["cent_emb"]) for r in cents])
+    (
+        assign_nearest_arrow(
+            shifted.where(F.col("vec_id") % 2 != 0), cb, "vec_id", keep_embedding=True
+        )
+        .withColumn("cell_pt", F.col("cell"))
+        .repartition(1)
+        .write.mode("overwrite")
+        .partitionBy("cell_pt")
+        .parquet(f"{idx}/ivf_vectors_delta/batch_pt=rt-0")
+    )
+    dead = [int(r["vec_id"]) for r in emb.select("vec_id").limit(5).collect()]
+    V.delete_from_index(spark, idx, dead)
+
+    drifted = V.maintenance_due(idx, spark=spark)
+    assert drifted["max_drift"] > 0.0
+    expect_live = emb.count() + 200 - len(dead)
+
+    stats = V.retrain_ivf_flat_index(spark, idx)
+    assert stats["n_vectors"] == expect_live
+
+    # deltas and tombstones retired by the rewrite
+    assert not os.path.isdir(f"{idx}/ivf_vectors_delta")
+    assert not os.path.isdir(f"{idx}/deleted_ids")
+    back = spark.read.parquet(f"{idx}/ivf_vectors")
+    assert back.count() == expect_live
+    assert back.where(F.col("vec_id").isin(dead)).count() == 0
+    assert back.where(F.col("vec_id") >= 10_000_000).count() == 200
+
+    # the trigger that fired is quiet at a threshold BELOW the drifted
+    # reading: the appended mass is in the codebook now
+    thr = drifted["max_drift"] * 0.9
+    calm = V.maintenance_due(idx, spark=spark, drift_threshold=thr)
+    assert calm["max_drift"] < drifted["max_drift"]
+    assert calm["retrain_due"] is False and calm["due"] is False

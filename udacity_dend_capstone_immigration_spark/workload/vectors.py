@@ -1510,6 +1510,62 @@ def run_due_maintenance(spark, index_dir: str, **thresholds) -> list:
     return done
 
 
+def retrain_ivf_flat_index(spark, index_dir: str) -> dict:
+    """The maintenance ACTION the drift trigger schedules (r14 staging
+    — completes trigger → action: `maintenance_due(spark=...)` says
+    retraining is due, this runs it). Lloyd-train fresh centroids on
+    the store's CURRENT content (served view: main ∪ pending delta,
+    tombstones applied — exactly what the drift report measured),
+    re-assign every vector, and swap both relations in with the
+    compaction pattern (staging dir + two renames; staging names carry
+    ``_compact_`` so `compact_index_cells`' crash sweeper also adopts
+    orphan retrain stages, and `.old` recovery is shared). The retrain
+    REWRITES the whole flat store, so the delta and tombstones are
+    retired with it. FLAT layout only: a PQ/SQ8 retrain invalidates
+    every persisted code row by definition — run those through their
+    builders in a reindex window. Returns {n_vectors, n_cells}.
+
+    Quality contract (unit-pinned): post-retrain the drift report
+    reads at a fresh Lloyd fixed point — the appended mass that fired
+    the trigger is now IN the codebook."""
+    import os
+    import shutil as sh
+    import tempfile
+
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        assign_nearest_arrow,
+    )
+    from udacity_dend_capstone_immigration_spark.sources.writers import write_table
+
+    # eager checkpoint: the rewrite below replaces the directories this
+    # read depends on
+    cur = (
+        apply_tombstones(spark, index_dir, read_ivf_flat_store(spark, index_dir))
+        .select("vec_id", "embedding")
+        .localCheckpoint()
+    )
+    cents, cb = _ivf_train(cur)
+    assigned = assign_nearest_arrow(cur, cb, "vec_id", keep_embedding=True)
+    stage_c = tempfile.mkdtemp(prefix="_ivf_centroids_compact_retrain_", dir=index_dir)
+    stage_v = tempfile.mkdtemp(prefix="_ivf_vectors_compact_retrain_", dir=index_dir)
+    write_table(cents, stage_c, mode="overwrite")
+    write_table(
+        assigned.withColumn("cell_pt", F.col("cell")),
+        stage_v,
+        partition_by=["cell_pt"],
+        mode="overwrite",
+    )
+    for rel, staging in (("ivf_centroids", stage_c), ("ivf_vectors", stage_v)):
+        live = f"{index_dir}/{rel}"
+        old = f"{live}.old"
+        os.rename(live, old)
+        os.rename(staging, live)
+        sh.rmtree(old, ignore_errors=True)
+    for d in ("ivf_vectors_delta", "deleted_ids"):
+        sh.rmtree(f"{index_dir}/{d}", ignore_errors=True)
+    return {"n_vectors": cur.count(), "n_cells": cents.count()}
+
+
 def read_ivf_flat_store(spark, index_dir: str):
     """The serving view of the flat store: main ∪ delta (when a delta
     exists), both carrying ``cell_pt`` as a partition column so a probe
