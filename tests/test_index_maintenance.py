@@ -525,3 +525,84 @@ def test_retrain_restores_fixed_point_and_retires_deltas(spark, tmp_path):
     calm = V.maintenance_due(idx, spark=spark, drift_threshold=thr)
     assert calm["max_drift"] < drifted["max_drift"]
     assert calm["retrain_due"] is False and calm["due"] is False
+
+
+def test_retrain_commit_marker_torn_crash_windows(spark):
+    """r14 advice: the two-relation retrain swap must be ONE generation.
+    Three crash windows against the marker protocol:
+
+    1. crash AFTER the commit marker lands, BEFORE any swap — the next
+       store read rolls the whole generation forward (both relations
+       from the stage, delta + tombstones retired);
+    2. crash MID roll-forward (centroids swapped, vectors not) — a new
+       codebook must never serve over old cell assignments; recovery
+       completes the vectors swap;
+    3. crash BEFORE the marker (orphan stage, no marker) — the
+       compaction sweeper rolls it back; the live store is untouched.
+    """
+    import json
+    import shutil
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    old_half = emb.where(F.col("vec_id") % 2 == 0)
+    new_all = emb  # the "retrained" generation covers everything
+
+    def torn_index(swap_centroids: bool):
+        idx = V.build_ivf_flat_index(
+            spark, SF_DIR, tempfile.mkdtemp(prefix="ivfflat_torn_t_"), emb=old_half
+        )
+        gen = V.build_ivf_flat_index(
+            spark, SF_DIR, tempfile.mkdtemp(prefix="ivfflat_gen_t_"), emb=new_all
+        )
+        # pending delta + tombstones the committed retrain must retire
+        os.makedirs(f"{idx}/ivf_vectors_delta/batch_pt=t-0", exist_ok=True)
+        shutil.copytree(
+            f"{idx}/ivf_vectors",
+            f"{idx}/ivf_vectors_delta/batch_pt=t-0",
+            dirs_exist_ok=True,
+        )
+        V.delete_from_index(spark, idx, [0])
+        stage = f"{idx}/_retrain_stage_torn"
+        os.makedirs(stage)
+        os.rename(f"{gen}/ivf_centroids", f"{stage}/ivf_centroids")
+        os.rename(f"{gen}/ivf_vectors", f"{stage}/ivf_vectors")
+        with open(f"{idx}/{V._RETRAIN_MARKER}", "w") as fh:
+            json.dump({"stage": "_retrain_stage_torn"}, fh)
+        if swap_centroids:  # window 2: first rename pair already done
+            os.rename(f"{idx}/ivf_centroids", f"{idx}/ivf_centroids.retired")
+            os.rename(f"{stage}/ivf_centroids", f"{idx}/ivf_centroids")
+        shutil.rmtree(gen, ignore_errors=True)
+        return idx
+
+    expect = sorted(r["vec_id"] for r in new_all.select("vec_id").collect())
+    for swap_centroids in (False, True):
+        idx = torn_index(swap_centroids)
+        served = V.read_ivf_flat_store(spark, idx)  # recovery on read
+        assert sorted(r["vec_id"] for r in served.select("vec_id").collect()) == expect
+        assert not os.path.isfile(f"{idx}/{V._RETRAIN_MARKER}")
+        assert not os.path.isdir(f"{idx}/_retrain_stage_torn")
+        assert not os.path.isdir(f"{idx}/ivf_vectors_delta")  # no double-serve
+        assert not os.path.isdir(f"{idx}/deleted_ids")  # retired in-generation
+        assert not os.path.isdir(f"{idx}/ivf_centroids.retired")
+        # centroids and assignments come from the SAME generation: every
+        # served cell id exists in the swapped-in codebook
+        cents = {
+            r["cent_id"]
+            for r in spark.read.parquet(f"{idx}/ivf_centroids").collect()
+        }
+        cells = {r["cell"] for r in served.select("cell").distinct().collect()}
+        assert cells <= cents
+        shutil.rmtree(idx, ignore_errors=True)
+
+    # window 3: orphan stage, NO marker — pre-commit crash rolls back
+    idx = V.build_ivf_flat_index(
+        spark, SF_DIR, tempfile.mkdtemp(prefix="ivfflat_precommit_t_"), emb=old_half
+    )
+    rows = _store_rows(spark, idx)
+    os.makedirs(f"{idx}/_retrain_stage_orphan/ivf_vectors")
+    V.compact_index_cells(spark, idx)
+    assert not os.path.isdir(f"{idx}/_retrain_stage_orphan")
+    assert _store_rows(spark, idx) == rows
+    shutil.rmtree(idx, ignore_errors=True)

@@ -977,9 +977,8 @@ def corpus_kfold_assignment(spark, sf_dir):
     return hash_kfold(docs, "doc_id", folds=5)
 
 
-# --- STAGED for r15 (r14 window carries the full r8 rotation + five
-# new registrations; tests/test_privacy.py-style stage-gate below
-# proves the oracle cross-engine now): leakage-safe k-FOLD — the
+# --- leakage-safe k-FOLD (staged r14, registered r15; stage-gate
+# tests/test_curation.py proved the oracle cross-engine first) — the
 # cross-validation twin of corpus_split_cluster_safe. hash_kfold keys
 # on the near-dup cluster representative, so a near-dup cluster never
 # straddles folds and k-fold eval never scores a train-set near-duplicate;
@@ -1020,6 +1019,7 @@ _KFOLD_CLUSTER_SAFE_ORACLE = """
 """
 
 
+@query("corpus_kfold_cluster_safe", oracle=_KFOLD_CLUSTER_SAFE_ORACLE)
 def corpus_kfold_cluster_safe(spark, sf_dir):
     """Deterministic k-fold on the near-dup cluster representative —
     fold membership is cluster-atomic, so every (train = 4 folds,
@@ -1069,3 +1069,8 @@ def corpus_kfold_cluster_safe(spark, sf_dir):
         .select("fold", "source", "n_docs", "n_clusters", "crossing_pairs")
         .orderBy("fold", "source")
     )
+
+
+ORACLES["corpus_kfold_cluster_safe"] = ORACLES["corpus_kfold_cluster_safe"].replace(
+    "{MINHASH}", ORACLES["dedup_minhash_lsh"]
+)

@@ -157,8 +157,8 @@ def corpus_pipeline_served(spark, sf_dir):
     return _packed_examples(spark, sf_dir, words, docs=selected)
 
 
-# --- STAGED for r15 (stage-gate: tests/test_pipeline_stream.py): the
-# STREAMING twin — score on ingest, select at snapshot. The expensive
+# --- the STREAMING twin (staged r14, registered r15; stage-gate
+# tests/test_pipeline_stream.py) — score on ingest, select at snapshot. The expensive
 # corpus-touching stages (dedup-store classify, frozen-head DSIR
 # scoring) are PER-DOC against frozen stores, so each arriving
 # micro-batch pays O(batch) and lands its (doc_id, source, mass,
@@ -170,6 +170,7 @@ def corpus_pipeline_served(spark, sf_dir):
 # construction (classify has no batch-internal interactions; scoring
 # is per-doc under frozen heads; select/pack see the same score set),
 # so the streamed twin SHARES the batch pipeline's spliced oracle.
+@query("corpus_pipeline_streamed")
 def corpus_pipeline_streamed(spark, sf_dir, n_waves: int = 3):
     """`corpus_pipeline_served` with the arriving snapshot drained as a
     document STREAM (n_waves staged files, oldest-first by mtime, one
@@ -259,3 +260,8 @@ def corpus_pipeline_streamed(spark, sf_dir, n_waves: int = 3):
     words = spark.read.parquet(f"{bpe}/encoded_vocab")
     selected = docs.join(sel_ids, "doc_id", "leftsemi")
     return _packed_examples(spark, sf_dir, words, docs=selected)
+
+
+# Sequential ≡ one-shot (see block comment above), so the streamed twin
+# shares the batch pipeline's spliced oracle verbatim.
+ORACLES["corpus_pipeline_streamed"] = ORACLES["corpus_pipeline_served"]

@@ -1510,26 +1510,74 @@ def run_due_maintenance(spark, index_dir: str, **thresholds) -> list:
     return done
 
 
+#: commit marker for the two-relation retrain swap: written (atomic
+#: os.replace) only AFTER both staged relations are fully on disk, so
+#: its presence is the commit point — recovery rolls FORWARD; an orphan
+#: stage with no marker is pre-commit and rolls back (swept).
+_RETRAIN_MARKER = "_retrain_commit.json"
+
+
+def _finish_retrain_commit(index_dir: str) -> bool:
+    """Idempotent roll-forward of a committed retrain generation: swap
+    each staged relation over the live one, retire the streamed delta
+    and the tombstones IN THE SAME GENERATION (the rewrite already
+    folded/dropped their rows — serving main ∪ delta past this point
+    would double-count), then drop the stage and the marker. Every step
+    is existence-guarded, so a crash at ANY point is repaired by the
+    next call — the r14 advice's torn-swap windows (new codebook over
+    old assignments; retired delta still union'd into serves) cannot
+    outlive one recovery pass. No-op (False) when no marker exists."""
+    import json
+    import os
+    import shutil as sh
+
+    marker = f"{index_dir}/{_RETRAIN_MARKER}"
+    if not os.path.isfile(marker):
+        return False
+    with open(marker) as fh:
+        stage = os.path.join(index_dir, json.load(fh)["stage"])
+    for rel in ("ivf_centroids", "ivf_vectors"):
+        staged = f"{stage}/{rel}"
+        live = f"{index_dir}/{rel}"
+        retired = f"{live}.retired"
+        if os.path.isdir(staged):
+            if os.path.isdir(live):
+                os.rename(live, retired)
+            os.rename(staged, live)
+        sh.rmtree(retired, ignore_errors=True)
+    for d in ("ivf_vectors_delta", "deleted_ids"):
+        sh.rmtree(f"{index_dir}/{d}", ignore_errors=True)
+    sh.rmtree(stage, ignore_errors=True)
+    os.remove(marker)
+    return True
+
+
 def retrain_ivf_flat_index(spark, index_dir: str) -> dict:
     """The maintenance ACTION the drift trigger schedules (r14 staging
     — completes trigger → action: `maintenance_due(spark=...)` says
     retraining is due, this runs it). Lloyd-train fresh centroids on
     the store's CURRENT content (served view: main ∪ pending delta,
     tombstones applied — exactly what the drift report measured),
-    re-assign every vector, and swap both relations in with the
-    compaction pattern (staging dir + two renames; staging names carry
-    ``_compact_`` so `compact_index_cells`' crash sweeper also adopts
-    orphan retrain stages, and `.old` recovery is shared). The retrain
-    REWRITES the whole flat store, so the delta and tombstones are
-    retired with it. FLAT layout only: a PQ/SQ8 retrain invalidates
+    re-assign every vector, and swap BOTH relations plus the
+    delta/tombstone retirement as ONE generation: both staged relations
+    land under a single ``_retrain_stage_`` parent, an atomic commit
+    marker is written only after both writes finish, and
+    `_finish_retrain_commit` rolls the swap forward idempotently (the
+    WAP commit-point pattern of `sources/publish.py`, fixing the r14
+    advice's torn two-rename window — a crash can no longer leave a new
+    codebook over old cell assignments or a folded delta still being
+    served). Pre-commit crashes leave an unmarked stage that
+    `compact_index_cells`' sweeper discards. The retrain REWRITES the
+    whole flat store, so the delta and tombstones are retired inside
+    the same commit. FLAT layout only: a PQ/SQ8 retrain invalidates
     every persisted code row by definition — run those through their
     builders in a reindex window. Returns {n_vectors, n_cells}.
 
     Quality contract (unit-pinned): post-retrain the drift report
     reads at a fresh Lloyd fixed point — the appended mass that fired
     the trigger is now IN the codebook."""
+    import json
     import os
-    import shutil as sh
     import tempfile
 
     from udacity_dend_capstone_immigration_spark.operators.similarity import (
@@ -1537,6 +1585,7 @@ def retrain_ivf_flat_index(spark, index_dir: str) -> dict:
     )
     from udacity_dend_capstone_immigration_spark.sources.writers import write_table
 
+    _finish_retrain_commit(index_dir)
     # eager checkpoint: the rewrite below replaces the directories this
     # read depends on
     cur = (
@@ -1546,23 +1595,21 @@ def retrain_ivf_flat_index(spark, index_dir: str) -> dict:
     )
     cents, cb = _ivf_train(cur)
     assigned = assign_nearest_arrow(cur, cb, "vec_id", keep_embedding=True)
-    stage_c = tempfile.mkdtemp(prefix="_ivf_centroids_compact_retrain_", dir=index_dir)
-    stage_v = tempfile.mkdtemp(prefix="_ivf_vectors_compact_retrain_", dir=index_dir)
-    write_table(cents, stage_c, mode="overwrite")
+    stage = tempfile.mkdtemp(prefix="_retrain_stage_", dir=index_dir)
+    write_table(cents, f"{stage}/ivf_centroids", mode="overwrite")
     write_table(
         assigned.withColumn("cell_pt", F.col("cell")),
-        stage_v,
+        f"{stage}/ivf_vectors",
         partition_by=["cell_pt"],
         mode="overwrite",
     )
-    for rel, staging in (("ivf_centroids", stage_c), ("ivf_vectors", stage_v)):
-        live = f"{index_dir}/{rel}"
-        old = f"{live}.old"
-        os.rename(live, old)
-        os.rename(staging, live)
-        sh.rmtree(old, ignore_errors=True)
-    for d in ("ivf_vectors_delta", "deleted_ids"):
-        sh.rmtree(f"{index_dir}/{d}", ignore_errors=True)
+    # commit point: marker lands atomically only after both relations
+    # are fully staged; from here recovery always rolls forward
+    marker = f"{index_dir}/{_RETRAIN_MARKER}"
+    with open(f"{marker}.tmp", "w") as fh:
+        json.dump({"stage": os.path.basename(stage)}, fh)
+    os.replace(f"{marker}.tmp", marker)
+    _finish_retrain_commit(index_dir)
     return {"n_vectors": cur.count(), "n_cells": cents.count()}
 
 
@@ -1571,9 +1618,12 @@ def read_ivf_flat_store(spark, index_dir: str):
     exists), both carrying ``cell_pt`` as a partition column so a probe
     filter prunes BOTH scans. Tombstones are NOT applied here — serve
     paths layer :func:`apply_tombstones` so the no-delete plan stays
-    join-free."""
+    join-free. Completes any committed-but-torn retrain first (one
+    isfile check in the common case) — a crash mid-retrain must never
+    serve a folded delta on top of the rewritten main."""
     import os
 
+    _finish_retrain_commit(index_dir)
     cols = ["vec_id", "embedding", "cell", "cell_pt"]
     main = spark.read.parquet(f"{index_dir}/ivf_vectors").select(*cols)
     delta_dir = f"{index_dir}/ivf_vectors_delta"
@@ -1592,6 +1642,7 @@ def fold_index_delta(spark, index_dir: str) -> None:
     after restoring the delta is NOT idempotent; production wraps this
     in the WAP pointer pattern (`sources/publish.py`) or simply serves
     main ∪ delta until a quiet maintenance window."""
+    _finish_retrain_commit(index_dir)
     fold_store_delta(spark, index_dir, "ivf_vectors")
 
 
@@ -1672,7 +1723,10 @@ def compact_index_cells(spark, index_dir: str, cells=None) -> dict:
     # a crash BETWEEN the two renames leaves the data only in
     # `<store>.old` (live dir absent) — restore it; any other leftover
     # (.old beside a live dir, orphan staging) is invisible to readers
-    # ("_"-prefixed dirs are ignored by Spark) and swept
+    # ("_"-prefixed dirs are ignored by Spark) and swept. A COMMITTED
+    # retrain rolls forward first (marker protocol), so the sweep below
+    # only ever sees PRE-commit retrain stages — those roll back.
+    _finish_retrain_commit(index_dir)
     for junk in sorted(os.listdir(index_dir)) if os.path.isdir(index_dir) else []:
         path = os.path.join(index_dir, junk)
         if junk.endswith(".old"):
@@ -1681,7 +1735,7 @@ def compact_index_cells(spark, index_dir: str, cells=None) -> dict:
                 os.rename(path, live_of)
             else:
                 sh.rmtree(path, ignore_errors=True)
-        elif "_compact_" in junk:
+        elif "_compact_" in junk or junk.startswith("_retrain_stage_"):
             sh.rmtree(path, ignore_errors=True)
     for store in _INDEX_STORES:
         live = f"{index_dir}/{store}"
