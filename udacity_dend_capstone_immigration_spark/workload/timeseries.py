@@ -670,7 +670,7 @@ def fs_roundtrip_agg(spark, store: str):
     and must stay bit-identical to keep append ≡ rebuild provable."""
     from udacity_dend_capstone_immigration_spark.workload.base import dsum
 
-    back = spark.read.parquet(f"{store}/snapshots")
+    back = read_feature_snapshots(spark, store)
     return back.groupBy("feature_date").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.sum("clicks_cum").cast("bigint").alias("clicks_checksum"),
@@ -835,8 +835,21 @@ def prune_feature_snapshots(spark, store: str, keep_days: int) -> list:
     history could still answer them); the original marker-last order
     had a window where history was gone but the floor was unrecorded,
     and a re-run (seeing <= keep_days partitions) would never write
-    it, silently disabling the loud-floor contract. Re-running is
-    idempotent either way. Returns the dropped partition values."""
+    it, silently disabling the loud-floor contract.
+
+    Floor swap (r15 advice fix): the fold never overwrites the floor
+    partition in place (plain overwrite DELETES the target before the
+    job commits — a crash mid-write would destroy the floor day's
+    original rows, and the idempotent re-run would then fold each
+    floor-day-active user's SECOND-newest state into the floor,
+    silently breaking the within-window bit-exact PIT contract).
+    Instead the folded frame lands in a '_'-prefixed staging sibling
+    (invisible to Spark's partition discovery) and swaps in by rename;
+    :func:`_recover_snapshot_fold` repairs any torn swap — rollback,
+    since the pre-floor history the fold reads is still intact until
+    the drops below. Re-running is idempotent either way (the fold of
+    a folded floor ∪ remaining history is itself). Returns the
+    dropped partition values."""
     import os
     import shutil
 
@@ -845,6 +858,7 @@ def prune_feature_snapshots(spark, store: str, keep_days: int) -> list:
     from udacity_dend_capstone_immigration_spark.sources.writers import write_parquet
 
     snap_dir = f"{store}/snapshots"
+    _recover_snapshot_fold(snap_dir)
     days = sorted(
         e.split("=", 1)[1]
         for e in os.listdir(snap_dir)
@@ -862,24 +876,58 @@ def prune_feature_snapshots(spark, store: str, keep_days: int) -> list:
         back.withColumn("rn", F.row_number().over(wl))
         .where(F.col("rn") == 1)
         .select("user_id", "clicks_cum", "views_cum", "vsum_cum")
-        # cut lineage: the fold reads the partition it overwrites
+        # cut lineage: the fold reads the partition it replaces
         .localCheckpoint()
-    )
-    write_parquet(folded, f"{snap_dir}/feature_date={floor}")
-    # marker BEFORE the drops: a crash here is conservative (marker +
-    # extra history), never a silent hole (history gone, no marker)
-    write_parquet(
-        spark.createDataFrame([(floor,)], "floor string"), f"{store}/retention"
     )
     esc = (
         spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .escapePathName
+    )
+    # staging-then-rename (the compact_index_cells pattern): the live
+    # floor partition stays intact until the staged fold is complete
+    staging = os.path.join(snap_dir, f"_feature_date={esc(floor)}.staging")
+    write_parquet(folded, staging)
+    live = os.path.join(snap_dir, f"feature_date={esc(floor)}")
+    retired = os.path.join(snap_dir, f"_feature_date={esc(floor)}.old")
+    os.rename(live, retired)
+    os.rename(staging, live)
+    shutil.rmtree(retired, ignore_errors=True)
+    # marker BEFORE the drops: a crash here is conservative (marker +
+    # extra history), never a silent hole (history gone, no marker)
+    write_parquet(
+        spark.createDataFrame([(floor,)], "floor string"), f"{store}/retention"
     )
     for d in old:
         p = os.path.join(snap_dir, f"feature_date={esc(d)}")
         if os.path.isdir(p):
             shutil.rmtree(p)
     return old
+
+
+def _recover_snapshot_fold(snap_dir: str) -> None:
+    """Repair a fold swap torn by a crash. A retired floor partition
+    parked at ``_feature_date=<d>.old`` is restored when its live
+    counterpart is missing (rollback — the pre-floor history the fold
+    needs still exists at that point, so the next prune simply
+    re-folds) and dropped when the swap completed; orphan ``.staging``
+    dirs are swept (pre-commit writes, re-runnable). '_'-prefixed
+    names are invisible to Spark's partition discovery, so torn state
+    never changes what a concurrent read serves."""
+    import os
+    import shutil
+
+    if not os.path.isdir(snap_dir):
+        return
+    for e in os.listdir(snap_dir):
+        p = os.path.join(snap_dir, e)
+        if e.startswith("_feature_date=") and e.endswith(".old"):
+            live = os.path.join(snap_dir, e[1:][: -len(".old")])
+            if not os.path.isdir(live):
+                os.rename(p, live)
+            else:
+                shutil.rmtree(p, ignore_errors=True)
+        elif e.startswith("_feature_date=") and e.endswith(".staging"):
+            shutil.rmtree(p, ignore_errors=True)
 
 
 def read_feature_snapshots(spark, store: str, min_asof_day=None):
@@ -890,7 +938,9 @@ def read_feature_snapshots(spark, store: str, min_asof_day=None):
     partition), one before it would need the pruned history and would
     otherwise silently read as first-day zeros. Pass ``min_asof_day``
     (ISO string or date) from the label frame's bounded min; omit it
-    for maintenance scans."""
+    for maintenance scans. Also completes/rolls back any fold swap a
+    crashed prune left torn (one listdir in the common case)."""
+    _recover_snapshot_fold(f"{store}/snapshots")
     if min_asof_day is not None:
         floor = feature_retention_floor(spark, store)
         if floor is not None and str(min_asof_day) < floor:
@@ -957,19 +1007,24 @@ def features_pit_served(spark, sf_dir):
     from udacity_dend_capstone_immigration_spark.operators.asof import asof_join
 
     store = build_feature_store(spark, sf_dir)
-    snaps = spark.read.parquet(f"{store}/snapshots").select(
-        "user_id",
-        F.to_date("feature_date").alias("fd"),
-        "clicks_cum",
-        "views_cum",
-        "vsum_cum",
-    )
     ev = table(spark, sf_dir, "events")
     labels = ev.where(F.col("event_type") == "purchase").select(
         "event_id",
         "user_id",
         "ts",
         F.date_sub(F.col("ts").cast("date"), 1).alias("asof_day"),
+    )
+    # serve through the retention-floor gate (r15 advice): the label
+    # frame's bounded min as-of day is a one-row eager decision; a
+    # probe preceding a pruned store's floor raises LOUDLY here instead
+    # of silently COALESCE-ing pre-floor features to zero below
+    min_day = labels.agg(F.min("asof_day")).collect()[0][0]
+    snaps = read_feature_snapshots(spark, store, min_asof_day=min_day).select(
+        "user_id",
+        F.to_date("feature_date").alias("fd"),
+        "clicks_cum",
+        "views_cum",
+        "vsum_cum",
     )
     joined = asof_join(
         labels,
