@@ -21,75 +21,76 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "top_nations_by_orders"
 
 #: The driver's CORRECTNESS record keeps only the first 50 entries of
-#: ``queries()``. Round-14 window, built by the ROLLING rotation rule
-#: (tests/test_registry.py): (a) every query NEW this round — the four
-#: r13-staged registrations (randomized-response release audit,
-#: k-anonymity release, deterministic k-fold, centroid-drift retrain
-#: report) plus the end-to-end store-served pipeline composition
-#: (dedup-store classify → DSIR select → BPE encode+pack, the r13
-#: verdict's item 7); (b) the ENTIRE r8 rotation debt — exactly the 45
-#: queries named by the r13 plan, whose newest official row was r8.
-#: 45 + 5 = 50: the window clears the debt in full (the staleness
-#: bound would not have forced it until r16), leaving no registered
-#: query with an official row older than r9 after this round.
-#: ROTATION NOTE for r15: the oldest tranche will then be the 50-query
-#: r9 window; with N≈275 the bound (cycle = ceil(N/50)+1 = 7) reaches
-#: r9 at r17, so r15/r16 have two rounds of slack to rotate it while
-#: absorbing new registrations (corpus_kfold_cluster_safe is staged
-#: first in line).
+#: ``queries()``. Round-15 window, built by the ROLLING rotation rule
+#: (tests/test_registry.py): (a) every query NEW this round — the two
+#: r14-staged registrations (cluster-safe k-fold, the streaming
+#: pipeline twin) plus `ann_retrain_roundtrip` (the drift trigger's
+#: ACTION, now oracle-proven retrain ≡ rebuild); (b) the two
+#: PLAN_CHANGED queries (features_pit_served serves through the
+#: retention-floor gate; retrieval_hybrid_rrf's dense arm moved to the
+#: Arrow kernel), plus `feature_store_prune_roundtrip` (the retention
+#: fold's official row); (c) the ENTIRE 42-query r9 rotation debt
+#: (newest official row r9 — the bound would not force it until r17,
+#: cleared early); (d) two head-start entries from the 45-query r10
+#: tranche (due r18). 4 + 2 + 42 + 2 = 50.
+#: ROTATION NOTE for r16: after this window the oldest tranche is the
+#: remaining 42 r10-row queries (due by r18's window) — r16 should
+#: carry as much of it as new registrations allow.
 SHOWCASE = [
-    # (a) new this round: the staged four + the pipeline capstone
-    "events_randomized_response",
-    "events_k_anonymity_release",
-    "corpus_kfold_assignment",
-    "ann_centroid_drift_report",
-    "corpus_pipeline_served",
-    # (b) the full r8 rotation debt, cleared
-    "approx_quantile_accuracy",
-    "asof_purchase_to_click",
-    "asof_purchase_to_click_30m",
-    "benchmark_contamination",
-    "bm25_scores",
-    "bpe_merge_candidates",
-    "centroid_classifier_confusion",
-    "corpus_curation_pipeline",
-    "corpus_nucleus_sample",
-    "corpus_quota_sample",
-    "corpus_stratified_sample",
-    "corpus_token_packing",
-    "corpus_train_test_split",
-    "corpus_weighted_sample",
-    "cube_order_summary",
-    "customer_spend_quartiles",
-    "customers_with_orders_semi",
-    "doc_tfidf_top_terms",
-    "doc_top_terms",
-    "events_cohort_retention",
-    "events_equi_depth_histogram",
-    "events_hourly_gap_fill",
-    "events_latest_per_key",
-    "events_robust_stats",
-    "events_salted_type_totals",
-    "events_scd2_intervals",
-    "fuzzy_part_name_pairs",
-    "grouping_sets_revenue",
-    "lineitem_price_rank_stats",
-    "lineitem_rollup",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "nation_balance_full_outer",
-    "negative_sampling_pairs",
-    "order_quantity_vectors",
-    "orders_above_avg_price",
-    "orders_above_customer_avg",
-    "orders_metrics_unpivot",
-    "quality_filter_funnel",
-    "range_join_event_counts",
-    "region_priority_grid",
-    "set_ops_bag_semantics",
-    "set_ops_customer_keys",
-    "source_temperature_mixture",
-    "value_percentiles_by_type",
+    # (a) new this round
+    "corpus_kfold_cluster_safe",
+    "corpus_pipeline_streamed",
+    "ann_retrain_roundtrip",
+    "feature_store_prune_roundtrip",
+    # (b) plan-changed this round
+    "features_pit_served",
+    "retrieval_hybrid_rrf",
+    # (c) the full r9 rotation debt, cleared
+    "top_nations_by_orders",
+    "fact_denormalize",
+    "pricing_summary",
+    "case_insensitive_join",
+    "cross_type_join",
+    "top_customers_per_nation",
+    "dq_referential_summary",
+    "doc_fingerprints",
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_winnowing_overlap",
+    "events_hourly_by_type",
+    "events_sessionize",
+    "events_daily_pivot",
+    "events_user_running_total",
+    "knn_ivf",
+    "doc_repetition_scores",
+    "dedup_substring_runs",
+    "doc_pagerank_near_dup",
+    "dedup_prefix_filter_jaccard",
+    "events_props_redaction",
+    "events_session_bounce_rate",
+    "events_native_session_window",
+    "events_props_variant",
+    "events_json_schema",
+    "events_lag_gaps",
+    "events_funnel_stages",
+    "events_rolling_wau",
+    "events_moving_agg_1h",
+    "events_transition_matrix",
+    "events_running_drawdown",
+    "events_hourly_anomaly_ratio",
+    "events_value_histogram",
+    "semantic_dedup_representatives",
+    "semantic_dedup_recall",
+    "semantic_dedup_cell_profile",
+    "dedup_edit_distance",
+    "dedup_incremental_status",
+    "embeddings_stream_cell_counts",
+    "knn_lsh_multitable",
+    "dedup_shingle_containment",
+    # (d) r10-tranche head start
+    "ann_ivf_nprobe_curve",
+    "ann_ivf_recall",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round
@@ -98,13 +99,14 @@ SHOWCASE = [
 #: asserts these sit inside the window so changed behavior always gets
 #: an official row the round it ships. Update per round.
 PLAN_CHANGED = [
-    # r14 shipped refactors, not plan changes: the shadowed duplicate
-    # mmr/hard-negative definitions were deleted (retrieval_mmr_diverse
-    # / retrieval_hard_negatives keep identical op sequences and were
-    # re-proven against their oracles at sf0.01 this round), and
-    # dedup_incremental_status_served's classify body moved verbatim
-    # into classify_batch_against_index (same plan, re-proven). Nothing
-    # registered changed plan, oracle, or constructed result.
+    # r15: serve path now routes through read_feature_snapshots with
+    # the label frame's bounded min as-of day (retention-floor gate;
+    # same result, one extra eager one-row decision)
+    "features_pit_served",
+    # r15: dense arm swapped from the interpreted-HOF brute_force_knn
+    # to brute_force_knn_arrow (result-identical kernels; in-suite
+    # 1.41 → 1.18s, clearing the r14 driver flag)
+    "retrieval_hybrid_rrf",
 ]
 
 

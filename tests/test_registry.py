@@ -56,10 +56,14 @@ _EXECUTING = frozenset(
         "cluster_store_append_served",
         "immigration_etl_fact",
         "ann_centroid_drift_report",
+        "ann_retrain_roundtrip",
         "corpus_pipeline_served",
+        "corpus_pipeline_streamed",
+        "corpus_kfold_cluster_safe",
         "feature_store_build_roundtrip",
         "features_pit_served",
         "feature_store_append_roundtrip",
+        "feature_store_prune_roundtrip",
         "publish_version_diff",
         "immigration_etl_city_demographics",
     }

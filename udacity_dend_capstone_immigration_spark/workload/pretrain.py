@@ -913,12 +913,18 @@ def retrieval_hybrid_rrf(spark, sf_dir):
     re-ranks ≤40 rows. At 100 TB the arms are the scans (BM25's
     doc-keyed aggregate; the dense arm would swap in a served ANN store
     — `knn_sq8_served`'s routed read — with the fusion stage unchanged:
-    RRF only consumes ranks). 1/(60+r) is a single IEEE division per
-    arm, summed sparse-then-dense — bit-identical cross-engine without
-    decimal sums. Absent-from-arm ranks surface as 0 (NULL-free
-    output), standard RRF semantics: the missing arm contributes
-    nothing."""
-    from udacity_dend_capstone_immigration_spark.operators.similarity import brute_force_knn
+    RRF only consumes ranks). The dense arm runs the Arrow/BLAS kernel
+    (one matmul per batch), not the interpreted-HOF fold — r15 fix for
+    the r14 driver flag (standalone min-of-3 read 1.75s vs the 1.04
+    record with the HOF arm; the kernels are result-identical: same
+    6dp rounding, same id tiebreak). 1/(60+r) is a single IEEE
+    division per arm, summed sparse-then-dense — bit-identical
+    cross-engine without decimal sums. Absent-from-arm ranks surface
+    as 0 (NULL-free output), standard RRF semantics: the missing arm
+    contributes nothing."""
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        brute_force_knn_arrow,
+    )
     from udacity_dend_capstone_immigration_spark.operators.topk import top_k
     from udacity_dend_capstone_immigration_spark.workload.base import QUERIES, table as _t
     from pyspark.sql import Window
@@ -934,7 +940,7 @@ def retrieval_hybrid_rrf(spark, sf_dir):
         .select("doc_id", F.row_number().over(arm_w).cast("int").alias("sr"))
     )
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    dense = brute_force_knn(
+    dense = brute_force_knn_arrow(
         emb.where(F.col("vec_id") == 0), emb, "vec_id", k=_RRF_ARM_K
     ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").cast("int").alias("dr"))
 

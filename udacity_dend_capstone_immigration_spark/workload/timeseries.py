@@ -1069,3 +1069,61 @@ def feature_store_append_roundtrip(spark, sf_dir):
     for day in tail:
         append_feature_day(spark, store, sf_dir, str(day))
     return fs_roundtrip_agg(spark, store)
+
+
+#: retention window for the registered prune roundtrip (and its oracle)
+_FS_KEEP_DAYS = 5
+
+# --- prune roundtrip (r15 — the retention fold gets an OFFICIAL driver
+# row, not just unit pins): build, prune to the last _FS_KEEP_DAYS
+# active days, aggregate the read-back store per PERSISTED partition.
+# The oracle recomputes every snapshot from events AND the fold from
+# scratch: days after the floor unchanged, the floor partition = each
+# user's newest state at-or-before the floor — so the hash proves the
+# fold carried exactly the right rows into exactly the right partition
+# (a fold row landing on any other day, or a second-newest state
+# chosen, fails the hash; the latter is precisely the corruption the
+# r15 staging-rename crash fix prevents).
+@query(
+    "feature_store_prune_roundtrip",
+    oracle=f"""
+    WITH {_FS_SNAP_CTES},
+    fd AS (
+        SELECT d AS floor_d FROM (SELECT DISTINCT d FROM snap)
+        ORDER BY d DESC LIMIT 1 OFFSET {_FS_KEEP_DAYS - 1}
+    ),
+    folded AS (
+        SELECT user_id, (SELECT floor_d FROM fd) AS d,
+               clicks_cum, views_cum, vsum_cum
+        FROM (
+            SELECT s.*, ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY d DESC) AS rn
+            FROM snap s WHERE d <= (SELECT floor_d FROM fd)
+        ) WHERE rn = 1
+    ),
+    pruned AS (
+        SELECT user_id, d, clicks_cum, views_cum, vsum_cum FROM snap
+        WHERE d > (SELECT floor_d FROM fd)
+        UNION ALL
+        SELECT user_id, d, clicks_cum, views_cum, vsum_cum FROM folded
+    )
+    SELECT CAST(d AS VARCHAR) AS feature_date,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(clicks_cum) AS BIGINT) AS clicks_checksum,
+           CAST(SUM(views_cum) AS BIGINT) AS views_checksum,
+           CAST(CAST(SUM(CAST(vsum_cum AS DECIMAL(28,10))) AS VARCHAR)
+                AS DOUBLE) AS vsum_checksum
+    FROM pruned GROUP BY d
+    """,
+)
+def feature_store_prune_roundtrip(spark, sf_dir):
+    """build → prune(keep_days={_FS_KEEP_DAYS}) → per-persisted-partition
+    checksum aggregate (`fs_roundtrip_agg`, shared with the build /
+    append / streaming lifecycle queries). Also asserts the loud-floor
+    marker landed and the serve gate honors it."""
+    store = build_feature_store(spark, sf_dir)
+    dropped = prune_feature_snapshots(spark, store, keep_days=_FS_KEEP_DAYS)
+    assert dropped, "prune found nothing to drop — testdata shrank below the window"
+    floor = feature_retention_floor(spark, store)
+    assert floor is not None and floor > dropped[-1]
+    return fs_roundtrip_agg(spark, store)

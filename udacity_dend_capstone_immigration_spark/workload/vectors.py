@@ -2261,6 +2261,137 @@ def ann_index_maintenance_roundtrip(spark, sf_dir):
     )
 
 
+# --- retrain roundtrip (r15, completing the r14-staged trigger→action
+# arc with an ORACLE): the drift trigger fires on appended mass the
+# frozen codebook misdescribes, `retrain_ivf_flat_index` re-trains on
+# the store's live content — and the proof is the standing lifecycle
+# contract: RETRAIN ≡ FRESH BUILD on exactly the live set. The oracle
+# runs the same seeded 2-round Lloyd (`_IVF_TRAIN_CTES`) over the live
+# rows from scratch, so the hash compare pins every re-assignment and
+# the full-precision payload per PERSISTED cell partition (layout
+# errors fail the hash, the CLAUDE.md store-proof pattern). The drift
+# mass is ~9% of the corpus NEGATED (deterministic slice — vec_id%11=3,
+# ids offset by 1e7): strongly mis-served by the frozen centroids, so
+# the query asserts the trigger actually fired before acting.
+@query(
+    "ann_retrain_roundtrip",
+    oracle=f"""
+    WITH allv AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    live AS (
+        SELECT vec_id, v FROM allv WHERE vec_id % 5 != 2
+        UNION ALL
+        SELECT vec_id + 10000000 AS vec_id, list_transform(v, x -> -x) AS v
+        FROM allv WHERE vec_id % 11 = 3
+    ),
+    n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM live),
+    {_IVF_TRAIN_CTES},
+    emass AS (
+        SELECT n.vec_id, SUM(CAST(floor(n.v[i + 1] * 16777216.0) AS BIGINT)) AS em
+        FROM n, range(64) t(i) GROUP BY n.vec_id
+    )
+    SELECT CAST(a.cell AS BIGINT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(a.vec_id) AS BIGINT) AS id_checksum,
+           CAST(SUM(e.em) AS BIGINT) AS emb_checksum,
+           CAST(0 AS BIGINT) AS n_mismatched
+    FROM assign a JOIN emass e ON e.vec_id = a.vec_id
+    GROUP BY a.cell
+    """,
+)
+def ann_retrain_roundtrip(spark, sf_dir):
+    """build(corpus: vec_id%7!=0) → direct append(the rest) → a
+    streamed-shape DELTA batch of DRIFTED mass (vec_id%11=3 negated,
+    ids +1e7, frozen-codebook assigned at ingest) → tombstone delete
+    (vec_id%5=2) → assert the drift trigger fired → RETRAIN → per-cell
+    aggregate of the read-back store, grouped by the PERSISTED
+    ``cell_pt`` partition value (``n_mismatched`` recounts cell vs
+    cell_pt disagreement — zero by construction, recomputed by both
+    engines as a layout guard). The oracle trains from scratch on the
+    live set, so the hash proves retrain ≡ rebuild: delta folded,
+    tombstones applied, every vector re-assigned under the NEW
+    codebook, payload bit-intact."""
+    import tempfile
+
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        Codebook,
+        assign_nearest_arrow,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.where(F.col("vec_id") % 7 != 0)
+    new = emb.where(F.col("vec_id") % 7 == 0)
+    idx = build_ivf_flat_index(
+        spark, sf_dir, tempfile.mkdtemp(prefix="ivfflat_retrain_rt_"), emb=corpus
+    )
+    append_to_ivf_flat_index(spark, new, idx)
+    # drifted mass lands the way a stream ingests it: assigned against
+    # the FROZEN centroids, batch-addressed into the delta
+    drifted = emb.where(F.col("vec_id") % 11 == 3).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x * F.lit(-1.0)).cast("float")
+        ).alias("embedding"),
+    )
+    cents = spark.read.parquet(f"{idx}/ivf_centroids").collect()
+    cb = Codebook([(r["cent_id"], r["cent_emb"]) for r in cents])
+    (
+        assign_nearest_arrow(drifted, cb, "vec_id", keep_embedding=True)
+        .withColumn("cell_pt", F.col("cell"))
+        .repartition(1)
+        .write.mode("overwrite")
+        .partitionBy("cell_pt")
+        .parquet(f"{idx}/ivf_vectors_delta/batch_pt=rt-0")
+    )
+    delete_from_index(
+        spark, idx, emb.where(F.col("vec_id") % 5 == 2).select("vec_id")
+    )
+    # trigger → action: the negated mass must actually register as
+    # drift before the retrain acts on it
+    report = maintenance_due(idx, spark=spark)
+    assert report["max_drift"] > 0.0, report
+    retrain_ivf_flat_index(spark, idx)
+    import os
+
+    assert not os.path.isdir(f"{idx}/ivf_vectors_delta")  # retired
+    assert not os.path.isdir(f"{idx}/deleted_ids")  # retired
+    back = spark.read.parquet(f"{idx}/ivf_vectors")
+    em = F.aggregate(
+        F.col("embedding").cast("array<double>"),
+        F.lit(0).cast("long"),
+        lambda a, x: a + F.floor(x * F.lit(16777216.0)).cast("long"),
+    )
+    return (
+        back.select(
+            F.col("cell_pt").cast("long").alias("cell_key"),
+            F.col("cell").cast("long").alias("cell_data"),
+            "vec_id",
+            em.alias("em"),
+        )
+        .groupBy("cell_key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum("vec_id").cast("bigint").alias("id_checksum"),
+            F.sum("em").cast("bigint").alias("emb_checksum"),
+            F.sum(
+                F.when(F.col("cell_data") != F.col("cell_key"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_mismatched"),
+        )
+        .select(
+            F.col("cell_key").alias("cell"),
+            "n_vectors",
+            "id_checksum",
+            "emb_checksum",
+            "n_mismatched",
+        )
+    )
+
+
 # --- IVFADC residual encoding: quantize v − centroid(cell) instead of
 # v (faiss IndexIVFPQ's actual encoding; Jégou et al. 2011 §IV). The
 # residual has the coarse cell's mean removed, so the 4-byte budget
