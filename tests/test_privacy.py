@@ -74,6 +74,35 @@ def test_suppress_small_groups_null_qi_survives(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
+def test_enforce_l_diversity_homogeneity_and_null_qi(spark):
+    """Distinct l-diversity drops the homogeneity-attackable group a
+    size-only gate keeps: a big group whose sensitive value is constant
+    goes; a NULL-QI group with enough distinct sensitive values
+    survives (HAVING semantics, same null-safe join as the k-anon
+    release); equi-join shape preserved."""
+    from udacity_dend_capstone_immigration_spark.operators.privacy import (
+        enforce_l_diversity,
+    )
+
+    rows = (
+        [("big_homog", f"s0")] * 8  # 8 rows, ONE sensitive value
+        + [("diverse", f"s{i}") for i in range(4)]  # 4 rows, 4 values
+        + [(None, f"s{i % 3}") for i in range(6)]  # NULL QI, 3 values
+    )
+    df = spark.createDataFrame(rows, "g string, s string")
+    out = enforce_l_diversity(df, ["g"], "s", l=3).collect()
+    got = {r["g"] for r in out}
+    assert got == {"diverse", None}
+    assert len(out) == 10
+    plan = (
+        enforce_l_diversity(df, ["g"], "s", l=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def test_randomized_response_duckdb_replicable(spark):
     """The r14 oracle stage-gate: DuckDB reproduces the Spark release
     bit-for-bit from the same md5-derived coins (the mechanism is a

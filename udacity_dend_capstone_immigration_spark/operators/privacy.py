@@ -101,3 +101,37 @@ def suppress_small_groups(
         .where(F.col("_gsz") >= F.lit(int(k)))
         .drop("_gsz", *[f"_qi_{c}" for c in qi_cols])
     )
+
+
+def enforce_l_diversity(
+    df: DataFrame, qi_cols: Sequence[str], sensitive_col: str, l: int = 4
+) -> DataFrame:
+    """Distinct l-diversity (Machanavajjhala et al. 2007): drop every
+    row whose quasi-identifier group carries fewer than ``l`` DISTINCT
+    values of ``sensitive_col`` — the homogeneity-attack fix
+    k-anonymity alone misses (a >= k group whose sensitive attribute
+    is constant still discloses it for every member). Same executing
+    shape as :func:`suppress_small_groups`: one QI-domain aggregate
+    (count_distinct partial-aggregates map-side, so the exchange
+    carries (QI, sensitive) pairs at most — bounded by the group
+    domain × per-group diversity, never row count), joined back
+    NULL-SAFE per QI column (GROUP BY folds NULLs into one group; a
+    plain equi-join would silently drop every NULL-QI row)."""
+    import functools
+    import operator
+
+    sizes = df.groupBy(*qi_cols).agg(
+        F.count_distinct(F.col(sensitive_col)).alias("_ndv")
+    )
+    keyed = sizes.select(
+        *[F.col(c).alias(f"_qi_{c}") for c in qi_cols], "_ndv"
+    )
+    cond = functools.reduce(
+        operator.and_,
+        [df[c].eqNullSafe(keyed[f"_qi_{c}"]) for c in qi_cols],
+    )
+    return (
+        df.join(keyed, cond)
+        .where(F.col("_ndv") >= F.lit(int(l)))
+        .drop("_ndv", *[f"_qi_{c}" for c in qi_cols])
+    )

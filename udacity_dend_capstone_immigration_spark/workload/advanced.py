@@ -1252,3 +1252,51 @@ def events_k_anonymity_release(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_groups"),
         F.min("gsz").cast("bigint").alias("min_group_size"),
     )
+
+
+# --- distinct l-DIVERSITY release (r15 — the homogeneity-attack fix
+# the k-anonymity release alone misses: a >= k QI group whose
+# sensitive attribute is constant still discloses it for every member;
+# Machanavajjhala et al. 2007). Sensitive attribute = user_id: a
+# released (event_type, hour, value-band) group must span >= 4 distinct
+# users. Oracle is the HAVING COUNT(DISTINCT ...) form, so the hash
+# proves the release keeps exactly the diverse groups with exactly
+# their row counts AND their diversity (min_distinct_sensitive >= 4
+# recomputed by both engines).
+@query(
+    "events_l_diversity_release",
+    oracle="""
+    WITH qi AS (
+        SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+               FLOOR(value / 50.0e0) AS band, COUNT(*) AS gsz,
+               COUNT(DISTINCT user_id) AS ndv
+        FROM events
+        GROUP BY 1, 2, 3 HAVING COUNT(DISTINCT user_id) >= 4
+    )
+    SELECT event_type, CAST(SUM(gsz) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(ndv) AS BIGINT) AS min_distinct_sensitive
+    FROM qi GROUP BY event_type
+    """,
+)
+def events_l_diversity_release(spark, sf_dir):
+    from udacity_dend_capstone_immigration_spark.operators.privacy import (
+        enforce_l_diversity,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        F.floor(F.col("value") / F.lit(50.0)).alias("band"),
+        "user_id",
+    )
+    rel = enforce_l_diversity(ev, ["event_type", "hod", "band"], "user_id", l=4)
+    grp = rel.groupBy("event_type", "hod", "band").agg(
+        F.count(F.lit(1)).alias("gsz"),
+        F.count_distinct(F.col("user_id")).alias("ndv"),
+    )
+    return grp.groupBy("event_type").agg(
+        F.sum("gsz").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("ndv").cast("bigint").alias("min_distinct_sensitive"),
+    )
