@@ -469,6 +469,12 @@ def test_no_static_broadcast_of_estimate_blind_relations(spark):
         # merge-hinted pair⋈assignment join, whose LSH-pair inputs sit
         # behind the explode — one row at any SF
         "corpus_split_cluster_safe",
+        "corpus_kfold_cluster_safe",    # same one-row count, k-fold twin
+        # same token-id rank broadcast as the served pipeline (bounded
+        # by alphabet + merge rounds); the SF-scaling sel_ids frame is
+        # merge-hinted in the streamed twin (its checkpointed LogicalRDD
+        # inherits a small estimate from the scores-parquet subtree)
+        "corpus_pipeline_streamed",
     }
 
     def suspects(plan: str) -> list[str]:

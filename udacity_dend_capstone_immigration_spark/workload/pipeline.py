@@ -258,7 +258,11 @@ def corpus_pipeline_streamed(spark, sf_dir, n_waves: int = 3):
     )
     sel_ids = _dsir_select_from_scores(w_all).select("doc_id").localCheckpoint()
     words = spark.read.parquet(f"{bpe}/encoded_vocab")
-    selected = docs.join(sel_ids, "doc_id", "leftsemi")
+    # merge-hint: sel_ids is an SF-scaling checkpointed frame, and here
+    # (unlike the served twin) its LogicalRDD inherits a SMALL estimate
+    # from the scores-parquet subtree, so the static planner would
+    # broadcast it — a corpus-fraction build at a 100x corpus
+    selected = docs.join(sel_ids.hint("merge"), "doc_id", "leftsemi")
     return _packed_examples(spark, sf_dir, words, docs=selected)
 
 
