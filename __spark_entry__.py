@@ -29,12 +29,12 @@ FLAGSHIP = "top_nations_by_orders"
 #: PLAN_CHANGED queries (features_pit_served serves through the
 #: retention-floor gate; retrieval_hybrid_rrf's dense arm moved to the
 #: Arrow kernel), plus `feature_store_prune_roundtrip` (the retention
-#: fold's official row) and `events_l_diversity_release` (the
-#: homogeneity-attack fix beside the k-anonymity release); (c) the
-#: ENTIRE 42-query r9 rotation debt (newest official row r9 — the
-#: bound would not force it until r17, cleared early); (d) one
-#: head-start entry from the 45-query r10 tranche (due r18).
-#: 5 + 2 + 42 + 1 = 50.
+#: fold's official row), `events_l_diversity_release` (the
+#: homogeneity-attack fix beside the k-anonymity release), and
+#: `doc_chunking` (overlapping token-window RAG chunking, zero-shuffle
+#: map pass); (c) the ENTIRE 42-query r9 rotation debt (newest
+#: official row r9 — the bound would not force it until r17, cleared
+#: early). 6 + 2 + 42 = 50.
 #: ROTATION NOTE for r16: after this window the oldest tranche is the
 #: remaining 42 r10-row queries (due by r18's window) — r16 should
 #: carry as much of it as new registrations allow.
@@ -45,6 +45,7 @@ SHOWCASE = [
     "ann_retrain_roundtrip",
     "feature_store_prune_roundtrip",
     "events_l_diversity_release",
+    "doc_chunking",
     # (b) plan-changed this round
     "features_pit_served",
     "retrieval_hybrid_rrf",
@@ -91,8 +92,6 @@ SHOWCASE = [
     "embeddings_stream_cell_counts",
     "knn_lsh_multitable",
     "dedup_shingle_containment",
-    # (d) r10-tranche head start
-    "ann_ivf_nprobe_curve",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round

@@ -228,3 +228,53 @@ def hash_kfold(
         .withColumn("fold", (F.col("bucket") % folds).cast("int"))
         .drop("bucket")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping token-window CHUNKS — the retrieval-prep operator
+    (RAG corpora chunk before embedding/indexing; size/stride in the
+    whitespace tokens of the canonical normalized text). Chunk k covers
+    tokens [k*stride, k*stride + size); the chunk count is
+    ceil((n_tokens - size)/stride) + 1 (1 when the doc fits one
+    window), so every token is covered, the final window may run short,
+    and no fully-redundant tail window is emitted. Empty docs yield no
+    chunk.
+
+    Executes like `dedup.shingle_rows`: `sequence`/`slice`/`concat_ws`
+    are collection expressions (not lambda HOFs), so the whole build
+    stays in whole-stage codegen, and the only row growth is the
+    bounded ~n_tokens/stride explode — map-only, ZERO shuffle at any
+    corpus size. The ceil-div is exact-integer bucketing
+    (num − num % span, the CLAUDE.md `/`-is-double rule); the emitted
+    rows carry offsets, counts, and the chunk md5 — never chunk bodies
+    — so downstream shuffles (dedup, stats) stay fingerprint-sized.
+    Returns (id, chunk_idx, start_tok, n_tokens, chunk_hash).
+    """
+    from udacity_dend_capstone_immigration_spark.functions.text import tokenize
+
+    d = df.select(F.col(id_col), tokenize(text_col).alias("_t")).where(
+        F.size("_t") > 0
+    )
+    nt = F.size("_t")
+    over = nt - F.lit(size) + F.lit(stride - 1)
+    extra = ((over - over % F.lit(stride)) / F.lit(stride)).cast("int")
+    n_chunks = F.when(nt <= size, F.lit(1)).otherwise(extra + F.lit(1))
+    ex = d.select(
+        F.col(id_col),
+        F.col("_t"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    win = F.slice("_t", F.col("chunk_idx") * stride + 1, size)
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        (F.col("chunk_idx") * stride).cast("int").alias("start_tok"),
+        F.size(win).cast("int").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", win)).alias("chunk_hash"),
+    )

@@ -2632,3 +2632,66 @@ def cluster_store_append_served(spark, sf_dir):
 ORACLES["cluster_store_append_served"] = ORACLES[
     "cluster_store_append_served"
 ].replace("{MINHASH}", ORACLES["dedup_minhash_lsh"])
+
+
+# --- document CHUNKING (r15): the retrieval-prep operator — RAG
+# corpora chunk into overlapping token windows before embedding and
+# indexing; every serious training/retrieval pipeline has this step
+# between "documents" and "vectors". PER-CHUNK rows pin every window
+# boundary and every chunk's exact content (the md5 travels, never the
+# body): a off-by-one in the stride, a dropped tail window, or a
+# redundant trailing chunk all fail the hash. Map-only, zero shuffle —
+# the explode fan-out is n_tokens/stride, bounded per row; the
+# ceil-div is exact-integer bucketing in BOTH engines (num - num % span
+# over BIGINTs; DuckDB's / on the guaranteed-multiple numerator is
+# exact).
+_CHUNK_SIZE, _CHUNK_STRIDE = 64, 48
+
+
+@query(
+    "doc_chunking",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {TOKS} AS toks FROM documents
+    ),
+    tt AS (
+        SELECT doc_id, toks, len(toks) AS nt FROM t WHERE len(toks) > 0
+    ),
+    nc AS (
+        SELECT doc_id, toks, nt,
+               CASE WHEN nt <= {_CHUNK_SIZE} THEN 1
+                    ELSE CAST(((nt - {_CHUNK_SIZE} + {_CHUNK_STRIDE - 1})
+                               - ((nt - {_CHUNK_SIZE} + {_CHUNK_STRIDE - 1})
+                                  % {_CHUNK_STRIDE}))
+                              / {_CHUNK_STRIDE} AS INT) + 1 END AS n_chunks
+        FROM tt
+    ),
+    ch AS (
+        SELECT doc_id,
+               CAST(k AS INT) AS chunk_idx,
+               CAST(k * {_CHUNK_STRIDE} AS INT) AS start_tok,
+               list_slice(toks, k * {_CHUNK_STRIDE} + 1,
+                          k * {_CHUNK_STRIDE} + {_CHUNK_SIZE}) AS win
+        FROM nc, unnest(generate_series(0, n_chunks - 1)) u(k)
+    )
+    SELECT doc_id, chunk_idx, start_tok,
+           CAST(len(win) AS INT) AS n_tokens,
+           md5(array_to_string(win, ' ')) AS chunk_hash
+    FROM ch
+    """,
+)
+def doc_chunking(spark, sf_dir):
+    """Every chunk of every document at size {_CHUNK_SIZE}/stride
+    {_CHUNK_STRIDE} — chunk k covers tokens [k*stride, k*stride+size),
+    final window may run short, no fully-redundant tail. The build is
+    `sequence`/`slice`/`concat_ws` collection expressions (whole-stage
+    codegen, the shingle_rows shape), one bounded explode, ZERO
+    shuffle: at 100 TB this is a pure map pass over the corpus scan."""
+    from udacity_dend_capstone_immigration_spark.operators.curation import (
+        chunk_documents,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, "doc_id", "text", size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
+    )
