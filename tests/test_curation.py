@@ -195,3 +195,47 @@ def test_kfold_cluster_safe_stage_gate(spark):
     assert all(r[4] == 0 for r in got)  # crossing_pairs zero everywhere
     n_docs = sum(r[2] for r in got)
     assert n_docs == spark.read.parquet(f"{sf}/documents.parquet").count()
+
+
+def test_chunk_documents_boundaries_and_coverage(spark):
+    """Window arithmetic edges: doc shorter than one window -> exactly
+    1 chunk; exact stride multiples -> no redundant tail; every token
+    covered; empty/whitespace docs -> no chunk; hashes match a direct
+    recomputation of each window."""
+    import hashlib
+
+    from udacity_dend_capstone_immigration_spark.operators.curation import (
+        chunk_documents,
+    )
+
+    size, stride = 8, 5
+    docs = [
+        (1, " ".join(f"t{i}" for i in range(3))),     # < size -> 1 chunk
+        (2, " ".join(f"t{i}" for i in range(8))),     # == size -> 1 chunk
+        (3, " ".join(f"t{i}" for i in range(13))),    # size+stride -> 2, tail full
+        (4, " ".join(f"t{i}" for i in range(14))),    # 2 chunks, tail short? no: [0,8),[5,13) covers 13 of 14 -> needs 3rd? ceil((14-8)/5)+1 = 3
+        (5, ""),                                      # empty -> none
+        (6, "   ,,, !!!"),                            # normalizes empty -> none
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", size=size, stride=stride)
+    rows = {(r["doc_id"], r["chunk_idx"]): r for r in out.collect()}
+    per_doc = {}
+    for (d, k) in rows:
+        per_doc.setdefault(d, set()).add(k)
+    assert per_doc == {1: {0}, 2: {0}, 3: {0, 1}, 4: {0, 1, 2}}
+    # every token covered, offsets/lengths exact, hash = md5 of window
+    for (d, text) in docs:
+        toks = text.split()
+        toks = [t for t in toks if t]  # matches tokenize on these inputs
+        if d in (5, 6):
+            continue
+        covered = set()
+        for k in sorted(per_doc[d]):
+            r = rows[(d, k)]
+            win = toks[k * stride : k * stride + size]
+            assert r["start_tok"] == k * stride
+            assert r["n_tokens"] == len(win)
+            assert r["chunk_hash"] == hashlib.md5(" ".join(win).encode()).hexdigest()
+            covered.update(range(k * stride, k * stride + len(win)))
+        assert covered == set(range(len(toks))), f"doc {d} has uncovered tokens"

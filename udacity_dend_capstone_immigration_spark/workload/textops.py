@@ -2695,3 +2695,68 @@ def doc_chunking(spark, sf_dir):
     return chunk_documents(
         docs, "doc_id", "text", size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
     )
+
+
+# --- STAGED for r16 (r15 window is full; stage-gate:
+# tests/test_textops.py::test_chunk_boilerplate_stage_gate): chunk-level
+# BOILERPLATE detection — the window-granular twin of exact doc dedup:
+# a chunk hash recurring across >= 2 distinct documents is shared
+# boilerplate (headers, license blocks, templated sections) that
+# chunk-granular RAG indexes and dedup passes must treat specially.
+# ONE fingerprint-sized shuffle: the groupBy carries 32-char md5 rows
+# (partial-aggregated map-side), never chunk bodies — the chunk build
+# itself is the zero-shuffle doc_chunking pass.
+_CHUNK_BOILERPLATE_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, {{TOKS}} AS toks FROM documents
+    ),
+    tt AS (
+        SELECT doc_id, toks, len(toks) AS nt FROM t WHERE len(toks) > 0
+    ),
+    nc AS (
+        SELECT doc_id, toks, nt,
+               CASE WHEN nt <= {_CHUNK_SIZE} THEN 1
+                    ELSE CAST(((nt - {_CHUNK_SIZE} + {_CHUNK_STRIDE - 1})
+                               - ((nt - {_CHUNK_SIZE} + {_CHUNK_STRIDE - 1})
+                                  % {_CHUNK_STRIDE}))
+                              / {_CHUNK_STRIDE} AS INT) + 1 END AS n_chunks
+        FROM tt
+    ),
+    ch AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_slice(toks, k * {_CHUNK_STRIDE} + 1,
+                              k * {_CHUNK_STRIDE} + {_CHUNK_SIZE}), ' ')) AS chunk_hash
+        FROM nc, unnest(generate_series(0, n_chunks - 1)) u(k)
+    )
+    SELECT chunk_hash,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(doc_id) AS BIGINT) AS exemplar_doc
+    FROM ch
+    GROUP BY chunk_hash HAVING COUNT(DISTINCT doc_id) >= 2
+""".replace("{TOKS}", TOKS)
+
+
+def chunk_boilerplate_windows(spark, sf_dir):
+    """Chunk hashes shared by >= 2 distinct documents, with doc
+    frequency, occurrence count, and a deterministic exemplar — the
+    boilerplate report a chunk-granular index consults before
+    embedding (embed shared windows once, not per document)."""
+    from udacity_dend_capstone_immigration_spark.operators.curation import (
+        chunk_documents,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    ch = chunk_documents(
+        docs, "doc_id", "text", size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
+    )
+    return (
+        ch.groupBy("chunk_hash")
+        .agg(
+            F.count_distinct(F.col("doc_id")).cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.min("doc_id").cast("bigint").alias("exemplar_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
