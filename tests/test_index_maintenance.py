@@ -606,3 +606,73 @@ def test_retrain_commit_marker_torn_crash_windows(spark):
     assert not os.path.isdir(f"{idx}/_retrain_stage_orphan")
     assert _store_rows(spark, idx) == rows
     shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_sq8_reindex_rebuilds_from_source_and_retires(spark):
+    """r15: the compressed-layout 'reindex window' — SQ8 cannot
+    Lloyd-retrain from its own lossy codes, so reindex reads the vector
+    source-of-truth, applies pending tombstones, and swaps a whole new
+    generation (centroids + affine stats + codes) under the same commit
+    marker as the flat retrain. Asserts: live set exact, delta and
+    tombstones retired in-generation, the swapped-in stats equal the
+    live set's true per-dim min/max, and a committed-but-torn
+    generation rolls forward on the next store read."""
+    import json
+    import shutil
+
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") % 3 != 0)
+    idx = V.build_ivf_sq8_index(
+        spark, SF_DIR, tempfile.mkdtemp(prefix="sq8_reindex_t_"), emb=corpus
+    )
+    V.append_to_sq8_index(spark, emb.where(F.col("vec_id") % 3 == 0), idx)
+    os.makedirs(f"{idx}/sq8_codes_delta/batch_pt=t-0", exist_ok=True)
+    dead = [int(r["vec_id"]) for r in emb.select("vec_id").limit(7).collect()]
+    V.delete_from_index(spark, idx, dead)
+
+    stats = V.reindex_sq8_index(spark, idx, emb)
+    assert stats["n_vectors"] == emb.count() - len(dead)
+    assert not os.path.isdir(f"{idx}/sq8_codes_delta")
+    assert not os.path.isdir(f"{idx}/deleted_ids")
+    assert not os.path.isfile(f"{idx}/{V._RETRAIN_MARKER}")
+    back = spark.read.parquet(f"{idx}/sq8_codes")
+    assert back.count() == stats["n_vectors"]
+    assert back.where(F.col("vec_id").isin(dead)).count() == 0
+
+    # affine stats == true per-dim min/max of the LIVE set
+    live = [
+        r["embedding"]
+        for r in emb.where(~F.col("vec_id").isin(dead)).collect()
+    ]
+    m = np.array(live, dtype=np.float64)
+    mn, mx = V.load_sq8_stats(spark, f"{idx}/sq8_stats")
+    assert np.allclose(mn, m.min(axis=0)) and np.allclose(mx, m.max(axis=0))
+
+    # torn committed generation (marker present, nothing swapped):
+    # the next SQ8 store read rolls it forward
+    gen = V.build_ivf_sq8_index(
+        spark, SF_DIR, tempfile.mkdtemp(prefix="sq8_gen_t_"), emb=corpus
+    )
+    stage = f"{idx}/_retrain_stage_torn"
+    os.makedirs(stage)
+    for rel in ("ivf_centroids", "sq8_stats", "sq8_codes"):
+        os.rename(f"{gen}/{rel}", f"{stage}/{rel}")
+    with open(f"{idx}/{V._RETRAIN_MARKER}", "w") as fh:
+        json.dump(
+            {
+                "stage": "_retrain_stage_torn",
+                "relations": ["ivf_centroids", "sq8_stats", "sq8_codes"],
+                "retire": ["sq8_codes_delta", "deleted_ids"],
+            },
+            fh,
+        )
+    served = V.read_sq8_store(spark, idx)
+    assert served.count() == corpus.count()  # the staged generation
+    assert not os.path.isfile(f"{idx}/{V._RETRAIN_MARKER}")
+    assert not os.path.isdir(stage)
+    shutil.rmtree(idx, ignore_errors=True)
+    shutil.rmtree(gen, ignore_errors=True)

@@ -1364,9 +1364,11 @@ def stream_append_to_sq8_index(
 def read_sq8_store(spark, index_dir: str):
     """Serving view of the SQ8 store: main ∪ delta, both
     cell_pt-prunable (the `read_ivf_flat_store` contract for byte
-    codes; tombstones layered by the caller)."""
+    codes; tombstones layered by the caller). Completes any
+    committed-but-torn reindex first (one isfile check)."""
     import os
 
+    _finish_retrain_commit(index_dir)
     cols = ["vec_id", "codes", "cell", "cell_pt"]
     main = spark.read.parquet(f"{index_dir}/sq8_codes").select(*cols)
     delta_dir = f"{index_dir}/sq8_codes_delta"
@@ -1535,8 +1537,14 @@ def _finish_retrain_commit(index_dir: str) -> bool:
     if not os.path.isfile(marker):
         return False
     with open(marker) as fh:
-        stage = os.path.join(index_dir, json.load(fh)["stage"])
-    for rel in ("ivf_centroids", "ivf_vectors"):
+        meta = json.load(fh)
+    stage = os.path.join(index_dir, meta["stage"])
+    # relation set travels IN the marker (r15: the SQ8 reindex swaps a
+    # different generation — centroids + stats + codes); flat-retrain
+    # markers predate the field, so default to the flat pair
+    rels = meta.get("relations", ["ivf_centroids", "ivf_vectors"])
+    retire = meta.get("retire", ["ivf_vectors_delta", "deleted_ids"])
+    for rel in rels:
         staged = f"{stage}/{rel}"
         live = f"{index_dir}/{rel}"
         retired = f"{live}.retired"
@@ -1545,7 +1553,7 @@ def _finish_retrain_commit(index_dir: str) -> bool:
                 os.rename(live, retired)
             os.rename(staged, live)
         sh.rmtree(retired, ignore_errors=True)
-    for d in ("ivf_vectors_delta", "deleted_ids"):
+    for d in retire:
         sh.rmtree(f"{index_dir}/{d}", ignore_errors=True)
     sh.rmtree(stage, ignore_errors=True)
     os.remove(marker)
@@ -1576,8 +1584,6 @@ def retrain_ivf_flat_index(spark, index_dir: str) -> dict:
     Quality contract (unit-pinned): post-retrain the drift report
     reads at a fresh Lloyd fixed point — the appended mass that fired
     the trigger is now IN the codebook."""
-    import json
-    import os
     import tempfile
 
     from udacity_dend_capstone_immigration_spark.operators.similarity import (
@@ -1605,12 +1611,66 @@ def retrain_ivf_flat_index(spark, index_dir: str) -> dict:
     )
     # commit point: marker lands atomically only after both relations
     # are fully staged; from here recovery always rolls forward
-    marker = f"{index_dir}/{_RETRAIN_MARKER}"
-    with open(f"{marker}.tmp", "w") as fh:
-        json.dump({"stage": os.path.basename(stage)}, fh)
-    os.replace(f"{marker}.tmp", marker)
+    _write_retrain_marker(
+        index_dir,
+        stage,
+        relations=["ivf_centroids", "ivf_vectors"],
+        retire=["ivf_vectors_delta", "deleted_ids"],
+    )
     _finish_retrain_commit(index_dir)
     return {"n_vectors": cur.count(), "n_cells": cents.count()}
+
+
+def _write_retrain_marker(index_dir, stage, relations, retire) -> None:
+    """Atomically land the commit marker (write tmp + os.replace):
+    from here, recovery rolls the generation forward."""
+    import json
+    import os
+
+    marker = f"{index_dir}/{_RETRAIN_MARKER}"
+    with open(f"{marker}.tmp", "w") as fh:
+        json.dump(
+            {
+                "stage": os.path.basename(stage),
+                "relations": relations,
+                "retire": retire,
+            },
+            fh,
+        )
+    os.replace(f"{marker}.tmp", marker)
+
+
+def reindex_sq8_index(spark, index_dir: str, emb) -> dict:
+    """The SQ8 'reindex window' the flat retrain's docstring defers to:
+    a compressed layout cannot Lloyd-retrain from its own store (the
+    codes are lossy — re-training on decoded vectors compounds
+    quantization error), so the reindex reads ``emb``, the vector
+    SOURCE-OF-TRUTH frame the store should represent (original corpus ∪
+    appended batches — exactly what a production reindex job reads),
+    applies the store's pending tombstones to it, and rebuilds all
+    three relations (centroids, affine stats, byte codes) through
+    `build_ivf_sq8_index` into a staged generation committed with the
+    same marker protocol as the flat retrain — one atomic commit point,
+    delta + tombstones retired in-generation, idempotent roll-forward,
+    pre-commit stages swept. Returns {n_vectors, n_cells}."""
+    import tempfile
+
+    _finish_retrain_commit(index_dir)
+    cur = (
+        apply_tombstones(spark, index_dir, emb.select("vec_id", "embedding"))
+        .localCheckpoint()
+    )
+    stage = tempfile.mkdtemp(prefix="_retrain_stage_", dir=index_dir)
+    build_ivf_sq8_index(spark, None, stage, emb=cur)
+    _write_retrain_marker(
+        index_dir,
+        stage,
+        relations=["ivf_centroids", "sq8_stats", "sq8_codes"],
+        retire=["sq8_codes_delta", "deleted_ids"],
+    )
+    _finish_retrain_commit(index_dir)
+    n_cells = spark.read.parquet(f"{index_dir}/ivf_centroids").count()
+    return {"n_vectors": cur.count(), "n_cells": n_cells}
 
 
 def read_ivf_flat_store(spark, index_dir: str):
