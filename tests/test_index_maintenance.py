@@ -676,3 +676,26 @@ def test_sq8_reindex_rebuilds_from_source_and_retires(spark):
     assert not os.path.isdir(stage)
     shutil.rmtree(idx, ignore_errors=True)
     shutil.rmtree(gen, ignore_errors=True)
+
+
+def test_sq8_reindex_roundtrip_stage_gate(spark):
+    """r16 stage-gate (r15 window full): REINDEX ≡ FRESH BUILD on the
+    live source, proven cross-engine — the staged query's per-cell
+    aggregate matches its DuckDB oracle value-for-value at sf0.001."""
+    import duckdb
+
+    from udacity_dend_capstone_immigration_spark.workload.vectors import (
+        _SQ8_REINDEX_ORACLE,
+        sq8_reindex_roundtrip,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(map(tuple, sq8_reindex_roundtrip(spark, sf).collect()))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    want = sorted(map(tuple, con.sql(_SQ8_REINDEX_ORACLE).fetchall()))
+    assert got == want
+    assert all(r[4] == 0 for r in got)  # layout guard zero everywhere
+    assert len(got) > 1

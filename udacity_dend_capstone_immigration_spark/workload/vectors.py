@@ -3905,3 +3905,106 @@ def ann_centroid_drift_report(spark, sf_dir):
     rows = report.collect()
     assert any(r["retrain_due"] for r in rows), rows
     return spark.createDataFrame(rows, report.schema)
+
+
+# --- STAGED for r16 (r15 window full; stage-gate:
+# tests/test_index_maintenance.py::test_sq8_reindex_roundtrip_stage_gate):
+# the compressed-layout reindex gets the same oracle proof as the flat
+# retrain — REINDEX ≡ FRESH BUILD on the live source. The oracle
+# re-trains the coarse index (seeded 2-round Lloyd), re-derives the
+# per-dim affine stats, and re-encodes every live vector from scratch;
+# the aggregate reads the PERSISTED store back per cell partition with
+# a checksum over the RECONSTRUCTED doubles (the decode chain
+# knn_sq8_served already proved bit-portable), so a stale stat, a
+# wrong code byte, or a row in the wrong cell partition all fail the
+# hash.
+_SQ8_REINDEX_ORACLE = f"""
+    WITH allv AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM allv WHERE vec_id % 5 != 2),
+    {_IVF_TRAIN_CTES},
+    stats AS (
+        SELECT i AS dim, MIN(v[i + 1]) AS mn, MAX(v[i + 1]) AS mx
+        FROM n, range(64) t(i) GROUP BY i
+    ),
+    rvec AS (
+        SELECT n.vec_id,
+               list(CASE WHEN s.mx > s.mn
+                         THEN s.mn + floor((n.v[s.dim + 1] - s.mn) * 255.0e0
+                                           / (s.mx - s.mn) + 0.5e0)
+                              * (s.mx - s.mn) / 255.0e0
+                         ELSE s.mn END ORDER BY s.dim) AS r
+        FROM n JOIN stats s ON TRUE
+        GROUP BY n.vec_id
+    ),
+    em AS (
+        SELECT vec_id, SUM(CAST(floor(r[i + 1] * 16777216.0) AS BIGINT)) AS e
+        FROM rvec, range(64) t(i) GROUP BY vec_id
+    )
+    SELECT CAST(a.cell AS BIGINT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(a.vec_id) AS BIGINT) AS id_checksum,
+           CAST(SUM(e.e) AS BIGINT) AS code_checksum,
+           CAST(0 AS BIGINT) AS n_mismatched
+    FROM assign a JOIN em e ON e.vec_id = a.vec_id
+    GROUP BY a.cell
+"""
+
+
+def sq8_reindex_roundtrip(spark, sf_dir):
+    """build(corpus: vec_id%3!=0) → frozen append(the rest) →
+    tombstone delete(vec_id%5=2) → `reindex_sq8_index` from the vector
+    source-of-truth → per-persisted-cell aggregate of the read-back
+    codes, checksummed over the reconstructed doubles (n_mismatched
+    recounts cell vs cell_pt — the layout guard)."""
+    import tempfile
+
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        sq8_decode_codes,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.where(F.col("vec_id") % 3 != 0)
+    idx = build_ivf_sq8_index(
+        spark, sf_dir, tempfile.mkdtemp(prefix="sq8_reindex_rt_"), emb=corpus
+    )
+    append_to_sq8_index(spark, emb.where(F.col("vec_id") % 3 == 0), idx)
+    delete_from_index(
+        spark, idx, emb.where(F.col("vec_id") % 5 == 2).select("vec_id")
+    )
+    reindex_sq8_index(spark, idx, emb)
+    mn, mx = load_sq8_stats(spark, f"{idx}/sq8_stats")
+    codes = spark.read.parquet(f"{idx}/sq8_codes").select(
+        "vec_id", "codes", F.col("cell").cast("long").alias("cell_data"),
+        F.col("cell_pt").cast("long").alias("cell_key"),
+    )
+    rec = sq8_decode_codes(codes, mn, mx, passthrough=("cell_data", "cell_key"))
+    em = F.aggregate(
+        F.col("r"),
+        F.lit(0).cast("long"),
+        lambda a, x: a + F.floor(x * F.lit(16777216.0)).cast("long"),
+    )
+    return (
+        rec.select("vec_id", "cell_data", "cell_key", em.alias("e"))
+        .groupBy("cell_key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum("vec_id").cast("bigint").alias("id_checksum"),
+            F.sum("e").cast("bigint").alias("code_checksum"),
+            F.sum(
+                F.when(F.col("cell_data") != F.col("cell_key"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_mismatched"),
+        )
+        .select(
+            F.col("cell_key").alias("cell"),
+            "n_vectors",
+            "id_checksum",
+            "code_checksum",
+            "n_mismatched",
+        )
+    )
