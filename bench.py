@@ -81,6 +81,10 @@ from udacity_dend_capstone_immigration_spark.workload import QUERIES
 #: with zero training in the plan; its three stores are shared with
 #: the other served headliners, so min-of-reps reads pure serve cost);
 #: nothing out.
+#: Rotated r15: doc_chunking in (the zero-shuffle RAG chunking map
+#: pass — tracking the no-Exchange claim per-round is free at 0.7s)
+#: and retrieval_hybrid_rrf's dense arm moved to the Arrow kernel
+#: (same headliner, new 0.85 record); nothing out.
 #: Suite totals are NOT comparable across rotations — BASELINE.md
 #: records the discontinuity.
 HEADLINE = [
@@ -120,6 +124,7 @@ HEADLINE = [
     "publish_version_diff",
     "events_pit_feature_assembly",
     "corpus_pipeline_served",
+    "doc_chunking",
 ]
 
 
