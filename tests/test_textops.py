@@ -60,3 +60,26 @@ def test_chunk_boilerplate_stage_gate(spark):
     want = sorted(map(tuple, con.sql(_CHUNK_BOILERPLATE_ORACLE).fetchall()))
     assert got == want
     assert all(r[1] >= 2 for r in got)
+
+
+def test_chunk_unique_ratio_stage_gate(spark):
+    """r16 stage-gate: the per-doc unique-chunk ratio matches its
+    DuckDB oracle value-for-value at sf0.001, covers every non-empty
+    doc, and ratios live in [0, 1]."""
+    import duckdb
+
+    from udacity_dend_capstone_immigration_spark.workload.textops import (
+        _CHUNK_UNIQUE_RATIO_ORACLE,
+        doc_unique_chunk_ratio,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(map(tuple, doc_unique_chunk_ratio(spark, sf).collect()))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = sorted(map(tuple, con.sql(_CHUNK_UNIQUE_RATIO_ORACLE).fetchall()))
+    assert got == want
+    assert all(0.0 <= r[3] <= 1.0 for r in got)
+    assert len(got) > 100

@@ -2760,3 +2760,77 @@ def chunk_boilerplate_windows(spark, sf_dir):
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+# --- STAGED for r16 (stage-gate below in tests/test_textops.py):
+# per-document UNIQUE-CHUNK ratio — the boilerplate-share quality
+# signal chunk-granular curation filters on (a doc whose windows are
+# mostly corpus-shared boilerplate carries little novel training
+# mass). Composes the two chunk passes: hash df (fingerprint-sized
+# aggregate) joined back onto the per-doc chunk rolls — both shuffles
+# carry md5s/ids, never text.
+_CHUNK_UNIQUE_RATIO_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, {{TOKS}} AS toks FROM documents
+    ),
+    tt AS (
+        SELECT doc_id, toks, len(toks) AS nt FROM t WHERE len(toks) > 0
+    ),
+    nc AS (
+        SELECT doc_id, toks, nt,
+               CASE WHEN nt <= {_CHUNK_SIZE} THEN 1
+                    ELSE CAST(((nt - {_CHUNK_SIZE} + {_CHUNK_STRIDE - 1})
+                               - ((nt - {_CHUNK_SIZE} + {_CHUNK_STRIDE - 1})
+                                  % {_CHUNK_STRIDE}))
+                              / {_CHUNK_STRIDE} AS INT) + 1 END AS n_chunks
+        FROM tt
+    ),
+    ch AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_slice(toks, k * {_CHUNK_STRIDE} + 1,
+                              k * {_CHUNK_STRIDE} + {_CHUNK_SIZE}), ' ')) AS chunk_hash
+        FROM nc, unnest(generate_series(0, n_chunks - 1)) u(k)
+    ),
+    df AS (
+        SELECT chunk_hash, COUNT(DISTINCT doc_id) AS n_docs FROM ch
+        GROUP BY chunk_hash
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) FILTER (WHERE d.n_docs = 1) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) FILTER (WHERE d.n_docs = 1) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS unique_ratio
+    FROM ch c JOIN df d ON c.chunk_hash = d.chunk_hash
+    GROUP BY c.doc_id
+""".replace("{TOKS}", TOKS)
+
+
+def doc_unique_chunk_ratio(spark, sf_dir):
+    """Per doc: chunk count, count of windows whose hash occurs in NO
+    other document, and their ratio — the per-doc novelty score the
+    boilerplate report (`chunk_boilerplate_windows`) induces. The
+    ratio is one IEEE division of two exact bigints (portable)."""
+    from udacity_dend_capstone_immigration_spark.operators.curation import (
+        chunk_documents,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    ch = chunk_documents(
+        docs, "doc_id", "text", size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
+    ).select("doc_id", "chunk_hash")
+    df_tbl = ch.groupBy("chunk_hash").agg(
+        F.count_distinct(F.col("doc_id")).alias("n_docs")
+    )
+    return (
+        ch.join(df_tbl, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.count(F.when(F.col("n_docs") == 1, 1)).cast("bigint").alias("n_unique"),
+        )
+        .withColumn(
+            "unique_ratio",
+            F.col("n_unique").cast("double") / F.col("n_chunks").cast("double"),
+        )
+    )
