@@ -21,77 +21,78 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "top_nations_by_orders"
 
 #: The driver's CORRECTNESS record keeps only the first 50 entries of
-#: ``queries()``. Round-15 window, built by the ROLLING rotation rule
-#: (tests/test_registry.py): (a) every query NEW this round — the two
-#: r14-staged registrations (cluster-safe k-fold, the streaming
-#: pipeline twin) plus `ann_retrain_roundtrip` (the drift trigger's
-#: ACTION, now oracle-proven retrain ≡ rebuild); (b) the two
-#: PLAN_CHANGED queries (features_pit_served serves through the
-#: retention-floor gate; retrieval_hybrid_rrf's dense arm moved to the
-#: Arrow kernel), plus `feature_store_prune_roundtrip` (the retention
-#: fold's official row), `events_l_diversity_release` (the
-#: homogeneity-attack fix beside the k-anonymity release), and
-#: `doc_chunking` (overlapping token-window RAG chunking, zero-shuffle
-#: map pass); (c) the ENTIRE 42-query r9 rotation debt (newest
-#: official row r9 — the bound would not force it until r17, cleared
-#: early). 6 + 2 + 42 = 50.
-#: ROTATION NOTE for r16: after this window the oldest tranche is the
-#: remaining 42 r10-row queries (due by r18's window) — r16 should
-#: carry as much of it as new registrations allow.
+#: ``queries()``. Round-16 window, built by the ROLLING rotation rule
+#: (tests/test_registry.py): (a) every query NEW this round — the
+#: three r15-staged registrations (`sq8_reindex_roundtrip`: reindex ≡
+#: rebuild for the compressed layout, completing the maintenance story
+#: the flat retrain defers; `chunk_boilerplate_windows` +
+#: `doc_unique_chunk_ratio`: the chunk-grain boilerplate report and
+#: the per-doc novelty signal it induces) plus
+#: `quality_funnel_chunk_novelty` (the chunk tier composed into the
+#: quality cascade — the VERDICT-r15 composition ask); (b) the ENTIRE
+#: 45-query r10 rotation tranche (oldest official tier, due by r18 —
+#: cleared whole per the r15 verdict's window math); (c) one spare
+#: slot spent on `bpe_encode_corpus` from the 44-query r11 tier (a
+#: bench headliner — head start on r17's debt). 4 + 45 + 1 = 50.
+#: ROTATION NOTE for r17: after this window the oldest tranche is the
+#: remaining 43 r11-row queries (`ann_index_append_roundtrip`,
+#: `dedup_simhash`, the TPC-H q3-q18 family, etc.), due by r18's
+#: window under the capacity-derived cycle — r17 must carry ALL 43
+#: alongside its new registrations (43 + 7 free slots ≤ 50: fits).
 SHOWCASE = [
     # (a) new this round
-    "corpus_kfold_cluster_safe",
-    "corpus_pipeline_streamed",
-    "ann_retrain_roundtrip",
-    "feature_store_prune_roundtrip",
-    "events_l_diversity_release",
-    "doc_chunking",
-    # (b) plan-changed this round
-    "features_pit_served",
-    "retrieval_hybrid_rrf",
-    # (c) the full r9 rotation debt, cleared
-    "top_nations_by_orders",
-    "fact_denormalize",
-    "pricing_summary",
-    "case_insensitive_join",
-    "cross_type_join",
-    "top_customers_per_nation",
-    "dq_referential_summary",
-    "doc_fingerprints",
-    "dedup_exact_docs",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_winnowing_overlap",
-    "events_hourly_by_type",
-    "events_sessionize",
-    "events_daily_pivot",
-    "events_user_running_total",
-    "knn_ivf",
-    "doc_repetition_scores",
-    "dedup_substring_runs",
-    "doc_pagerank_near_dup",
-    "dedup_prefix_filter_jaccard",
-    "events_props_redaction",
-    "events_session_bounce_rate",
-    "events_native_session_window",
-    "events_props_variant",
-    "events_json_schema",
-    "events_lag_gaps",
-    "events_funnel_stages",
-    "events_rolling_wau",
-    "events_moving_agg_1h",
-    "events_transition_matrix",
-    "events_running_drawdown",
-    "events_hourly_anomaly_ratio",
-    "events_value_histogram",
-    "semantic_dedup_representatives",
-    "semantic_dedup_recall",
-    "semantic_dedup_cell_profile",
-    "dedup_edit_distance",
-    "dedup_incremental_status",
-    "embeddings_stream_cell_counts",
-    "knn_lsh_multitable",
-    "dedup_shingle_containment",
+    "sq8_reindex_roundtrip",
+    "chunk_boilerplate_windows",
+    "doc_unique_chunk_ratio",
+    "quality_funnel_chunk_novelty",
+    # (b) the full r10 rotation tranche, cleared
+    "ann_ivf_nprobe_curve",
+    "ann_ivf_recall",
+    "ann_ivfpq_recall",
+    "ann_ivfpq_residual_recall",
+    "ann_lsh_multitable_recall",
+    "ann_lsh_recall",
+    "approx_quantile_summary",
+    "birth_year_validation",
+    "customers_without_orders",
+    "dedup_minhash_recall",
+    "embedding_int8_distortion",
+    "embedding_near_dup",
+    "embedding_pq_distortion",
+    "embedding_pq_residual_distortion",
+    "embeddings_stream_dedup_status",
+    "events_moving_agg_1h_expiry",
+    "events_salted_dim_join",
+    "events_stream_click_attribution",
+    "events_stream_dedup",
+    "events_stream_enriched",
+    "events_stream_hourly",
+    "events_stream_sessions",
+    "events_stream_sink_roundtrip",
+    "events_stream_sliding",
+    "events_stream_stateful_totals",
+    "events_stream_transitions",
+    "filter_sql_predicate",
+    "immigration_etl_city_demographics",
+    "immigration_etl_fact",
+    "invalid_label_to_na",
+    "knn_brute_force",
+    "knn_brute_force_arrow",
+    "knn_ivfpq",
+    "knn_ivfpq_residual",
+    "langid_confusion",
+    "multimodal_decode",
+    "orc_write_roundtrip",
+    "partitioned_write_roundtrip",
+    "port_name_split",
+    "regex_clean_types",
+    "sas_date_convert",
+    "schema_evolution_roundtrip",
+    "semantic_dedup_diverse_reps",
+    "top_nations_building_segment",
+    "top_parts_by_quantity",
+    # (c) r11-tier head start
+    "bpe_encode_corpus",
 ]
 
 #: Queries whose plan, oracle, or constructed result changed THIS round
@@ -99,15 +100,11 @@ SHOWCASE = [
 #: "registered but no official row yet"). The rolling rotation test
 #: asserts these sit inside the window so changed behavior always gets
 #: an official row the round it ships. Update per round.
-PLAN_CHANGED = [
-    # r15: serve path now routes through read_feature_snapshots with
-    # the label frame's bounded min as-of day (retention-floor gate;
-    # same result, one extra eager one-row decision)
-    "features_pit_served",
-    # r15: dense arm swapped from the interpreted-HOF brute_force_knn
-    # to brute_force_knn_arrow (result-identical kernels; in-suite
-    # 1.41 → 1.18s, clearing the r14 driver flag)
-    "retrieval_hybrid_rrf",
+PLAN_CHANGED: list[str] = [
+    # r16: none — the only plan edits this round are on the four NEW
+    # queries (merge hints landed before their first registration),
+    # which the rotation test already forces into the window as "no
+    # official row yet".
 ]
 
 

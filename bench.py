@@ -10,6 +10,18 @@ records instead of noisy first-execution readings.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_REPS (default 2).
+
+Load-contamination canary (r15 verdict item 3): the driver's bench
+runs after session close, and twice now an external-load episode
+inflated every reading 1.3-2.5x, generating 10-15 false flags a human
+had to adjudicate from load-average forensics. The JSON therefore also
+carries ``canary_sec`` — min-of-3 of a FIXED, SF-independent,
+CPU-bound Spark job (xxhash64 over a 64M-row range, all cores) timed
+after warmup — and ``load_avg`` (os.getloadavg at suite start).
+tools/check_regressions.py compares the canary against its BASELINE.md
+record and prints a contamination banner instead of failing the check
+when the canary itself is inflated: same plan + same data + slow
+canary = slow box, not a regression.
 """
 
 from __future__ import annotations
@@ -266,6 +278,25 @@ def main() -> None:
     # same plan make the reported number protocol-comparable with the
     # records at 2x suite wall-clock; wall_sec keeps the all-reps total.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+
+    # Calibration canary: fixed CPU-bound work (no IO, no SF input) on
+    # every core, AFTER warmup so JIT state is steady. One untimed rep
+    # absorbs first-execution codegen; min-of-3 matches the records
+    # protocol. On a quiet box this reads its BASELINE.md record;
+    # under external load it inflates with everything else and
+    # check_regressions annotates the run instead of flagging queries.
+    load_avg = [round(x, 2) for x in os.getloadavg()]
+
+    def _canary_once() -> float:
+        t0 = time.time()
+        spark.range(0, 64_000_000, 1, cpus).select(
+            F.sum(F.xxhash64("id"))
+        ).collect()
+        return time.time() - t0
+
+    _canary_once()
+    canary_sec = round(min(_canary_once() for _ in range(3)), 3)
+
     timings: dict[str, float] = {}
     wall0 = time.time()
     for name in HEADLINE:
@@ -308,6 +339,8 @@ def main() -> None:
                 "sf": sf,
                 "reps": reps,
                 "wall_sec": wall,
+                "canary_sec": canary_sec,
+                "load_avg": load_avg,
             }
         ),
         flush=True,

@@ -239,3 +239,31 @@ def test_chunk_documents_boundaries_and_coverage(spark):
             assert r["chunk_hash"] == hashlib.md5(" ".join(win).encode()).hexdigest()
             covered.update(range(k * stride, k * stride + len(win)))
         assert covered == set(range(len(toks))), f"doc {d} has uncovered tokens"
+
+
+def test_chunk_novelty_funnel_gate(spark):
+    """r16 composition gate: the chunk-novelty funnel matches its
+    (spliced) DuckDB oracle value-for-value at sf0.001, the novelty
+    stage nests inside the cascade (pass_novel <= pass_all <= ... <=
+    n_docs), and it actually discriminates — the testdata's near-dup
+    twins sit AT ratio 0.5, so pass_novel < pass_all overall."""
+    import duckdb
+
+    from udacity_dend_capstone_immigration_spark.workload import ORACLES
+    from udacity_dend_capstone_immigration_spark.workload.curation import (
+        quality_funnel_chunk_novelty,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(map(tuple, quality_funnel_chunk_novelty(spark, sf).collect()))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = sorted(
+        map(tuple, con.sql(ORACLES["quality_funnel_chunk_novelty"]).fetchall())
+    )
+    assert got == want
+    for r in got:
+        assert r[1] >= r[2] >= r[3] >= r[4] >= r[5] >= 0
+    assert sum(r[5] for r in got) < sum(r[4] for r in got)

@@ -57,6 +57,7 @@ _EXECUTING = frozenset(
         "immigration_etl_fact",
         "ann_centroid_drift_report",
         "ann_retrain_roundtrip",
+        "sq8_reindex_roundtrip",
         "corpus_pipeline_served",
         "corpus_pipeline_streamed",
         "corpus_kfold_cluster_safe",

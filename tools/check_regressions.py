@@ -25,6 +25,17 @@ from pathlib import Path
 THRESHOLD = 1.25
 BASELINE = Path(__file__).resolve().parent.parent / "BASELINE.md"
 
+#: Contamination band for bench.py's fixed CPU canary (r15 verdict
+#: item 3): the canary job is constant work on every core, so on a
+#: quiet box it reads its `_canary` record in the Current-records
+#: table within normal jitter; past this band the BOX is loaded and
+#: every suite reading is inflated with it — the run is annotated as
+#: contaminated and its over-threshold readings print SUSP (suspect,
+#: re-run on a quiet box) instead of FLAG, which is exactly the
+#: adjudication the r13/r15 external-load episodes burned a human
+#: cycle on each time.
+CANARY_BAND = 1.5
+
 #: Standing IN-SUITE dispositions (r15, codifying what r11-r14 each
 #: re-litigated by hand): headliners whose in-suite min-of-2 reading
 #: routinely exceeds the standalone record for session-context reasons
@@ -72,6 +83,25 @@ def main() -> None:
         if not all(isinstance(v, (int, float)) for v in queries.values()):
             raise SystemExit(f"{path}: could not locate the queries timing map")
         print(f"== {path} vs Current records (threshold {THRESHOLD}x)")
+        contaminated = False
+        canary = bench.get("canary_sec")
+        if canary is not None and "_canary" in records:
+            crec = records["_canary"][0]
+            cratio = canary / crec
+            if cratio > CANARY_BAND:
+                contaminated = True
+                print(
+                    f"  !! LOAD-CONTAMINATED RUN: canary {canary:.2f}s vs "
+                    f"record {crec:.2f}s ({cratio:.2f}x > {CANARY_BAND}x band), "
+                    f"load_avg={bench.get('load_avg')}"
+                )
+                print(
+                    "  !! constant-work canary inflated => box load, not plan "
+                    "regressions; over-threshold readings below print SUSP and "
+                    "do not fail the check — re-run on a quiet box to confirm"
+                )
+            else:
+                print(f"  canary {canary:.2f}s (record {crec:.2f}s, {cratio:.2f}x — clean box)")
         for name, sec in queries.items():
             rec = records.get(name)
             if rec is None:
@@ -84,6 +114,8 @@ def main() -> None:
                 band, why = DISPOSITIONS[name]
                 if ratio <= band:
                     tag, note = "DISP", f"dispositioned ≤{band}x: {why}"
+            if tag == "FLAG" and contaminated:
+                tag = "SUSP"
             if tag == "FLAG":
                 flagged += 1
             print(

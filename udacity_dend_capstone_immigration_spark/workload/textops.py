@@ -2697,9 +2697,9 @@ def doc_chunking(spark, sf_dir):
     )
 
 
-# --- STAGED for r16 (r15 window is full; stage-gate:
-# tests/test_textops.py::test_chunk_boilerplate_stage_gate): chunk-level
-# BOILERPLATE detection — the window-granular twin of exact doc dedup:
+# --- chunk-level BOILERPLATE detection (staged r15, registered r16;
+# stage-gate: tests/test_textops.py::test_chunk_boilerplate_stage_gate):
+# the window-granular twin of exact doc dedup:
 # a chunk hash recurring across >= 2 distinct documents is shared
 # boilerplate (headers, license blocks, templated sections) that
 # chunk-granular RAG indexes and dedup passes must treat specially.
@@ -2738,6 +2738,7 @@ _CHUNK_BOILERPLATE_ORACLE = f"""
 """.replace("{TOKS}", TOKS)
 
 
+@query("chunk_boilerplate_windows", oracle=_CHUNK_BOILERPLATE_ORACLE)
 def chunk_boilerplate_windows(spark, sf_dir):
     """Chunk hashes shared by >= 2 distinct documents, with doc
     frequency, occurrence count, and a deterministic exemplar — the
@@ -2762,8 +2763,8 @@ def chunk_boilerplate_windows(spark, sf_dir):
     )
 
 
-# --- STAGED for r16 (stage-gate below in tests/test_textops.py):
-# per-document UNIQUE-CHUNK ratio — the boilerplate-share quality
+# --- per-document UNIQUE-CHUNK ratio (staged r15, registered r16;
+# stage-gate in tests/test_textops.py) — the boilerplate-share quality
 # signal chunk-granular curation filters on (a doc whose windows are
 # mostly corpus-shared boilerplate carries little novel training
 # mass). Composes the two chunk passes: hash df (fingerprint-sized
@@ -2806,6 +2807,7 @@ _CHUNK_UNIQUE_RATIO_ORACLE = f"""
 """.replace("{TOKS}", TOKS)
 
 
+@query("doc_unique_chunk_ratio", oracle=_CHUNK_UNIQUE_RATIO_ORACLE)
 def doc_unique_chunk_ratio(spark, sf_dir):
     """Per doc: chunk count, count of windows whose hash occurs in NO
     other document, and their ratio — the per-doc novelty score the
@@ -2819,9 +2821,14 @@ def doc_unique_chunk_ratio(spark, sf_dir):
     ch = chunk_documents(
         docs, "doc_id", "text", size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
     ).select("doc_id", "chunk_hash")
+    # merge hint: the hash-df aggregate is downstream of the chunk
+    # explode, so Catalyst's estimate is blind to its true size — it
+    # scales with DISTINCT WINDOWS (SF-scaling); a static broadcast
+    # here would ship the whole chunk vocabulary at a 100× corpus
+    # (CLAUDE.md rule; the gate in test_plans.py flags it otherwise)
     df_tbl = ch.groupBy("chunk_hash").agg(
         F.count_distinct(F.col("doc_id")).alias("n_docs")
-    )
+    ).hint("merge")
     return (
         ch.join(df_tbl, "chunk_hash")
         .groupBy("doc_id")

@@ -3907,7 +3907,7 @@ def ann_centroid_drift_report(spark, sf_dir):
     return spark.createDataFrame(rows, report.schema)
 
 
-# --- STAGED for r16 (r15 window full; stage-gate:
+# --- SQ8 reindex roundtrip (staged r15, registered r16; stage-gate:
 # tests/test_index_maintenance.py::test_sq8_reindex_roundtrip_stage_gate):
 # the compressed-layout reindex gets the same oracle proof as the flat
 # retrain — REINDEX ≡ FRESH BUILD on the live source. The oracle
@@ -3954,6 +3954,7 @@ _SQ8_REINDEX_ORACLE = f"""
 """
 
 
+@query("sq8_reindex_roundtrip", oracle=_SQ8_REINDEX_ORACLE)
 def sq8_reindex_roundtrip(spark, sf_dir):
     """build(corpus: vec_id%3!=0) → frozen append(the rest) →
     tombstone delete(vec_id%5=2) → `reindex_sq8_index` from the vector
