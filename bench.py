@@ -16,7 +16,9 @@ runs after session close, and twice now an external-load episode
 inflated every reading 1.3-2.5x, generating 10-15 false flags a human
 had to adjudicate from load-average forensics. The JSON therefore also
 carries ``canary_sec`` — min-of-3 of a FIXED, SF-independent,
-CPU-bound Spark job (xxhash64 over a 64M-row range, all cores) timed
+CPU-bound Spark job (xxhash64(md5(id)) over a 64M-row range, all
+cores — md5 makes it genuinely CPU-dominated; a bare range+hash scan
+is scheduler-overhead-bound and insensitive to core contention) timed
 after warmup — and ``load_avg`` (os.getloadavg at suite start).
 tools/check_regressions.py compares the canary against its BASELINE.md
 record and prints a contamination banner instead of failing the check
@@ -290,7 +292,7 @@ def main() -> None:
     def _canary_once() -> float:
         t0 = time.time()
         spark.range(0, 64_000_000, 1, cpus).select(
-            F.sum(F.xxhash64("id"))
+            F.sum(F.xxhash64(F.md5(F.col("id").cast("string"))))
         ).collect()
         return time.time() - t0
 

@@ -1,0 +1,397 @@
+"""Persisted CHUNK store + chunk-grain retrieval — STAGED r16 for the
+r17 window (the r16 correctness window is full at 50; stage-gates in
+``tests/test_chunkstore.py`` prove every oracle cross-engine first,
+the r14→r15→r16 staging pattern).
+
+The r15 verdict's "What's missing #3" named the gap: ``doc_chunking``
+emits chunk-grain rows but nothing downstream consumed them beyond
+stats. This module makes the chunk tier a SERVED pipeline citizen,
+the same train-once/serve-many contract every other expensive
+artifact in this repo carries (CLAUDE.md):
+
+- ``build_chunk_store`` persists the chunk relation partitioned by
+  the chunk hash's OWN md5-prefix bucket (``_hex_bucket`` discipline —
+  never md5-of-md5), so chunk-hash probes (boilerplate lookups,
+  cross-corpus chunk joins) prune to one directory in 32.
+- ``append_to_chunk_store`` ingests a new corpus batch O(batch): the
+  chunk relation is per-chunk rows with no cross-doc aggregate state,
+  so append is chunk-the-batch + partitioned append — no probe phase,
+  no cap tombstones; append ≡ rebuild BY CONSTRUCTION, and the
+  roundtrip query proves it value-exactly anyway.
+- ``chunk_boilerplate_served`` re-derives the boilerplate report from
+  the STORE alone — training-free serve twin of
+  ``chunk_boilerplate_windows`` (shares its oracle): no tokenize, no
+  chunk explode, no Generate in the plan, just a bare store scan +
+  one md5-sized aggregate.
+- ``chunk_tf_knn`` closes the chunk→vector→retrieval composition:
+  hashed-TF (feature-hashing trick, the ``doc_feature_hashing``
+  discipline at chunk grain) cosine top-3 corpus chunks per query
+  chunk. ALL similarity arithmetic is exact BIGINT (dot product and
+  squared norms of integer term frequencies) until one final
+  per-row double division — bit-portable across engines with no
+  rounding contract needed.
+
+Scale posture: the store shuffles 32-char md5s + int offsets, never
+text; the retrieval query's corpus side is one linear scan (the
+brute-force serving baseline, same contract as ``knn_brute_force``
+— the ANN store tier is the scale path for big query batches) and
+its query side is bounded by the serving batch (broadcast).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udacity_dend_capstone_immigration_spark.operators.curation import (
+    chunk_documents,
+    chunk_token_rows,
+)
+from udacity_dend_capstone_immigration_spark.sources.writers import write_table
+from udacity_dend_capstone_immigration_spark.workload.base import table
+from udacity_dend_capstone_immigration_spark.workload.dedupstore import (
+    _h8_spark,
+    _hex_bucket,
+)
+from udacity_dend_capstone_immigration_spark.workload.textops import (
+    _CHUNK_SIZE,
+    _CHUNK_STRIDE,
+    TOKS,
+)
+
+#: md5-prefix partition fan-out for the chunk relation; mirrors the
+#: dedup store's choice (local parallelism; a 100 TB corpus raises it
+#: at build time — the value is stored in meta/ and read back).
+N_CHUNK_BUCKETS = 32
+
+#: Hashed-TF dimensionality for chunk vectors. 256 over 64-token
+#: windows keeps vectors sparse (~50 live buckets) so hash collisions
+#: stay rare while the bucket equi-join fan-out stays bounded.
+_CFH_DIM = 256
+
+
+def build_chunk_store(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    size: int = _CHUNK_SIZE,
+    stride: int = _CHUNK_STRIDE,
+    n_buckets: int = N_CHUNK_BUCKETS,
+) -> str:
+    """Chunk ``docs`` (doc_id, text) and persist the chunk relation
+    partitioned by the hash's own hex prefix. One zero-shuffle chunk
+    build + one partitioned write; rows carry offsets + md5, never
+    bodies."""
+    ch = chunk_documents(docs, "doc_id", "text", size=size, stride=stride)
+    ch = ch.withColumn("h_pt", _hex_bucket(F.col("chunk_hash"), n_buckets))
+    write_table(ch, f"{out_dir}/chunks", partition_by=["h_pt"])
+    meta = spark.createDataFrame(
+        [(size, stride, n_buckets)], "size int, stride int, n_buckets int"
+    )
+    write_table(meta, f"{out_dir}/meta")
+    return out_dir
+
+
+def _read_meta(spark: SparkSession, store_dir: str) -> tuple[int, int, int]:
+    r = spark.read.parquet(f"{store_dir}/meta").collect()[0]
+    return int(r["size"]), int(r["stride"]), int(r["n_buckets"])
+
+
+def append_to_chunk_store(
+    spark: SparkSession, new_docs: DataFrame, store_dir: str
+) -> None:
+    """O(batch) ingest: chunk the batch under the STORED size/stride
+    (a drifted parameter would silently fork the window grid — meta is
+    the single source of truth) and append partitioned rows. No probe
+    phase: the relation has no cross-doc aggregate state, so append ≡
+    rebuild by construction."""
+    size, stride, n_buckets = _read_meta(spark, store_dir)
+    ch = chunk_documents(new_docs, "doc_id", "text", size=size, stride=stride)
+    ch = ch.withColumn("h_pt", _hex_bucket(F.col("chunk_hash"), n_buckets))
+    write_table(ch, f"{store_dir}/chunks", partition_by=["h_pt"], mode="append")
+
+
+def read_chunk_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{store_dir}/chunks")
+
+
+#: (sf_dir, corpus fingerprint) -> built store dir; the serve twins
+#: measure SERVE latency, not the build (the served_index_dir pattern).
+_SERVED_CHUNKS: dict = {}
+
+
+def served_chunk_store_dir(spark: SparkSession, sf_dir: str) -> str:
+    from udacity_dend_capstone_immigration_spark.workload.vectors import (
+        _corpus_fingerprint,
+    )
+
+    key = (sf_dir, _corpus_fingerprint(sf_dir, "documents"))
+    d = _SERVED_CHUNKS.get(key)
+    if d is None or not os.path.isdir(f"{d}/chunks"):
+        d = build_chunk_store(
+            spark,
+            table(spark, sf_dir, "documents"),
+            tempfile.mkdtemp(prefix="chunk_store_"),
+        )
+        _SERVED_CHUNKS[key] = d
+    return d
+
+
+# ---------------------------------------------------------------------------
+# Roundtrip aggregate: per PERSISTED partition value, so a row landing
+# in the wrong directory fails the driver's hash compare, not just a
+# wrong value (the dedupstore _index_aggregate discipline).
+
+
+def _store_aggregate(spark: SparkSession, store_dir: str) -> DataFrame:
+    ch = read_chunk_store(spark, store_dir)
+    return ch.groupBy(F.col("h_pt").cast("int").alias("part")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(_h8_spark(F.col("chunk_hash"))).cast("long").alias("hash_sum"),
+        F.sum("doc_id").cast("long").alias("doc_sum"),
+        F.sum("start_tok").cast("long").alias("start_sum"),
+        F.sum("n_tokens").cast("long").alias("tok_sum"),
+    )
+
+
+def _chunk_rows_cte(pred: str) -> str:
+    """DuckDB CTE chain producing the full per-chunk relation over
+    ``documents WHERE pred`` — the doc_chunking oracle's chain with a
+    corpus predicate injected (size/stride from the same constants, so
+    a parameter change propagates everywhere at once)."""
+    return f"""
+    t AS (
+        SELECT doc_id, {TOKS} AS toks FROM documents WHERE {pred}
+    ),
+    tt AS (
+        SELECT doc_id, toks, len(toks) AS nt FROM t WHERE len(toks) > 0
+    ),
+    nc AS (
+        SELECT doc_id, toks, nt,
+               CASE WHEN nt <= {_CHUNK_SIZE} THEN 1
+                    ELSE CAST(((nt - {_CHUNK_SIZE} + {_CHUNK_STRIDE - 1})
+                               - ((nt - {_CHUNK_SIZE} + {_CHUNK_STRIDE - 1})
+                                  % {_CHUNK_STRIDE}))
+                              / {_CHUNK_STRIDE} AS INT) + 1 END AS n_chunks
+        FROM tt
+    ),
+    ch AS (
+        SELECT doc_id,
+               CAST(k AS INT) AS chunk_idx,
+               CAST(k * {_CHUNK_STRIDE} AS INT) AS start_tok,
+               list_slice(toks, k * {_CHUNK_STRIDE} + 1,
+                          k * {_CHUNK_STRIDE} + {_CHUNK_SIZE}) AS win
+        FROM nc, unnest(generate_series(0, n_chunks - 1)) u(k)
+    ),
+    chh AS (
+        SELECT doc_id, chunk_idx, start_tok,
+               CAST(len(win) AS INT) AS n_tokens,
+               md5(array_to_string(win, ' ')) AS chunk_hash
+        FROM ch
+    )"""
+
+
+def _store_agg_oracle(pred: str) -> str:
+    return f"""
+    WITH {_chunk_rows_cte(pred)}
+    SELECT CAST(CAST(('0x' || substring(chunk_hash, 1, 4)) AS BIGINT)
+                % {N_CHUNK_BUCKETS} AS INT) AS part,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CAST(('0x' || substring(chunk_hash, 1, 8)) AS BIGINT))
+                AS BIGINT) AS hash_sum,
+           CAST(SUM(doc_id) AS BIGINT) AS doc_sum,
+           CAST(SUM(start_tok) AS BIGINT) AS start_sum,
+           CAST(SUM(n_tokens) AS BIGINT) AS tok_sum
+    FROM chh GROUP BY 1
+    """
+
+
+_CHUNK_STORE_BUILD_ORACLE = _store_agg_oracle("doc_id % 3 != 0")
+_CHUNK_STORE_APPEND_ORACLE = _store_agg_oracle("TRUE")
+
+
+def chunk_store_build_roundtrip(spark, sf_dir):
+    """Build the chunk store on 2/3 of the corpus into a FRESH dir and
+    aggregate the read-back relation per persisted bucket — the oracle
+    recomputes the same checksums from the chunk CTE chain, so the
+    hash compare proves every window boundary, every chunk hash, AND
+    the md5-prefix partition layout."""
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 != 0)
+    out = build_chunk_store(
+        spark, docs, tempfile.mkdtemp(prefix="chunk_store_build_")
+    )
+    return _store_aggregate(spark, out)
+
+
+def chunk_store_append_roundtrip(spark, sf_dir):
+    """Build on 2/3 of the corpus, append the remaining 1/3, aggregate
+    the read-back store. The oracle is the FULL-CORPUS aggregation —
+    append ≡ rebuild, proven value-exactly (a drifted size/stride or a
+    batch landing unpartitioned fails the hash)."""
+    docs = table(spark, sf_dir, "documents")
+    out = build_chunk_store(
+        spark,
+        docs.where(F.col("doc_id") % 3 != 0),
+        tempfile.mkdtemp(prefix="chunk_store_append_"),
+    )
+    append_to_chunk_store(spark, docs.where(F.col("doc_id") % 3 == 0), out)
+    return _store_aggregate(spark, out)
+
+
+def chunk_boilerplate_served(spark, sf_dir):
+    """The chunk-grain boilerplate report (chunk hashes shared by >= 2
+    distinct documents) served from the PERSISTED chunk store: a bare
+    store scan + one md5-sized aggregate — no tokenize, no chunk
+    explode anywhere in the plan (plan-pinned in the stage-gate).
+    Shares ``chunk_boilerplate_windows``' oracle: the store holds the
+    full corpus's chunks, so serve ≡ inline by construction."""
+    store = served_chunk_store_dir(spark, sf_dir)
+    ch = read_chunk_store(spark, store)
+    return (
+        ch.groupBy("chunk_hash")
+        .agg(
+            F.count_distinct(F.col("doc_id")).cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.min("doc_id").cast("bigint").alias("exemplar_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-grain hashed-TF retrieval: the chunk → vector → top-k
+# composition. Exact-integer similarity core:
+#   dot(q, c)   = Σ_b tf_q(b) · tf_c(b)          (BIGINT, exact)
+#   ‖x‖²        = Σ_b tf_x(b)²                   (BIGINT, exact)
+#   cos(q, c)   = dot / sqrt(double(‖q‖²·‖c‖²))  (ONE double division)
+# tf ≤ 64 per bucket ⇒ ‖x‖² ≤ 64·64² = 262 144 and the norm product
+# ≤ 6.9e10 — comfortably inside int64/double-exact range, so the
+# doubles are bit-equal across engines and rank order needs only the
+# explicit (cos DESC, cid, cidx) tiebreak, no rounding contract.
+
+_KNN_QPRED = "doc_id % 97 = 0"
+_KNN_TOPK = 3
+
+_CHUNK_TF_KNN_ORACLE = f"""
+    WITH {_chunk_rows_cte("TRUE")},
+    win_rows AS (
+        SELECT doc_id, chunk_idx, unnest(win) AS tok FROM ch
+    ),
+    tf AS (
+        SELECT doc_id, chunk_idx,
+               CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT)
+                    % {_CFH_DIM} AS INT) AS bucket,
+               COUNT(*) AS tf
+        FROM win_rows GROUP BY doc_id, chunk_idx, 3
+    ),
+    n2 AS (
+        SELECT doc_id, chunk_idx, SUM(tf * tf) AS n2
+        FROM tf GROUP BY doc_id, chunk_idx
+    ),
+    dots AS (
+        SELECT q.doc_id AS qid, q.chunk_idx AS qidx,
+               c.doc_id AS cid, c.chunk_idx AS cidx,
+               SUM(q.tf * c.tf) AS dot
+        FROM tf q JOIN tf c ON q.bucket = c.bucket
+        WHERE q.{_KNN_QPRED} AND NOT c.{_KNN_QPRED}
+        GROUP BY 1, 2, 3, 4
+    ),
+    scored AS (
+        SELECT d.qid, d.qidx, d.cid, d.cidx, CAST(d.dot AS BIGINT) AS dot,
+               CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.n2 * nc.n2 AS DOUBLE))
+                   AS cos_sim
+        FROM dots d
+        JOIN n2 nq ON nq.doc_id = d.qid AND nq.chunk_idx = d.qidx
+        JOIN n2 nc ON nc.doc_id = d.cid AND nc.chunk_idx = d.cidx
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY qid, qidx
+                                     ORDER BY cos_sim DESC, cid, cidx) AS rn
+        FROM scored
+    )
+    SELECT qid, qidx, cid, cidx, dot, cos_sim, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= {_KNN_TOPK}
+"""
+
+
+def chunk_tf_knn(spark, sf_dir):
+    """Top-{_KNN_TOPK} most-similar corpus chunks per query chunk
+    (query docs: {_KNN_QPRED}) under hashed-TF cosine. The query side
+    is bounded by the serving batch (a handful of docs' chunks) and
+    broadcast into the bucket join; the corpus side is ONE linear
+    tf-build scan — the brute-force serving baseline, the ANN store
+    tier being the large-batch scale path."""
+    docs = table(spark, sf_dir, "documents")
+    toks = chunk_token_rows(
+        docs, "doc_id", "text", size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint") % _CFH_DIM
+    ).cast("int")
+    tf = (
+        toks.select("doc_id", "chunk_idx", bucket.alias("bucket"))
+        .groupBy("doc_id", "chunk_idx", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n2 = tf.groupBy("doc_id", "chunk_idx").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("n2")
+    )
+    qpred = F.col("doc_id") % 97 == 0
+    # query side: bounded by the serving batch — explicit broadcast
+    # (boundedness argued here, not inferred; the corpus side stays a
+    # single partitioned scan)
+    tfq = tf.where(qpred).select(
+        F.col("doc_id").alias("qid"),
+        F.col("chunk_idx").alias("qidx"),
+        "bucket",
+        F.col("tf").alias("tfq"),
+    )
+    n2q = n2.where(qpred).select(
+        F.col("doc_id").alias("qid"),
+        F.col("chunk_idx").alias("qidx"),
+        F.col("n2").alias("n2q"),
+    )
+    tfc = tf.where(~qpred).select(
+        F.col("doc_id").alias("cid"),
+        F.col("chunk_idx").alias("cidx"),
+        "bucket",
+        F.col("tf").alias("tfc"),
+    )
+    n2c = n2.where(~qpred).select(
+        F.col("doc_id").alias("cid"),
+        F.col("chunk_idx").alias("cidx"),
+        F.col("n2").alias("n2c"),
+    )
+    dots = (
+        tfc.join(F.broadcast(tfq), "bucket")
+        .groupBy("qid", "qidx", "cid", "cidx")
+        .agg(F.sum(F.col("tfq") * F.col("tfc")).alias("dot"))
+    )
+    scored = (
+        dots.join(F.broadcast(n2q), ["qid", "qidx"])
+        .join(n2c.hint("merge"), ["cid", "cidx"])
+        .select(
+            "qid",
+            "qidx",
+            "cid",
+            "cidx",
+            F.col("dot").cast("long").alias("dot"),
+            (
+                F.col("dot").cast("double")
+                / F.sqrt((F.col("n2q") * F.col("n2c")).cast("double"))
+            ).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid", "qidx").orderBy(
+        F.desc("cos_sim"), F.asc("cid"), F.asc("cidx")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _KNN_TOPK)
+        .select("qid", "qidx", "cid", "cidx", "dot", "cos_sim", "rn")
+    )
