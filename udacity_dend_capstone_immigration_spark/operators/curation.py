@@ -236,6 +236,7 @@ def chunk_documents(
     text_col: str,
     size: int = 64,
     stride: int = 48,
+    with_text: bool = False,
 ) -> DataFrame:
     """Overlapping token-window CHUNKS — the retrieval-prep operator
     (RAG corpora chunk before embedding/indexing; size/stride in the
@@ -271,13 +272,21 @@ def chunk_documents(
         F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
     )
     win = F.slice("_t", F.col("chunk_idx") * stride + 1, size)
-    return ex.select(
+    cols = [
         F.col(id_col),
         F.col("chunk_idx"),
         (F.col("chunk_idx") * stride).cast("int").alias("start_tok"),
         F.size(win).cast("int").alias("n_tokens"),
         F.md5(F.concat_ws(" ", win)).alias("chunk_hash"),
-    )
+    ]
+    if with_text:
+        # the joined window body, for consumers that vectorize chunk
+        # CONTENT in an Arrow stage (chunk_tf_knn); tokens contain no
+        # spaces, so `.split(' ')` round-trips the token list exactly.
+        # Default off: the registered chunking queries shuffle hashes,
+        # never bodies.
+        cols.append(F.concat_ws(" ", win).alias("win_text"))
+    return ex.select(*cols)
 
 
 def chunk_token_rows(
