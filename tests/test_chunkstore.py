@@ -88,3 +88,66 @@ def test_chunk_tf_knn_stage_gate(spark):
         assert len(rows) <= _KNN_TOPK
         coses = [c for _, c in rows]
         assert coses == sorted(coses, reverse=True)
+
+
+def test_chunk_store_delete_roundtrip_stage_gate(spark):
+    """Delete ≡ rebuild-without: build(full) → tombstone → fold →
+    served aggregate matches the from-scratch oracle on the surviving
+    corpus."""
+    from udacity_dend_capstone_immigration_spark.workload.chunkstore import (
+        _CHUNK_STORE_DELETE_ORACLE,
+        chunk_store_delete_roundtrip,
+    )
+
+    got = sorted(map(tuple, chunk_store_delete_roundtrip(spark, SF).collect()))
+    want = sorted(map(tuple, _oracle_rows(_CHUNK_STORE_DELETE_ORACLE)))
+    assert got == want
+
+
+def test_chunk_store_tombstone_serve_equals_fold_and_plan_noop(spark):
+    """(a) before any delete, the served read is a BARE store scan (no
+    anti-join in the plan); (b) tombstone-serve ≡ post-fold serve,
+    row-for-row; (c) fold is idempotent (second run is a no-op); (d) a
+    purge that empties every partition drops the directories and a
+    stage orphan from a torn run is cleared."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from udacity_dend_capstone_immigration_spark.workload import chunkstore as C
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(40)
+    store = C.build_chunk_store(
+        spark, docs, tempfile.mkdtemp(prefix="chunk_store_t_")
+    )
+    plan = (
+        C.read_chunk_store_served(spark, store)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan  # (a) no tombstone table -> plan no-op
+
+    dead = docs.where(F.col("doc_id") % 3 == 0).select("doc_id")
+    C.delete_docs_from_chunk_store(spark, store, dead)
+    served_before = sorted(
+        map(tuple, C.read_chunk_store_served(spark, store).collect())
+    )
+    # (d-pre) torn-run stage orphan must not break the fold
+    os.makedirs(f"{store}/_fold_stage/h_pt=junk", exist_ok=True)
+    C.fold_chunk_store_tombstones(spark, store)
+    assert not os.path.isdir(f"{store}/_fold_stage")
+    assert not os.path.isdir(f"{store}/deleted_docs")
+    served_after = sorted(
+        map(tuple, C.read_chunk_store_served(spark, store).collect())
+    )
+    assert served_before == served_after  # (b)
+    C.fold_chunk_store_tombstones(spark, store)  # (c) no-op, no raise
+    assert sorted(
+        map(tuple, C.read_chunk_store_served(spark, store).collect())
+    ) == served_after
+
+    # (d) deleting EVERY remaining doc empties and drops all partitions
+    C.delete_docs_from_chunk_store(spark, store, docs.select("doc_id"))
+    C.fold_chunk_store_tombstones(spark, store)
+    parts = [p for p in os.listdir(f"{store}/chunks") if p.startswith("h_pt=")]
+    assert parts == []

@@ -118,6 +118,86 @@ def read_chunk_store(spark: SparkSession, store_dir: str) -> DataFrame:
     return spark.read.parquet(f"{store_dir}/chunks")
 
 
+def delete_docs_from_chunk_store(
+    spark: SparkSession, store_dir: str, doc_ids: DataFrame
+) -> None:
+    """Right-to-be-forgotten at chunk grain: land the doc ids in a
+    tombstone table (O(batch) — no store rewrite on the delete path).
+    Serving reads go through :func:`read_chunk_store_served`, whose
+    anti-join is a plan no-op while no delete has ever landed (the
+    `apply_tombstones` discipline); the physical purge is
+    :func:`fold_chunk_store_tombstones`, run at maintenance cadence."""
+    write_table(
+        doc_ids.select(F.col(doc_ids.columns[0]).cast("long").alias("doc_id")),
+        f"{store_dir}/deleted_docs",
+        mode="append",
+    )
+
+
+def read_chunk_store_served(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The serving view: chunks minus tombstoned documents. When the
+    tombstone table is ABSENT (the common case), the plan is a bare
+    store scan — pinned serving plans stay unchanged until a delete
+    actually lands."""
+    ch = read_chunk_store(spark, store_dir)
+    if not os.path.isdir(f"{store_dir}/deleted_docs"):
+        return ch
+    dead = spark.read.parquet(f"{store_dir}/deleted_docs").select("doc_id")
+    return ch.join(dead, "doc_id", "left_anti")
+
+
+def fold_chunk_store_tombstones(spark: SparkSession, store_dir: str) -> None:
+    """Physically purge tombstoned documents. The relation is
+    hash-partitioned (h_pt from the chunk hash), so a deleted doc's
+    chunks scatter — but only across min(its chunk count, n_buckets)
+    partitions: the affected h_pt list is computed from the tombstone
+    semi-join and COLLECTED (≤ n_buckets values, the eager-decision
+    contract), each affected partition is rewritten minus the dead
+    docs via its own staged overwrite, and a partition the purge
+    EMPTIES is dropped explicitly (dynamic partition overwrite only
+    replaces partitions PRESENT in the written data — the CLAUDE.md
+    resurrection rule). Tombstones retire with the fold."""
+    import shutil
+
+    if not os.path.isdir(f"{store_dir}/deleted_docs"):
+        return
+    # crash ordering (idempotent, marker-free): stage EVERY affected
+    # partition's survivors OUTSIDE chunks/ first, then swap each, then
+    # retire the tombstones LAST — a crash anywhere leaves tombstones
+    # in place, so a re-run re-folds from scratch (stage orphans from
+    # the torn run are cleared here; already-swapped partitions simply
+    # have no dead rows left and drop out of the affected list).
+    stage_root = f"{store_dir}/_fold_stage"
+    shutil.rmtree(stage_root, ignore_errors=True)
+    dead = spark.read.parquet(f"{store_dir}/deleted_docs").select("doc_id").distinct()
+    ch = read_chunk_store(spark, store_dir)
+    affected = sorted(
+        r["h_pt"]
+        for r in ch.join(dead, "doc_id", "left_semi")
+        .select("h_pt")
+        .distinct()
+        .collect()
+    )
+    swaps = []
+    for pt in affected:
+        part_dir = f"{store_dir}/chunks/h_pt={pt}"
+        survivors = spark.read.parquet(part_dir).join(dead, "doc_id", "left_anti")
+        stage_dir = f"{stage_root}/h_pt={pt}"
+        if survivors.limit(1).count():
+            survivors.write.mode("overwrite").parquet(stage_dir)
+            swaps.append((stage_dir, part_dir))
+        else:
+            # purge EMPTIES the partition: drop the directory outright
+            # (dynamic partition overwrite would resurrect stale files)
+            swaps.append((None, part_dir))
+    for stage_dir, part_dir in swaps:
+        shutil.rmtree(part_dir)
+        if stage_dir is not None:
+            os.rename(stage_dir, part_dir)
+    shutil.rmtree(stage_root, ignore_errors=True)
+    shutil.rmtree(f"{store_dir}/deleted_docs")
+
+
 #: (sf_dir, corpus fingerprint) -> built store dir; the serve twins
 #: measure SERVE latency, not the build (the served_index_dir pattern).
 _SERVED_CHUNKS: dict = {}
@@ -146,8 +226,14 @@ def served_chunk_store_dir(spark: SparkSession, sf_dir: str) -> str:
 # wrong value (the dedupstore _index_aggregate discipline).
 
 
-def _store_aggregate(spark: SparkSession, store_dir: str) -> DataFrame:
-    ch = read_chunk_store(spark, store_dir)
+def _store_aggregate(
+    spark: SparkSession, store_dir: str, served: bool = False
+) -> DataFrame:
+    ch = (
+        read_chunk_store_served(spark, store_dir)
+        if served
+        else read_chunk_store(spark, store_dir)
+    )
     return ch.groupBy(F.col("h_pt").cast("int").alias("part")).agg(
         F.count(F.lit(1)).cast("long").alias("n_chunks"),
         F.sum(_h8_spark(F.col("chunk_hash"))).cast("long").alias("hash_sum"),
@@ -239,6 +325,30 @@ def chunk_store_append_roundtrip(spark, sf_dir):
     )
     append_to_chunk_store(spark, docs.where(F.col("doc_id") % 3 == 0), out)
     return _store_aggregate(spark, out)
+
+
+_CHUNK_STORE_DELETE_ORACLE = _store_agg_oracle("doc_id % 7 != 0")
+
+
+def chunk_store_delete_roundtrip(spark, sf_dir):
+    """Full-corpus build → tombstone delete of every doc_id%7==0 doc →
+    physical fold → per-persisted-bucket aggregate of the SERVED view.
+    The oracle is the from-scratch rebuild WITHOUT the deleted docs,
+    so the hash compare proves the tombstone semantics, the partition-
+    local purge, AND that the fold retired the tombstone table (a
+    surviving tombstone row would re-drop nothing here, but a missed
+    purge row or a resurrected stale file fails the checksums).
+    Serve ≡ fold equality and the empty-partition drop are unit-pinned
+    in tests/test_chunkstore.py."""
+    docs = table(spark, sf_dir, "documents")
+    out = build_chunk_store(
+        spark, docs, tempfile.mkdtemp(prefix="chunk_store_del_")
+    )
+    delete_docs_from_chunk_store(
+        spark, out, docs.where(F.col("doc_id") % 7 == 0).select("doc_id")
+    )
+    fold_chunk_store_tombstones(spark, out)
+    return _store_aggregate(spark, out, served=True)
 
 
 def chunk_boilerplate_served(spark, sf_dir):
