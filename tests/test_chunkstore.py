@@ -151,3 +151,77 @@ def test_chunk_store_tombstone_serve_equals_fold_and_plan_noop(spark):
     C.fold_chunk_store_tombstones(spark, store)
     parts = [p for p in os.listdir(f"{store}/chunks") if p.startswith("h_pt=")]
     assert parts == []
+
+
+def test_documents_stream_chunk_append_stage_gate(spark):
+    """Streamed landing ≡ from-scratch rebuild on the union (shares
+    the batch append oracle), and a REPLAYED wave (same checkpoint,
+    fresh delta landing dirs wiped) does not duplicate rows — the
+    lineage-addressed batch_pt overwrite contract."""
+    from udacity_dend_capstone_immigration_spark.workload.chunkstore import (
+        _CHUNK_STORE_APPEND_ORACLE,
+        documents_stream_chunk_append,
+    )
+
+    got = sorted(
+        map(tuple, documents_stream_chunk_append(spark, SF).collect())
+    )
+    want = sorted(map(tuple, _oracle_rows(_CHUNK_STORE_APPEND_ORACLE)))
+    assert got == want
+
+
+def test_stream_chunk_append_replay_and_fold(spark):
+    """Replaying the SAME wave through a FRESH checkpoint (the
+    double-ingestion hazard) lands a second lineage — then the delta
+    fold compacts main ∪ delta without loss; a dead-doc tombstone
+    pending during the fold cannot resurrect from the delta."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from udacity_dend_capstone_immigration_spark.workload import chunkstore as C
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    store = C.build_chunk_store(
+        spark,
+        docs.where(F.col("doc_id") % 3 != 0),
+        tempfile.mkdtemp(prefix="chunk_stream_t_"),
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF)
+        .where(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "text")
+    )
+    ck = tempfile.mkdtemp(prefix="ck_chunk_replay_")
+    C.stream_append_to_chunk_store(spark, stream, store, ck)
+    n1 = C.read_chunk_store(spark, store).count()
+    # replay through the SAME checkpoint: availableNow re-run consumes
+    # nothing new; even if it re-fired, the lineage-addressed overwrite
+    # would land on itself — count unchanged
+    C.stream_append_to_chunk_store(spark, stream, store, ck)
+    assert C.read_chunk_store(spark, store).count() == n1
+
+    # tombstone a streamed doc while its rows still sit in the DELTA,
+    # then fold tombstones: the delta must fold first or the dead rows
+    # resurrect
+    dead_id = 3  # doc_id 3 streams in (3 % 3 == 0)
+    C.delete_docs_from_chunk_store(
+        spark, store, spark.createDataFrame([(dead_id,)], "doc_id long")
+    )
+    C.fold_chunk_store_tombstones(spark, store)
+    assert not os.path.isdir(f"{store}/chunks_delta")
+    after = C.read_chunk_store(spark, store)
+    assert after.where(F.col("doc_id") == dead_id).count() == 0
+    from udacity_dend_capstone_immigration_spark.operators.curation import (
+        chunk_documents,
+    )
+
+    dead_chunks = chunk_documents(
+        docs.where(F.col("doc_id") == dead_id), "doc_id", "text"
+    ).count()
+    assert dead_chunks > 0 and after.count() == n1 - dead_chunks

@@ -114,8 +114,87 @@ def append_to_chunk_store(
     write_table(ch, f"{store_dir}/chunks", partition_by=["h_pt"], mode="append")
 
 
+#: the chunk relation's data columns (h_pt rides as the partition key)
+_CHUNK_COLS = ("doc_id", "chunk_idx", "start_tok", "n_tokens", "chunk_hash", "h_pt")
+
+
 def read_chunk_store(spark: SparkSession, store_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{store_dir}/chunks")
+    """The full chunk relation: main ∪ pending streamed delta batches
+    (both partition-prunable on h_pt; the delta's extra batch_pt key is
+    projected away). With no delta on disk this is a bare main scan."""
+    main = spark.read.parquet(f"{store_dir}/chunks")
+    delta_dir = f"{store_dir}/chunks_delta"
+    if not os.path.isdir(delta_dir):
+        return main
+    delta = spark.read.parquet(delta_dir).select(*_CHUNK_COLS)
+    return main.select(*_CHUNK_COLS).unionByName(delta)
+
+
+def stream_append_to_chunk_store(
+    spark: SparkSession,
+    stream_docs: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+) -> None:
+    """Drain a (doc_id, text, ...) document STREAM into the chunk
+    store's delta with exactly-once semantics. NEVER a plain append
+    from foreachBatch (replay duplicates — the CLAUDE.md rule): each
+    micro-batch OVERWRITES its own lineage-addressed
+    ``batch_pt={lineage}-{batch_id}`` directory, so a replayed batch
+    lands on itself. Chunking params come from meta/ (the frozen-
+    parameter append contract); serving reads main ∪ delta until
+    :func:`fold_chunk_store_delta` compacts."""
+    import hashlib
+
+    from udacity_dend_capstone_immigration_spark.streaming.windows import (
+        _await_or_raise,
+    )
+
+    size, stride, n_buckets = _read_meta(spark, store_dir)
+    # batch_id restarts at 0 per checkpoint lineage; namespace the
+    # partition value by the checkpoint identity so a second ingestion
+    # wave cannot overwrite wave 1's batch_pt=0 (the vectors pattern)
+    lineage = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+
+    def write_batch(df, batch_id: int) -> None:
+        ch = chunk_documents(df, "doc_id", "text", size=size, stride=stride)
+        ch = ch.withColumn("h_pt", _hex_bucket(F.col("chunk_hash"), n_buckets))
+        (
+            ch.repartition(F.col("h_pt"))  # one file per touched bucket
+            .write.mode("overwrite")
+            .partitionBy("h_pt")
+            .parquet(f"{store_dir}/chunks_delta/batch_pt={lineage}-{batch_id}")
+        )
+
+    q = (
+        stream_docs.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    _await_or_raise(q, timeout_sec, f"chunk_store_append:{store_dir}")
+
+
+def fold_chunk_store_delta(spark: SparkSession, store_dir: str) -> bool:
+    """Minor compaction: fold pending delta batches into the main
+    partitioned relation (one batch append — rows were bucket-assigned
+    at ingest) and drop the delta. Returns whether a delta existed.
+    Crash caveat (shared with the ANN stores' fold_index_delta): the
+    fold APPENDS before it deletes, so a crash between the two leaves
+    rows duplicated across main+delta — production wraps this in the
+    WAP pointer pattern or serves main ∪ delta until a quiet window."""
+    import shutil
+
+    delta_dir = f"{store_dir}/chunks_delta"
+    if not os.path.isdir(delta_dir):
+        return False
+    rows = spark.read.parquet(delta_dir).select(*_CHUNK_COLS)
+    write_table(
+        rows, f"{store_dir}/chunks", partition_by=["h_pt"], mode="append"
+    )
+    shutil.rmtree(delta_dir, ignore_errors=True)
+    return True
 
 
 def delete_docs_from_chunk_store(
@@ -167,6 +246,10 @@ def fold_chunk_store_tombstones(spark: SparkSession, store_dir: str) -> None:
     # in place, so a re-run re-folds from scratch (stage orphans from
     # the torn run are cleared here; already-swapped partitions simply
     # have no dead rows left and drop out of the affected list).
+    # pending streamed delta first: the tombstone purge rewrites MAIN
+    # partitions only, and tombstones retire at the end — a dead doc
+    # still sitting in an unfolded delta would silently resurrect
+    fold_chunk_store_delta(spark, store_dir)
     stage_root = f"{store_dir}/_fold_stage"
     shutil.rmtree(stage_root, ignore_errors=True)
     dead = spark.read.parquet(f"{store_dir}/deleted_docs").select("doc_id").distinct()
@@ -324,6 +407,36 @@ def chunk_store_append_roundtrip(spark, sf_dir):
         tempfile.mkdtemp(prefix="chunk_store_append_"),
     )
     append_to_chunk_store(spark, docs.where(F.col("doc_id") % 3 == 0), out)
+    return _store_aggregate(spark, out)
+
+
+def documents_stream_chunk_append(spark, sf_dir):
+    """Streaming corpus ingestion with live chunk-store maintenance:
+    build on 2/3 of the corpus, drain the remaining 1/3 as a document
+    STREAM through :func:`stream_append_to_chunk_store` (exactly-once,
+    lineage-addressed delta batches), then aggregate the main ∪ delta
+    serving view. SHARES the batch append roundtrip's FULL-REBUILD
+    oracle — the hash compare proves the streamed landing is value-
+    equal to a from-scratch rebuild on the union, the same guarantee
+    the dedup and ANN stores' streaming twins carry."""
+    docs = table(spark, sf_dir, "documents")
+    out = build_chunk_store(
+        spark,
+        docs.where(F.col("doc_id") % 3 != 0),
+        tempfile.mkdtemp(prefix="chunk_store_stream_"),
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .where(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "text")
+    )
+    stream_append_to_chunk_store(
+        spark, stream, out, tempfile.mkdtemp(prefix="ck_chunk_append_")
+    )
     return _store_aggregate(spark, out)
 
 
