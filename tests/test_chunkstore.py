@@ -225,3 +225,50 @@ def test_stream_chunk_append_replay_and_fold(spark):
         docs.where(F.col("doc_id") == dead_id), "doc_id", "text"
     ).count()
     assert dead_chunks > 0 and after.count() == n1 - dead_chunks
+
+
+def test_chunk_maintenance_policy(spark):
+    """Metadata-only trigger: quiet store not due; 4 pending streamed
+    batches -> due -> run folds the delta; a pending tombstone -> due
+    -> run folds tombstones (and the delta with them)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from udacity_dend_capstone_immigration_spark.workload import chunkstore as C
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(30)
+    store = C.build_chunk_store(
+        spark, docs.where(F.col("doc_id") % 2 == 0),
+        tempfile.mkdtemp(prefix="chunk_maint_t_"),
+    )
+    assert C.chunk_maintenance_due(store)["due"] is False
+    assert C.run_chunk_maintenance(spark, store) is False
+
+    # land 4 delta batches (one per doc wave) via the streaming writer
+    # contract's layout — write them directly, batch-addressed
+    odd = docs.where(F.col("doc_id") % 2 == 1)
+    for i in range(4):
+        wave = odd.where(F.col("doc_id") % 4 == (2 * i + 1) % 4)
+        ch = C.chunk_documents(wave, "doc_id", "text").withColumn(
+            "h_pt", C._hex_bucket(F.col("chunk_hash"), C.N_CHUNK_BUCKETS)
+        )
+        ch.write.mode("overwrite").partitionBy("h_pt").parquet(
+            f"{store}/chunks_delta/batch_pt=t-{i}"
+        )
+    rep = C.chunk_maintenance_due(store)
+    assert rep["due"] and rep["pending_batches"] == 4
+    n_before = C.read_chunk_store(spark, store).count()
+    assert C.run_chunk_maintenance(spark, store) is True
+    assert not os.path.isdir(f"{store}/chunks_delta")
+    assert C.read_chunk_store(spark, store).count() == n_before
+
+    C.delete_docs_from_chunk_store(
+        spark, store, docs.limit(3).select("doc_id")
+    )
+    rep = C.chunk_maintenance_due(store)
+    assert rep["due"] and rep["pending_tombstones"]
+    assert C.run_chunk_maintenance(spark, store) is True
+    assert not os.path.isdir(f"{store}/deleted_docs")
+    assert C.chunk_maintenance_due(store)["due"] is False

@@ -440,6 +440,39 @@ def documents_stream_chunk_append(spark, sf_dir):
     return _store_aggregate(spark, out)
 
 
+# --- maintenance trigger (the vectors.maintenance_due twin for this
+# store): pure filesystem-metadata decision, pollable per ingest batch
+# for free. Unit = PENDING BATCHES (batch_pt= dirs), same calibration
+# rationale as the ANN/dedup policies. Doc tombstones drive `due` like
+# the dedup store's (the fold applies them physically).
+def chunk_maintenance_due(store_dir: str, min_delta_batches: int = 4) -> dict:
+    from udacity_dend_capstone_immigration_spark.workload.vectors import (
+        _pending_batches,
+    )
+
+    n = _pending_batches(f"{store_dir}/chunks_delta")
+    tomb = os.path.isdir(f"{store_dir}/deleted_docs")
+    return {
+        "due": n >= min_delta_batches or tomb,
+        "pending_batches": n,
+        "pending_tombstones": tomb,
+    }
+
+
+def run_chunk_maintenance(spark: SparkSession, store_dir: str, **thresholds) -> bool:
+    """Fold when due (tombstone fold subsumes the delta fold — it
+    folds the delta first; a delta-only trigger runs just the minor
+    compaction); returns whether anything ran."""
+    report = chunk_maintenance_due(store_dir, **thresholds)
+    if not report["due"]:
+        return False
+    if report["pending_tombstones"]:
+        fold_chunk_store_tombstones(spark, store_dir)
+    else:
+        fold_chunk_store_delta(spark, store_dir)
+    return True
+
+
 _CHUNK_STORE_DELETE_ORACLE = _store_agg_oracle("doc_id % 7 != 0")
 
 
