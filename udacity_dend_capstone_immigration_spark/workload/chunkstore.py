@@ -636,6 +636,11 @@ def chunk_tf_knn(spark, sf_dir):
         .agg(F.collect_list("tok").alias("toks"))
         .collect()
     )
+    if not q_rows:  # empty serving batch: empty result, stable schema
+        return spark.createDataFrame(
+            [], "qid long, qidx int, cid long, cidx int, dot long, "
+                "cos_sim double, rn int"
+        )
     memo0: dict = {}
     q_keys = sorted((int(r["doc_id"]), int(r["chunk_idx"])) for r in q_rows)
     key_to_toks = {

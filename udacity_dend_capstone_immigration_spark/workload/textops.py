@@ -2818,9 +2818,16 @@ def doc_unique_chunk_ratio(spark, sf_dir):
     )
 
     docs = table(spark, sf_dir, "documents")
+    # the chunk roll feeds TWO subtrees (hash-df aggregate + join-back);
+    # ReuseExchange does not fire across them, so without a barrier the
+    # tokenize+explode chunk build executes twice. Its rows are SMALL
+    # (doc_id + md5, ~1.4×|docs|) — the eligible case for a lazy
+    # localCheckpoint per the shared-subtree rule (this is NOT the
+    # banned uncapped grouped-list materialization). A/B at the 100×
+    # corpus (r16): re-scan min 10.6s vs checkpointed min 1.8s.
     ch = chunk_documents(
         docs, "doc_id", "text", size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
-    ).select("doc_id", "chunk_hash")
+    ).select("doc_id", "chunk_hash").localCheckpoint(eager=False)
     # merge hint: the hash-df aggregate is downstream of the chunk
     # explode, so Catalyst's estimate is blind to its true size — it
     # scales with DISTINCT WINDOWS (SF-scaling); a static broadcast
