@@ -272,3 +272,19 @@ def test_chunk_maintenance_policy(spark):
     assert C.run_chunk_maintenance(spark, store) is True
     assert not os.path.isdir(f"{store}/deleted_docs")
     assert C.chunk_maintenance_due(store)["due"] is False
+
+
+def test_doc_unique_chunk_ratio_served_stage_gate(spark):
+    """Serve ≡ inline for the novelty signal (shares the registered
+    oracle), and the serve plan never re-chunks (no Generate)."""
+    from udacity_dend_capstone_immigration_spark.workload import ORACLES
+    from udacity_dend_capstone_immigration_spark.workload.chunkstore import (
+        doc_unique_chunk_ratio_served,
+    )
+
+    df = doc_unique_chunk_ratio_served(spark, SF)
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, _oracle_rows(ORACLES["doc_unique_chunk_ratio"])))
+    assert got == want
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan

@@ -517,6 +517,38 @@ def chunk_boilerplate_served(spark, sf_dir):
     )
 
 
+def doc_unique_chunk_ratio_served(spark, sf_dir):
+    """The per-doc novelty signal (`doc_unique_chunk_ratio`) served
+    from the PERSISTED chunk store: no tokenize, no chunk explode — a
+    bare store scan feeds the hash-df aggregate and the join-back
+    (Generate-free, gate-pinned). Shares the inline query's oracle:
+    the store holds the full corpus's chunks, so serve ≡ inline by
+    construction. At a 100 TB corpus this turns the quality signal's
+    marginal cost from a corpus re-chunk into two md5-sized exchanges
+    over the store."""
+    store = served_chunk_store_dir(spark, sf_dir)
+    ch = read_chunk_store_served(spark, store).select("doc_id", "chunk_hash")
+    df_tbl = (
+        ch.groupBy("chunk_hash")
+        .agg(F.count_distinct(F.col("doc_id")).alias("n_docs"))
+        .hint("merge")
+    )
+    return (
+        ch.join(df_tbl, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.count(F.when(F.col("n_docs") == 1, 1))
+            .cast("bigint")
+            .alias("n_unique"),
+        )
+        .withColumn(
+            "unique_ratio",
+            F.col("n_unique").cast("double") / F.col("n_chunks").cast("double"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Chunk-grain hashed-TF retrieval: the chunk → vector → top-k
 # composition. Exact-integer similarity core:
