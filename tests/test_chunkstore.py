@@ -288,3 +288,92 @@ def test_doc_unique_chunk_ratio_served_stage_gate(spark):
     assert got == want
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Generate" not in plan
+
+
+def test_chunk_grid_exhaustive_vs_reference(spark):
+    """Exhaustive window-grid check: for every token count 0..40 and a
+    spread of (size, stride) configs (shorter-than-window, exact
+    multiples, overlap, stride==size, stride 1), chunk_documents must
+    equal a direct Python reference — every boundary, every tail, and
+    the no-fully-redundant-tail rule. One Spark job per config."""
+    import hashlib
+
+    from udacity_dend_capstone_immigration_spark.operators.curation import (
+        chunk_documents,
+    )
+
+    def reference(toks, size, stride):
+        if not toks:
+            return {}
+        nt = len(toks)
+        n_chunks = 1 if nt <= size else -(-(nt - size) // stride) + 1
+        out = {}
+        for k in range(n_chunks):
+            win = toks[k * stride : k * stride + size]
+            out[k] = (
+                k * stride,
+                len(win),
+                hashlib.md5(" ".join(win).encode()).hexdigest(),
+            )
+        return out
+
+    docs = [
+        (n, " ".join(f"t{i}" for i in range(n))) for n in range(0, 41)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for size, stride in [(8, 5), (6, 6), (5, 3), (4, 1), (64, 48), (3, 2)]:
+        rows = chunk_documents(
+            df, "doc_id", "text", size=size, stride=stride
+        ).collect()
+        got = {}
+        for r in rows:
+            got.setdefault(r["doc_id"], {})[r["chunk_idx"]] = (
+                r["start_tok"],
+                r["n_tokens"],
+                r["chunk_hash"],
+            )
+        for n, text in docs:
+            want = reference(text.split() if text else [], size, stride)
+            assert got.get(n, {}) == want, (size, stride, n)
+            # coverage + no-redundant-tail invariants from the reference
+            if want:
+                covered = set()
+                for k, (st, ln, _h) in want.items():
+                    covered.update(range(st, st + ln))
+                assert covered == set(range(n))
+                last = max(want)
+                if last > 0:
+                    # the final window adds at least one NEW token
+                    prev_end = (last - 1) * stride + min(size, n - (last - 1) * stride)
+                    assert last * stride + want[last][1] > prev_end
+
+
+def test_chunk_batch_novelty_report_stage_gate(spark):
+    """r18 stage-gate: the ingest-time novelty report matches its
+    DuckDB oracle value-for-value, covers every non-empty batch doc,
+    ratios live in [0,1], and the store probe scan is partition-
+    filtered (h_pt IN ...) rather than a full store read."""
+    import contextlib
+    import io
+
+    from udacity_dend_capstone_immigration_spark.workload.chunkstore import (
+        _CHUNK_BATCH_NOVELTY_ORACLE,
+        chunk_batch_novelty_report,
+    )
+
+    df = chunk_batch_novelty_report(spark, SF)
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, _oracle_rows(_CHUNK_BATCH_NOVELTY_ORACLE)))
+    assert got == want
+    assert all(0.0 <= r[3] <= 1.0 for r in got)
+    assert len(got) > 50
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # the touched-bucket list must reach the store scan as a STATIC
+    # partition filter (INSET over h_pt), not a post-scan predicate
+    assert any(
+        "PartitionFilters" in ln and "h_pt" in ln and "INSET" in ln
+        for ln in plan.splitlines()
+    ), plan[:2000]

@@ -326,40 +326,42 @@ def _store_aggregate(
     )
 
 
-def _chunk_rows_cte(pred: str) -> str:
-    """DuckDB CTE chain producing the full per-chunk relation over
-    ``documents WHERE pred`` — the doc_chunking oracle's chain with a
-    corpus predicate injected (size/stride from the same constants, so
-    a parameter change propagates everywhere at once)."""
+def _chunk_rows_cte(pred: str, p: str = "") -> str:
+    """DuckDB CTE chain producing the full per-chunk relation (final
+    CTE: ``{p}chh``) over ``documents WHERE pred`` — the doc_chunking
+    oracle's chain with a corpus predicate injected (size/stride from
+    the same constants, so a parameter change propagates everywhere at
+    once). ``p`` prefixes every CTE name so two chains (corpus +
+    batch) can splice into one oracle without collisions."""
     return f"""
-    t AS (
+    {p}t AS (
         SELECT doc_id, {TOKS} AS toks FROM documents WHERE {pred}
     ),
-    tt AS (
-        SELECT doc_id, toks, len(toks) AS nt FROM t WHERE len(toks) > 0
+    {p}tt AS (
+        SELECT doc_id, toks, len(toks) AS nt FROM {p}t WHERE len(toks) > 0
     ),
-    nc AS (
+    {p}nc AS (
         SELECT doc_id, toks, nt,
                CASE WHEN nt <= {_CHUNK_SIZE} THEN 1
                     ELSE CAST(((nt - {_CHUNK_SIZE} + {_CHUNK_STRIDE - 1})
                                - ((nt - {_CHUNK_SIZE} + {_CHUNK_STRIDE - 1})
                                   % {_CHUNK_STRIDE}))
                               / {_CHUNK_STRIDE} AS INT) + 1 END AS n_chunks
-        FROM tt
+        FROM {p}tt
     ),
-    ch AS (
+    {p}ch AS (
         SELECT doc_id,
                CAST(k AS INT) AS chunk_idx,
                CAST(k * {_CHUNK_STRIDE} AS INT) AS start_tok,
                list_slice(toks, k * {_CHUNK_STRIDE} + 1,
                           k * {_CHUNK_STRIDE} + {_CHUNK_SIZE}) AS win
-        FROM nc, unnest(generate_series(0, n_chunks - 1)) u(k)
+        FROM {p}nc, unnest(generate_series(0, n_chunks - 1)) u(k)
     ),
-    chh AS (
+    {p}chh AS (
         SELECT doc_id, chunk_idx, start_tok,
                CAST(len(win) AS INT) AS n_tokens,
                md5(array_to_string(win, ' ')) AS chunk_hash
-        FROM ch
+        FROM {p}ch
     )"""
 
 
@@ -514,6 +516,88 @@ def chunk_boilerplate_served(spark, sf_dir):
             F.min("doc_id").cast("bigint").alias("exemplar_doc"),
         )
         .where(F.col("n_docs") >= 2)
+    )
+
+
+# --- ingest-time chunk novelty report (STAGED r16 for r18 — the r17
+# window is full at 43 rotation + 7 staged): the quality gate a
+# production ingest consults BEFORE committing a batch — what fraction
+# of each incoming doc's windows already exist in the corpus store
+# (dedup_incremental_status at chunk grain). The store probe is
+# partition-ROUTED: the batch's touched h_pt list is collected
+# (≤ n_buckets values, the eager-decision contract) and becomes a
+# static partition filter on the store scan, so a small batch reads
+# only its slice — the dedupstore append-probe discipline.
+_CHUNK_BATCH_NOVELTY_ORACLE = f"""
+    WITH {_chunk_rows_cte("doc_id % 3 != 0", "c_")},
+    {_chunk_rows_cte("doc_id % 3 = 0", "b_")},
+    store AS (SELECT DISTINCT chunk_hash FROM c_chh),
+    flagged AS (
+        SELECT b.doc_id, b.chunk_hash,
+               CASE WHEN s.chunk_hash IS NOT NULL THEN 1 ELSE 0 END AS dup
+        FROM b_chh b LEFT JOIN store s ON b.chunk_hash = s.chunk_hash
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(dup) AS BIGINT) AS n_store_dup,
+           CAST(COUNT(*) - SUM(dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS novelty_ratio
+    FROM flagged GROUP BY doc_id
+"""
+
+
+def chunk_batch_novelty_report(spark, sf_dir):
+    """Build the chunk store on 2/3 of the corpus, then classify the
+    remaining 1/3 as an ingest batch: per batch doc, how many of its
+    windows already exist in the store and the novelty ratio (one IEEE
+    division of exact bigints). The store side is a DISTINCT over the
+    h_pt partitions the batch actually touches (collected bounded →
+    static partition filter); the batch side is one zero-shuffle chunk
+    roll. At 100 TB the probe cost scales with the BATCH, not the
+    corpus."""
+    docs = table(spark, sf_dir, "documents")
+    out = build_chunk_store(
+        spark,
+        docs.where(F.col("doc_id") % 3 != 0),
+        tempfile.mkdtemp(prefix="chunk_store_nov_"),
+    )
+    _size, _stride, n_buckets = _read_meta(spark, out)
+    ch_b = chunk_documents(
+        docs.where(F.col("doc_id") % 3 == 0),
+        "doc_id",
+        "text",
+        size=_CHUNK_SIZE,
+        stride=_CHUNK_STRIDE,
+    ).select(
+        "doc_id",
+        "chunk_hash",
+        _hex_bucket(F.col("chunk_hash"), n_buckets).alias("h_pt"),
+    ).localCheckpoint(eager=True)  # pin the batch roll: feeds the
+    # touched-bucket collect AND the probe join (shared-subtree rule)
+    touched = sorted(
+        r["h_pt"] for r in ch_b.select("h_pt").distinct().collect()
+    )
+    store_hashes = (
+        read_chunk_store(spark, out)
+        .where(F.col("h_pt").isin(touched))
+        .select("chunk_hash")
+        .distinct()
+        .withColumn("dup", F.lit(1))
+    )
+    return (
+        ch_b.join(store_hashes.hint("merge"), "chunk_hash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.coalesce(F.col("dup"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_store_dup"),
+        )
+        .withColumn(
+            "novelty_ratio",
+            (F.col("n_chunks") - F.col("n_store_dup")).cast("double")
+            / F.col("n_chunks").cast("double"),
+        )
     )
 
 
