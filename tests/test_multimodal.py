@@ -236,3 +236,63 @@ def test_cdc_chunking_reference_and_shift_robustness(spark):
     f1 = {r["digest"] for r in fixed if r["media_id"] == 1}
     f2 = {r["digest"] for r in fixed if r["media_id"] == 2}
     assert not (f1 & f2), "3-byte shift should break every fixed window"
+
+
+def test_cdc_boundaries_properties():
+    """Property test (no Spark): for random content and random valid
+    (min, avg, max) configs — exact coverage, size bounds, determinism,
+    and the prefix-stability property (appending bytes never changes
+    boundaries strictly before the last pre-existing cut)."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from udacity_dend_capstone_immigration_spark.operators.multimodal import (
+        cdc_boundaries,
+    )
+
+    configs = st.sampled_from(
+        [(16, 64, 256), (32, 128, 512), (64, 256, 1024), (8, 32, 64)]
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        seed=st.integers(0, 2**32 - 1),
+        n=st.integers(0, 4000),
+        cfg=configs,
+    )
+    def run(seed, n, cfg):
+        mn, avg, mx = cfg
+        raw = seed.to_bytes(4, "big")
+        content = b""
+        while len(content) < n:
+            raw = hashlib.md5(raw).digest()
+            content += raw
+        content = content[:n]
+        cuts = cdc_boundaries(content, avg_size=avg, min_size=mn, max_size=mx)
+        # determinism
+        assert cuts == cdc_boundaries(
+            content, avg_size=avg, min_size=mn, max_size=mx
+        )
+        # exact coverage, in order
+        pos = 0
+        for i, (off, ln) in enumerate(cuts):
+            assert off == pos and ln > 0
+            pos += ln
+            if i < len(cuts) - 1:
+                assert mn <= ln <= mx
+            else:
+                assert ln <= mx
+        assert pos == len(content)
+        assert (len(cuts) == 0) == (n == 0)
+        # appending content never moves cuts strictly before the last
+        # existing cut (boundaries are locally determined)
+        if len(cuts) > 1:
+            ext = cdc_boundaries(
+                content + b"XYZ" * 10, avg_size=avg, min_size=mn, max_size=mx
+            )
+            stable = cuts[:-1]
+            assert ext[: len(stable)] == stable
+
+    run()
