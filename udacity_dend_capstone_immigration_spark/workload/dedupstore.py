@@ -886,52 +886,62 @@ def classify_batch_against_index(
     (doc_id, status ∈ exact_dup|near_dup|unique). Shared by the
     backfill serve twin below and the end-to-end pipeline composition
     (`workload/pipeline.py`)."""
+    from udacity_dend_capstone_immigration_spark.operators.dedup import shingle_sets
+
     cke = read_dedup_shingle_index(spark, index_dir)
     corp_fp = read_dedup_fingerprints(spark, index_dir).select("fp")
     exact = (
         batch.select("doc_id", doc_fingerprint("text").alias("fp"))
         .join(corp_fp, "fp", "leftsemi")
-        .select("doc_id")
-        .withColumn("_exact", F.lit(1))
+        .select("doc_id", F.lit(2).alias("_p"))
     )
-    ne = shingle_rows(batch, "doc_id", "text", 3).withColumnRenamed(
-        "shingle", "g"
+    # r16 (guide §2.4): ONE batch shingle pass — the per-doc distinct
+    # shingle count ``na`` rides through the explode from the same
+    # shingle_sets build, so the old second tokenize subtree (za) and
+    # its join are gone. The batch-shingle side stays the build side
+    # of a SHUFFLED-HASH join (guide §3.1 — no sort of either side;
+    # A/B 1.18 → 0.99s at sf0.1): slim fixed-width rows, and a serve
+    # batch is operationally bounded per ingest while the partition
+    # count scales with conf, so the per-partition build stays small.
+    ss = shingle_sets(batch, "doc_id", "text", 3)
+    ne = ss.select(
+        F.col("doc_id").alias("nid"),
+        F.size("shingles").alias("na"),
+        F.explode("shingles").alias("g"),
     )
-    # the batch-shingle side sits behind an explode (estimate-blind)
-    # and is O(batch) — a backfill batch is NOT broadcast-bounded,
-    # so force the sort-merge join the streaming twin gets for free
     inter = (
-        ne.select(F.col("doc_id").alias("nid"), "g")
-        .hint("merge")
+        ne.hint("shuffle_hash")
         .join(cke, "g")
-        .groupBy("nid", "cid")
+        .groupBy("nid", "na", "cid")
         .agg(F.count(F.lit(1)).alias("i"))
-    )
-    za = (
-        ne.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("na"))
-        .withColumnRenamed("doc_id", "nid")
     )
     zb = read_dedup_doc_sizes(spark, index_dir).select(
         F.col("doc_id").alias("cid"), F.col("n").alias("nb")
     )
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
     near = (
-        inter.join(za.hint("merge"), "nid")
-        .join(zb, "cid")
+        inter.join(zb, "cid")
         .where(jac >= 0.5)
         .select(F.col("nid").alias("doc_id"))
         .distinct()
-        .withColumn("_near", F.lit(1))
+        .select("doc_id", F.lit(1).alias("_p"))
+    )
+    # status assembly as ONE union + max-priority aggregate (exact=2
+    # beats near=1 beats base=0 — same precedence as the old CASE over
+    # two left joins) instead of three merge-hinted SMJs: one exchange
+    # on doc_id total (guide §2.4).
+    pri = (
+        batch.select("doc_id", F.lit(0).alias("_p"))
+        .unionByName(exact)
+        .unionByName(near)
     )
     return (
-        batch.select("doc_id")
-        .join(exact.hint("merge"), "doc_id", "left")
-        .join(near.hint("merge"), "doc_id", "left")
+        pri.groupBy("doc_id")
+        .agg(F.max("_p").alias("_p"))
         .select(
             "doc_id",
-            F.when(F.col("_exact") == 1, F.lit("exact_dup"))
-            .when(F.col("_near") == 1, F.lit("near_dup"))
+            F.when(F.col("_p") == 2, F.lit("exact_dup"))
+            .when(F.col("_p") == 1, F.lit("near_dup"))
             .otherwise(F.lit("unique"))
             .alias("status"),
         )

@@ -117,7 +117,8 @@ def corpus_pipeline_served(spark, sf_dir):
     )
     from udacity_dend_capstone_immigration_spark.workload.textops import (
         _doc_bigrams,
-        _dsir_select,
+        _dsir_scores,
+        _dsir_select_from_scores,
         served_dsir_dir,
     )
 
@@ -125,8 +126,8 @@ def corpus_pipeline_served(spark, sf_dir):
     batch = docs.where(F.col("doc_id") % _INC_MOD == 0)
 
     # stage 1: dedup-store classify -> survivors. Eager checkpoint:
-    # the survivor set feeds the two head joins AND the packer; lazy,
-    # the whole classification join tree re-executes per consumer.
+    # the survivor set feeds the scored-row filter AND the packer;
+    # lazy, the classification join tree re-executes per consumer.
     idx = served_dedup_index_dir(spark, sf_dir)
     status = classify_batch_against_index(spark, idx, batch)
     surv_ids = (
@@ -134,14 +135,25 @@ def corpus_pipeline_served(spark, sf_dir):
         .select("doc_id")
         .localCheckpoint()
     )
-    surv = docs.join(surv_ids, "doc_id", "leftsemi")
 
-    # stage 2: DSIR score/select from the persisted heads (bare scans)
+    # stage 2: DSIR score/select from the persisted heads (bare scans).
+    # r16 (guide §8: decide on light rows, never shuffle payloads):
+    # scoring is PER-DOC under frozen heads, so score the whole batch
+    # straight off the scan — no text-carrying SMJ against the
+    # survivor RDD before the bigram explode (the old shape shuffled +
+    # sorted document text on doc_id, and ran that subtree once per
+    # head join) — and apply the survivor filter as a semi-join on the
+    # slim aggregated score rows, where filter-then-score ≡
+    # score-then-filter bit-for-bit. A/B at sf0.1: stage 1.8 → ~0.9s.
     d = served_dsir_dir(spark, sf_dir)
     scored_c = spark.read.parquet(f"{d}/pkn_corpus").select("bigram", "p_kn")
     scored_t = spark.read.parquet(f"{d}/pkn_target").select("bigram", "p_kn")
+    scored_all = _dsir_scores(
+        batch, _doc_bigrams(batch), scored_c, scored_t
+    )
+    scored_surv = scored_all.join(surv_ids.hint("merge"), "doc_id", "leftsemi")
     sel_ids = (
-        _dsir_select(surv, _doc_bigrams(surv), scored_c, scored_t)
+        _dsir_select_from_scores(scored_surv)
         .select("doc_id")
         .localCheckpoint()
     )
@@ -232,14 +244,18 @@ def corpus_pipeline_streamed(spark, sf_dir, n_waves: int = 3):
             return
         bspark = batch_df.sparkSession
         status = classify_batch_against_index(bspark, idx, batch_df)
-        surv = batch_df.join(
+        scored_c = bspark.read.parquet(f"{dsir}/pkn_corpus").select("bigram", "p_kn")
+        scored_t = bspark.read.parquet(f"{dsir}/pkn_target").select("bigram", "p_kn")
+        # r16: score the whole micro-batch off its in-memory frame and
+        # filter survivors on the slim aggregated score rows (same
+        # score-then-filter ≡ filter-then-score rewrite as the served
+        # twin — scoring is per-doc under frozen heads)
+        w_all = _dsir_scores(batch_df, _doc_bigrams(batch_df), scored_c, scored_t)
+        w = w_all.join(
             status.where(F.col("status") == "unique").select("doc_id"),
             "doc_id",
             "leftsemi",
         )
-        scored_c = bspark.read.parquet(f"{dsir}/pkn_corpus").select("bigram", "p_kn")
-        scored_t = bspark.read.parquet(f"{dsir}/pkn_target").select("bigram", "p_kn")
-        w = _dsir_scores(surv, _doc_bigrams(surv), scored_c, scored_t)
         # batch-addressed landing: replay OVERWRITES its own dir
         w.repartition(1).write.mode("overwrite").parquet(
             f"{scores}/batch_pt={batch_id}"

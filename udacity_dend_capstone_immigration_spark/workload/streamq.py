@@ -489,7 +489,6 @@ def documents_stream_dedup_status(spark, sf_dir):
     identical (same oracle): the store persists exactly the relations
     the inline build derived."""
     from udacity_dend_capstone_immigration_spark.functions.text import doc_fingerprint
-    from udacity_dend_capstone_immigration_spark.operators.dedup import shingle_rows
     from udacity_dend_capstone_immigration_spark.workload.base import table
     from udacity_dend_capstone_immigration_spark.workload.dedupstore import (
         read_dedup_doc_sizes,
@@ -524,13 +523,34 @@ def documents_stream_dedup_status(spark, sf_dir):
         .select("doc_id")
     )
     uid = uuid.uuid4().hex[:8]
-    ne = shingle_rows(sdocs.repartition(32), "doc_id", "text", 3).withColumnRenamed(
-        "shingle", "g"
+    # r16 (guide §2.4): the per-doc distinct shingle count ``na`` rides
+    # through the explode WITH the pair table, so the old SECOND batch
+    # tokenize (za) and its merge join in the batch finish are gone;
+    # ``na`` is constant per nid, so adding it to the aggregation keys
+    # changes no group. The distinct shingle ARRAY is built in-row
+    # (zip/slice stay codegen'd; one transform/filter lambda per doc —
+    # a streaming aggregate here would be a second stateful operator,
+    # which complete-mode forbids), exactly shingle_sets' set per doc.
+    from udacity_dend_capstone_immigration_spark.operators.dedup import tokenize
+
+    toks = tokenize("text")
+    shifted = [toks] + [
+        F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
+        for k in range(1, 3)
+    ]
+    zipped = F.arrays_zip(*[c.alias(f"c{i}") for i, c in enumerate(shifted)])
+    sharr = F.array_distinct(
+        F.transform(
+            F.filter(zipped, lambda s: s["c2"].isNotNull()),
+            lambda s: F.concat_ws(" ", s["c0"], s["c1"], s["c2"]),
+        )
     )
+    ne = sdocs.repartition(32).select(
+        F.col("doc_id").alias("nid"), sharr.alias("_sh")
+    ).select("nid", F.size("_sh").alias("na"), F.explode("_sh").alias("g"))
     inter_stream = (
-        ne.select(F.col("doc_id").alias("nid"), "g")
-        .join(cke, "g")
-        .groupBy("nid", "cid")
+        ne.join(cke, "g")
+        .groupBy("nid", "na", "cid")
         .agg(F.count(F.lit(1)).alias("i"))
     )
     # the two drains are independent (different sinks, different state) —
@@ -551,41 +571,40 @@ def documents_stream_dedup_status(spark, sf_dir):
             ),
         ]
     )
-    exact = exact.withColumn("_exact", F.lit(1))
+    exact = exact.select("doc_id", F.lit(2).alias("_p"))
 
     # --- batch finish: Jaccard threshold + per-doc reduction + status.
-    # Set sizes split by side: the ARRIVING docs' sizes are the only
-    # tokenize left in the whole serve (O(batch)); the corpus sizes
-    # are a bare doc_sizes scan from the store (the r11-era full-docs
-    # `z` checkpoint — and its double-subtree re-scan problem — is
-    # gone with the rebuild itself).
-    za = (
-        shingle_rows(docs.where(is_new), "doc_id", "text", 3)
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("na"))
-        .withColumnRenamed("doc_id", "nid")
-    )
+    # The arriving docs' set sizes arrived WITH the drained pair table
+    # (na carried through the streamed explode — the old second batch
+    # tokenize and its merge join are gone); the corpus sizes are a
+    # bare doc_sizes scan from the store. Status assembly is ONE union
+    # + max-priority aggregate (exact=2 beats near=1 beats base=0 —
+    # the same precedence the old CASE over two merge-hinted left
+    # joins encoded): one exchange on doc_id total (guide §2.4).
     zb = read_dedup_doc_sizes(spark, idx_dir).select(
         F.col("doc_id").alias("cid"), F.col("n").alias("nb")
     )
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
     near = (
-        inter.join(za.hint("merge"), "nid")
-        .join(zb, "cid")
+        inter.join(zb, "cid")
         .where(jac >= 0.5)
         .select(F.col("nid").alias("doc_id"))
         .distinct()
-        .withColumn("_near", F.lit(1))
+        .select("doc_id", F.lit(1).alias("_p"))
+    )
+    pri = (
+        docs.where(is_new)
+        .select("doc_id", F.lit(0).alias("_p"))
+        .unionByName(exact)
+        .unionByName(near)
     )
     return (
-        docs.where(is_new)
-        .select("doc_id")
-        .join(exact.hint("merge"), "doc_id", "left")
-        .join(near.hint("merge"), "doc_id", "left")
+        pri.groupBy("doc_id")
+        .agg(F.max("_p").alias("_p"))
         .select(
             "doc_id",
-            F.when(F.col("_exact") == 1, F.lit("exact_dup"))
-            .when(F.col("_near") == 1, F.lit("near_dup"))
+            F.when(F.col("_p") == 2, F.lit("exact_dup"))
+            .when(F.col("_p") == 1, F.lit("near_dup"))
             .otherwise(F.lit("unique"))
             .alias("status"),
         )

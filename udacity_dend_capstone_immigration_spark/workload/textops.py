@@ -1984,22 +1984,42 @@ def _dsir_scores(docs, bi, scored_c, scored_t):
     per-doc (doc_id, source, n_bigrams, importance) from the frozen
     heads — pure per-doc work, so a micro-batch scored at ingest is
     bit-identical to the same docs scored in one shot (what makes the
-    score-on-ingest / select-at-snapshot decomposition provable)."""
-    score_c = (
-        bi.join(scored_c.hint("merge"), "bigram")
+    score-on-ingest / select-at-snapshot decomposition provable).
+
+    r16 (guide §2.4): ONE pass over ``bi`` instead of two. The heads
+    are pre-merged per bigram (corpus LEFT target — target bigrams are
+    a subset of corpus bigrams by construction, both in the inline
+    trainer and the persisted store), so the corpus-scaling exploded
+    bigram relation is shuffled/joined ONCE and both averages come out
+    of a single groupBy. davg = sum(col)/count(col) skips nulls, so
+    the left-joined null p_t rows reproduce the old inner-join-with-t
+    aggregate exactly; the ``_tm`` match indicator reproduces the old
+    inner join's doc membership (≥1 target-matched bigram) even for
+    hypothetical null p_kn rows. A/B at sf0.1: full-corpus select
+    0.176 → 0.113s; in the served pipeline the doubled survivor
+    subtree (text-carrying SMJ + explode) collapses to one execution.
+    Heads stay merge-hinted: the inline trainer's heads sit behind a
+    lazy checkpoint of an explode subtree (the estimate-blind class —
+    a small estimate would static-broadcast an SF-scaling relation)."""
+    heads = scored_c.withColumnRenamed("p_kn", "p_c").join(
+        scored_t.select(
+            "bigram", F.col("p_kn").alias("p_t"), F.lit(1).alias("_tm")
+        ),
+        "bigram",
+        "left",
+    )
+    w = (
+        bi.join(heads.hint("merge"), "bigram")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            davg(F.col("p_kn"), "avg_c"),
+            davg(F.col("p_c"), "avg_c"),
+            davg(F.col("p_t"), "avg_t"),
+            F.count("_tm").alias("_ntm"),
         )
     )
-    score_t = (
-        bi.join(scored_t.hint("merge"), "bigram")
-        .groupBy("doc_id")
-        .agg(davg(F.col("p_kn"), "avg_t"))
-    )
     return (
-        score_c.join(score_t.hint("merge"), "doc_id")
+        w.where(F.col("_ntm") > 0)
         .join(docs.select("doc_id", "source"), "doc_id")
         .select(
             "doc_id",
