@@ -736,6 +736,98 @@ def pq_decode_codes(
     return df.mapInPandas(decode, f"{id_col} long, r array<double>{pass_schema}")
 
 
+def assign_moment_sums_arrow(
+    df: DataFrame,
+    codebooks: list,
+    slices: list,
+    metric: str = "l2",
+    chunk_rows: int = 4096,
+) -> DataFrame:
+    """Fused Lloyd-update kernel (r16, guide §2.3 "aggregate before you
+    shuffle"): per block (``slices[j]`` = (lo, d) sub-vector window,
+    ``codebooks[j]`` its code set), assign each row's sub-vector to its
+    nearest code under the EXACT `assign_nearest_arrow` contract
+    (np.round(…, 6); cosine argmax / l2 argmin with first-hit = lowest
+    cent_id; l2 keeps the direct squared-diff form under the same
+    tensor budget) and accumulate the per-(cell, dim) quantized moment
+    partials ``Σ floor(v·2^24)`` (exact int64 — order-independent) and
+    row counts INSIDE the scan. Emits one (block, cell, cnt, sums)
+    row per input batch per non-empty cell instead of one row per
+    vector — the n×d posexplode + corpus-sized hash aggregate the old
+    training passes paid disappears, and the exchange carries
+    O(batches × cells) tiny rows at any corpus size. Finishing the
+    quantized means from these partials is bit-identical to the old
+    per-row Spark aggregate: integer sums associate."""
+    import numpy as np
+    import pandas as pd
+
+    # opaque-function column pruning (guide §4.1): only the vectors
+    # cross the Python boundary — ids and attributes never ship
+    df = df.select("embedding")
+    cbs = list(codebooks)
+    sls = list(slices)
+
+    def moments(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            out_block, out_cell, out_cnt, out_sums = [], [], [], []
+            for j, (cb, (lo, d)) in enumerate(zip(cbs, sls)):
+                sub = mat[:, lo : lo + d]
+                n = len(sub)
+                pos = np.empty(n, dtype=np.int64)
+                for s0 in range(0, n, chunk_rows):
+                    s1 = min(s0 + chunk_rows, n)
+                    if metric == "l2":
+                        step = max(
+                            1,
+                            _L2_TENSOR_BUDGET
+                            // max(1, cb.mat.shape[0] * cb.mat.shape[1]),
+                        )
+                        sims = np.empty((s1 - s0, len(cb.ids)))
+                        for s in range(s0, s1, step):
+                            e = min(s + step, s1)
+                            diffs = sub[s:e, None, :] - cb.mat[None, :, :]
+                            sims[s - s0 : e - s0] = np.einsum(
+                                "ijk,ijk->ij", diffs, diffs
+                            )
+                        np.round(sims, 6, out=sims)
+                        pos[s0:s1] = np.argmin(sims, axis=1)
+                    else:
+                        nrm = np.linalg.norm(sub[s0:s1], axis=1)
+                        sims = (sub[s0:s1] @ cb.mat.T) / np.outer(nrm, cb.nrm)
+                        np.round(sims, 6, out=sims)
+                        pos[s0:s1] = np.argmax(sims, axis=1)
+                q = np.floor(sub * 16777216.0).astype(np.int64)
+                # segment-sum via stable sort + reduceat (exact int64;
+                # np.add.at's per-element scatter is ~10× slower here)
+                order = np.argsort(pos, kind="stable")
+                ps = pos[order]
+                bounds = np.flatnonzero(
+                    np.concatenate(([True], ps[1:] != ps[:-1]))
+                )
+                seg_sums = np.add.reduceat(q[order], bounds, axis=0)
+                seg_cells = cb.ids[ps[bounds]]
+                seg_cnt = np.diff(np.concatenate((bounds, [len(ps)])))
+                out_block.extend([j] * len(seg_cells))
+                out_cell.extend(seg_cells.tolist())
+                out_cnt.extend(seg_cnt.tolist())
+                out_sums.extend(list(seg_sums))
+            yield pd.DataFrame(
+                {
+                    "block": np.array(out_block, dtype=np.int32),
+                    "cell": np.array(out_cell, dtype=np.int64),
+                    "cnt": np.array(out_cnt, dtype=np.int64),
+                    "sums": out_sums,
+                }
+            )
+
+    return df.mapInPandas(
+        moments, "block int, cell long, cnt long, sums array<long>"
+    )
+
+
 def sq8_encode(
     df: DataFrame,
     mn,

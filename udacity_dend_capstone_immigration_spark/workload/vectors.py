@@ -336,7 +336,7 @@ def _ivf_train(emb, n_cells=None):
     the numpy codebook for Arrow assignment."""
     from udacity_dend_capstone_immigration_spark.operators.similarity import (
         Codebook,
-        assign_nearest_arrow,
+        assign_moment_sums_arrow,
     )
 
     if n_cells is None:
@@ -349,32 +349,51 @@ def _ivf_train(emb, n_cells=None):
     )
     cb = Codebook(seed_rows)
     rows = seed_rows
+    dim = len(seed_rows[0][1])
     for _ in range(2):
-        assigned = assign_nearest_arrow(emb, cb, "vec_id", keep_embedding=True)
-        rows = (
-            assigned.select(
-                "cell",
-                F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
+        # r16 (guide §2.3): assignment + per-(cell,dim) integer moment
+        # partials fused into ONE Arrow scan (`assign_moment_sums_arrow`
+        # — same round-6/lowest-id assignment contract, exact int64
+        # partial sums); the old n×d posexplode + corpus-sized hash
+        # aggregate is now a tiny O(batches × cells) finish.
+        rows = [
+            (r[1], r[2])
+            for r in _centroid_rows_from_moments(
+                assign_moment_sums_arrow(emb, [cb], [(0, dim)], metric="cosine")
             )
-            .groupBy("cell", "dim")
-            .agg(
-                (
-                    F.sum(F.floor(F.col("v") * F.lit(16777216.0)).cast("bigint")).cast("double")
-                    / (F.count(F.lit(1)).cast("double") * F.lit(16777216.0))
-                ).alias("val")
-            )
-            # reassemble dim-ordered centroid arrays (tiny: N_CELLS rows)
-            .groupBy("cell")
-            .agg(F.sort_array(F.collect_list(F.struct("dim", "val"))).alias("dv"))
-            .select(F.col("cell").alias("cent_id"), F.col("dv.val").alias("cent_emb"))
-            .collect()
-        )
+        ]
         cb = Codebook(rows)
     cents_df = spark.createDataFrame(
         [(int(r[0]), [float(x) for x in r[1]]) for r in rows],
         "cent_id long, cent_emb array<double>",
     )
     return cents_df, cb
+
+
+def _centroid_rows_from_moments(m):
+    """Finish quantized centroid means from `assign_moment_sums_arrow`
+    partials: Σfloor(v·2^24) (exact, associative) / (N · 2^24) in
+    double — the identical arithmetic the old per-row aggregate
+    computed — then dim-ordered array reassembly. Input is tiny
+    (batches × cells rows), so the explode/groupBy here is noise.
+    Returns [(block, cent_id, cent_emb)] rows — callers split by the
+    leading block value (single-block callers just drop it)."""
+    return list(
+        (
+            m.select("block", "cell", "cnt", F.posexplode("sums").alias("dim", "s"))
+            .groupBy("block", "cell", "dim")
+            .agg(
+                (
+                    F.sum("s").cast("double")
+                    / (F.sum("cnt").cast("double") * F.lit(16777216.0))
+                ).alias("val")
+            )
+            .groupBy("block", "cell")
+            .agg(F.sort_array(F.collect_list(F.struct("dim", "val"))).alias("dv"))
+            .select("block", F.col("cell").alias("cent_id"), F.col("dv.val").alias("cent_emb"))
+            .collect()
+        )
+    )
 
 
 @query(
@@ -718,44 +737,43 @@ def pq_config_override(blocks: int, codes: int):
 def _pq_codebooks(emb):
     """One trained :class:`Codebook` per block (seeds = the first
     _PQ_CODES vectors' sub-vectors; one L2 Lloyd pass). Eager, like
-    every index/codebook build — each collect is _PQ_CODES rows."""
+    every index/codebook build — the collects are _PQ_CODES-bounded.
+
+    r16 (guide §2.3/§4): all _PQ_BLOCKS blocks train in ONE fused
+    Arrow scan (`assign_moment_sums_arrow` slices the sub-vectors
+    in-kernel under the identical round-6/lowest-id l2 assignment
+    contract and accumulates exact int64 moment partials), and the
+    seeds come from ONE collect sliced locally — 2 jobs total instead
+    of the old 8 (per-block seed collect + per-block assign scan with
+    an n×d posexplode aggregate). A/B at sf0.1: 1.94 → ~0.5s."""
     from udacity_dend_capstone_immigration_spark.operators.similarity import (
         Codebook,
-        assign_nearest_arrow,
+        assign_moment_sums_arrow,
     )
 
-    cbs = []
-    for j in range(_PQ_BLOCKS):
-        sub = emb.select(
-            "vec_id",
-            F.slice(F.col("embedding"), j * _PQ_DIM + 1, _PQ_DIM)
-            .cast("array<double>")
-            .alias("embedding"),
+    seed_rows = (
+        emb.where(F.col("vec_id") < _PQ_CODES)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    seed_cbs = [
+        Codebook(
+            [(r[0], r[1][j * _PQ_DIM : (j + 1) * _PQ_DIM]) for r in seed_rows]
         )
-        seeds = (
-            sub.where(F.col("vec_id") < _PQ_CODES)
-            .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb"))
-            .collect()
+        for j in range(_PQ_BLOCKS)
+    ]
+    rows = _centroid_rows_from_moments(
+        assign_moment_sums_arrow(
+            emb,
+            seed_cbs,
+            [(j * _PQ_DIM, _PQ_DIM) for j in range(_PQ_BLOCKS)],
+            metric="l2",
         )
-        assigned = assign_nearest_arrow(
-            sub, Codebook(seeds), "vec_id", keep_embedding=True, metric="l2"
-        )
-        rows = (
-            assigned.select("cell", F.posexplode("embedding").alias("dim", "v"))
-            .groupBy("cell", "dim")
-            .agg(
-                (
-                    F.sum(F.floor(F.col("v") * F.lit(16777216.0)).cast("bigint")).cast("double")
-                    / (F.count(F.lit(1)).cast("double") * F.lit(16777216.0))
-                ).alias("val")
-            )
-            .groupBy("cell")
-            .agg(F.sort_array(F.collect_list(F.struct("dim", "val"))).alias("dv"))
-            .select(F.col("cell").alias("cent_id"), F.col("dv.val").alias("cent_emb"))
-            .collect()
-        )
-        cbs.append(Codebook(rows))
-    return cbs
+    )
+    return [
+        Codebook([(r[1], r[2]) for r in rows if r[0] == j])
+        for j in range(_PQ_BLOCKS)
+    ]
 
 
 def _pq_block_ctes(j: int, src: str = "embeddings") -> str:
