@@ -112,3 +112,49 @@ def test_bpe_encode_applies_learned_merges(spark):
         .first()["m"]
     )
     assert char_mass == raw_mass
+
+
+def test_bpe_kernel_rederives_round_state(spark):
+    # _pair_count_partials(words0, learned) must equal pair counts over
+    # the vocab AFTER applying the learned merges in rank order — the
+    # invariant that lets training rounds scan the one materialized
+    # (term, cnt) vocab instead of a per-round checkpoint chain.
+    from udacity_dend_capstone_immigration_spark.workload.pretrain import (
+        _apply_merges_kernel,
+        _greedy_merge,
+        _pair_count_partials,
+    )
+
+    words = spark.createDataFrame(
+        [("banana", 3), ("bandana", 2), ("aaaa", 5), ("x", 1)],
+        "term string, cnt bigint",
+    )
+    learned = [("a", "n"), ("b", "an")]
+    got = {
+        (r["lft"], r["rgt"]): r["c"]
+        for r in (
+            _pair_count_partials(words, learned)
+            .groupBy("lft", "rgt")
+            .agg(F.sum("c").alias("c"))
+            .collect()
+        )
+    }
+    exp = {}
+    for term, cnt in [("banana", 3), ("bandana", 2), ("aaaa", 5), ("x", 1)]:
+        s = list(term)
+        for lft, rgt in learned:
+            s = _greedy_merge(s, lft, rgt, lft + rgt)
+        for p in zip(s, s[1:]):
+            exp[p] = exp.get(p, 0) + cnt
+    assert got == exp
+
+    # _apply_merges_kernel without a syms column derives chars from the
+    # term, applies rank order with consumption, and keeps cnt intact
+    out = {
+        r["term"]: (r["cnt"], list(r["syms"]))
+        for r in _apply_merges_kernel(words, learned).collect()
+    }
+    assert out["banana"] == (3, ["ban", "an", "a"])
+    assert out["bandana"] == (2, ["ban", "d", "an", "a"])
+    assert out["aaaa"] == (5, ["a", "a", "a", "a"])
+    assert out["x"] == (1, ["x"])

@@ -287,106 +287,182 @@ def bpe_train_merges(spark, sf_dir):
     )
 
 
+def _vocab_partitions(docs) -> int:
+    """Partition count for the vocab checkpoint, derived from the
+    corpus relation's Catalyst estimate (guide §2: scale-adaptive, not
+    a constant): one partition per ~32 MB of corpus text, clamped to
+    [1, defaultParallelism]. |V| is far smaller than the corpus, so
+    this errs toward MORE partitions at scale; at test scale it stops
+    a 31-row vocab from occupying shuffle_partitions tasks — every
+    training round re-scans the checkpoint through a Python kernel, so
+    empty partitions cost a worker round-trip each, per round."""
+    from udacity_dend_capstone_immigration_spark.operators.cumsum import (
+        _estimated_bytes,
+    )
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    est = _estimated_bytes(docs)
+    if est is None or est >= (32 << 20) * par:
+        return par
+    return max(1, est // (32 << 20) + 1)
+
+
 def _bpe_vocab(docs):
-    """(term, cnt, syms=chars) word-count table — the corpus is
-    tokenized ONCE; everything downstream is vocab-sized."""
+    """(term, cnt) word-count table — the corpus is tokenized ONCE;
+    everything downstream is vocab-sized. A word's initial symbol
+    sequence IS its character list, so the merge kernels derive syms
+    from ``term`` directly instead of materializing an interpreted-HOF
+    char-split array through the checkpoint. The corpus scan is
+    spread (`spread_scan`): the tokenize+explode map stage otherwise
+    runs single-core on the one-row-group testdata parquet (A/B'd
+    0.57→0.46s warm, 3.4→0.7s cold at sf0.1)."""
+    from udacity_dend_capstone_immigration_spark.operators.spread import spread_scan
+
     return (
-        docs.select(F.explode(tokenize(F.col("text"))).alias("term"))
+        spread_scan(docs)
+        .select(F.explode(tokenize(F.col("text"))).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        .select(
-            "term",
-            "cnt",
-            F.expr(
-                "transform(sequence(1, length(term)), i -> substring(term, i, 1))"
-            ).alias("syms"),
-        )
+        .coalesce(_vocab_partitions(docs))
         .localCheckpoint(eager=False)
     )
+
+
+def _greedy_merge(syms, lft, rgt, merged):
+    """Greedy left-to-right merge with consumption of one symbol pair
+    over one word — the kp gaps-and-islands CTE's semantics exactly:
+    overlapping match positions only occur for self-pair runs
+    ('aaaa' + 'aa' → 'aa','aa'), and the left-to-right scan keeps the
+    odd-ranked positions of each run identically."""
+    out = []
+    i, n = 0, len(syms)
+    last = n - 1
+    while i < n:
+        if i < last and syms[i] == lft and syms[i + 1] == rgt:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _apply_merges_kernel(words, merges):
+    """Map-only greedy application of a rank-ordered merge list to a
+    (term, cnt[, syms]) vocab → (term, cnt, syms). Replaces the former
+    per-merge posexplode + 3-window + collect_list pipeline (guide §2.4:
+    2 exchanges and 3 sorts per merge round) with ONE Arrow pass per
+    call — the merge decision for a word depends only on that word, so
+    no shuffle is fundamentally required. When ``syms`` is absent the
+    initial symbols are the word's characters."""
+    import pandas as pd
+
+    ms = [(lft, rgt, lft + rgt) for lft, rgt in merges]
+    has_syms = "syms" in words.columns
+
+    def apply_batches(batches):
+        for pdf in batches:
+            syms_col = (
+                [list(s) for s in pdf["syms"]]
+                if has_syms
+                else [list(t) for t in pdf["term"]]
+            )
+            for lft, rgt, merged in ms:
+                syms_col = [
+                    _greedy_merge(s, lft, rgt, merged) if lft in s else s
+                    for s in syms_col
+                ]
+            yield pd.DataFrame(
+                {"term": pdf["term"], "cnt": pdf["cnt"], "syms": syms_col}
+            )
+
+    return words.mapInPandas(
+        apply_batches, "term string, cnt bigint, syms array<string>"
+    )
+
+
+def _pair_count_partials(words, merges):
+    """Per-batch partial weighted adjacent-pair counts of the vocab
+    AFTER applying ``merges`` in rank order — the trainer's per-round
+    statistic, computed in the same Arrow pass that re-derives the
+    round's symbol state from the ORIGINAL (term, cnt) vocab. Emits
+    pair-domain-bounded (lft, rgt, c) partials per batch (guide §2.3
+    "aggregate before you shuffle"), so the only exchange in a training
+    round carries at most |pair domain| rows per task at any corpus
+    size. Re-applying r earlier merges per round is O(|V|·len·r) local
+    work that replaces r rounds of materialized vocab checkpoints plus
+    a posexplode + lead-window + hash-agg pipeline per round."""
+    import pandas as pd
+
+    ms = [(lft, rgt, lft + rgt) for lft, rgt in merges]
+
+    def count_batches(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            c = Counter()
+            for term, cnt in zip(pdf["term"], pdf["cnt"]):
+                s = list(term)
+                for lft, rgt, merged in ms:
+                    if lft in s:
+                        s = _greedy_merge(s, lft, rgt, merged)
+                w = int(cnt)
+                for pair in zip(s, s[1:]):
+                    c[pair] += w
+            if c:
+                ks = list(c.keys())
+                yield pd.DataFrame(
+                    {
+                        "lft": [k[0] for k in ks],
+                        "rgt": [k[1] for k in ks],
+                        "c": [c[k] for k in ks],
+                    }
+                )
+
+    return words.mapInPandas(count_batches, "lft string, rgt string, c bigint")
 
 
 def bpe_apply_merge(words, lft: str, rgt: str):
     """One greedy left-to-right merge of the symbol pair (lft, rgt)
-    over a (term, cnt, syms) vocab — the trainer's merge stage factored
-    out so a LEARNED merge table can drive encoding of any vocab
-    (`bpe_encode_corpus`), not just the in-training argmax. Greedy-
-    with-consumption: overlapping matches only occur for self-pair runs
-    ('aaaa' + 'aa' → 'aa','aa'), resolved by keeping odd-ranked
-    positions within each maximal run (gaps-and-islands), identically
-    to the oracle's kp CTE. Returns the new lazily-checkpointed vocab."""
-    from pyspark.sql import Window
-
-    wt = Window.partitionBy("term").orderBy("pos")
-    e = words.select("term", "cnt", F.posexplode("syms").alias("pos", "sym"))
-    m = (F.col("sym") == F.lit(lft)) & (F.lead("sym").over(wt) == F.lit(rgt))
-    d = (
-        e.withColumn("m", F.coalesce(m.cast("int"), F.lit(0)))
-        .withColumn(
-            "isl",
-            F.col("pos")
-            - F.row_number().over(Window.partitionBy("term", "m").orderBy("pos")),
-        )
-        .withColumn(
-            "kept",
-            (
-                (F.col("m") == 1)
-                & (
-                    F.row_number().over(
-                        Window.partitionBy("term", "m", "isl").orderBy("pos")
-                    )
-                    % 2
-                    == 1
-                )
-            ).cast("int"),
-        )
-    )
-    ns = (
-        F.when(F.col("kept") == 1, F.lit(lft + rgt))
-        .when(F.lag("kept").over(wt) == 1, F.lit(None).cast("string"))
-        .otherwise(F.col("sym"))
-    )
-    return (
-        d.withColumn("ns", ns)
-        .where(F.col("ns").isNotNull())
-        .groupBy("term", "cnt")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "ns"))),
-                lambda x: x["ns"],
-            ).alias("syms")
-        )
-        .localCheckpoint(eager=False)
-    )
+    over a (term, cnt[, syms]) vocab — the trainer's merge stage
+    factored out so a LEARNED merge table can drive encoding of any
+    vocab (`bpe_encode_corpus`), not just the in-training argmax.
+    Executes as a single map-only Arrow pass (`_apply_merges_kernel`);
+    returns the new lazily-checkpointed vocab."""
+    return _apply_merges_kernel(words, [(lft, rgt)]).localCheckpoint(eager=False)
 
 
 def _bpe_train(spark, docs):
     """Run the `_BPE_ROUNDS` training loop; returns (merges, words) —
     the learned merge rows AND the final encoded vocab (the result of
     applying every learned merge in rank order, i.e. the trained
-    tokenizer's encoding of the corpus vocabulary)."""
-    from pyspark.sql import Window
+    tokenizer's encoding of the corpus vocabulary).
 
-    words = _bpe_vocab(docs)
-    wt = Window.partitionBy("term").orderBy("pos")
+    Round r scans the ONE materialized (term, cnt) vocab, re-derives
+    the round's symbol state in the Arrow kernel, and emits pair-count
+    partials; the only exchange per round is the pair-domain aggregate
+    and the only collect is the 1-row argmax (the bounded
+    eager-decision contract). The final vocab is one more map-only
+    kernel pass applying all learned merges — rounds never shuffle
+    vocab rows at all (the pre-r16 shape paid 2 vocab-keyed exchanges
+    + 3 sorts per round through the window pipeline)."""
+    words0 = _bpe_vocab(docs)
     merges = []
     for r in range(_BPE_ROUNDS):
-        e = words.select("term", "cnt", F.posexplode("syms").alias("pos", "sym"))
+        learned = [(m[1], m[2]) for m in merges]
         pc = (
-            e.select(
-                "cnt",
-                F.col("sym").alias("lft"),
-                F.lead("sym").over(wt).alias("rgt"),
-            )
-            .where(F.col("rgt").isNotNull())
+            _pair_count_partials(words0, learned)
             .groupBy("lft", "rgt")
-            .agg(F.sum("cnt").alias("c"))
+            .agg(F.sum("c").alias("c"))
         )
         top = pc.orderBy(F.desc("c"), F.asc("lft"), F.asc("rgt")).limit(1).collect()
         if not top:
             break
         a, b, c = top[0]["lft"], top[0]["rgt"], int(top[0]["c"])
         merges.append((r + 1, a, b, a + b, c))
-        words = bpe_apply_merge(words, a, b)
+    words = _apply_merges_kernel(
+        words0, [(m[1], m[2]) for m in merges]
+    ).localCheckpoint(eager=False)
     return merges, words
 
 
@@ -490,16 +566,17 @@ def encode_vocab_with_merges(spark, words, merges_df):
     """Apply a STORED merge table (rank order) to a fresh (term, cnt,
     syms) vocab — the BPE encode of text the trainer never saw. The
     merge table is rank-collected driver-side (bounded: |rounds| rows,
-    the eager-decision contract) and each merge is the trainer's own
-    greedy stage (`bpe_apply_merge`), so encode ≡ train-state by
-    construction for known words and standard BPE encode for new ones."""
+    the eager-decision contract) and the whole rank-ordered list is
+    applied in ONE map-only Arrow pass (the trainer's own greedy stage,
+    `_apply_merges_kernel`), so encode ≡ train-state by construction
+    for known words and standard BPE encode for new ones."""
     ranked = sorted(
         merges_df.select("merge_round", "lft", "rgt").collect(),
         key=lambda r: r["merge_round"],
     )
-    for r in ranked:
-        words = bpe_apply_merge(words, r["lft"], r["rgt"])
-    return words
+    return _apply_merges_kernel(
+        words, [(r["lft"], r["rgt"]) for r in ranked]
+    ).localCheckpoint(eager=False)
 
 
 @query("bpe_encode_served", oracle=ORACLES["bpe_encode_corpus"])
