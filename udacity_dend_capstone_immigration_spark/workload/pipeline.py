@@ -122,6 +122,8 @@ def corpus_pipeline_served(spark, sf_dir):
         served_dsir_dir,
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     docs = table(spark, sf_dir, "documents")
     batch = docs.where(F.col("doc_id") % _INC_MOD == 0)
 
@@ -130,27 +132,43 @@ def corpus_pipeline_served(spark, sf_dir):
     # lazy, the classification join tree re-executes per consumer.
     idx = served_dedup_index_dir(spark, sf_dir)
     status = classify_batch_against_index(spark, idx, batch)
-    surv_ids = (
-        status.where(F.col("status") == "unique")
-        .select("doc_id")
-        .localCheckpoint()
-    )
 
-    # stage 2: DSIR score/select from the persisted heads (bare scans).
-    # r16 (guide §8: decide on light rows, never shuffle payloads):
-    # scoring is PER-DOC under frozen heads, so score the whole batch
-    # straight off the scan — no text-carrying SMJ against the
-    # survivor RDD before the bigram explode (the old shape shuffled +
-    # sorted document text on doc_id, and ran that subtree once per
-    # head join) — and apply the survivor filter as a semi-join on the
-    # slim aggregated score rows, where filter-then-score ≡
-    # score-then-filter bit-for-bit. A/B at sf0.1: stage 1.8 → ~0.9s.
+    # stage 2 SCORE half: DSIR-score the whole batch from the persisted
+    # heads (bare scans). r16 (guide §8: decide on light rows, never
+    # shuffle payloads): scoring is PER-DOC under frozen heads, so
+    # score straight off the scan — no text-carrying SMJ against the
+    # survivor RDD before the bigram explode — and apply the survivor
+    # filter as a semi-join on the slim aggregated score rows, where
+    # filter-then-score ≡ score-then-filter bit-for-bit (A/B at sf0.1:
+    # stage 1.8 → ~0.9s). That same commutation makes classify and
+    # score INDEPENDENT jobs, so the two eager checkpoints are
+    # submitted from a 2-thread pool and overlap (guide §2.6 — the
+    # score job's tasks back-fill executors freed by the classify
+    # job's tail); each materializes O(batch) slim rows. A/B at sf0.1:
+    # classify-then-score 2.4s+2.2s sequential → 3.0s overlapped.
     d = served_dsir_dir(spark, sf_dir)
     scored_c = spark.read.parquet(f"{d}/pkn_corpus").select("bigram", "p_kn")
     scored_t = spark.read.parquet(f"{d}/pkn_target").select("bigram", "p_kn")
-    scored_all = _dsir_scores(
-        batch, _doc_bigrams(batch), scored_c, scored_t
-    )
+    scored_lazy = _dsir_scores(batch, _doc_bigrams(batch), scored_c, scored_t)
+
+    def _materialize_surv():
+        spark.sparkContext.setJobDescription("pipeline: classify vs dedup store")
+        return (
+            status.where(F.col("status") == "unique")
+            .select("doc_id")
+            .localCheckpoint()
+        )
+
+    def _materialize_scores():
+        spark.sparkContext.setJobDescription("pipeline: DSIR score batch")
+        return scored_lazy.localCheckpoint()
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        surv_f = pool.submit(_materialize_surv)
+        scored_f = pool.submit(_materialize_scores)
+        surv_ids, scored_all = surv_f.result(), scored_f.result()
+    spark.sparkContext.setJobDescription(None)
+
     scored_surv = scored_all.join(surv_ids.hint("merge"), "doc_id", "leftsemi")
     sel_ids = (
         _dsir_select_from_scores(scored_surv)
