@@ -384,12 +384,13 @@ def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
 def test_stream_dedup_batch_finish_scan_count(spark):
     # Pin the r13 SERVED batch-finish shape: the corpus is NEVER
     # scanned in the final plan — corpus set sizes come from the
-    # persisted store's doc_sizes relation, so the only
-    # documents.parquet scans are BATCH-side (status base + arriving-
-    # batch set sizes, both under the pushed doc_id%7=0 filter). The
-    # r11-era z-checkpoint (one full-corpus tokenize) is gone with the
-    # inline rebuild itself; tests/test_dedupstore.py additionally
-    # pins no collect_list (no inline index build) in this plan.
+    # persisted store's doc_sizes relation, and since r16 the
+    # arriving-batch set sizes ride through the streamed explode with
+    # the drained pair table (``na``), so the ONLY documents.parquet
+    # scan left is the status base (under the pushed doc_id%7=0
+    # filter). The r11-era z-checkpoint (one full-corpus tokenize) is
+    # gone with the inline rebuild itself; tests/test_dedupstore.py
+    # additionally pins no collect_list (no inline index build).
     from udacity_dend_capstone_immigration_spark.workload import QUERIES
 
     df = QUERIES["documents_stream_dedup_status"](spark, "/root/testdata/sf0.001")
@@ -399,7 +400,7 @@ def test_stream_dedup_batch_finish_scan_count(spark):
         for ln in plan.splitlines()
         if "FileScan" in ln and "documents.parquet" in ln
     ]
-    assert len(scans) == 2, plan
+    assert len(scans) == 1, plan
     assert "doc_sizes" in plan, plan
 
 

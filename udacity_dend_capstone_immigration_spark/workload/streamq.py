@@ -545,7 +545,7 @@ def documents_stream_dedup_status(spark, sf_dir):
             lambda s: F.concat_ws(" ", s["c0"], s["c1"], s["c2"]),
         )
     )
-    ne = sdocs.repartition(32).select(
+    ne = sdocs.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("doc_id").alias("nid"), sharr.alias("_sh")
     ).select("nid", F.size("_sh").alias("na"), F.explode("_sh").alias("g"))
     inter_stream = (
@@ -554,7 +554,26 @@ def documents_stream_dedup_status(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("i"))
     )
     # the two drains are independent (different sinks, different state) —
-    # run them CONCURRENTLY: wall ~max(drain) instead of sum(drain)
+    # run them CONCURRENTLY: wall ~max(drain) instead of sum(drain).
+    # State/shuffle partitions per drain derive from the arriving
+    # batch's size estimate (stream_state_partitions — ceiling = the
+    # session's configured count): each near-empty state store costs a
+    # create/commit round-trip per micro-batch, ~3× the real drain
+    # work at test scale.
+    from udacity_dend_capstone_immigration_spark.operators.cumsum import (
+        _estimated_bytes,
+    )
+    from udacity_dend_capstone_immigration_spark.streaming.windows import (
+        stream_state_partitions,
+    )
+
+    # size on everything the drains touch: the arriving batch AND the
+    # store's shingle index (the stream-static join re-shuffles both
+    # sides to the state partition count)
+    _ests = [_estimated_bytes(docs.where(is_new)), _estimated_bytes(cke)]
+    sp = stream_state_partitions(
+        spark, sum(e for e in _ests if e is not None) if any(_ests) else None
+    )
     exact, inter = run_available_now_many(
         [
             (
@@ -562,12 +581,14 @@ def documents_stream_dedup_status(spark, sf_dir):
                 f"docs_stream_exact_{uid}",
                 "append",
                 tempfile.mkdtemp(prefix="ck_docs_exact_"),
+                sp,
             ),
             (
                 inter_stream,
                 f"docs_stream_inter_{uid}",
                 "complete",
                 tempfile.mkdtemp(prefix="ck_docs_inter_"),
+                sp,
             ),
         ]
     )
