@@ -29,9 +29,34 @@ from udacity_dend_capstone_immigration_spark.streaming import (
 from udacity_dend_capstone_immigration_spark.workload.base import (
     dsum,
     query,
+    read_events,
     read_events_stream,
     sql_dsum,
 )
+
+
+def _state_partitions_for(spark, *static_rels):
+    """Scale-adaptive state/shuffle partition count for a drain, sized
+    on the Catalyst estimates of the STATIC twins of everything the
+    streaming query touches (`stream_state_partitions` — guide §2.2:
+    one state-store instance is created, committed and snapshotted per
+    shuffle partition per micro-batch, so near-empty state stores are
+    pure overhead at small backlogs; the configured session value
+    stays the ceiling for production backlogs)."""
+    from udacity_dend_capstone_immigration_spark.operators.cumsum import (
+        _estimated_bytes,
+    )
+    from udacity_dend_capstone_immigration_spark.streaming.windows import (
+        stream_state_partitions,
+    )
+
+    ests = [_estimated_bytes(r) for r in static_rels]
+    known = [e for e in ests if e is not None]
+    return stream_state_partitions(spark, sum(known) if known else None)
+
+
+def _events_state_partitions(spark, sf_dir):
+    return _state_partitions_for(spark, read_events(spark, sf_dir))
 
 
 @query(
@@ -60,7 +85,10 @@ def events_stream_hourly(spark, sf_dir):
     )
     name = f"events_stream_hourly_{uuid.uuid4().hex[:8]}"
     ck = tempfile.mkdtemp(prefix="ck_events_stream_")
-    return run_available_now(agg, name, checkpoint_dir=ck)
+    return run_available_now(
+        agg, name, checkpoint_dir=ck,
+        state_partitions=_events_state_partitions(spark, sf_dir),
+    )
 
 
 @query(
@@ -103,7 +131,10 @@ def events_stream_sessions(spark, sf_dir):
     )
     name = f"events_stream_sessions_{uuid.uuid4().hex[:8]}"
     ck = tempfile.mkdtemp(prefix="ck_events_sessions_")
-    return run_available_now(sess, name, checkpoint_dir=ck)
+    return run_available_now(
+        sess, name, checkpoint_dir=ck,
+        state_partitions=_events_state_partitions(spark, sf_dir),
+    )
 
 
 @query(
@@ -133,7 +164,10 @@ def events_stream_sliding(spark, sf_dir):
     )
     name = f"events_stream_sliding_{uuid.uuid4().hex[:8]}"
     ck = tempfile.mkdtemp(prefix="ck_events_sliding_")
-    return run_available_now(agg, name, checkpoint_dir=ck)
+    return run_available_now(
+        agg, name, checkpoint_dir=ck,
+        state_partitions=_events_state_partitions(spark, sf_dir),
+    )
 
 
 @query(
@@ -163,7 +197,10 @@ def events_stream_stateful_totals(spark, sf_dir):
     totals = integer_totals_stateful(ev)
     name = f"events_stream_stateful_{uuid.uuid4().hex[:8]}"
     ck = tempfile.mkdtemp(prefix="ck_events_stateful_")
-    return run_available_now(totals, name, output_mode="update", checkpoint_dir=ck)
+    return run_available_now(
+        totals, name, output_mode="update", checkpoint_dir=ck,
+        state_partitions=_events_state_partitions(spark, sf_dir),
+    )
 
 
 @query(
@@ -191,7 +228,10 @@ def events_stream_dedup(spark, sf_dir):
     deduped = watermarked_dedup(doubled, "ts", ["event_id"], watermark="1 hour")
     name = f"events_stream_dedup_{uuid.uuid4().hex[:8]}"
     ck = tempfile.mkdtemp(prefix="ck_events_dedup_")
-    drained = run_available_now(deduped, name, output_mode="append", checkpoint_dir=ck)
+    drained = run_available_now(
+        deduped, name, output_mode="append", checkpoint_dir=ck,
+        state_partitions=_events_state_partitions(spark, sf_dir),
+    )
     return drained.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("event_cnt"),
         dsum(F.col("value"), "total_value"),
@@ -229,7 +269,8 @@ def events_stream_enriched(spark, sf_dir):
     name = f"events_stream_enriched_{uuid.uuid4().hex[:8]}"
     ck = tempfile.mkdtemp(prefix="ck_events_enriched_")
     drained = run_available_now(
-        enriched, name, output_mode="append", checkpoint_dir=ck
+        enriched, name, output_mode="append", checkpoint_dir=ck,
+        state_partitions=_events_state_partitions(spark, sf_dir),
     )
     return drained.groupBy("mktsegment").agg(
         F.count(F.lit(1)).alias("event_cnt"),
@@ -279,7 +320,8 @@ def events_stream_click_attribution(spark, sf_dir):
     name = f"events_stream_attr_{uuid.uuid4().hex[:8]}"
     ck = tempfile.mkdtemp(prefix="ck_events_attr_")
     drained = run_available_now(
-        pairs, name, output_mode="append", checkpoint_dir=ck
+        pairs, name, output_mode="append", checkpoint_dir=ck,
+        state_partitions=_events_state_partitions(spark, sf_dir),
     )
     return drained.groupBy(F.col("c_user").alias("user_id")).agg(
         F.count(F.lit(1)).alias("pair_cnt"),
@@ -354,7 +396,10 @@ def events_stream_transitions(spark, sf_dir):
     pairs = transition_counts_stateful(ev)
     name = f"events_stream_transitions_{uuid.uuid4().hex[:8]}"
     ck = tempfile.mkdtemp(prefix="ck_events_transitions_")
-    drained = run_available_now(pairs, name, output_mode="append", checkpoint_dir=ck)
+    drained = run_available_now(
+        pairs, name, output_mode="append", checkpoint_dir=ck,
+        state_partitions=_events_state_partitions(spark, sf_dir),
+    )
     return drained.groupBy("prev_type", "next_type").agg(
         F.sum("pair_cnt").alias("cnt")
     )
@@ -406,7 +451,10 @@ def embeddings_stream_cell_counts(spark, sf_dir):
     )
     name = f"embeddings_stream_cells_{uuid.uuid4().hex[:8]}"
     ck = tempfile.mkdtemp(prefix="ck_emb_stream_")
-    return run_available_now(counts, name, checkpoint_dir=ck)
+    return run_available_now(
+        counts, name, checkpoint_dir=ck,
+        state_partitions=_state_partitions_for(spark, emb),
+    )
 
 
 from udacity_dend_capstone_immigration_spark.workload.textops import (  # noqa: E402
@@ -795,7 +843,10 @@ def embeddings_stream_dedup_status(spark, sf_dir):
     )
     name = f"emb_stream_dedup_{uuid.uuid4().hex[:8]}"
     ck = tempfile.mkdtemp(prefix="ck_emb_dedup_")
-    dups = run_available_now(dup_counts, name, checkpoint_dir=ck)
+    dups = run_available_now(
+        dup_counts, name, checkpoint_dir=ck,
+        state_partitions=_state_partitions_for(spark, emb),
+    )
     return (
         emb.where(is_new)
         .select("vec_id")
@@ -892,7 +943,10 @@ def embeddings_stream_knn_served(spark, sf_dir):
     )
     name = f"emb_stream_knn_{uuid.uuid4().hex[:8]}"
     ck = tempfile.mkdtemp(prefix="ck_emb_knn_")
-    drained = run_available_now(cand, name, output_mode="append", checkpoint_dir=ck)
+    drained = run_available_now(
+        cand, name, output_mode="append", checkpoint_dir=ck,
+        state_partitions=_state_partitions_for(spark, emb),
+    )
     return top_k_per_group(
         drained,
         partition_by=["query_id"],
@@ -1038,7 +1092,10 @@ def events_stream_heavy_hitters(spark, sf_dir):
     )
     name = f"events_stream_cms_{uuid.uuid4().hex[:8]}"
     ck = tempfile.mkdtemp(prefix="ck_events_cms_")
-    cells = run_available_now(stream_cells, name, checkpoint_dir=ck)
+    cells = run_available_now(
+        stream_cells, name, checkpoint_dir=ck,
+        state_partitions=_events_state_partitions(spark, sf_dir),
+    )
     u = (
         table(spark, sf_dir, "events")
         .groupBy("user_id")
@@ -1241,7 +1298,10 @@ def events_stream_state_introspection(spark, sf_dir):
     )
     name = f"events_stream_state_intro_{uuid.uuid4().hex[:8]}"
     ck = tempfile.mkdtemp(prefix="ck_state_intro_")
-    run_available_now(totals, name, output_mode="update", checkpoint_dir=ck)
+    run_available_now(
+        totals, name, output_mode="update", checkpoint_dir=ck,
+        state_partitions=_events_state_partitions(spark, sf_dir),
+    )
     state = spark.read.format("statestore").load(ck)
     # the value struct carries the PHYSICAL aggregation buffer — the
     # DeclarativeAggregate fields (count / sum / isEmpty), not the
@@ -1287,9 +1347,10 @@ def events_stream_approx_distinct(spark, sf_dir):
     )
     name = f"events_stream_approx_distinct_{uuid.uuid4().hex[:8]}"
     ck = tempfile.mkdtemp(prefix="ck_events_hll_")
-    drained = run_available_now(agg, name, checkpoint_dir=ck).select(
-        "window_start", "approx_users"
-    )
+    drained = run_available_now(
+        agg, name, checkpoint_dir=ck,
+        state_partitions=_events_state_partitions(spark, sf_dir),
+    ).select("window_start", "approx_users")
     from udacity_dend_capstone_immigration_spark.workload.base import read_events
 
     exact = (
@@ -1404,7 +1465,10 @@ def events_stream_late_data_audit(spark, sf_dir):
     )
     name = f"events_stream_late_audit_{uuid.uuid4().hex[:8]}"
     ck = tempfile.mkdtemp(prefix="ck_late_audit_")
-    drained = run_available_now(agg, name, output_mode="append", checkpoint_dir=ck)
+    drained = run_available_now(
+        agg, name, output_mode="append", checkpoint_dir=ck,
+        state_partitions=_events_state_partitions(spark, sf_dir),
+    )
     return drained.select("window_start", "event_cnt", "total_value")
 
 
@@ -1522,7 +1586,10 @@ def events_stream_outer_attribution(spark, sf_dir):
     joined = lw.join(rw, cond, "left_outer")
     name = f"events_stream_outer_attr_{uuid.uuid4().hex[:8]}"
     ck = tempfile.mkdtemp(prefix="ck_outer_attr_")
-    drained = run_available_now(joined, name, output_mode="append", checkpoint_dir=ck)
+    drained = run_available_now(
+        joined, name, output_mode="append", checkpoint_dir=ck,
+        state_partitions=_events_state_partitions(spark, sf_dir),
+    )
     return drained.groupBy(F.col("c_user").alias("user_id")).agg(
         F.count("p_value").cast("bigint").alias("matched_pairs"),
         F.coalesce(
