@@ -483,3 +483,20 @@ def test_centroid_drift_report_flags_shifted_appends(spark, tmp_path):
         r["drift"] for r in before.values()
     )
     assert any(r["retrain_due"] for r in after.values())
+
+
+def test_served_flat_corpus_excludes_query_stream(spark):
+    """kind='flat_corpus' (r16 — the online-serving twin's memoized
+    layout) is built on the corpus partition ONLY: no vec_id % 7 == 0
+    row may be in the store, or the query stream would probe an index
+    that already contains the queries. Also pins the memo hit."""
+    d = V.served_index_dir(spark, SF_DIR, kind="flat_corpus")
+    vecs = spark.read.parquet(f"{d}/ivf_vectors")
+    assert vecs.where("vec_id % 7 = 0").count() == 0
+    n_corpus = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .where("vec_id % 7 != 0")
+        .count()
+    )
+    assert vecs.count() == n_corpus
+    assert V.served_index_dir(spark, SF_DIR, kind="flat_corpus") == d

@@ -907,14 +907,17 @@ def embeddings_stream_knn_served(spark, sf_dir):
     from udacity_dend_capstone_immigration_spark.operators.topk import top_k_per_group
     from udacity_dend_capstone_immigration_spark.workload.base import table
     from udacity_dend_capstone_immigration_spark.workload.vectors import (
-        build_ivf_flat_index,
+        served_index_dir,
     )
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     is_new = F.col("vec_id") % 7 == 0
-    idx = build_ivf_flat_index(
-        spark, sf_dir, tempfile.mkdtemp(prefix="ivfflat_stream_"), emb=emb.where(~is_new)
-    )
+    # r16 (guide §1.2): the corpus-partition flat index is READ-ONLY
+    # here (the micro-batches only scan it), so it comes from the
+    # served_index_dir memo like every other serving store instead of
+    # being rebuilt per invocation — at production scale it is
+    # yesterday's index job either way (values unchanged, same builder).
+    idx = served_index_dir(spark, sf_dir, kind="flat_corpus")
     cb = Codebook(
         [
             (r["cent_id"], r["cent_emb"])

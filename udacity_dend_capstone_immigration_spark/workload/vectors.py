@@ -1901,12 +1901,26 @@ def served_index_dir(spark, sf_dir: str, residual: bool = False, kind: str | Non
     probe_sub = {
         "flat": "ivf_vectors",
         "flat_label": "ivf_vectors",
+        "flat_corpus": "ivf_vectors",
         "sq8": "sq8_codes",
     }.get(kind, "pq_codes")
     if d is None or not os.path.isdir(f"{d}/{probe_sub}"):
         if kind == "flat":
             d = build_ivf_flat_index(
                 spark, sf_dir, tempfile.mkdtemp(prefix="ivfflat_index_")
+            )
+        elif kind == "flat_corpus":
+            # the online-serving twin's layout: built on the CORPUS
+            # partition only (vec_id % 7 != 0 — the repo's incremental-
+            # tier convention), so the %7 query stream probes an index
+            # that never saw the queries. READ-ONLY consumers only: the
+            # stream-append roundtrip keeps building fresh (it mutates).
+            emb = table(spark, sf_dir, "embeddings").select(
+                "vec_id", "embedding"
+            ).where(F.col("vec_id") % 7 != 0)
+            d = build_ivf_flat_index(
+                spark, sf_dir, tempfile.mkdtemp(prefix="ivfflatcorpus_index_"),
+                emb=emb,
             )
         elif kind == "flat_label":
             d = build_ivf_flat_index(
