@@ -886,8 +886,6 @@ def classify_batch_against_index(
     (doc_id, status ∈ exact_dup|near_dup|unique). Shared by the
     backfill serve twin below and the end-to-end pipeline composition
     (`workload/pipeline.py`)."""
-    from udacity_dend_capstone_immigration_spark.operators.dedup import shingle_sets
-
     cke = read_dedup_shingle_index(spark, index_dir)
     corp_fp = read_dedup_fingerprints(spark, index_dir).select("fp")
     exact = (
@@ -895,32 +893,40 @@ def classify_batch_against_index(
         .join(corp_fp, "fp", "leftsemi")
         .select("doc_id", F.lit(2).alias("_p"))
     )
-    # r16 (guide §2.4): ONE batch shingle pass — the per-doc distinct
-    # shingle count ``na`` rides through the explode from the same
-    # shingle_sets build, so the old second tokenize subtree (za) and
-    # its join are gone. The batch-shingle side stays the build side
-    # of a SHUFFLED-HASH join (guide §3.1 — no sort of either side;
-    # A/B 1.18 → 0.99s at sf0.1): slim fixed-width rows, and a serve
-    # batch is operationally bounded per ingest while the partition
-    # count scales with conf, so the per-partition build stays small.
-    ss = shingle_sets(batch, "doc_id", "text", 3)
-    ne = ss.select(
-        F.col("doc_id").alias("nid"),
-        F.size("shingles").alias("na"),
-        F.explode("shingles").alias("g"),
+    # The batch-shingle relation stays FLAT (explode + dropDuplicates +
+    # a separate map-combinable za count aggregate), the pre-r16 shape.
+    # An earlier r16 "one-pass" rewrite derived ``na`` by carrying it
+    # through a re-explode of shingle_sets' grouped ARRAYS — one fewer
+    # subtree on paper, but the collect_set shuffle moves per-doc array
+    # payloads instead of flat (nid, g) rows, exactly the
+    # grouped-list-frame anti-pattern CLAUDE.md bans: A/B'd r16 on the
+    # 100× corpus (/tmp/dedup_extrap/x100, same session, interleaved),
+    # the grouped shape read 5.4-33s warm where this flat shape read
+    # 2.2-6.9s; at sf0.1 the two are within noise (1.25 vs 1.44). The
+    # merge hint stays: the batch side is explode-inflated
+    # (estimate-blind) and a backfill batch is NOT broadcast-bounded.
+    ne = shingle_rows(batch, "doc_id", "text", 3).withColumnRenamed(
+        "shingle", "g"
     )
     inter = (
-        ne.hint("shuffle_hash")
+        ne.select(F.col("doc_id").alias("nid"), "g")
+        .hint("merge")
         .join(cke, "g")
-        .groupBy("nid", "na", "cid")
+        .groupBy("nid", "cid")
         .agg(F.count(F.lit(1)).alias("i"))
+    )
+    za = (
+        ne.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("na"))
+        .withColumnRenamed("doc_id", "nid")
     )
     zb = read_dedup_doc_sizes(spark, index_dir).select(
         F.col("doc_id").alias("cid"), F.col("n").alias("nb")
     )
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
     near = (
-        inter.join(zb, "cid")
+        inter.join(za.hint("merge"), "nid")
+        .join(zb, "cid")
         .where(jac >= 0.5)
         .select(F.col("nid").alias("doc_id"))
         .distinct()
