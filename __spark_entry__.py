@@ -21,90 +21,93 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "top_nations_by_orders"
 
 #: The driver's CORRECTNESS record keeps only the first 50 entries of
-#: ``queries()``. Round-16 window, built by the ROLLING rotation rule
-#: (tests/test_registry.py): (a) every query NEW this round — the
-#: three r15-staged registrations (`sq8_reindex_roundtrip`: reindex ≡
-#: rebuild for the compressed layout, completing the maintenance story
-#: the flat retrain defers; `chunk_boilerplate_windows` +
-#: `doc_unique_chunk_ratio`: the chunk-grain boilerplate report and
-#: the per-doc novelty signal it induces) plus
-#: `quality_funnel_chunk_novelty` (the chunk tier composed into the
-#: quality cascade — the VERDICT-r15 composition ask); (b) the ENTIRE
-#: 45-query r10 rotation tranche (oldest official tier, due by r18 —
-#: cleared whole per the r15 verdict's window math); (c) one spare
-#: slot spent on `bpe_encode_corpus` from the 44-query r11 tier (a
-#: bench headliner — head start on r17's debt). 4 + 45 + 1 = 50.
-#: ROTATION NOTE for r17: after this window the oldest tranche is the
-#: remaining 43 r11-row queries (`ann_index_append_roundtrip`,
-#: `dedup_simhash`, the TPC-H q3-q18 family, etc.), due by r18's
-#: window under the capacity-derived cycle — r17 must carry ALL 43
-#: alongside its new registrations (43 + 7 free slots ≤ 50: fits).
+#: ``queries()``. Round-17 window, built by the ROLLING rotation rule
+#: (tests/test_registry.py): (a) every PLAN_CHANGED query — the r16
+#: optimization round's rewrites escaped driver verification because
+#: the r16 window spent everything on rotation debt (VERDICT r16
+#: "What's wrong #2"); the r15 clause is restored, so the r16 rewrites
+#: AND this round's plan edits all get an official row; (b) the ENTIRE
+#: 43-query r11 rotation tranche (oldest official tier — `dedup_simhash`,
+#: the TPC-H q3-q18 family, the ANN build/append roundtrips, etc.),
+#: cleared whole per the r16 verdict's window math. One PLAN_CHANGED
+#: entry (`embeddings_stream_knn_served`, the r16 memo) is itself an
+#: r11-tranche row, so 7 + 43 = 50 exactly.
+#: ROTATION NOTE for r18: after this window the oldest tranche is the
+#: 43 r12-row queries (stale bound r20 under the capacity-derived
+#: cycle), so r18 has 7 free slots for its own new/plan-changed set.
 SHOWCASE = [
-    # (a) new this round
-    "sq8_reindex_roundtrip",
-    "chunk_boilerplate_windows",
-    "doc_unique_chunk_ratio",
-    "quality_funnel_chunk_novelty",
-    # (b) the full r10 rotation tranche, cleared
-    "ann_ivf_nprobe_curve",
-    "ann_ivf_recall",
-    "ann_ivfpq_recall",
-    "ann_ivfpq_residual_recall",
-    "ann_lsh_multitable_recall",
-    "ann_lsh_recall",
-    "approx_quantile_summary",
-    "birth_year_validation",
-    "customers_without_orders",
-    "dedup_minhash_recall",
-    "embedding_int8_distortion",
-    "embedding_near_dup",
-    "embedding_pq_distortion",
-    "embedding_pq_residual_distortion",
-    "embeddings_stream_dedup_status",
-    "events_moving_agg_1h_expiry",
-    "events_salted_dim_join",
-    "events_stream_click_attribution",
-    "events_stream_dedup",
-    "events_stream_enriched",
-    "events_stream_hourly",
-    "events_stream_sessions",
-    "events_stream_sink_roundtrip",
-    "events_stream_sliding",
-    "events_stream_stateful_totals",
-    "events_stream_transitions",
-    "filter_sql_predicate",
-    "immigration_etl_city_demographics",
-    "immigration_etl_fact",
-    "invalid_label_to_na",
-    "knn_brute_force",
-    "knn_brute_force_arrow",
-    "knn_ivfpq",
-    "knn_ivfpq_residual",
-    "langid_confusion",
-    "multimodal_decode",
-    "orc_write_roundtrip",
-    "partitioned_write_roundtrip",
-    "port_name_split",
-    "regex_clean_types",
-    "sas_date_convert",
-    "schema_evolution_roundtrip",
-    "semantic_dedup_diverse_reps",
-    "top_nations_building_segment",
-    "top_parts_by_quantity",
-    # (c) r11-tier head start
-    "bpe_encode_corpus",
+    # (a) r16/r17 plan-changed (see PLAN_CHANGED below)
+    "corpus_importance_sample",
+    "corpus_importance_served",
+    "corpus_pipeline_served",
+    "corpus_pipeline_streamed",
+    "dedup_incremental_status_served",
+    "documents_stream_dedup_status",
+    "features_pit_served",
+    # (b) the full r11 rotation tranche, cleared
+    # (includes embeddings_stream_knn_served — also PLAN_CHANGED)
+    "distinct_counts_per_segment",
+    "dedup_exact_rows",
+    "table_row_counts",
+    "sql_revenue_by_priority",
+    "approx_distinct_summary",
+    "regional_supplier_revenue",
+    "orders_column_profile",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_effect",
+    "lineitem_price_qty_corr",
+    "text_quality_scores",
+    "token_stats_by_source",
+    "dedup_simhash",
+    "token_counts_bpe_ish",
+    "doc_winnowing_fingerprints",
+    "doc_trigram_lm",
+    "doc_feature_hashing",
+    "doc_chunk_windows",
+    "doc_lm_likelihood",
+    "source_token_divergence",
+    "doc_kn_bigram_likelihood",
+    "dedup_simhash_pairs",
+    "events_sliding_2h",
+    "events_json_extract",
+    "events_json_corrupt_audit",
+    "events_cep_triples",
+    "ann_index_build_roundtrip",
+    "ann_index_append_roundtrip",
+    "multimodal_resize",
+    "multimodal_payload_dedup",
+    "embeddings_stream_knn_served",
+    "tpch_q4_late_order_priority",
+    "tpch_q7_nation_trade_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_profit_by_nation_year",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_by_shipcat",
+    "tpch_q13_order_count_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "bpe_train_merges",
 ]
 
-#: Queries whose plan, oracle, or constructed result changed THIS round
-#: (beyond brand-new ones, which tests/test_registry.py derives as
+#: Queries whose plan, oracle, or constructed result changed in r16 or
+#: r17 (beyond brand-new ones, which tests/test_registry.py derives as
 #: "registered but no official row yet"). The rolling rotation test
 #: asserts these sit inside the window so changed behavior always gets
 #: an official row the round it ships. Update per round.
 PLAN_CHANGED: list[str] = [
-    # r16: none — the only plan edits this round are on the four NEW
-    # queries (merge hints landed before their first registration),
-    # which the rotation test already forces into the window as "no
-    # official row yet".
+    # r16 rewrites that escaped the r16 window (VERDICT r16 item 2):
+    # the _dsir_scores single-pass (4 consumers), the classify
+    # union-agg finish, the two serve memos, the streamed twins.
+    "corpus_importance_sample",
+    "corpus_importance_served",
+    "corpus_pipeline_served",
+    "corpus_pipeline_streamed",
+    "dedup_incremental_status_served",
+    "documents_stream_dedup_status",
+    "features_pit_served",
+    "embeddings_stream_knn_served",
 ]
 
 

@@ -83,3 +83,36 @@ def test_chunk_unique_ratio_stage_gate(spark):
     assert got == want
     assert all(0.0 <= r[3] <= 1.0 for r in got)
     assert len(got) > 100
+
+
+def test_dsir_target_bigrams_subset_of_corpus_bigrams(spark):
+    """Pin the invariant `_dsir_scores`' single-pass rewrite rests on
+    (VERDICT r16 item 6): every TARGET-head bigram exists in the
+    CORPUS head — for the inline trainer AND the persisted store. The
+    rewrite left-joins target onto corpus per bigram; a target bigram
+    absent from the corpus head would silently drop its p_t
+    contribution where the pre-r16 inner-join shape included it. The
+    invariant holds by construction (the target slice doc_id % 4 = 0
+    is a subset of the corpus, and both heads train from the same
+    bigram type aggregate), but nothing outside this test proves it
+    stays true if the head trainers ever diverge."""
+    from udacity_dend_capstone_immigration_spark.workload.base import table
+    from udacity_dend_capstone_immigration_spark.workload.textops import (
+        _doc_bigrams,
+        _dsir_train_heads,
+        served_dsir_dir,
+    )
+
+    docs = table(spark, SF_DIR, "documents")
+    scored_c, scored_t = _dsir_train_heads(_doc_bigrams(docs))
+    orphans = scored_t.join(scored_c, "bigram", "left_anti")
+    assert orphans.count() == 0, (
+        "inline trainer: target-head bigrams missing from corpus head"
+    )
+
+    d = served_dsir_dir(spark, SF_DIR)
+    pc = spark.read.parquet(f"{d}/pkn_corpus").select("bigram")
+    pt = spark.read.parquet(f"{d}/pkn_target").select("bigram")
+    assert pt.join(pc, "bigram", "left_anti").count() == 0, (
+        "persisted store: target-head bigrams missing from corpus head"
+    )

@@ -1,10 +1,10 @@
-"""Capture .explain("formatted") for named queries into plans/r16/.
+"""Capture .explain("formatted") for named queries into plans/r17/.
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
 
-Writes plans/r16/<query>_<suffix>.txt for each named query (default:
+Writes plans/r17/<query>_<suffix>.txt for each named query (default:
 every bench.py headliner). The judge reads these files to verify plan
-claims in OPTIMIZATION_r16.md, so capture them under the same session
+claims in OPTIMIZATION_r17.md, so capture them under the same session
 config bench.py uses (tuned factory, local[32], 32 shuffle
 partitions). Note explain() shows the INITIAL AQE plan
 (isFinalPlan=false); claims about AQE-final shapes cite the SQL-tab
@@ -40,7 +40,7 @@ def main() -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
-    os.makedirs("plans/r16", exist_ok=True)
+    os.makedirs("plans/r17", exist_ok=True)
     for name in names:
         try:
             df = QUERIES[name](spark, sf_dir)
@@ -49,7 +49,7 @@ def main() -> None:
             )
         except Exception as e:  # noqa: BLE001
             plan = f"ERROR capturing plan: {e}"
-        out = f"plans/r16/{name}_{suffix}.txt"
+        out = f"plans/r17/{name}_{suffix}.txt"
         with open(out, "w") as f:
             f.write(plan)
         print(f"wrote {out} ({len(plan)} bytes)")

@@ -34,6 +34,16 @@ from pyspark.sql import functions as F
 
 from udacity_dend_capstone_immigration_spark.workload.base import ORACLES, query, table
 
+#: Submit the classify and DSIR-score checkpoints from a 2-thread pool
+#: (guide §2.6) vs sequentially. The r16 overlap won a clean-box sf0.1
+#: standalone A/B but the DRIVER measured the query 0.68× slower and
+#: the builder's own x100 A/B read it worse (16.3 vs 14.7 sequential) —
+#: two concurrent jobs in a FIFO local scheduler fight for the same
+#: cores unless one leaves a long single-core tail. r17 A/B (bench
+#: protocol, interleaved flag flips within one session, min-of-4, plus
+#: the x100 corpus) decides the shipped value; see OPTIMIZATION_r17.md.
+_OVERLAP_JOBS = True
+
 # ---------------------------------------------------------------------------
 # Oracle assembly: splice the three component oracles' CTE chains.
 
@@ -163,10 +173,13 @@ def corpus_pipeline_served(spark, sf_dir):
         spark.sparkContext.setJobDescription("pipeline: DSIR score batch")
         return scored_lazy.localCheckpoint()
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        surv_f = pool.submit(_materialize_surv)
-        scored_f = pool.submit(_materialize_scores)
-        surv_ids, scored_all = surv_f.result(), scored_f.result()
+    if _OVERLAP_JOBS:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            surv_f = pool.submit(_materialize_surv)
+            scored_f = pool.submit(_materialize_scores)
+            surv_ids, scored_all = surv_f.result(), scored_f.result()
+    else:
+        surv_ids, scored_all = _materialize_surv(), _materialize_scores()
     spark.sparkContext.setJobDescription(None)
 
     scored_surv = scored_all.join(surv_ids.hint("merge"), "doc_id", "leftsemi")

@@ -1989,7 +1989,9 @@ def _dsir_scores(docs, bi, scored_c, scored_t):
     r16 (guide §2.4): ONE pass over ``bi`` instead of two. The heads
     are pre-merged per bigram (corpus LEFT target — target bigrams are
     a subset of corpus bigrams by construction, both in the inline
-    trainer and the persisted store), so the corpus-scaling exploded
+    trainer and the persisted store; pinned by tests/test_textops.py::
+    test_dsir_target_bigrams_subset_of_corpus_bigrams), so the
+    corpus-scaling exploded
     bigram relation is shuffled/joined ONCE and both averages come out
     of a single groupBy. davg = sum(col)/count(col) skips nulls, so
     the left-joined null p_t rows reproduce the old inner-join-with-t
