@@ -220,8 +220,11 @@ def main() -> None:
     # spin up the streaming machinery (micro-batch scheduler, state
     # store provider, checkpoint IO) on a 5-row stream so the first
     # streaming query doesn't absorb it (~1.5s measured)
-    import tempfile
     import uuid
+
+    from udacity_dend_capstone_immigration_spark.streaming import (
+        scratch_checkpoint_dir,
+    )
 
     try:
         tiny = (
@@ -235,7 +238,10 @@ def main() -> None:
             tiny.writeStream.format("memory")
             .queryName(f"warmup_{uuid.uuid4().hex[:8]}")
             .outputMode("complete")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_warmup_"))
+            # same scratch placement the memory-sink drains use (r17),
+            # so the warmup spins the machinery up in the mode the
+            # timed queries actually run; untimed region either way
+            .option("checkpointLocation", scratch_checkpoint_dir("ck_warmup_"))
             .trigger(availableNow=True)
             .start()
             .awaitTermination(60)

@@ -11,6 +11,7 @@ from udacity_dend_capstone_immigration_spark.streaming.windows import (
     run_available_now,
     run_available_now_many,
     run_foreach_batch_parquet,
+    scratch_checkpoint_dir,
     session_window_agg,
     stream_interval_join,
     watermarked_dedup,
@@ -24,6 +25,7 @@ __all__ = [
     "run_available_now",
     "run_available_now_many",
     "run_foreach_batch_parquet",
+    "scratch_checkpoint_dir",
     "session_window_agg",
     "stream_interval_join",
     "watermarked_dedup",

@@ -105,6 +105,29 @@ def session_window_agg(
     )
 
 
+def scratch_checkpoint_dir(prefix: str) -> str:
+    """Checkpoint dir for a THROWAWAY memory-sink drain (guide §6: put
+    IO where it belongs). An availableNow drain into a memory sink
+    creates a fresh checkpoint per run and can never be resumed across
+    processes (the sink dies with the session), so its offset/commit
+    logs and state snapshots are scratch BY CONSTRUCTION — placing them
+    on RAM-backed storage removes per-micro-batch fsync latency from
+    the drain floor (r17 A/B, min-of-3 interleaved-session reps:
+    documents_stream_dedup_status 3.72 → 2.87s, events_stream_hourly
+    1.19 → 0.98s). Durable-sink streams (foreachBatch parquet landings,
+    CDC/SCD2/feature stores) keep their checkpoints on disk — theirs
+    model real exactly-once recovery state. Placement order:
+    $SPARK_GRAFT_SCRATCH_DIR (production: local NVMe / ramdisk) →
+    /dev/shm when writable → the system tempdir."""
+    import os
+    import tempfile
+
+    base = os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
+    if base is None and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        base = "/dev/shm"
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 def stream_state_partitions(spark: SparkSession, est_bytes: int | None) -> int | None:
     """Scale-adaptive shuffle/state partition count for a stream about
     to start (guide §2.2: fewer, larger partitions — every stateful

@@ -35,14 +35,18 @@ from pyspark.sql import functions as F
 from udacity_dend_capstone_immigration_spark.workload.base import ORACLES, query, table
 
 #: Submit the classify and DSIR-score checkpoints from a 2-thread pool
-#: (guide §2.6) vs sequentially. The r16 overlap won a clean-box sf0.1
-#: standalone A/B but the DRIVER measured the query 0.68× slower and
-#: the builder's own x100 A/B read it worse (16.3 vs 14.7 sequential) —
-#: two concurrent jobs in a FIFO local scheduler fight for the same
-#: cores unless one leaves a long single-core tail. r17 A/B (bench
-#: protocol, interleaved flag flips within one session, min-of-4, plus
-#: the x100 corpus) decides the shipped value; see OPTIMIZATION_r17.md.
-_OVERLAP_JOBS = True
+#: (guide §2.6) vs sequentially. r17 A/B (tools/ab_pipeline_overlap.py:
+#: interleaved arms in one session, min-of-N, quiet box): at sf0.1 the
+#: overlap wins narrowly (4.17 vs 4.73s), but at the x100 corpus
+#: SEQUENTIAL wins every rep (13.70 vs 17.31s min-of-3; same verdict
+#: as the r16 x100 reading, 14.7 vs 16.3, and the driver's 0.68×
+#: regression) — once both jobs have enough data to saturate the
+#: executors, concurrent submission only adds contention; FIFO
+#: back-fill pays ONLY when one job leaves cores idle in its tail.
+#: Shipped: sequential (the 100 TB posture; VERDICT r16 item 1 — "it
+#: doesn't win both"). The flag stays so the A/B is one toggle to
+#: re-run.
+_OVERLAP_JOBS = False
 
 # ---------------------------------------------------------------------------
 # Oracle assembly: splice the three component oracles' CTE chains.
@@ -151,11 +155,11 @@ def corpus_pipeline_served(spark, sf_dir):
     # filter as a semi-join on the slim aggregated score rows, where
     # filter-then-score ≡ score-then-filter bit-for-bit (A/B at sf0.1:
     # stage 1.8 → ~0.9s). That same commutation makes classify and
-    # score INDEPENDENT jobs, so the two eager checkpoints are
-    # submitted from a 2-thread pool and overlap (guide §2.6 — the
-    # score job's tasks back-fill executors freed by the classify
-    # job's tail); each materializes O(batch) slim rows. A/B at sf0.1:
-    # classify-then-score 2.4s+2.2s sequential → 3.0s overlapped.
+    # score INDEPENDENT jobs; whether they are submitted sequentially
+    # or from a 2-thread pool is _OVERLAP_JOBS (module header: the r17
+    # A/B shipped SEQUENTIAL — overlap loses at the x100 corpus and in
+    # the driver's 32-core protocol). Each materializes O(batch) slim
+    # rows.
     d = served_dsir_dir(spark, sf_dir)
     scored_c = spark.read.parquet(f"{d}/pkn_corpus").select("bigram", "p_kn")
     scored_t = spark.read.parquet(f"{d}/pkn_target").select("bigram", "p_kn")

@@ -21,6 +21,7 @@ import uuid
 from pyspark.sql import functions as F
 
 from udacity_dend_capstone_immigration_spark.streaming import (
+    scratch_checkpoint_dir,
     session_window_agg,
     run_available_now,
     run_available_now_many,
@@ -84,7 +85,7 @@ def events_stream_hourly(spark, sf_dir):
         watermark="1 hour",
     )
     name = f"events_stream_hourly_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix="ck_events_stream_")
+    ck = scratch_checkpoint_dir("ck_events_stream_")
     return run_available_now(
         agg, name, checkpoint_dir=ck,
         state_partitions=_events_state_partitions(spark, sf_dir),
@@ -130,7 +131,7 @@ def events_stream_sessions(spark, sf_dir):
         watermark="1 hour",
     )
     name = f"events_stream_sessions_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix="ck_events_sessions_")
+    ck = scratch_checkpoint_dir("ck_events_sessions_")
     return run_available_now(
         sess, name, checkpoint_dir=ck,
         state_partitions=_events_state_partitions(spark, sf_dir),
@@ -163,7 +164,7 @@ def events_stream_sliding(spark, sf_dir):
         [F.count(F.lit(1)).alias("event_cnt")], watermark="1 hour",
     )
     name = f"events_stream_sliding_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix="ck_events_sliding_")
+    ck = scratch_checkpoint_dir("ck_events_sliding_")
     return run_available_now(
         agg, name, checkpoint_dir=ck,
         state_partitions=_events_state_partitions(spark, sf_dir),
@@ -196,7 +197,7 @@ def events_stream_stateful_totals(spark, sf_dir):
     ev = read_events_stream(spark, sf_dir)
     totals = integer_totals_stateful(ev)
     name = f"events_stream_stateful_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix="ck_events_stateful_")
+    ck = scratch_checkpoint_dir("ck_events_stateful_")
     return run_available_now(
         totals, name, output_mode="update", checkpoint_dir=ck,
         state_partitions=_events_state_partitions(spark, sf_dir),
@@ -227,7 +228,7 @@ def events_stream_dedup(spark, sf_dir):
     )
     deduped = watermarked_dedup(doubled, "ts", ["event_id"], watermark="1 hour")
     name = f"events_stream_dedup_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix="ck_events_dedup_")
+    ck = scratch_checkpoint_dir("ck_events_dedup_")
     drained = run_available_now(
         deduped, name, output_mode="append", checkpoint_dir=ck,
         state_partitions=_events_state_partitions(spark, sf_dir),
@@ -267,7 +268,7 @@ def events_stream_enriched(spark, sf_dir):
         broadcast(customer), ev.user_id == customer.c_custkey, "inner"
     ).select("event_type", "value", F.col("c_mktsegment").alias("mktsegment"))
     name = f"events_stream_enriched_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix="ck_events_enriched_")
+    ck = scratch_checkpoint_dir("ck_events_enriched_")
     drained = run_available_now(
         enriched, name, output_mode="append", checkpoint_dir=ck,
         state_partitions=_events_state_partitions(spark, sf_dir),
@@ -318,7 +319,7 @@ def events_stream_click_attribution(spark, sf_dir):
         interval="30 MINUTE", watermark="1 hour",
     )
     name = f"events_stream_attr_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix="ck_events_attr_")
+    ck = scratch_checkpoint_dir("ck_events_attr_")
     drained = run_available_now(
         pairs, name, output_mode="append", checkpoint_dir=ck,
         state_partitions=_events_state_partitions(spark, sf_dir),
@@ -395,7 +396,7 @@ def events_stream_transitions(spark, sf_dir):
     )
     pairs = transition_counts_stateful(ev)
     name = f"events_stream_transitions_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix="ck_events_transitions_")
+    ck = scratch_checkpoint_dir("ck_events_transitions_")
     drained = run_available_now(
         pairs, name, output_mode="append", checkpoint_dir=ck,
         state_partitions=_events_state_partitions(spark, sf_dir),
@@ -450,7 +451,7 @@ def embeddings_stream_cell_counts(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_vectors")
     )
     name = f"embeddings_stream_cells_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix="ck_emb_stream_")
+    ck = scratch_checkpoint_dir("ck_emb_stream_")
     return run_available_now(
         counts, name, checkpoint_dir=ck,
         state_partitions=_state_partitions_for(spark, emb),
@@ -628,14 +629,14 @@ def documents_stream_dedup_status(spark, sf_dir):
                 exact_stream,
                 f"docs_stream_exact_{uid}",
                 "append",
-                tempfile.mkdtemp(prefix="ck_docs_exact_"),
+                scratch_checkpoint_dir("ck_docs_exact_"),
                 sp,
             ),
             (
                 inter_stream,
                 f"docs_stream_inter_{uid}",
                 "complete",
-                tempfile.mkdtemp(prefix="ck_docs_inter_"),
+                scratch_checkpoint_dir("ck_docs_inter_"),
                 sp,
             ),
         ]
@@ -842,7 +843,7 @@ def embeddings_stream_dedup_status(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_dup"))
     )
     name = f"emb_stream_dedup_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix="ck_emb_dedup_")
+    ck = scratch_checkpoint_dir("ck_emb_dedup_")
     dups = run_available_now(
         dup_counts, name, checkpoint_dir=ck,
         state_partitions=_state_partitions_for(spark, emb),
@@ -945,7 +946,7 @@ def embeddings_stream_knn_served(spark, sf_dir):
         ),
     )
     name = f"emb_stream_knn_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix="ck_emb_knn_")
+    ck = scratch_checkpoint_dir("ck_emb_knn_")
     drained = run_available_now(
         cand, name, output_mode="append", checkpoint_dir=ck,
         state_partitions=_state_partitions_for(spark, emb),
@@ -1094,7 +1095,7 @@ def events_stream_heavy_hitters(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("cell_cnt"))
     )
     name = f"events_stream_cms_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix="ck_events_cms_")
+    ck = scratch_checkpoint_dir("ck_events_cms_")
     cells = run_available_now(
         stream_cells, name, checkpoint_dir=ck,
         state_partitions=_events_state_partitions(spark, sf_dir),
@@ -1300,7 +1301,7 @@ def events_stream_state_introspection(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(28,10)")).alias("tv_dec"),
     )
     name = f"events_stream_state_intro_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix="ck_state_intro_")
+    ck = scratch_checkpoint_dir("ck_state_intro_")
     run_available_now(
         totals, name, output_mode="update", checkpoint_dir=ck,
         state_partitions=_events_state_partitions(spark, sf_dir),
@@ -1349,7 +1350,7 @@ def events_stream_approx_distinct(spark, sf_dir):
         watermark="1 hour",
     )
     name = f"events_stream_approx_distinct_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix="ck_events_hll_")
+    ck = scratch_checkpoint_dir("ck_events_hll_")
     drained = run_available_now(
         agg, name, checkpoint_dir=ck,
         state_partitions=_events_state_partitions(spark, sf_dir),
@@ -1467,7 +1468,7 @@ def events_stream_late_data_audit(spark, sf_dir):
         watermark="1 hour",
     )
     name = f"events_stream_late_audit_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix="ck_late_audit_")
+    ck = scratch_checkpoint_dir("ck_late_audit_")
     drained = run_available_now(
         agg, name, output_mode="append", checkpoint_dir=ck,
         state_partitions=_events_state_partitions(spark, sf_dir),
@@ -1588,7 +1589,7 @@ def events_stream_outer_attribution(spark, sf_dir):
     )
     joined = lw.join(rw, cond, "left_outer")
     name = f"events_stream_outer_attr_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix="ck_outer_attr_")
+    ck = scratch_checkpoint_dir("ck_outer_attr_")
     drained = run_available_now(
         joined, name, output_mode="append", checkpoint_dir=ck,
         state_partitions=_events_state_partitions(spark, sf_dir),
