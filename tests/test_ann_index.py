@@ -100,17 +100,20 @@ def test_serving_plan_reads_only_index_and_queries(spark, index_dir):
     # NPROBE rows by construction; a corpus-sized checkpoint here
     # would be a broken serving plan
     assert "Generate" not in plan
+    # the only local relations allowed are the collected probe list
+    # (query_id, cell) and — since r17's one-job probe setup — the
+    # bounded query-vector side (query_id, q_emb); both are ≤ queries ×
+    # NPROBE rows by construction. A corpus-sized checkpoint here would
+    # be a broken serving plan.
     rdd_nodes = re.findall(r"\(\d+\) Scan ExistingRDD\n(?:.*\n){1,3}", plan)
     for node in rdd_nodes:
-        assert "query_id" in node and "cell" in node, node
-    # every embeddings.parquet scan is the bounded query side with the
-    # vec_id < 10 predicate pushed to the reader — the float corpus is
-    # never scanned at serve time. (ivf_centroids is read by the probe
-    # JOB at construction time — with the probe list collected, the
-    # serving plan itself never touches it.)
-    for seg in plan.split("Location:"):
-        if "embeddings.parquet" in seg.splitlines()[0]:
-            assert "LessThan(vec_id,10)" in seg, seg[:400]
+        assert "query_id" in node and ("cell" in node or "q_emb" in node), node
+    # r17: the serving plan never scans the embeddings table AT ALL —
+    # the query side is the local relation `_served_probe_setup`
+    # collected in its one bounded job (pre-r17 the plan re-scanned
+    # embeddings.parquet for the vec_id < 10 query side; the centroid
+    # relation is a driver-side pyarrow read, also absent).
+    assert "embeddings.parquet" not in plan, plan[:2000]
     assert "pq_codes" in plan
     # probe routing happens BEFORE decode: the codes scan carries a
     # static partition filter on cell_pt, so only probed cells are
@@ -336,10 +339,10 @@ def test_sq8_serving_plan_is_routed_and_training_free(spark):
     assert "Generate" not in plan
     rdd_nodes = re.findall(r"\(\d+\) Scan ExistingRDD\n(?:.*\n){1,3}", plan)
     for node in rdd_nodes:
-        assert "query_id" in node and "cell" in node, node
-    for seg in plan.split("Location:"):
-        if "embeddings.parquet" in seg.splitlines()[0]:
-            assert "LessThan(vec_id,10)" in seg, seg[:400]
+        assert "query_id" in node and ("cell" in node or "q_emb" in node), node
+    # r17: no embeddings scan anywhere — the query side is the local
+    # relation from `_served_probe_setup`'s one bounded job
+    assert "embeddings.parquet" not in plan, plan[:2000]
     assert "sq8_codes" in plan
     assert re.search(r"PartitionFilters: \[cell_pt#\d+ IN", plan), plan[:2000]
 

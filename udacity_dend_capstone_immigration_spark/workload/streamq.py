@@ -908,6 +908,7 @@ def embeddings_stream_knn_served(spark, sf_dir):
     from udacity_dend_capstone_immigration_spark.operators.topk import top_k_per_group
     from udacity_dend_capstone_immigration_spark.workload.base import table
     from udacity_dend_capstone_immigration_spark.workload.vectors import (
+        _read_bounded_artifact,
         served_index_dir,
     )
 
@@ -922,7 +923,7 @@ def embeddings_stream_knn_served(spark, sf_dir):
     cb = Codebook(
         [
             (r["cent_id"], r["cent_emb"])
-            for r in spark.read.parquet(f"{idx}/ivf_centroids").collect()
+            for r in _read_bounded_artifact(f"{idx}/ivf_centroids")
         ]
     )
     stream = (
@@ -1017,8 +1018,8 @@ def embeddings_stream_index_append(spark, sf_dir):
     assignment."""
     from udacity_dend_capstone_immigration_spark.workload.base import table
     from udacity_dend_capstone_immigration_spark.workload.vectors import (
-        _ivf_probes,
         _ivfpq_topk,
+        _served_probe_setup,
         build_ivf_flat_index,
         read_ivf_flat_store,
         stream_append_to_ivf_flat_index,
@@ -1042,13 +1043,7 @@ def embeddings_stream_index_append(spark, sf_dir):
     stream_append_to_ivf_flat_index(
         spark, stream, idx, tempfile.mkdtemp(prefix="ck_idx_append_")
     )
-    cents = spark.read.parquet(f"{idx}/ivf_centroids")
-    probe_rows = [
-        (int(r["query_id"]), int(r["cell"]))
-        for r in _ivf_probes(emb, cents).collect()
-    ]
-    probed = sorted({c for _, c in probe_rows})
-    probes = spark.createDataFrame(probe_rows, "query_id long, cell long")
+    probes, probed, q = _served_probe_setup(spark, idx, emb)
     store = (
         read_ivf_flat_store(spark, idx)
         .where(F.col("cell_pt").isin(probed))
@@ -1058,7 +1053,7 @@ def embeddings_stream_index_append(spark, sf_dir):
             "cell",
         )
     )
-    return _ivfpq_topk(emb, cents, store, probes=probes)
+    return _ivfpq_topk(emb, None, store, probes=probes, q=q)
 
 
 from udacity_dend_capstone_immigration_spark.workload.advanced import _CMS_D  # noqa: E402

@@ -940,14 +940,106 @@ def _ivf_probes(emb, cents):
     ).select("query_id", F.col("cent_id").alias("cell"))
 
 
-def _ivfpq_topk(emb, cents, recon, probes=None):
+def _read_bounded_artifact(path: str) -> list:
+    """Driver-side pyarrow read of a BOUNDED persisted index artifact
+    (centroids, PQ codebooks, quantizer stats — rows capped by the
+    MAX_CODEBOOK_ROWS contract, never corpus-scaled). A serving process
+    loads these into memory at startup (the faiss model); paying a
+    distributed collect job per artifact per serve was pure job-launch
+    overhead (guide §1.2 — r17 item 7: 0.13-0.15s per collect at
+    sf0.1). Raises if the relation outgrew the contract — same guard
+    as :class:`Codebook`."""
+    import pyarrow.parquet as pq
+
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        MAX_CODEBOOK_ROWS,
+    )
+
+    tbl = pq.read_table(path)
+    if tbl.num_rows > MAX_CODEBOOK_ROWS:
+        raise ValueError(
+            f"{path} has {tbl.num_rows} rows, over the "
+            f"{MAX_CODEBOOK_ROWS}-row bounded-artifact contract — this "
+            "reader is for index artifacts, never corpus-scaled relations"
+        )
+    return tbl.to_pylist()
+
+
+def _local_probe_rows(q_rows, cent_rows):
+    """Driver-side probe ranking: NPROBE nearest cells per collected
+    query vector against a bounded centroid set — the same BLAS block,
+    ``np.round(…, 6)`` and lowest-cent_id tiebreak as
+    `assign_nearest_arrow` (the matches-after-rounding contract, green
+    since r6), so the selected cells equal `_ivf_probes`' ORDER BY
+    csim DESC, cent_id ASC under the shared rounding. Returns
+    [(query_id, cell)] sorted by (query_id, rank)."""
+    import numpy as np
+
+    from udacity_dend_capstone_immigration_spark.operators.similarity import (
+        Codebook,
+    )
+
+    cb = Codebook(cent_rows)
+    out = []
+    for qid, vec in sorted(q_rows):
+        q = np.asarray(vec, dtype=np.float64)
+        sims = (q @ cb.mat.T) / (np.linalg.norm(q) * cb.nrm)
+        sims = np.round(sims, 6)
+        # stable sort on -sim keeps ascending cent_id within ties
+        order = np.argsort(-sims, kind="stable")[:_IVF_PROBE]
+        out.extend((int(qid), int(cb.ids[j])) for j in order)
+    return out
+
+
+def _served_probe_setup(spark, index_dir: str, emb):
+    """Serve-side probe computation in ONE bounded Spark job (r17,
+    VERDICT r16 item 7): collect the ≤10 query vectors (vec_id < 10 —
+    the registry's bounded query contract), read the centroid artifact
+    driver-side (`_read_bounded_artifact`), rank probe cells locally
+    (`_local_probe_rows`), and hand back
+
+        (probes_df, probed_cells, q_df)
+
+    with BOTH decision frames as local relations — the serving plan
+    then scans ONLY the index store: no crossJoin+window probe job, no
+    centroid-collect job, and no second embeddings scan for the query
+    side (the pre-r17 shape paid ~0.5s of job overhead per serve for
+    ≤160 probe rows). Ranking math is bit-compatible with `_ivf_probes`
+    per the `_local_probe_rows` contract."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    q_rows = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.where(F.col("vec_id") < 10).collect()
+    ]
+    cent_rows = [
+        (r["cent_id"], r["cent_emb"])
+        for r in _read_bounded_artifact(f"{index_dir}/ivf_centroids")
+    ]
+    probe_rows = _local_probe_rows(q_rows, cent_rows)
+    probed = sorted({c for _, c in probe_rows})
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell long")
+    q_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("q_emb", emb.schema["embedding"].dataType),
+        ]
+    )
+    q = spark.createDataFrame(q_rows, q_schema)
+    return probes, probed, q
+
+
+def _ivfpq_topk(emb, cents, recon, probes=None, q=None):
     """Shared IVF-PQ serving tail: NPROBE nearest cells per query
     (vec_id < 10) → candidates = ``recon`` rows in the probed cells →
     rounded asymmetric cosine (full-precision query × reconstruction)
     → top-5 with the registry tiebreak. ``recon`` must carry
     (neighbor_id, r, cell); callers that already materialized the
     probe list (the served path collects it for partition routing)
-    pass it via ``probes`` to avoid a second probe job."""
+    pass it via ``probes`` to avoid a second probe job, and may pass
+    the matching local (query_id, q_emb) relation via ``q``
+    (`_served_probe_setup` collects both in one job) so the serving
+    plan never re-scans the embeddings table for the query side."""
     from udacity_dend_capstone_immigration_spark.functions.vectors import (
         cosine_similarity,
     )
@@ -955,9 +1047,10 @@ def _ivfpq_topk(emb, cents, recon, probes=None):
 
     if probes is None:
         probes = _ivf_probes(emb, cents)
-    q = emb.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
+    if q is None:
+        q = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
     scored = (
         probes.join(recon, "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -1089,7 +1182,7 @@ def _encode_against_index(spark, new_emb, index_dir: str):
         pq_encode,
     )
 
-    cents_rows = spark.read.parquet(f"{index_dir}/ivf_centroids").collect()
+    cents_rows = _read_bounded_artifact(f"{index_dir}/ivf_centroids")
     cb = Codebook([(r["cent_id"], r["cent_emb"]) for r in cents_rows])
     books = load_pq_codebooks(spark, f"{index_dir}/pq_codebooks")
     assigned = assign_nearest_arrow(new_emb, cb, "vec_id", keep_embedding=True)
@@ -1099,13 +1192,14 @@ def _encode_against_index(spark, new_emb, index_dir: str):
 def load_pq_codebooks(spark, path: str) -> list:
     """Read a persisted ``pq_codebooks`` relation back into the
     in-closure :class:`Codebook` list serving decodes against — a
-    blocks × _PQ_CODES bounded collect (the `MAX_CODEBOOK_ROWS`
-    contract raises if a caller points this at a corpus-scaled
-    relation)."""
+    blocks × _PQ_CODES bounded artifact, read driver-side
+    (`_read_bounded_artifact` — r17: the per-serve collect job was
+    pure launch overhead; the `MAX_CODEBOOK_ROWS` contract still
+    raises if a caller points this at a corpus-scaled relation)."""
     from udacity_dend_capstone_immigration_spark.operators.similarity import Codebook
 
     by_block: dict[int, list] = {}
-    for r in spark.read.parquet(path).collect():
+    for r in _read_bounded_artifact(path):
         by_block.setdefault(r["block"], []).append((r["code"], r["codeword"]))
     return [Codebook(by_block[j]) for j in sorted(by_block)]
 
@@ -1158,7 +1252,7 @@ def append_to_ivf_flat_index(spark, new_emb, index_dir: str) -> None:
     )
     from udacity_dend_capstone_immigration_spark.sources.writers import write_table
 
-    cents_rows = spark.read.parquet(f"{index_dir}/ivf_centroids").collect()
+    cents_rows = _read_bounded_artifact(f"{index_dir}/ivf_centroids")
     cb = Codebook([(r["cent_id"], r["cent_emb"]) for r in cents_rows])
     assigned = assign_nearest_arrow(new_emb, cb, "vec_id", keep_embedding=True)
     write_table(
@@ -1244,8 +1338,9 @@ def build_ivf_sq8_index(spark, sf_dir, out_dir: str, emb=None) -> str:
 
 def load_sq8_stats(spark, path: str) -> tuple:
     """Read persisted ``sq8_stats`` back as (mn, mx) per-dim lists —
-    a d-row bounded collect (the stats ARE the quantizer)."""
-    rows = sorted(spark.read.parquet(path).collect(), key=lambda r: r["dim"])
+    a d-row bounded artifact, read driver-side (r17: same
+    job-overhead argument as `load_pq_codebooks`)."""
+    rows = sorted(_read_bounded_artifact(path), key=lambda r: r["dim"])
     return [float(r["mn"]) for r in rows], [float(r["mx"]) for r in rows]
 
 
@@ -1263,7 +1358,7 @@ def append_to_sq8_index(spark, new_emb, index_dir: str) -> None:
     )
     from udacity_dend_capstone_immigration_spark.sources.writers import write_table
 
-    cents_rows = spark.read.parquet(f"{index_dir}/ivf_centroids").collect()
+    cents_rows = _read_bounded_artifact(f"{index_dir}/ivf_centroids")
     cb = Codebook([(r["cent_id"], r["cent_emb"]) for r in cents_rows])
     mn, mx = load_sq8_stats(spark, f"{index_dir}/sq8_stats")
     assigned = assign_nearest_arrow(new_emb, cb, "vec_id", keep_embedding=True)
@@ -1304,7 +1399,7 @@ def stream_append_to_ivf_flat_index(
 
     import hashlib
 
-    cents_rows = spark.read.parquet(f"{index_dir}/ivf_centroids").collect()
+    cents_rows = _read_bounded_artifact(f"{index_dir}/ivf_centroids")
     cb = Codebook([(r["cent_id"], r["cent_emb"]) for r in cents_rows])
     # batch_id restarts at 0 for every NEW checkpoint lineage, so batch
     # addressing alone is only unique per lineage — a second ingestion
@@ -1354,7 +1449,7 @@ def stream_append_to_sq8_index(
         _await_or_raise,
     )
 
-    cents_rows = spark.read.parquet(f"{index_dir}/ivf_centroids").collect()
+    cents_rows = _read_bounded_artifact(f"{index_dir}/ivf_centroids")
     cb = Codebook([(r["cent_id"], r["cent_emb"]) for r in cents_rows])
     mn, mx = load_sq8_stats(spark, f"{index_dir}/sq8_stats")
     lineage = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
@@ -1977,16 +2072,11 @@ def knn_ivfpq_served(spark, sf_dir):
 
     idx = served_index_dir(spark, sf_dir)
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = spark.read.parquet(f"{idx}/ivf_centroids")
     books = load_pq_codebooks(spark, f"{idx}/pq_codebooks")
-    # ONE probe job: the collected rows drive both the partition filter
-    # and (as a local relation) the candidate pairing downstream
-    probe_rows = [
-        (int(r["query_id"]), int(r["cell"]))
-        for r in _ivf_probes(emb, cents).collect()
-    ]
-    probed = sorted({c for _, c in probe_rows})
-    probes = spark.createDataFrame(probe_rows, "query_id long, cell long")
+    # ONE bounded job total (r17): query vectors collected once; the
+    # centroid artifact is a driver-side read and the probe ranking is
+    # local, so the serving plan scans ONLY the routed codes store
+    probes, probed, q = _served_probe_setup(spark, idx, emb)
     codes = (
         spark.read.parquet(f"{idx}/pq_codes")
         .where(F.col("cell_pt").isin(probed))
@@ -1995,7 +2085,7 @@ def knn_ivfpq_served(spark, sf_dir):
     recon = pq_decode_codes(codes, books, passthrough=("cell",)).select(
         F.col("vec_id").alias("neighbor_id"), "r", "cell"
     )
-    return _ivfpq_topk(emb, cents, recon, probes=probes)
+    return _ivfpq_topk(emb, None, recon, probes=probes, q=q)
 
 
 @query("knn_ivf_served", oracle=ORACLES["knn_ivf"])
@@ -2014,13 +2104,7 @@ def knn_ivf_served(spark, sf_dir):
     "reconstruction" that happens to be exact)."""
     idx = served_index_dir(spark, sf_dir, kind="flat")
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = spark.read.parquet(f"{idx}/ivf_centroids")
-    probe_rows = [
-        (int(r["query_id"]), int(r["cell"]))
-        for r in _ivf_probes(emb, cents).collect()
-    ]
-    probed = sorted({c for _, c in probe_rows})
-    probes = spark.createDataFrame(probe_rows, "query_id long, cell long")
+    probes, probed, q = _served_probe_setup(spark, idx, emb)
     store = (
         spark.read.parquet(f"{idx}/ivf_vectors")
         .where(F.col("cell_pt").isin(probed))
@@ -2030,7 +2114,7 @@ def knn_ivf_served(spark, sf_dir):
             "cell",
         )
     )
-    return _ivfpq_topk(emb, cents, store, probes=probes)
+    return _ivfpq_topk(emb, None, store, probes=probes, q=q)
 
 
 @query(
@@ -2101,14 +2185,8 @@ def knn_sq8_served(spark, sf_dir):
 
     idx = served_index_dir(spark, sf_dir, kind="sq8")
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = spark.read.parquet(f"{idx}/ivf_centroids")
     mn, mx = load_sq8_stats(spark, f"{idx}/sq8_stats")
-    probe_rows = [
-        (int(r["query_id"]), int(r["cell"]))
-        for r in _ivf_probes(emb, cents).collect()
-    ]
-    probed = sorted({c for _, c in probe_rows})
-    probes = spark.createDataFrame(probe_rows, "query_id long, cell long")
+    probes, probed, q = _served_probe_setup(spark, idx, emb)
     codes = (
         spark.read.parquet(f"{idx}/sq8_codes")
         .where(F.col("cell_pt").isin(probed))
@@ -2117,7 +2195,7 @@ def knn_sq8_served(spark, sf_dir):
     recon = sq8_decode_codes(codes, mn, mx, passthrough=("cell",)).select(
         F.col("vec_id").alias("neighbor_id"), "r", "cell"
     )
-    return _ivfpq_topk(emb, cents, recon, probes=probes)
+    return _ivfpq_topk(emb, None, recon, probes=probes, q=q)
 
 
 ann_sq8_recall = _register_knn_recall(
@@ -2428,7 +2506,7 @@ def ann_retrain_roundtrip(spark, sf_dir):
             F.col("embedding"), lambda x: (x * F.lit(-1.0)).cast("float")
         ).alias("embedding"),
     )
-    cents = spark.read.parquet(f"{idx}/ivf_centroids").collect()
+    cents = _read_bounded_artifact(f"{idx}/ivf_centroids")
     cb = Codebook([(r["cent_id"], r["cent_emb"]) for r in cents])
     (
         assign_nearest_arrow(drifted, cb, "vec_id", keep_embedding=True)
@@ -2660,12 +2738,7 @@ def knn_ivfpq_residual_served(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = spark.read.parquet(f"{idx}/ivf_centroids")
     books = load_pq_codebooks(spark, f"{idx}/pq_codebooks")
-    probe_rows = [
-        (int(r["query_id"]), int(r["cell"]))
-        for r in _ivf_probes(emb, cents).collect()
-    ]
-    probed = sorted({c for _, c in probe_rows})
-    probes = spark.createDataFrame(probe_rows, "query_id long, cell long")
+    probes, probed, q = _served_probe_setup(spark, idx, emb)
     codes = (
         spark.read.parquet(f"{idx}/pq_codes")
         .where(F.col("cell_pt").isin(probed))
@@ -2676,7 +2749,7 @@ def knn_ivfpq_residual_served(spark, sf_dir):
     recon = pq_decode_codes(
         codes, books, center_col="cent_emb", passthrough=("cell",)
     ).select(F.col("vec_id").alias("neighbor_id"), "r", "cell")
-    return _ivfpq_topk(emb, cents, recon, probes=probes)
+    return _ivfpq_topk(emb, None, recon, probes=probes, q=q)
 
 
 # --- nprobe tuning curve: recall@5 AND candidate count per probe
@@ -3332,13 +3405,7 @@ def knn_ivf_maintenance_served(spark, sf_dir):
     delete_from_index(
         spark, idx, emb.where(F.col("vec_id") % 5 == 2).select("vec_id")
     )
-    cents = spark.read.parquet(f"{idx}/ivf_centroids")
-    probe_rows = [
-        (int(r["query_id"]), int(r["cell"]))
-        for r in _ivf_probes(emb, cents).collect()
-    ]
-    probed = sorted({c for _, c in probe_rows})
-    probes = spark.createDataFrame(probe_rows, "query_id long, cell long")
+    probes, probed, q = _served_probe_setup(spark, idx, emb)
 
     def serve(stage: str):
         store = spark.read.parquet(f"{idx}/ivf_vectors").where(
@@ -3349,7 +3416,7 @@ def knn_ivf_maintenance_served(spark, sf_dir):
             F.col("embedding").alias("r"),
             "cell",
         )
-        top = _ivfpq_topk(emb, cents, store, probes=probes)
+        top = _ivfpq_topk(emb, None, store, probes=probes, q=q)
         return top.select(F.lit(stage).alias("stage"), "*")
 
     # serve 1 executes NOW (before the compaction mutates the store):
@@ -3485,13 +3552,7 @@ def knn_ivf_filtered_served(spark, sf_dir):
     set — never the silent under-return of post-filtering a top-k."""
     idx = served_index_dir(spark, sf_dir, kind="flat_label")
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = spark.read.parquet(f"{idx}/ivf_centroids")
-    probe_rows = [
-        (int(r["query_id"]), int(r["cell"]))
-        for r in _ivf_probes(emb, cents).collect()
-    ]
-    probed = sorted({c for _, c in probe_rows})
-    probes = spark.createDataFrame(probe_rows, "query_id long, cell long")
+    probes, probed, q = _served_probe_setup(spark, idx, emb)
     store = (
         spark.read.parquet(f"{idx}/ivf_vectors")
         .where(F.col("cell_pt").isin(probed))
@@ -3502,7 +3563,7 @@ def knn_ivf_filtered_served(spark, sf_dir):
             "cell",
         )
     )
-    return _ivfpq_topk(emb, cents, store, probes=probes)
+    return _ivfpq_topk(emb, None, store, probes=probes, q=q)
 
 
 # --- MRR audit of the serving default (r13): recall@5 says whether
