@@ -432,20 +432,96 @@ def bpe_apply_merge(words, lft: str, rgt: str):
     return _apply_merges_kernel(words, [(lft, rgt)]).localCheckpoint(eager=False)
 
 
+#: Corpus-estimate ceiling (Catalyst sizeInBytes) below which BPE
+#: training runs DRIVER-SIDE over the collected (term, cnt) vocab
+#: instead of as `_BPE_ROUNDS` distributed jobs. The distributed round
+#: is ~0.4-0.6s of fixed overhead (Arrow kernel spin-up + pair
+#: exchange + argmax collect) regardless of vocab size, so a tiny
+#: vocab pays ~6x that in pure job launches; driver rounds on a ≤32 MiB
+#: corpus (|V| ≲ 60k terms, Heaps) cost milliseconds-to-tenths each.
+#: Past the ceiling the per-round Python loop would grow with |V| while
+#: the distributed rounds stay map-parallel — the same estimate-derived
+#: algorithm pick as `grouped_running_sum` (guide §1.2/§2).
+_BPE_DRIVER_CORPUS_BYTES = 32 << 20
+
+#: Hard vocab-row cap for the driver path: if the estimate lied and the
+#: collected vocab is corpus-scaled, fall back to the distributed
+#: trainer rather than loop over millions of terms on the driver.
+_BPE_DRIVER_MAX_VOCAB = 262_144
+
+
+def _bpe_train_local(rows):
+    """Driver-side `_BPE_ROUNDS` training loop over a COLLECTED
+    (term, cnt) vocab — bit-identical to the distributed trainer: the
+    per-round statistic is the same exact-integer weighted pair count,
+    the argmax tie-break is (cnt DESC, lft ASC, rgt ASC) (Python str
+    comparison = code-point order = Spark's UTF8 binary order), and
+    merge application is the same `_greedy_merge` the Arrow kernel
+    calls, applied incrementally in rank order (≡ the kernel's
+    re-derivation from the original term, by induction over rounds).
+    Returns (merges, words_rows)."""
+    from collections import Counter
+
+    state = [(term, int(cnt), list(term)) for term, cnt in rows]
+    merges = []
+    for r in range(_BPE_ROUNDS):
+        c: Counter = Counter()
+        for _, cnt, syms in state:
+            for pair in zip(syms, syms[1:]):
+                c[pair] += cnt
+        if not c:
+            break
+        (lft, rgt), best = min(
+            c.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((r + 1, lft, rgt, lft + rgt, int(best)))
+        merged = lft + rgt
+        state = [
+            (term, cnt, _greedy_merge(syms, lft, rgt, merged) if lft in syms else syms)
+            for term, cnt, syms in state
+        ]
+    return merges, state
+
+
 def _bpe_train(spark, docs):
     """Run the `_BPE_ROUNDS` training loop; returns (merges, words) —
     the learned merge rows AND the final encoded vocab (the result of
     applying every learned merge in rank order, i.e. the trained
     tokenizer's encoding of the corpus vocabulary).
 
-    Round r scans the ONE materialized (term, cnt) vocab, re-derives
-    the round's symbol state in the Arrow kernel, and emits pair-count
+    Small corpora (Catalyst estimate ≤ `_BPE_DRIVER_CORPUS_BYTES`):
+    ONE tokenize+count job collects the vocab and the whole loop runs
+    driver-side (`_bpe_train_local` — the bounded eager-decision
+    contract; r17, tests/test_pretrain.py pins driver ≡ distributed on
+    real data). Past the gate, the r16 distributed shape: round r
+    scans the ONE materialized (term, cnt) vocab, re-derives the
+    round's symbol state in the Arrow kernel, and emits pair-count
     partials; the only exchange per round is the pair-domain aggregate
-    and the only collect is the 1-row argmax (the bounded
-    eager-decision contract). The final vocab is one more map-only
-    kernel pass applying all learned merges — rounds never shuffle
-    vocab rows at all (the pre-r16 shape paid 2 vocab-keyed exchanges
-    + 3 sorts per round through the window pipeline)."""
+    and the only collect is the 1-row argmax. The final vocab is one
+    more map-only kernel pass applying all learned merges — rounds
+    never shuffle vocab rows at all (the pre-r16 shape paid 2
+    vocab-keyed exchanges + 3 sorts per round through the window
+    pipeline)."""
+    from udacity_dend_capstone_immigration_spark.operators.cumsum import (
+        _estimated_bytes,
+    )
+    from udacity_dend_capstone_immigration_spark.operators.spread import spread_scan
+
+    est = _estimated_bytes(docs)
+    if est is not None and est <= _BPE_DRIVER_CORPUS_BYTES:
+        vocab = (
+            spread_scan(docs)
+            .select(F.explode(tokenize(F.col("text"))).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        rows = [(r["term"], int(r["cnt"])) for r in vocab.collect()]
+        if len(rows) <= _BPE_DRIVER_MAX_VOCAB:
+            merges, words_rows = _bpe_train_local(rows)
+            words = spark.createDataFrame(
+                words_rows, "term string, cnt bigint, syms array<string>"
+            )
+            return merges, words
     words0 = _bpe_vocab(docs)
     merges = []
     for r in range(_BPE_ROUNDS):
