@@ -60,10 +60,41 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+#: (realpath, mtime_ns, size) -> StructType. Schema inference reads a
+#: parquet footer per ``spark.read.parquet`` call (~0.08-0.15s
+#: measured); the serving compositions construct 8-10 store scans per
+#: invocation, so inference alone was ~0.8s of pure plan-construction
+#: latency per serve (r17). The memo is process-local METADATA keyed on
+#: the path's stat signature: a store rewrite (renamed into place) or
+#: regenerated testdata bumps the mtime and re-infers; appends into
+#: partition subdirs never change a relation's schema (writer-fixed).
+_PQ_SCHEMA_MEMO: dict = {}
+
+
+def read_parquet_memo(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` with a process-local schema memo. NOT for
+    schema-evolving reads (publish/WAP versions live at new paths
+    anyway) nor ``events.parquet`` (`read_events` probes the footer for
+    its physical-type normalization)."""
+    import os
+
+    try:
+        st = os.stat(path)
+        key = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
+    except OSError:
+        return spark.read.parquet(path)
+    sch = _PQ_SCHEMA_MEMO.get(key)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _PQ_SCHEMA_MEMO[key] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return read_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return read_parquet_memo(spark, f"{sf_dir}/{name}.parquet")
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:

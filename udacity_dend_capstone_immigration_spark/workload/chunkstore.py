@@ -40,6 +40,7 @@ its query side is bounded by the serving batch (broadcast).
 
 from __future__ import annotations
 
+from udacity_dend_capstone_immigration_spark.workload.base import read_parquet_memo
 import os
 import tempfile
 
@@ -96,7 +97,7 @@ def build_chunk_store(
 
 
 def _read_meta(spark: SparkSession, store_dir: str) -> tuple[int, int, int]:
-    r = spark.read.parquet(f"{store_dir}/meta").collect()[0]
+    r = read_parquet_memo(spark, f"{store_dir}/meta").collect()[0]
     return int(r["size"]), int(r["stride"]), int(r["n_buckets"])
 
 
@@ -122,11 +123,11 @@ def read_chunk_store(spark: SparkSession, store_dir: str) -> DataFrame:
     """The full chunk relation: main ∪ pending streamed delta batches
     (both partition-prunable on h_pt; the delta's extra batch_pt key is
     projected away). With no delta on disk this is a bare main scan."""
-    main = spark.read.parquet(f"{store_dir}/chunks")
+    main = read_parquet_memo(spark, f"{store_dir}/chunks")
     delta_dir = f"{store_dir}/chunks_delta"
     if not os.path.isdir(delta_dir):
         return main
-    delta = spark.read.parquet(delta_dir).select(*_CHUNK_COLS)
+    delta = read_parquet_memo(spark, delta_dir).select(*_CHUNK_COLS)
     return main.select(*_CHUNK_COLS).unionByName(delta)
 
 
@@ -189,7 +190,7 @@ def fold_chunk_store_delta(spark: SparkSession, store_dir: str) -> bool:
     delta_dir = f"{store_dir}/chunks_delta"
     if not os.path.isdir(delta_dir):
         return False
-    rows = spark.read.parquet(delta_dir).select(*_CHUNK_COLS)
+    rows = read_parquet_memo(spark, delta_dir).select(*_CHUNK_COLS)
     write_table(
         rows, f"{store_dir}/chunks", partition_by=["h_pt"], mode="append"
     )
@@ -221,7 +222,7 @@ def read_chunk_store_served(spark: SparkSession, store_dir: str) -> DataFrame:
     ch = read_chunk_store(spark, store_dir)
     if not os.path.isdir(f"{store_dir}/deleted_docs"):
         return ch
-    dead = spark.read.parquet(f"{store_dir}/deleted_docs").select("doc_id")
+    dead = read_parquet_memo(spark, f"{store_dir}/deleted_docs").select("doc_id")
     return ch.join(dead, "doc_id", "left_anti")
 
 
@@ -252,7 +253,7 @@ def fold_chunk_store_tombstones(spark: SparkSession, store_dir: str) -> None:
     fold_chunk_store_delta(spark, store_dir)
     stage_root = f"{store_dir}/_fold_stage"
     shutil.rmtree(stage_root, ignore_errors=True)
-    dead = spark.read.parquet(f"{store_dir}/deleted_docs").select("doc_id").distinct()
+    dead = read_parquet_memo(spark, f"{store_dir}/deleted_docs").select("doc_id").distinct()
     ch = read_chunk_store(spark, store_dir)
     affected = sorted(
         r["h_pt"]
@@ -264,7 +265,7 @@ def fold_chunk_store_tombstones(spark: SparkSession, store_dir: str) -> None:
     swaps = []
     for pt in affected:
         part_dir = f"{store_dir}/chunks/h_pt={pt}"
-        survivors = spark.read.parquet(part_dir).join(dead, "doc_id", "left_anti")
+        survivors = read_parquet_memo(spark, part_dir).join(dead, "doc_id", "left_anti")
         stage_dir = f"{stage_root}/h_pt={pt}"
         if survivors.limit(1).count():
             survivors.write.mode("overwrite").parquet(stage_dir)

@@ -65,6 +65,7 @@ drop_duplicates, :169); this is the beyond-reference LLM-pipeline tier.
 
 from __future__ import annotations
 
+from udacity_dend_capstone_immigration_spark.workload.base import read_parquet_memo
 import os
 import shutil
 import tempfile
@@ -158,7 +159,7 @@ def build_dedup_index(
 
 
 def _read_meta(spark: SparkSession, index_dir: str):
-    r = spark.read.parquet(f"{index_dir}/meta").collect()[0]
+    r = read_parquet_memo(spark, f"{index_dir}/meta").collect()[0]
     return int(r["k"]), int(r["cap"]), int(r["n_buckets"])
 
 
@@ -336,7 +337,7 @@ def revive_shingles(
     if not os.path.isdir(due_dir):
         return 0
     k, cap, n_buckets = _read_meta(spark, index_dir)
-    due = spark.read.parquet(due_dir).select("g").distinct().localCheckpoint()
+    due = read_parquet_memo(spark, due_dir).select("g").distinct().localCheckpoint()
     # 1. drop any existing (tombstoned/stale) postings for due shingles
     idx_cols = ["g", "cid", "g_pt"]
     idx = _union_delta(spark, index_dir, "shingle_index", idx_cols)
@@ -370,7 +371,7 @@ def revive_shingles(
     # 3. revived shingles are live again — clear their tombstones
     dead_dir = f"{index_dir}/dropped_shingles"
     if os.path.isdir(dead_dir):
-        kept = spark.read.parquet(dead_dir).select("g").join(due, "g", "left_anti")
+        kept = read_parquet_memo(spark, dead_dir).select("g").join(due, "g", "left_anti")
         if kept.limit(1).count():
             _swap_in(kept, dead_dir)
         else:
@@ -378,7 +379,7 @@ def revive_shingles(
     ddelta = f"{index_dir}/dropped_shingles_delta"
     if _has_batches(ddelta):
         kept_d = (
-            spark.read.parquet(ddelta).select("g").join(due, "g", "left_anti")
+            read_parquet_memo(spark, ddelta).select("g").join(due, "g", "left_anti")
         )
         if kept_d.limit(1).count():
             write_table(kept_d, f"{index_dir}/dropped_shingles", mode="append")
@@ -487,11 +488,11 @@ def _union_delta(
     ``batch_pt`` from the delta side — the stream writer's own-batch
     exclusion: on a crash replay, the re-executing micro-batch must not
     probe the partial rows its first attempt landed."""
-    main = spark.read.parquet(f"{index_dir}/{rel}").select(*cols)
+    main = read_parquet_memo(spark, f"{index_dir}/{rel}").select(*cols)
     droot = f"{index_dir}/{rel}_delta"
     if not _has_batches(droot):
         return main
-    d = spark.read.parquet(droot)
+    d = read_parquet_memo(spark, droot)
     if exclude_batch is not None:
         d = d.where(F.col("batch_pt") != exclude_batch)
     return main.unionByName(d.select(*cols))
@@ -503,11 +504,11 @@ def _dead_shingles(spark: SparkSession, index_dir: str):
     parts = []
     if os.path.isdir(f"{index_dir}/dropped_shingles"):
         parts.append(
-            spark.read.parquet(f"{index_dir}/dropped_shingles").select("g")
+            read_parquet_memo(spark, f"{index_dir}/dropped_shingles").select("g")
         )
     if _has_batches(f"{index_dir}/dropped_shingles_delta"):
         parts.append(
-            spark.read.parquet(f"{index_dir}/dropped_shingles_delta").select("g")
+            read_parquet_memo(spark, f"{index_dir}/dropped_shingles_delta").select("g")
         )
     if not parts:
         return None
@@ -524,7 +525,7 @@ def _dead_docs(spark: SparkSession, index_dir: str):
     d = f"{index_dir}/deleted_docs"
     if not os.path.isdir(d):
         return None
-    return spark.read.parquet(d).select("cid")
+    return read_parquet_memo(spark, d).select("cid")
 
 
 def read_dedup_shingle_index(
@@ -608,7 +609,7 @@ def fold_dedup_index(spark: SparkSession, index_dir: str) -> None:
         droot = f"{index_dir}/{rel}_delta"
         if _has_batches(droot):
             write_table(
-                spark.read.parquet(droot).select(*cols),
+                read_parquet_memo(spark, droot).select(*cols),
                 f"{index_dir}/{rel}",
                 partition_by=pby,
                 mode="append",
@@ -617,7 +618,7 @@ def fold_dedup_index(spark: SparkSession, index_dir: str) -> None:
     ddelta = f"{index_dir}/dropped_shingles_delta"
     if _has_batches(ddelta):
         write_table(
-            spark.read.parquet(ddelta).select("g"),
+            read_parquet_memo(spark, ddelta).select("g"),
             f"{index_dir}/dropped_shingles",
             mode="append",
         )
@@ -627,7 +628,7 @@ def fold_dedup_index(spark: SparkSession, index_dir: str) -> None:
     # negative delete-retraction rows sum away here; a shingle whose
     # live df reached 0 drops its stats row entirely (rebuild parity)
     stats = (
-        spark.read.parquet(f"{index_dir}/shingle_df")
+        read_parquet_memo(spark, f"{index_dir}/shingle_df")
         .groupBy("g", "g_pt")
         .agg(F.sum("df").cast("long").alias("df"))
         .where(F.col("df") != 0)
@@ -635,14 +636,14 @@ def fold_dedup_index(spark: SparkSession, index_dir: str) -> None:
     )
     _swap_in(stats, f"{index_dir}/shingle_df", partition_by=["g_pt"])
     gone = _dead_docs(spark, index_dir)
-    fp = spark.read.parquet(f"{index_dir}/fingerprints").select(
+    fp = read_parquet_memo(spark, f"{index_dir}/fingerprints").select(
         "fp", "cid", "fp_pt"
     )
     if gone is not None:
         fp = fp.join(gone, "cid", "left_anti")
     _swap_in(fp.distinct(), f"{index_dir}/fingerprints", partition_by=["fp_pt"])
     if gone is not None:
-        sizes = spark.read.parquet(f"{index_dir}/doc_sizes").select("doc_id", "n")
+        sizes = read_parquet_memo(spark, f"{index_dir}/doc_sizes").select("doc_id", "n")
         sizes = sizes.join(
             gone.select(F.col("cid").alias("doc_id")), "doc_id", "left_anti"
         )
@@ -875,6 +876,15 @@ def documents_stream_index_append(spark, sf_dir):
     return _index_aggregate(spark, out)
 
 
+#: Join-strategy hint for the batch-classify shingle joins
+#: ("merge" | "shuffle_hash") — the hint exists because the batch side
+#: is explode-inflated (estimate-blind: a static broadcast of an
+#: SF-scaling relation must be impossible); WHICH shuffled strategy is
+#: an A/B decision (tools/ab_classify_join.py — r16 only measured
+#: shuffle_hash bundled with the reverted grouped-array carry).
+_CLASSIFY_JOIN_HINT = "merge"
+
+
 def classify_batch_against_index(
     spark: SparkSession, index_dir: str, batch: DataFrame
 ) -> DataFrame:
@@ -910,7 +920,7 @@ def classify_batch_against_index(
     )
     inter = (
         ne.select(F.col("doc_id").alias("nid"), "g")
-        .hint("merge")
+        .hint(_CLASSIFY_JOIN_HINT)
         .join(cke, "g")
         .groupBy("nid", "cid")
         .agg(F.count(F.lit(1)).alias("i"))
@@ -925,7 +935,7 @@ def classify_batch_against_index(
     )
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
     near = (
-        inter.join(za.hint("merge"), "nid")
+        inter.join(za.hint(_CLASSIFY_JOIN_HINT), "nid")
         .join(zb, "cid")
         .where(jac >= 0.5)
         .select(F.col("nid").alias("doc_id"))

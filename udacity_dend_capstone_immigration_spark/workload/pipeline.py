@@ -30,6 +30,7 @@ this is the beyond-reference LLM-pipeline tier's capstone.
 
 from __future__ import annotations
 
+from udacity_dend_capstone_immigration_spark.workload.base import read_parquet_memo
 from pyspark.sql import functions as F
 
 from udacity_dend_capstone_immigration_spark.workload.base import ORACLES, query, table
@@ -161,8 +162,8 @@ def corpus_pipeline_served(spark, sf_dir):
     # the driver's 32-core protocol). Each materializes O(batch) slim
     # rows.
     d = served_dsir_dir(spark, sf_dir)
-    scored_c = spark.read.parquet(f"{d}/pkn_corpus").select("bigram", "p_kn")
-    scored_t = spark.read.parquet(f"{d}/pkn_target").select("bigram", "p_kn")
+    scored_c = read_parquet_memo(spark, f"{d}/pkn_corpus").select("bigram", "p_kn")
+    scored_t = read_parquet_memo(spark, f"{d}/pkn_target").select("bigram", "p_kn")
     scored_lazy = _dsir_scores(batch, _doc_bigrams(batch), scored_c, scored_t)
 
     def _materialize_surv():
@@ -199,7 +200,7 @@ def corpus_pipeline_served(spark, sf_dir):
     # 6.2/5.2s without); kept because it also keeps the RETURNED plan
     # bare of the scoring subtree (the training-free plan pin).
     b = served_bpe_dir(spark, sf_dir)
-    words = spark.read.parquet(f"{b}/encoded_vocab")
+    words = read_parquet_memo(spark, f"{b}/encoded_vocab")
     selected = docs.join(sel_ids, "doc_id", "leftsemi")
     return _packed_examples(spark, sf_dir, words, docs=selected)
 
@@ -271,7 +272,7 @@ def corpus_pipeline_streamed(spark, sf_dir, n_waves: int = 3):
         os.utime(f"{feed}/w{i}.parquet", (mt + i * 3600, mt + i * 3600))
 
     scores = tempfile.mkdtemp(prefix="pipe_scores_") + "/scores"
-    schema = spark.read.parquet(f"{feed}/w0.parquet").schema
+    schema = read_parquet_memo(spark, f"{feed}/w0.parquet").schema
     stream = read_stream(spark, feed, schema, max_files_per_trigger=1)
 
     def score_batch(batch_df, batch_id):
@@ -279,8 +280,8 @@ def corpus_pipeline_streamed(spark, sf_dir, n_waves: int = 3):
             return
         bspark = batch_df.sparkSession
         status = classify_batch_against_index(bspark, idx, batch_df)
-        scored_c = bspark.read.parquet(f"{dsir}/pkn_corpus").select("bigram", "p_kn")
-        scored_t = bspark.read.parquet(f"{dsir}/pkn_target").select("bigram", "p_kn")
+        scored_c = read_parquet_memo(bspark, f"{dsir}/pkn_corpus").select("bigram", "p_kn")
+        scored_t = read_parquet_memo(bspark, f"{dsir}/pkn_target").select("bigram", "p_kn")
         # r16: score the whole micro-batch off its in-memory frame and
         # filter survivors on the slim aggregated score rows (same
         # score-then-filter ≡ filter-then-score rewrite as the served
@@ -304,11 +305,11 @@ def corpus_pipeline_streamed(spark, sf_dir, n_waves: int = 3):
     )
     _await_or_raise(q, 300, "corpus_pipeline_streamed")
 
-    w_all = spark.read.parquet(scores).select(
+    w_all = read_parquet_memo(spark, scores).select(
         "doc_id", "source", "n_bigrams", "importance"
     )
     sel_ids = _dsir_select_from_scores(w_all).select("doc_id").localCheckpoint()
-    words = spark.read.parquet(f"{bpe}/encoded_vocab")
+    words = read_parquet_memo(spark, f"{bpe}/encoded_vocab")
     # merge-hint: sel_ids is an SF-scaling checkpointed frame, and here
     # (unlike the served twin) its LogicalRDD inherits a SMALL estimate
     # from the scores-parquet subtree, so the static planner would

@@ -12,6 +12,7 @@ reproduce results bit-for-bit.
 
 from __future__ import annotations
 
+from udacity_dend_capstone_immigration_spark.workload.base import read_parquet_memo
 from pyspark.sql import functions as F
 
 from udacity_dend_capstone_immigration_spark.functions.text import tokenize
@@ -664,7 +665,7 @@ def bpe_encode_served(spark, sf_dir):
     persisted syms are exactly the trained ones (the build half of the
     tokenizer's train-once/serve-many contract)."""
     d = served_bpe_dir(spark, sf_dir)
-    words = spark.read.parquet(f"{d}/encoded_vocab")
+    words = read_parquet_memo(spark, f"{d}/encoded_vocab")
     enc = words.select("term", "cnt", F.explode("syms").alias("token"))
     return enc.groupBy("token").agg(
         F.sum("cnt").cast("bigint").alias("total_cnt"),
@@ -749,7 +750,7 @@ def bpe_encode_incremental(spark, sf_dir):
     chain and then applies each learned merge to the batch vocab chain
     — so the hash compare proves frozen-encode semantics end to end."""
     d = served_bpe_dir(spark, sf_dir, corpus_only=True)
-    merges_df = spark.read.parquet(f"{d}/merges")
+    merges_df = read_parquet_memo(spark, f"{d}/merges")
     docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
     words = encode_vocab_with_merges(spark, _bpe_vocab(docs), merges_df)
     enc = words.select("term", "cnt", F.explode("syms").alias("token"))
@@ -843,7 +844,7 @@ def corpus_examples_packed_served(spark, sf_dir):
     a production pipeline actually re-runs per corpus snapshot; the
     trainer runs at tokenizer-release cadence."""
     d = served_bpe_dir(spark, sf_dir)
-    words = spark.read.parquet(f"{d}/encoded_vocab")
+    words = read_parquet_memo(spark, f"{d}/encoded_vocab")
     return _packed_examples(spark, sf_dir, words)
 
 
@@ -1154,7 +1155,7 @@ def bpe_fertility_report(spark, sf_dir):
     shape reused for reporting."""
     d = served_bpe_dir(spark, sf_dir)
     vlen = (
-        spark.read.parquet(f"{d}/encoded_vocab")
+        read_parquet_memo(spark, f"{d}/encoded_vocab")
         .select("term", F.size("syms").cast("long").alias("enc_len"))
     )
     docs = table(spark, sf_dir, "documents")

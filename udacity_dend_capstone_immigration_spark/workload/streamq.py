@@ -15,6 +15,7 @@ the round-3/4 regression that broke four of these queries.
 
 from __future__ import annotations
 
+from udacity_dend_capstone_immigration_spark.workload.base import read_parquet_memo
 import tempfile
 import uuid
 
@@ -261,7 +262,7 @@ def events_stream_enriched(spark, sf_dir):
     from pyspark.sql.functions import broadcast
 
     ev = read_events_stream(spark, sf_dir)
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    customer = read_parquet_memo(spark, f"{sf_dir}/customer.parquet").select(
         "c_custkey", "c_mktsegment"
     )
     enriched = ev.join(
@@ -353,7 +354,7 @@ def events_stream_sink_roundtrip(spark, sf_dir):
     out = tempfile.mkdtemp(prefix="sink_events_stream_")
     ck = tempfile.mkdtemp(prefix="ck_events_sink_")
     run_foreach_batch_parquet(ev, out, ck, partition_by=("event_type",))
-    landed = spark.read.parquet(out)
+    landed = read_parquet_memo(spark, out)
     return landed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("event_cnt"),
         dsum(F.col("value"), "total_value"),
@@ -934,7 +935,7 @@ def embeddings_stream_knn_served(spark, sf_dir):
         .select("vec_id", "embedding")
     )
     squeries = assign_nearest_arrow(stream, cb, "vec_id", keep_embedding=True)
-    store = spark.read.parquet(f"{idx}/ivf_vectors").select(
+    store = read_parquet_memo(spark, f"{idx}/ivf_vectors").select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
         "cell",
@@ -1260,7 +1261,7 @@ def events_stream_incremental_agg(spark, sf_dir):
         .start()
     )
     _await_or_raise(q, 120, "events_stream_incremental_agg")
-    back = spark.read.parquet(store)
+    back = read_parquet_memo(spark, store)
     return back.select(
         "pt", "user_id", "n_events", F.col("tv_dec").cast("double").alias("total_value")
     )
@@ -1452,7 +1453,7 @@ def events_stream_late_data_audit(spark, sf_dir):
         dst = f"{flat}/{name}.parquet"
         os.replace(f"{src}/{name}/{part}", dst)
         os.utime(dst, (mt + i * 3600, mt + i * 3600))
-    schema = spark.read.parquet(f"{flat}/a_recent.parquet").schema
+    schema = read_parquet_memo(spark, f"{flat}/a_recent.parquet").schema
     stream = read_stream(spark, flat, schema, max_files_per_trigger=1)
     agg = watermarked_tumbling(
         stream,
@@ -1561,7 +1562,7 @@ def events_stream_outer_attribution(spark, sf_dir):
         ]
         os.replace(f"{src}/{nm}/{part}", f"{flat}/{nm}.parquet")
         os.utime(f"{flat}/{nm}.parquet", (mt + i * 3600, mt + i * 3600))
-    schema = spark.read.parquet(f"{flat}/a_backlog.parquet").schema
+    schema = read_parquet_memo(spark, f"{flat}/a_backlog.parquet").schema
 
     def typed(event_type, ts_name, cols):
         s = read_stream(spark, flat, schema, max_files_per_trigger=1)
@@ -1679,7 +1680,7 @@ def _register_stream_cdc():
             ]
             os.replace(f"{d}/{part}", f"{feed}/{nm}.parquet")
             os.utime(f"{feed}/{nm}.parquet", (mt + i * 3600, mt + i * 3600))
-        schema = spark.read.parquet(f"{feed}/a_wave1.parquet").schema
+        schema = read_parquet_memo(spark, f"{feed}/a_wave1.parquet").schema
         stream = read_stream(spark, feed, schema, max_files_per_trigger=1)
 
         def land(batch_df, batch_id):
@@ -1700,7 +1701,7 @@ def _register_stream_cdc():
             .start()
         )
         _await_or_raise(q, 180, "orders_stream_cdc_apply")
-        back = spark.read.parquet(store)
+        back = read_parquet_memo(spark, store)
         return back.groupBy("o_orderpriority").agg(
             F.count(F.lit(1)).alias("n_rows"),
             dsum(F.col("o_totalprice"), "total_price"),
@@ -1773,7 +1774,7 @@ def _register_stream_scd2():
             ]
             os.replace(f"{d}/{part}", f"{feed}/{nm}.parquet")
             os.utime(f"{feed}/{nm}.parquet", (mt + i * 3600, mt + i * 3600))
-        schema = spark.read.parquet(f"{feed}/a_wave1.parquet").schema
+        schema = read_parquet_memo(spark, f"{feed}/a_wave1.parquet").schema
         stream = read_stream(spark, feed, schema, max_files_per_trigger=1)
 
         # foreachBatch is at-least-once and scd2_apply is NOT
@@ -1802,7 +1803,7 @@ def _register_stream_scd2():
             .start()
         )
         _await_or_raise(q, 180, "dim_stream_scd2_apply")
-        final = spark.read.parquet(store)
+        final = read_parquet_memo(spark, store)
         epoch = F.to_date(F.lit("1970-01-01"))
         return final.groupBy("attr").agg(
             F.count(F.lit(1)).cast("bigint").alias("n_versions"),
@@ -1876,7 +1877,7 @@ def _register_stream_features():
             ]
             os.replace(f"{d}/{part}", f"{feed}/day_{i}.parquet")
             os.utime(f"{feed}/day_{i}.parquet", (mt + i * 3600, mt + i * 3600))
-        schema = spark.read.parquet(f"{feed}/day_0.parquet").schema
+        schema = read_parquet_memo(spark, f"{feed}/day_0.parquet").schema
         stream = read_stream(spark, feed, schema, max_files_per_trigger=1)
         applied = tempfile.mkdtemp(prefix="fs_applied_")
 

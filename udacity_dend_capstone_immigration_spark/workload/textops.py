@@ -12,6 +12,7 @@ materialize the O(n²) cross product — candidates come from hash buckets.
 
 from __future__ import annotations
 
+from udacity_dend_capstone_immigration_spark.workload.base import read_parquet_memo
 from pyspark.sql import functions as F
 
 from udacity_dend_capstone_immigration_spark.functions.text import (
@@ -2119,8 +2120,8 @@ def corpus_importance_served(spark, sf_dir):
     hints — the BIGRAM side is explode-inflated (estimate-blind class)
     even though the head side now has accurate file stats."""
     d = served_dsir_dir(spark, sf_dir)
-    scored_c = spark.read.parquet(f"{d}/pkn_corpus").select("bigram", "p_kn")
-    scored_t = spark.read.parquet(f"{d}/pkn_target").select("bigram", "p_kn")
+    scored_c = read_parquet_memo(spark, f"{d}/pkn_corpus").select("bigram", "p_kn")
+    scored_t = read_parquet_memo(spark, f"{d}/pkn_target").select("bigram", "p_kn")
     docs = table(spark, sf_dir, "documents")
     return _dsir_select(docs, _doc_bigrams(docs), scored_c, scored_t)
 
@@ -2481,7 +2482,7 @@ def cluster_store_build_roundtrip(spark, sf_dir):
     out = build_cluster_store(
         spark, assign, pairs, tempfile.mkdtemp(prefix="cluster_store_")
     )
-    a = spark.read.parquet(f"{out}/assignments")
+    a = read_parquet_memo(spark, f"{out}/assignments")
     aa = a.groupBy(F.col("c_pt").cast("int").alias("part")).agg(
         F.count(F.lit(1)).cast("bigint").alias("a_rows"),
         F.sum("doc_id").cast("bigint").alias("a_docsum"),
@@ -2493,7 +2494,7 @@ def cluster_store_build_roundtrip(spark, sf_dir):
         .cast("bigint")
         .alias("a_csum"),
     )
-    e = spark.read.parquet(f"{out}/edges")
+    e = read_parquet_memo(spark, f"{out}/edges")
     ea = e.groupBy(F.col("c_pt").cast("int").alias("part")).agg(
         F.count(F.lit(1)).cast("bigint").alias("e_rows"),
         F.sum(F.col("id_a") + F.col("id_b")).cast("bigint").alias("e_absum"),
@@ -2560,10 +2561,10 @@ def cluster_store_delete_served(spark, sf_dir):
     out = build_cluster_store(
         spark, assign, pairs, tempfile.mkdtemp(prefix="cluster_store_del_")
     )
-    stored_assign = spark.read.parquet(f"{out}/assignments").select(
+    stored_assign = read_parquet_memo(spark, f"{out}/assignments").select(
         "doc_id", "cluster_id"
     )
-    stored_edges = spark.read.parquet(f"{out}/edges").select("id_a", "id_b")
+    stored_edges = read_parquet_memo(spark, f"{out}/edges").select("id_a", "id_b")
     deleted = docs.where(F.col("doc_id") % 9 == 4).select("doc_id")
     return delete_from_components(
         stored_assign, stored_edges, deleted, id_col="doc_id"
@@ -2641,7 +2642,7 @@ def cluster_store_append_served(spark, sf_dir):
     out = build_cluster_store(
         spark, old, old_pairs, tempfile.mkdtemp(prefix="cluster_store_app_")
     )
-    stored_assign = spark.read.parquet(f"{out}/assignments").select(
+    stored_assign = read_parquet_memo(spark, f"{out}/assignments").select(
         "doc_id", "cluster_id"
     )
     new_edges = pairs.where(new_a | new_b)

@@ -9,6 +9,7 @@ and rank ties break deterministically.
 
 from __future__ import annotations
 
+from udacity_dend_capstone_immigration_spark.workload.base import read_parquet_memo
 from pyspark.sql import functions as F
 
 from udacity_dend_capstone_immigration_spark.operators.similarity import (
@@ -1483,11 +1484,11 @@ def read_sq8_store(spark, index_dir: str):
 
     _finish_retrain_commit(index_dir)
     cols = ["vec_id", "codes", "cell", "cell_pt"]
-    main = spark.read.parquet(f"{index_dir}/sq8_codes").select(*cols)
+    main = read_parquet_memo(spark, f"{index_dir}/sq8_codes").select(*cols)
     delta_dir = f"{index_dir}/sq8_codes_delta"
     if not os.path.isdir(delta_dir):
         return main
-    return main.unionByName(spark.read.parquet(delta_dir).select(*cols))
+    return main.unionByName(read_parquet_memo(spark, delta_dir).select(*cols))
 
 
 #: payload columns per code store (shared by the generic delta fold)
@@ -1511,7 +1512,7 @@ def fold_store_delta(spark, index_dir: str, store: str) -> bool:
     delta_dir = f"{index_dir}/{store}_delta"
     if not os.path.isdir(delta_dir):
         return False
-    rows = spark.read.parquet(delta_dir).select(*_STORE_COLS[store])
+    rows = read_parquet_memo(spark, delta_dir).select(*_STORE_COLS[store])
     write_table(
         rows.withColumn("cell_pt", F.col("cell")),
         f"{index_dir}/{store}",
@@ -1782,7 +1783,7 @@ def reindex_sq8_index(spark, index_dir: str, emb) -> dict:
         retire=["sq8_codes_delta", "deleted_ids"],
     )
     _finish_retrain_commit(index_dir)
-    n_cells = spark.read.parquet(f"{index_dir}/ivf_centroids").count()
+    n_cells = read_parquet_memo(spark, f"{index_dir}/ivf_centroids").count()
     return {"n_vectors": cur.count(), "n_cells": n_cells}
 
 
@@ -1798,11 +1799,11 @@ def read_ivf_flat_store(spark, index_dir: str):
 
     _finish_retrain_commit(index_dir)
     cols = ["vec_id", "embedding", "cell", "cell_pt"]
-    main = spark.read.parquet(f"{index_dir}/ivf_vectors").select(*cols)
+    main = read_parquet_memo(spark, f"{index_dir}/ivf_vectors").select(*cols)
     delta_dir = f"{index_dir}/ivf_vectors_delta"
     if not os.path.isdir(delta_dir):
         return main
-    return main.unionByName(spark.read.parquet(delta_dir).select(*cols))
+    return main.unionByName(read_parquet_memo(spark, delta_dir).select(*cols))
 
 
 def fold_index_delta(spark, index_dir: str) -> None:
@@ -1855,7 +1856,7 @@ def apply_tombstones(spark, index_dir: str, df, id_col: str = "vec_id"):
 
     if not os.path.isdir(f"{index_dir}/deleted_ids"):
         return df
-    dead = spark.read.parquet(f"{index_dir}/deleted_ids").select(
+    dead = read_parquet_memo(spark, f"{index_dir}/deleted_ids").select(
         F.col("vec_id").alias(id_col)
     )
     return df.join(dead, id_col, "left_anti")
@@ -1914,7 +1915,7 @@ def compact_index_cells(spark, index_dir: str, cells=None) -> dict:
         live = f"{index_dir}/{store}"
         if not os.path.isdir(live):
             continue
-        df = spark.read.parquet(live)
+        df = read_parquet_memo(spark, live)
         if not full:
             df = df.where(F.col("cell_pt").isin(sorted(cell_set)))
         df = apply_tombstones(spark, index_dir, df)
@@ -2078,7 +2079,7 @@ def knn_ivfpq_served(spark, sf_dir):
     # local, so the serving plan scans ONLY the routed codes store
     probes, probed, q = _served_probe_setup(spark, idx, emb)
     codes = (
-        spark.read.parquet(f"{idx}/pq_codes")
+        read_parquet_memo(spark, f"{idx}/pq_codes")
         .where(F.col("cell_pt").isin(probed))
         .select("vec_id", "codes", "cell")
     )
@@ -2106,7 +2107,7 @@ def knn_ivf_served(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     probes, probed, q = _served_probe_setup(spark, idx, emb)
     store = (
-        spark.read.parquet(f"{idx}/ivf_vectors")
+        read_parquet_memo(spark, f"{idx}/ivf_vectors")
         .where(F.col("cell_pt").isin(probed))
         .select(
             F.col("vec_id").alias("neighbor_id"),
@@ -2188,7 +2189,7 @@ def knn_sq8_served(spark, sf_dir):
     mn, mx = load_sq8_stats(spark, f"{idx}/sq8_stats")
     probes, probed, q = _served_probe_setup(spark, idx, emb)
     codes = (
-        spark.read.parquet(f"{idx}/sq8_codes")
+        read_parquet_memo(spark, f"{idx}/sq8_codes")
         .where(F.col("cell_pt").isin(probed))
         .select("vec_id", "codes", "cell")
     )
@@ -2235,7 +2236,7 @@ def ann_index_build_roundtrip(spark, sf_dir):
     import tempfile
 
     out = build_ivfpq_index(spark, sf_dir, tempfile.mkdtemp(prefix="ivfpq_build_"))
-    codes = spark.read.parquet(f"{out}/pq_codes")
+    codes = read_parquet_memo(spark, f"{out}/pq_codes")
     code_sum = F.aggregate("codes", F.lit(0).cast("long"), lambda a, x: a + x)
     return (
         codes.select("cell", code_sum.alias("code_sum"))
@@ -2344,7 +2345,7 @@ def ann_index_append_roundtrip(spark, sf_dir):
         spark, sf_dir, tempfile.mkdtemp(prefix="ivfpq_append_"), emb=corpus
     )
     append_to_ivfpq_index(spark, new, out)
-    codes = spark.read.parquet(f"{out}/pq_codes")
+    codes = read_parquet_memo(spark, f"{out}/pq_codes")
     code_sum = F.aggregate("codes", F.lit(0).cast("long"), lambda a, x: a + x)
     is_new = F.col("vec_id") % 7 == 0
     return (
@@ -2417,7 +2418,7 @@ def ann_index_maintenance_roundtrip(spark, sf_dir):
         spark, out, emb.where(F.col("vec_id") % 5 == 2).select("vec_id")
     )
     compact_index_cells(spark, out)
-    codes = spark.read.parquet(f"{out}/pq_codes")
+    codes = read_parquet_memo(spark, f"{out}/pq_codes")
     code_sum = F.aggregate("codes", F.lit(0).cast("long"), lambda a, x: a + x)
     is_new = F.col("vec_id") % 7 == 0
     return (
@@ -2528,7 +2529,7 @@ def ann_retrain_roundtrip(spark, sf_dir):
 
     assert not os.path.isdir(f"{idx}/ivf_vectors_delta")  # retired
     assert not os.path.isdir(f"{idx}/deleted_ids")  # retired
-    back = spark.read.parquet(f"{idx}/ivf_vectors")
+    back = read_parquet_memo(spark, f"{idx}/ivf_vectors")
     em = F.aggregate(
         F.col("embedding").cast("array<double>"),
         F.lit(0).cast("long"),
@@ -2736,11 +2737,11 @@ def knn_ivfpq_residual_served(spark, sf_dir):
 
     idx = served_index_dir(spark, sf_dir, residual=True)
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = spark.read.parquet(f"{idx}/ivf_centroids")
+    cents = read_parquet_memo(spark, f"{idx}/ivf_centroids")
     books = load_pq_codebooks(spark, f"{idx}/pq_codebooks")
     probes, probed, q = _served_probe_setup(spark, idx, emb)
     codes = (
-        spark.read.parquet(f"{idx}/pq_codes")
+        read_parquet_memo(spark, f"{idx}/pq_codes")
         .where(F.col("cell_pt").isin(probed))
         .select("vec_id", "codes", "cell")
         .join(F.broadcast(cents), F.col("cell") == F.col("cent_id"))
@@ -3408,7 +3409,7 @@ def knn_ivf_maintenance_served(spark, sf_dir):
     probes, probed, q = _served_probe_setup(spark, idx, emb)
 
     def serve(stage: str):
-        store = spark.read.parquet(f"{idx}/ivf_vectors").where(
+        store = read_parquet_memo(spark, f"{idx}/ivf_vectors").where(
             F.col("cell_pt").isin(probed)
         )
         store = apply_tombstones(spark, idx, store).select(
@@ -3554,7 +3555,7 @@ def knn_ivf_filtered_served(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     probes, probed, q = _served_probe_setup(spark, idx, emb)
     store = (
-        spark.read.parquet(f"{idx}/ivf_vectors")
+        read_parquet_memo(spark, f"{idx}/ivf_vectors")
         .where(F.col("cell_pt").isin(probed))
         .where(F.col("label") < _FILTER_LABEL_LT)
         .select(
@@ -3891,7 +3892,7 @@ def centroid_drift_report(spark, index_dir: str, threshold: float = 0.02):
             F.col("n_vectors").cast("bigint").alias("n_vectors"),
         )
     )
-    cents = spark.read.parquet(f"{index_dir}/ivf_centroids").select(
+    cents = read_parquet_memo(spark, f"{index_dir}/ivf_centroids").select(
         F.col("cent_id").alias("cell"),
         F.col("cent_emb").cast("array<double>").alias("cent_emb"),
     )
@@ -4071,7 +4072,7 @@ def sq8_reindex_roundtrip(spark, sf_dir):
     )
     reindex_sq8_index(spark, idx, emb)
     mn, mx = load_sq8_stats(spark, f"{idx}/sq8_stats")
-    codes = spark.read.parquet(f"{idx}/sq8_codes").select(
+    codes = read_parquet_memo(spark, f"{idx}/sq8_codes").select(
         "vec_id", "codes", F.col("cell").cast("long").alias("cell_data"),
         F.col("cell_pt").cast("long").alias("cell_key"),
     )
