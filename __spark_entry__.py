@@ -26,15 +26,20 @@ FLAGSHIP = "top_nations_by_orders"
 #: optimization round's rewrites escaped driver verification because
 #: the r16 window spent everything on rotation debt (VERDICT r16
 #: "What's wrong #2"); the r15 clause is restored, so the r16 rewrites
-#: AND this round's plan edits all get an official row; (b) the ENTIRE
-#: 43-query r11 rotation tranche (oldest official tier — `dedup_simhash`,
-#: the TPC-H q3-q18 family, the ANN build/append roundtrips, etc.),
-#: cleared whole per the r16 verdict's window math. One PLAN_CHANGED
-#: entry (`embeddings_stream_knn_served`, the r16 memo) is itself an
-#: r11-tranche row, so 7 + 43 = 50 exactly.
+#: AND this round's plan edits all get an official row; (b) as much of
+#: the 43-query r11 rotation tranche (oldest official tier) as fits
+#: after (a) — plan-changed takes priority per the verdict's item-2
+#: wording. The r17 session-2 probe-fold/BPE rewrites added 8 more
+#: PLAN_CHANGED rows, so 8 r11-tranche rows (simple profile/aggregate
+#: queries, plans untouched for 6 rounds) roll to r18: their r11
+#: official rows stay inside the capacity-derived staleness bound
+#: (r10), and r18 has free slots per the note below. Two PLAN_CHANGED
+#: entries (`embeddings_stream_knn_served`, `bpe_train_merges`) are
+#: themselves r11-tranche rows.
 #: ROTATION NOTE for r18: after this window the oldest tranche is the
-#: 43 r12-row queries (stale bound r20 under the capacity-derived
-#: cycle), so r18 has 7 free slots for its own new/plan-changed set.
+#: 43 r12-row queries plus the 8 r11 rows deferred here; r18's window
+#: = its own new/plan-changed set + the 8 r11 deferrals first, then
+#: r12 rows.
 SHOWCASE = [
     # (a) r16/r17 plan-changed (see PLAN_CHANGED below)
     "corpus_importance_sample",
@@ -44,15 +49,20 @@ SHOWCASE = [
     "dedup_incremental_status_served",
     "documents_stream_dedup_status",
     "features_pit_served",
-    # (b) the full r11 rotation tranche, cleared
-    # (includes embeddings_stream_knn_served — also PLAN_CHANGED)
-    "distinct_counts_per_segment",
-    "dedup_exact_rows",
-    "table_row_counts",
-    "sql_revenue_by_priority",
-    "approx_distinct_summary",
-    "regional_supplier_revenue",
-    "orders_column_profile",
+    # (a) r17 session-2 rewrites: one-job probe setup (serving plans
+    # lost the embeddings scan; probe list + query side now local
+    # relations) and the estimate-gated driver-side BPE trainer
+    "knn_ivfpq_served",
+    "knn_ivf_served",
+    "knn_sq8_served",
+    "knn_ivf_filtered_served",
+    "knn_ivfpq_residual_served",
+    "knn_ivf_maintenance_served",
+    "embeddings_stream_index_append",
+    "bpe_encode_corpus",
+    # (b) the r11 rotation tranche minus 8 deferred simple-aggregate
+    # rows (includes embeddings_stream_knn_served and bpe_train_merges
+    # — both also PLAN_CHANGED)
     "tpch_q3_shipping_priority",
     "tpch_q6_forecast_revenue",
     "tpch_q14_promo_effect",
@@ -108,6 +118,18 @@ PLAN_CHANGED: list[str] = [
     "documents_stream_dedup_status",
     "features_pit_served",
     "embeddings_stream_knn_served",
+    # r17 session-2: one-job probe setup (serving plans scan only the
+    # routed store; probe list + query side local) — every persisted-
+    # serve path — and the estimate-gated driver-side BPE trainer.
+    "knn_ivfpq_served",
+    "knn_ivf_served",
+    "knn_sq8_served",
+    "knn_ivf_filtered_served",
+    "knn_ivfpq_residual_served",
+    "knn_ivf_maintenance_served",
+    "embeddings_stream_index_append",
+    "bpe_encode_corpus",
+    "bpe_train_merges",
 ]
 
 
