@@ -30,15 +30,15 @@ FLAGSHIP = "top_nations_by_orders"
 #: the 43-query r11 rotation tranche (oldest official tier) as fits
 #: after (a) — plan-changed takes priority per the verdict's item-2
 #: wording. The r17 session-2 probe-fold/BPE rewrites added 8 more
-#: PLAN_CHANGED rows, so 8 r11-tranche rows (simple profile/aggregate
+#: PLAN_CHANGED rows, so 9 r11-tranche rows (simple profile/aggregate
 #: queries, plans untouched for 6 rounds) roll to r18: their r11
 #: official rows stay inside the capacity-derived staleness bound
 #: (r10), and r18 has free slots per the note below. Two PLAN_CHANGED
 #: entries (`embeddings_stream_knn_served`, `bpe_train_merges`) are
 #: themselves r11-tranche rows.
 #: ROTATION NOTE for r18: after this window the oldest tranche is the
-#: 43 r12-row queries plus the 8 r11 rows deferred here; r18's window
-#: = its own new/plan-changed set + the 8 r11 deferrals first, then
+#: 43 r12-row queries plus the 9 r11 rows deferred here; r18's window
+#: = its own new/plan-changed set + the 9 r11 deferrals first, then
 #: r12 rows.
 SHOWCASE = [
     # (a) r16/r17 plan-changed (see PLAN_CHANGED below)
@@ -60,11 +60,10 @@ SHOWCASE = [
     "knn_ivf_maintenance_served",
     "embeddings_stream_index_append",
     "bpe_encode_corpus",
-    # (b) the r11 rotation tranche minus 8 deferred simple-aggregate
+    # (b) the r11 rotation tranche minus 9 deferred simple-aggregate
     # rows (includes embeddings_stream_knn_served and bpe_train_merges
     # — both also PLAN_CHANGED)
     "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue",
     "tpch_q14_promo_effect",
     "lineitem_price_qty_corr",
     "text_quality_scores",
