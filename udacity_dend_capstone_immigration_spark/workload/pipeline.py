@@ -49,6 +49,11 @@ from udacity_dend_capstone_immigration_spark.workload.base import ORACLES, query
 #: re-run.
 _OVERLAP_JOBS = False
 
+#: Force the served pipeline's estimate-gated one-job fold on/off
+#: (None = gate decides; tools/ab_select_fold.py toggles it so the A/B
+#: is one flag).
+_FOLD_SELECT_OVERRIDE: bool | None = None
+
 # ---------------------------------------------------------------------------
 # Oracle assembly: splice the three component oracles' CTE chains.
 
@@ -165,34 +170,69 @@ def corpus_pipeline_served(spark, sf_dir):
     scored_c = read_parquet_memo(spark, f"{d}/pkn_corpus").select("bigram", "p_kn")
     scored_t = read_parquet_memo(spark, f"{d}/pkn_target").select("bigram", "p_kn")
     scored_lazy = _dsir_scores(batch, _doc_bigrams(batch), scored_c, scored_t)
+    surv_lazy = status.where(F.col("status") == "unique").select("doc_id")
 
-    def _materialize_surv():
-        spark.sparkContext.setJobDescription("pipeline: classify vs dedup store")
-        return (
-            status.where(F.col("status") == "unique")
+    # r17 session 3 (guide §2.4/§5): below the window-shape threshold
+    # the intermediate checkpoints are pure job overhead — classify,
+    # score, semi-join and the per-source window all run as ONE job
+    # inside sel_ids' checkpoint (each subtree has exactly one
+    # consumer, so nothing re-executes), and the select runs the plain
+    # window. Above it the shipped shape stays: both decision frames
+    # checkpoint first (the range-exchange select SAMPLES its input —
+    # repartitionByRange would re-execute the un-checkpointed scoring
+    # subtree for the sampling pass) and the select runs the range
+    # shape. Gate = the batch's slim (doc_id, source) scan-derived
+    # Catalyst estimate — same per-row width as the scored rows the
+    # window sorts, scales with the corpus, and unlike the scored
+    # frame's own estimate it is neither explode-blind (under) nor
+    # LogicalRDD-pinned at Long.MaxValue (over). A/B: see
+    # OPTIMIZATION_r17.md (session 3).
+    from udacity_dend_capstone_immigration_spark.operators.cumsum import (
+        WINDOW_MAX_BYTES,
+        _estimated_bytes,
+    )
+
+    est = _estimated_bytes(batch.select("doc_id", "source"))
+    fold = est is not None and est <= WINDOW_MAX_BYTES
+    if _FOLD_SELECT_OVERRIDE is not None:
+        fold = _FOLD_SELECT_OVERRIDE
+    if fold:
+        spark.sparkContext.setJobDescription(
+            "pipeline: classify+score+select (folded)"
+        )
+        scored_surv = scored_lazy.join(
+            surv_lazy.hint("merge"), "doc_id", "leftsemi"
+        )
+        sel_ids = (
+            _dsir_select_from_scores(scored_surv, shape="window")
             .select("doc_id")
             .localCheckpoint()
         )
-
-    def _materialize_scores():
-        spark.sparkContext.setJobDescription("pipeline: DSIR score batch")
-        return scored_lazy.localCheckpoint()
-
-    if _OVERLAP_JOBS:
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            surv_f = pool.submit(_materialize_surv)
-            scored_f = pool.submit(_materialize_scores)
-            surv_ids, scored_all = surv_f.result(), scored_f.result()
     else:
-        surv_ids, scored_all = _materialize_surv(), _materialize_scores()
-    spark.sparkContext.setJobDescription(None)
 
-    scored_surv = scored_all.join(surv_ids.hint("merge"), "doc_id", "leftsemi")
-    sel_ids = (
-        _dsir_select_from_scores(scored_surv)
-        .select("doc_id")
-        .localCheckpoint()
-    )
+        def _materialize_surv():
+            spark.sparkContext.setJobDescription("pipeline: classify vs dedup store")
+            return surv_lazy.localCheckpoint()
+
+        def _materialize_scores():
+            spark.sparkContext.setJobDescription("pipeline: DSIR score batch")
+            return scored_lazy.localCheckpoint()
+
+        if _OVERLAP_JOBS:
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                surv_f = pool.submit(_materialize_surv)
+                scored_f = pool.submit(_materialize_scores)
+                surv_ids, scored_all = surv_f.result(), scored_f.result()
+        else:
+            surv_ids, scored_all = _materialize_surv(), _materialize_scores()
+
+        scored_surv = scored_all.join(surv_ids.hint("merge"), "doc_id", "leftsemi")
+        sel_ids = (
+            _dsir_select_from_scores(scored_surv, shape="range")
+            .select("doc_id")
+            .localCheckpoint()
+        )
+    spark.sparkContext.setJobDescription(None)
 
     # stage 3: encode + pack with the persisted tokenizer. sel_ids has
     # ONE consumer, so its checkpoint is not a re-execution guard like

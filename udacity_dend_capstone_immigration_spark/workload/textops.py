@@ -2033,11 +2033,18 @@ def _dsir_scores(docs, bi, scored_c, scored_t):
     )
 
 
-def _dsir_select_from_scores(w):
+def _dsir_select_from_scores(w, shape: str = "auto"):
     """The SELECT half: head-25% token mass per source over an
     already-scored frame (global decision — it needs the WHOLE
     snapshot's mass distribution, which is why the streamed twin
-    accumulates scores and selects once at snapshot time)."""
+    accumulates scores and selects once at snapshot time).
+
+    ``shape`` forwards to :func:`grouped_running_sum` — callers whose
+    ``w`` is RDD-backed (checkpointed) must pick it themselves, because
+    Catalyst reports Long.MaxValue for LogicalRDD and auto would always
+    run the range-exchange machinery even on a KB-sized frame
+    (``workload/pipeline.py`` gates on the batch's scan-derived
+    estimate instead)."""
     from udacity_dend_capstone_immigration_spark.operators.cumsum import (
         grouped_running_sum,
     )
@@ -2049,6 +2056,7 @@ def _dsir_select_from_scores(w):
         "n_bigrams",
         out_col="cum_mass",
         total_col="total_mass",
+        shape=shape,
     )
     return cum.where(
         (F.col("cum_mass") - F.col("n_bigrams")).cast("double")
